@@ -1,0 +1,103 @@
+package graft.collocations
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Llr, Normalize, Stopwords, TopK}
+
+/** The flagship pipeline — Top-K strongest bigram collocations per language,
+  * scored by LLR — rebuilt Spark-first from the reference's 3-job MapReduce
+  * chain (`CollocationExtraction3Jobs.java`, `Job1/2/3.java`).
+  *
+  * The reference's hand-built machinery maps to one lazy DataFrame DAG:
+  *   - secondary-sort streaming join on w1/w2 (`Job1.java:36-94`,
+  *     `Job2.java:27-118`)        → plain equi `join` (Catalyst picks
+  *     SortMergeJoin or, post-AQE, BroadcastHashJoin — the unigram-count
+  *     side is an aggregated vocabulary, orders of magnitude smaller than
+  *     the bigram fact table);
+  *   - map-side combiner (`Job1.java:197-209`) → automatic partial/final
+  *     HashAggregate;
+  *   - distributed-cache N map (`Job2.java:168-190`) → explicit
+  *     `broadcast()` join (the N table is one row per (lang) — never let
+  *     it shuffle the fact side);
+  *   - Top-100 heap (`Job3.java:56-110`) → `row_number` window that Spark
+  *     rewrites to partial+final WindowGroupLimit.
+  *
+  * Scale notes (100 TB): tokenization and pair-generation are array-local
+  * (zero shuffle); the only shuffles are the two count aggregations and the
+  * count joins, all keyed on (lang, word) whose cardinality is the
+  * vocabulary — bounded and well-distributed. Deviations from the reference
+  * implement its *documented intent*, not its bugs: bigram counts are truly
+  * summed (A3 quirk) and N is a global sum (A4 quirk) — see SURVEY.md §2.4.
+  */
+object Collocations {
+
+  val K = 100
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** (doc_id, lang, toks) with cleaned, non-empty tokens. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), Normalize.tokensCol(col("text")).as("toks"))
+
+  /** One row per token occurrence, stopwords removed (P6/J4). */
+  def unigrams(docs: DataFrame): DataFrame =
+    Stopwords.anti(
+      tokenized(docs).select(col("lang"), explode(col("toks")).as("w")), "w")
+
+  /** c1 per (lang, w) — A2. Partial aggregation is automatic. */
+  def unigramCounts(docs: DataFrame): DataFrame =
+    unigrams(docs).groupBy("lang", "w").agg(count(lit(1)).as("c"))
+
+  /** Grand total N per lang — A4, as a *global* sum (fixes the reference's
+    * one-reducer assumption). */
+  def grandTotalN(docs: DataFrame): DataFrame =
+    unigramCounts(docs).groupBy("lang").agg(sum("c").as("n"))
+
+  /** One row per adjacent pair whose both words survive the stopword filter
+    * (pairs are formed over the cleaned token sequence *including*
+    * stopwords, then filtered — matching the reference, where Google's
+    * bigrams were formed from raw text and stopword bigrams dropped after). */
+  def bigramPairs(docs: DataFrame): DataFrame = {
+    val pairs = tokenized(docs)
+      .select(col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    Stopwords.anti(Stopwords.anti(pairs, "w1"), "w2")
+  }
+
+  /** c12 per (lang, w1, w2) — A3, with real summation. */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    bigramPairs(docs).groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+
+  /** J1: attach c1 on (lang, w1). */
+  def joinedC1(docs: DataFrame): DataFrame = {
+    val u1 = unigramCounts(docs).withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")
+    bigramCounts(docs).join(u1, Seq("lang", "w1"))
+  }
+
+  /** J2: attach c2 on (lang, w2). */
+  def joinedC2(docs: DataFrame): DataFrame = {
+    val u2 = unigramCounts(docs).withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
+    joinedC1(docs).join(u2, Seq("lang", "w2"))
+  }
+
+  /** J3: attach the grand total N via an explicit broadcast join. */
+  def withN(docs: DataFrame): DataFrame =
+    joinedC2(docs).join(broadcast(grandTotalN(docs)), Seq("lang"))
+
+  /** F3 + P8: LLR column, NaN/Inf rows dropped, rounded to 6 decimals for
+    * cross-engine (DuckDB oracle) hash parity. */
+  def scored(docs: DataFrame): DataFrame =
+    withN(docs)
+      .withColumn("llr_raw", Llr.llr(col("c1"), col("c2"), col("c12"), col("n")))
+      .filter(!isnan(col("llr_raw")) && !col("llr_raw").isin(Double.PositiveInfinity, Double.NegativeInfinity))
+      .withColumn("llr", round(col("llr_raw"), 6))
+
+  /** A5/A6/O2: Top-K per language with deterministic tie-breaks. */
+  def topCollocations(docs: DataFrame, k: Int = K): DataFrame =
+    TopK.topKPerGroup(
+      scored(docs).select(col("lang"), col("w1"), col("w2"), col("llr")),
+      Seq(col("lang")),
+      Seq(col("llr").desc, col("w1").asc, col("w2").asc),
+      k)
+}
