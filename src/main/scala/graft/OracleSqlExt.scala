@@ -1,0 +1,222 @@
+package graft
+
+import graft.ops.Stopwords
+import graft.text.TextAnalysis
+
+/** DuckDB oracle SQL for the training-data-pipeline extensions (dedup,
+  * similarity search, text analysis, multimodal, events). Same parity
+  * discipline as [[OracleSql]]; hash-bearing operators are md5-based so
+  * both engines compute identical signatures.
+  */
+object OracleSqlExt {
+
+  /** tcl(doc_id, lang, text, tl): cleaned non-empty token LIST per doc. */
+  val tclCte: String =
+    s"""tcl AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(list_transform(string_split_regex(text, '\\s+'), s -> ${OracleSql.clean("s")}), s -> length(s) > 0) AS tl
+       |  FROM documents
+       |)""".stripMargin
+
+  /** sh(doc_id, shingle): distinct word-3-shingles of cleaned tokens. */
+  val shCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))) AS shingle
+      |  FROM tcl WHERE len(tl) >= 3
+      |)""".stripMargin
+
+  /** mh(doc_id, h0..h15): 16 md5 minhashes. */
+  val mhCte: String = {
+    val hs = (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n         ")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |         $hs
+       |  FROM sh GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** bk(doc_id, band, sig): 4 bands x 4 rows. */
+  val bkCte: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh"
+    }
+    s"""bk AS (
+       |  ${bandSelects.mkString("\n  UNION ALL ")}
+       |)""".stripMargin
+  }
+
+  val lshCandidatesSql: String =
+    s"""WITH $tclCte,
+       |$shCte,
+       |$mhCte,
+       |$bkCte
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
+
+  def jaccardSql(threshold: Double): String =
+    s"""WITH $tclCte,
+       |$shCte,
+       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  GROUP BY l.doc_id, r.doc_id
+       |)
+       |SELECT a, b, inter, na, nb, jaccard FROM (
+       |  SELECT a, b, inter, ca.nsh AS na, cb.nsh AS nb,
+       |         round(inter / (ca.nsh + cb.nsh - inter), 6) AS jaccard
+       |  FROM inter JOIN counts ca ON inter.a = ca.doc_id JOIN counts cb ON inter.b = cb.doc_id
+       |) WHERE jaccard >= $threshold""".stripMargin
+
+  /** 60-bit simhash; bit b of md5 hex char j votes +-1 per token occurrence. */
+  val simhashSql: String = {
+    val votes = (0 until 60).map { bit =>
+      val j = bit / 4 + 1
+      val b = 1L << (bit % 4)
+      s"sum(CASE WHEN ((instr('0123456789abcdef', substr(h, $j, 1)) - 1) // $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$bit"
+    }.mkString(",\n    ")
+    val fp = (0 until 60).map(bit => s"CASE WHEN v$bit >= 0 THEN ${1L << bit} ELSE 0 END").mkString("\n    + ")
+    s"""WITH $tclCte,
+       |stok AS (SELECT doc_id, md5(unnest(tl)) AS h FROM tcl),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM stok GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  // ------------------------------------------------------------ embeddings
+
+  /** Left-to-right dot product over 64 dims (mirrors zip_with+aggregate). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def closestPairsSql(topN: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a, b, cos FROM (
+       |  SELECT l.vec_id AS a, r.vec_id AS b, round(${cosineSql("l.v", "r.v")}, 6) AS cos
+       |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+       |) ORDER BY cos DESC, a ASC, b ASC LIMIT $topN""".stripMargin
+
+  def annBruteSql(stride: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM q JOIN c ON n_id != q_id
+       |)
+       |SELECT q_id, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+
+  def bucketSql(v: String, bits: Int): String =
+    (1 to bits).map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  def annBucketedSql(stride: Int, k: Int, bits: Int): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |qb AS (SELECT *, ${bucketSql("qv", bits)} AS bkt FROM q),
+       |cb AS (SELECT *, ${bucketSql("nv", bits)} AS bkt FROM c),
+       |scored AS (
+       |  SELECT q_id, qb.bkt AS bkt, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM qb JOIN cb ON qb.bkt = cb.bkt AND n_id != q_id
+       |)
+       |SELECT q_id, bkt, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+
+  // ------------------------------------------------------------ text
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}', 0)) AS BIGINT) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  val qualitySql: String =
+    s"""WITH $tclCte,
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tl) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(tl, t -> t IN (${Stopwords.sqlList}))) AS BIGINT) AS n_stop
+       |  FROM tcl
+       |),
+       |r AS (
+       |  SELECT doc_id, n_tokens, n_chars,
+       |    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+       |    CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS sr
+       |  FROM m
+       |)
+       |SELECT doc_id, n_tokens, n_chars, round(pr, 6) AS punct_ratio, round(sr, 6) AS stop_ratio,
+       |       round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS quality
+       |FROM r""".stripMargin
+
+  val langIdSql: String = {
+    def occ(sig: String): String = {
+      val esc = sig.replace("'", "''")
+      s"((length(text) - length(replace(text, '$esc', ''))) // ${sig.length})"
+    }
+    val scores = TextAnalysis.profiles.map { case (l, sigs) =>
+      s"CAST(${sigs.map(occ).mkString(" + ")} AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.profiles.map(_._1)
+    val chain = langs.zipWithIndex.init.foldRight(s"'${langs.last}'") {
+      case ((l, i), rest) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$l' ELSE $rest END"
+    }
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $chain AS lang_pred FROM s""".stripMargin
+  }
+
+  val fingerprintSql: String =
+    s"""WITH $tclCte
+       |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tl)), ' ')) AS fp FROM tcl""".stripMargin
+
+  // ------------------------------------------------------------ multimodal
+
+  val decodeSql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1), i -> unicode(substr(text, i, 1)))), 0) AS BIGINT) AS checksum,
+      |  CAST(CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS head_byte
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ events
+
+  val hourlySql: String =
+    """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def sessionizeSql(gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |lagd AS (
+       |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev FROM ev
+       |),
+       |ns AS (
+       |  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > $gapUs THEN 1 ELSE 0 END AS new_s FROM lagd
+       |),
+       |sid AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM ns
+       |)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+       |FROM sid GROUP BY user_id, session_id""".stripMargin
+  }
+}

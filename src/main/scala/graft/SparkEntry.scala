@@ -198,7 +198,166 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-             |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------ A7-adjacent: rollup
+    ("rollup_pricing",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // -------------------------------------------------- distinct aggregate
+    ("distinct_parts",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ----------------------------------------------- global ORDER BY LIMIT
+    ("sort_limit",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------- multiway join (dims bcast)
+    ("join_multiway",
+      (s: SparkSession, d: String) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val ord  = s.read.parquet(s"$d/orders.parquet")
+        val nat  = s.read.parquet(s"$d/nation.parquet")
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |            JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // ------------------------------------------------- semi + anti joins
+    ("semi_anti_join",
+      (s: SparkSession, d: String) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+        val ord  = s.read.parquet(s"$d/orders.parquet").select("o_custkey")
+        val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+        val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+        semi.join(anti, Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+            coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+             |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    // ======================================================== text analysis
+    ("text_token_stats",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d).select(col("doc_id"),
+          graft.text.TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          graft.text.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens")),
+      Some(OracleSqlExt.tokenStatsSql)),
+
+    ("text_quality",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d)
+          .select(col("doc_id"), graft.text.TextAnalysis.quality(col("text")).as("q"))
+          .select(col("doc_id"), col("q.n_tokens"), col("q.n_chars"),
+            col("q.punct_ratio"), col("q.stop_ratio"), col("q.quality")),
+      Some(OracleSqlExt.qualitySql)),
+
+    ("text_langid",
+      (s: SparkSession, d: String) => {
+        val docs = Collocations.documents(s, d)
+        val scores = graft.text.TextAnalysis.langScores(col("text")).map { case (l, c) => c.as(s"s_$l") }
+        docs.select(
+          (col("doc_id") +: scores) :+
+            graft.text.TextAnalysis.predictedLang(col("text")).as("lang_pred"): _*)
+      },
+      Some(OracleSqlExt.langIdSql)),
+
+    ("text_fingerprint",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d).select(col("doc_id"),
+          graft.text.TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some(OracleSqlExt.fingerprintSql)),
+
+    // ========================================================== dedup
+    ("dedup_exact",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.exactGroups(Collocations.documents(s, d)),
+      Some("""SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    ("dedup_minhash_lsh",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.lshCandidates(Collocations.documents(s, d)),
+      Some(OracleSqlExt.lshCandidatesSql)),
+
+    ("dedup_ngram_jaccard",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.jaccardPairs(Collocations.documents(s, d), threshold = 0.3),
+      Some(OracleSqlExt.jaccardSql(0.3))),
+
+    ("dedup_simhash",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.simhash(Collocations.documents(s, d)),
+      Some(OracleSqlExt.simhashSql)),
+
+    ("dedup_embedding",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.closestEmbeddingPairs(
+          s.read.parquet(s"$d/embeddings.parquet"), topN = 20),
+      Some(OracleSqlExt.closestPairsSql(20))),
+
+    // ==================================================== similarity search
+    ("ann_cosine_topk",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.bruteForceTopK(
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5),
+      Some(OracleSqlExt.annBruteSql(100, 5))),
+
+    ("ann_bucketed_topk",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.bucketedTopK(
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
+      Some(OracleSqlExt.annBucketedSql(100, 5, 6))),
+
+    // ========================================================= multimodal
+    ("multimodal_decode",
+      (s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.decodeFeatures(Collocations.documents(s, d)).toDF(),
+      Some(OracleSqlExt.decodeSql)),
+
+    // ============================================================ events
+    ("events_hourly",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.hourlyByType(graft.events.Events.events(s, d)),
+      Some(OracleSqlExt.hourlySql)),
+
+    ("sessionize",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.sessionize(graft.events.Events.events(s, d), gapMinutes = 30),
+      Some(OracleSqlExt.sessionizeSql(30)))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

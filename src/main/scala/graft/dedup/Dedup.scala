@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Normalize
+
+/** Deduplication operators for an LLM training-data pipeline, designed for
+  * 100 TB from the start:
+  *
+  *  - exact dedup: hash-groupBy on a content hash — one shuffle keyed by
+  *    the hash (near-perfectly distributed);
+  *  - MinHash + LSH near-dedup: the scale path. Signatures are computed
+  *    array-locally per document; only (band, band-signature) keys shuffle,
+  *    so the self-join touches candidate buckets, never the full cross
+  *    product;
+  *  - n-gram Jaccard via an inverted shingle index: exact similarity for
+  *    verification of LSH candidates (quadratic only within a shingle's
+  *    posting list — at scale, cap posting-list length / use it solely to
+  *    verify LSH candidates);
+  *  - SimHash: 60-bit fingerprints, near-dups collide in banded prefixes;
+  *  - embedding cosine near-dup: brute force here, LSH/IVF bucketing in
+  *    [[graft.similarity.Ann]] as the scale path.
+  *
+  * All hashes are md5-based so the DuckDB oracle can reproduce them
+  * byte-for-byte (both engines implement standard md5; the minimum of hex
+  * strings is a valid minhash order).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact-duplicate groups: (text_hash, n_docs, keep_id). `keep_id` is the
+    * smallest doc_id — the canonical survivor. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+
+  // ------------------------------------------------------------ shingles
+
+  /** Distinct word k-shingles per document, built array-locally. */
+  def shingleCol(text: Column, k: Int): Column = {
+    val t = Normalize.tokensCol(text)
+    val n = size(t)
+    when(n >= k,
+      array_distinct(transform(sequence(lit(1), n - k + 1),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*))))
+  }
+
+  /** (doc_id, shingle) exploded rows; docs with < k tokens drop out. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingleCol(col("text"), k)).as("shingle"))
+
+  // ------------------------------------------------------------ minhash
+
+  /** MinHash signature: h_i(doc) = min over shingles of md5(i || ':' ||
+    * shingle), as columns h0..h{n-1}. Lexicographic min over hex strings is
+    * a uniform hash order shared exactly with the oracle. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    shingles(docs, k).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bucketing: split the signature into `bands` bands of `rowsPerBand`
+    * hashes; band key = md5 of the concatenated band. Emits
+    * (doc_id, band, sig). */
+  def lshBuckets(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, k, bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
+    * bucket. The join is keyed on (band, sig): only same-bucket docs meet. */
+  def lshCandidates(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val buckets = lshBuckets(docs, k, bands, rowsPerBand)
+    val l = buckets.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = buckets.select(col("band"), col("sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  // ------------------------------------------------------------ jaccard
+
+  /** Exact shingle-Jaccard for all pairs sharing >= 1 shingle, via an
+    * inverted index self-join (a < b). Returns (a, b, inter, na, nb,
+    * jaccard rounded to 6). */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, k)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val j = inter
+      .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+    j.filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 60-bit SimHash over token md5s (15 hex chars x 4 bits — 60 bits keeps
+    * the fingerprint in a positive BIGINT for oracle parity). Each token
+    * occurrence votes +1/-1 per bit; fingerprint bit = (vote sum >= 0). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(Normalize.tokensCol(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    // nibble value of hex char j (1-based) in h: 0..15
+    def nib(j: Int): Column = conv(substring(col("h"), j, 1), 16, 10).cast("long")
+    val votes = (0 until 60).map { bit =>
+      val j = bit / 4 + 1     // hex char index
+      val b = bit % 4         // bit within nibble
+      val bitVal = (nib(j).divide(lit(1L << b)).cast("long")) % 2
+      sum(bitVal * 2 - 1).as(s"v$bit")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 60).map { bit =>
+      when(col(s"v$bit") >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
+    * the LSH/IVF scale path lives in [[graft.similarity.Ann]]). */
+  def closestEmbeddingPairs(emb: DataFrame, topN: Int = 20): DataFrame = {
+    import graft.similarity.Ann.cosine
+    val l = emb.select(col("vec_id").as("a"), col("embedding").cast("array<double>").as("va"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").cast("array<double>").as("vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .select(col("a"), col("b"), col("cos"))
+      .orderBy(col("cos").desc, col("a").asc, col("b").asc)
+      .limit(topN)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: time bucketing, sessionization, and windowed
+  * analytics. The `events` parquet carries TIMESTAMP(NANOS): Spark reads it
+  * as epoch-nanos BIGINT (`spark.sql.legacy.parquet.nanosAsLong`) while
+  * DuckDB truncates to a microsecond TIMESTAMP — so every derivation here
+  * first truncates to epoch-micros with *integer* division (`div`), making
+  * both engines operate on identical integers.
+  */
+object Events {
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** Epoch-micros from the nanos BIGINT — integer division, exact, and
+    * identical to DuckDB's ns->us timestamp truncation. */
+  val tsMicros: Column = expr("ts div 1000")
+
+  /** Tumbling-hour bucket as epoch hours (integer division on micros). */
+  def hourBucket(tsUs: Column): Column = expr("ts_us div 3600000000")
+
+  /** Hourly per-type aggregate — the batch twin of the Structured
+    * Streaming query in [[graft.streaming.EventsStream]]. */
+  def hourlyByType(ev: DataFrame): DataFrame =
+    ev.withColumn("ts_us", tsMicros)
+      .groupBy(expr("ts_us div 3600000000").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Sessionization: a new session starts after a gap > `gapMinutes`.
+    * Classic lag + cumulative-sum window; at scale this shuffles once on
+    * user_id and sorts within partitions (exactly what the window needs —
+    * no extra exchange). */
+  def sessionize(ev: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    ev.withColumn("ts_us", tsMicros)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query set is broadcast, so the big side streams once with no
+  *    shuffle; per-pair work is an array-local fold.
+  *  - [[bucketedTopK]]: the scale path — a deterministic sign-bit coarse
+  *    quantizer (IVF-style). Vectors shuffle once by bucket key; candidate
+  *    generation touches only same-bucket vectors, turning O(N*Q) into
+  *    O(N*Q / 2^bits) at the cost of recall. At 100 TB you'd add
+  *    multi-probe (flip one sign) to recover recall; the plumbing is
+  *    identical.
+  *
+  * Dot products fold left-to-right over `zip_with`, which the DuckDB oracle
+  * mirrors with `list_reduce` — bit-identical doubles, so scores round
+  * identically and ranks agree.
+  */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic query subset: every `stride`-th vector. */
+  def queries(emb: DataFrame, stride: Int): DataFrame =
+    emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+
+  /** Exact top-k neighbors per query (self excluded), deterministic ties. */
+  def bruteForceTopK(emb: DataFrame, stride: Int = 100, k: Int = 5): DataFrame = {
+    val cand = emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+    val scored = cand.join(broadcast(queries(emb, stride)), col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("n_id"), col("cos")),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
+
+  /** Sign-bit bucket over the first `bits` dimensions (1-based elements). */
+  def bucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map(i => when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Approximate top-k: candidates restricted to the query's bucket. */
+  def bucketedTopK(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6): DataFrame = {
+    val cand = emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+      .withColumn("bkt", bucket(col("n_vec"), bits))
+    val q = queries(emb, stride).withColumn("bkt", bucket(col("q_vec"), bits))
+    val scored = cand.join(broadcast(q), Seq("bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("bkt"), col("n_id"), col("cos")),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
+}

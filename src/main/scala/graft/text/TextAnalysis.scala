@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{Normalize, Stopwords}
+
+/** Text-analysis operators for an LLM training-data pipeline: token
+  * counting, quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All pure `Column` compositions (codegen-friendly,
+  * shuffle-free per-document work — the ideal 100 TB shape: an embarrassing
+  * parallel map over the corpus with pushdown-friendly scans).
+  *
+  * Every derived double is rounded to 6 decimals so the DuckDB oracle
+  * hash-matches (ratios of exact longs are bit-identical across engines;
+  * only `exp`/`ln` can drift by 1 ulp).
+  */
+object TextAnalysis {
+
+  /** Cleaned, non-empty token array (shared with the collocation engine). */
+  def toks(text: Column): Column = Normalize.tokensCol(text)
+
+  /** Whitespace token count (raw, before cleaning). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
+  /** Count of non-letter/digit/space characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("long")
+
+  def stopTokenCount(tl: Column): Column =
+    size(filter(tl, t => t.isin(Stopwords.words: _*))).cast("long")
+
+  /** Quality score: logistic over punctuation + stopword ratios. The exact
+    * formula is arbitrary but deterministic; see OracleSql mirror. */
+  def quality(text: Column): Column = {
+    val tl    = toks(text)
+    val nTok  = size(tl).cast("long")
+    val nChar = length(text).cast("long")
+    val punctRatio = when(nChar > 0, punctCount(text) / nChar).otherwise(lit(0.0))
+    val stopRatio  = when(nTok > 0, stopTokenCount(tl) / nTok).otherwise(lit(0.0))
+    struct(
+      nTok.as("n_tokens"),
+      nChar.as("n_chars"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lit(1.0) / (lit(1.0) + exp(-(lit(1.5) - lit(4.0) * punctRatio - lit(1.0) * stopRatio))), 6).as("quality"))
+  }
+
+  /** Language-ID character-n-gram profiles. The synthetic corpus is
+    * English-like regardless of label, so this demonstrates the operator
+    * shape (profile scoring + deterministic argmax), not linguistics. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "der"),
+    "en" -> Seq("th", "ing", "he "),
+    "es" -> Seq("os", "la ", "el"),
+    "fr" -> Seq("le", "ou", "es "),
+    "zh" -> Seq("sh", "zh", "ng"))
+
+  /** Occurrences of literal `sig` in `text` via length difference. */
+  def occurrences(text: Column, sig: String): Column =
+    ((length(text) - length(replace(text, lit(sig), lit("")))) / lit(sig.length)).cast("long")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    profiles.map { case (l, sigs) =>
+      l -> sigs.map(s => occurrences(text, s)).reduce(_ + _)
+    }
+
+  /** Deterministic argmax: first lang (in profile order) whose score is >=
+    * all later langs' scores. */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val chain = scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case (((l, s), i), rest) =>
+        val later = scores.drop(i + 1).map(_._2)
+        when(later.map(s >= _).reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    chain
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct cleaned tokens —
+    * a canonical bag-of-words signature, stable under token reordering. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
+}
