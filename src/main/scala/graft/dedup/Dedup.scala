@@ -37,9 +37,14 @@ object Dedup {
 
   // ------------------------------------------------------------ shingles
 
-  /** Distinct word k-shingles per document, built array-locally. */
-  def shingleCol(text: Column, k: Int): Column = {
-    val t = Normalize.tokensCol(text)
+  /** Distinct word k-shingles from an already-materialized token array.
+    * IMPORTANT: `t` must be a plain column reference, not the tokenizing
+    * expression itself — Catalyst does no subexpression caching inside
+    * higher-order-function lambdas, so an inlined tokenizer would be
+    * re-evaluated for every `element_at` of every shingle (measured 44s vs
+    * ~1s on sf0.1). CollapseProject keeps the two-step projection below
+    * un-inlined because the reference is non-cheap and multiply-used. */
+  def shingleCol(t: Column, k: Int): Column = {
     val n = size(t)
     when(n >= k,
       array_distinct(transform(sequence(lit(1), n - k + 1),
@@ -48,7 +53,8 @@ object Dedup {
 
   /** (doc_id, shingle) exploded rows; docs with < k tokens drop out. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleCol(col("text"), k)).as("shingle"))
+    docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingleCol(col("toks"), k)).as("shingle"))
 
   // ------------------------------------------------------------ minhash
 

@@ -16,17 +16,16 @@ import org.apache.spark.sql.functions._
   *    multi-probe (flip one sign) to recover recall; the plumbing is
   *    identical.
   *
-  * Dot products fold left-to-right over `zip_with`, which the DuckDB oracle
+  * Dot products use the codegen'd [[graft.functions.DotProduct]]
+  * expression — a left-to-right primitive fold that the DuckDB oracle
   * mirrors with `list_reduce` — bit-identical doubles, so scores round
   * identically and ranks agree.
   */
 object Ann {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine(a, b)
 
   /** Deterministic query subset: every `stride`-th vector. */
   def queries(emb: DataFrame, stride: Int): DataFrame =

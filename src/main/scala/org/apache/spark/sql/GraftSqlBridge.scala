@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column <-> Expression converters, the
+  * supported Spark-4 path for wrapping a custom Catalyst `Expression` as a
+  * user-facing `Column` (the pre-4.0 `new Column(expr)` constructor is
+  * gone). Lives in the `org.apache.spark.sql` package solely to satisfy
+  * the access qualifier; contains no logic. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
