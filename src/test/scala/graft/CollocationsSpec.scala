@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.collocations.Collocations
+
+/** Golden end-to-end on a hand-computable corpus (SURVEY §5.4). Exercises:
+  * POS stripping, stopwords in w1/w2 position, cross-document summation of
+  * the same bigram (the reference's A3 quirk, implemented with intended
+  * semantics), per-lang grouping, and the inner-join drop of pairs whose
+  * word is a stopword. */
+class CollocationsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "big data_NOUN makes big data useful"),
+      (2L, "en", "the big data (pipeline)"),
+      (3L, "he", "שלום עולם")
+    ).toDF("doc_id", "lang", "text")
+  }
+
+  // en tokens after clean: d1: big data makes big data useful
+  //                        d2: the big data pipeline   ("the" is a stopword)
+  // en unigram counts (stopwords removed): big=3, data=3, makes=1, useful=1, pipeline=1  -> N_en=9
+  // en pairs (formed incl. stopwords, then stop-filtered):
+  //   d1: big-data, data-makes, makes-big, big-data, data-useful
+  //   d2: the-big (dropped), big-data, data-pipeline
+  //   => big-data=3, data-makes=1, makes-big=1, data-useful=1, data-pipeline=1
+  test("counts match hand computation") {
+    val uni = Collocations.unigramCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(uni(("en", "big")) == 3L && uni(("en", "data")) == 3L && uni(("en", "pipeline")) == 1L)
+    assert(uni(("he", "שלום")) == 1L && uni(("he", "עולם")) == 1L)
+
+    val n = Collocations.grandTotalN(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("en" -> 9L, "he" -> 2L))
+
+    val bg = Collocations.bigramCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(bg(("en", "big", "data")) == 3L)
+    assert(bg(("en", "data", "pipeline")) == 1L)
+    assert(!bg.contains(("en", "the", "big")), "stopword bigram must be dropped")
+    assert(bg.size == 6) // 5 en + 1 he
+  }
+
+  test("top collocations ranked by llr desc with deterministic ties") {
+    val top = Collocations.topCollocations(docs, k = 3).filter(col("lang") === "en").collect()
+    assert(top.length == 3)
+    val scores = top.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(top.head.getString(1) == "big" && top.head.getString(2) == "data",
+      "big-data (c12=3) must be the strongest en collocation")
+  }
+
+  test("scored rows carry consistent counts") {
+    val row = Collocations.scored(docs)
+      .filter(col("lang") === "en" && col("w1") === "big" && col("w2") === "data")
+      .select("c1", "c2", "c12", "n").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((3L, 3L, 3L, 9L)))
+  }
+}

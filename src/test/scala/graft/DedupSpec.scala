@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),          // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat tonight indeed"),   // near dup of 1
+      (4L, "completely different words about spark query engines here now"),
+      (5L, "ab")                                                            // < 3 tokens: no shingles
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+  }
+
+  test("exact groups collapse identical texts to min doc_id") {
+    val g = Dedup.exactGroups(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g.contains((2L, 1L)))          // the dup pair
+    assert(g.count(_._1 == 1L) == 3)      // three singletons
+  }
+
+  test("identical docs have identical minhash signatures; short docs none") {
+    val sig = Dedup.minhashSignatures(docs).collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(!sig.contains(5L))
+  }
+
+  test("lsh candidates contain the exact-dup pair and near-dup pair") {
+    val cand = Dedup.lshCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)),
+      s"near-dup should share a band at j~0.67: $cand")
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard pairs compute exact set similarity") {
+    val j = Dedup.jaccardPairs(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap                                     // note: select order is a,b,... ; row layout checked below
+    val full = Dedup.jaccardPairs(docs, threshold = 0.0)
+      .filter(col("a") === 1 && col("b") === 2).collect().head
+    assert(full.getLong(2) == 8L && full.getDouble(5) == 1.0) // 10-token doc -> 8 shingles, identical
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming distance") {
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)),
+      "near-dup must be closer than unrelated doc")
+  }
+
+  test("closest embedding pairs ranks the planted near-duplicate first") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),   // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, -0.2f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Dedup.closestEmbeddingPairs(emb, topN = 2).collect()
+    assert((top.head.getLong(0), top.head.getLong(1)) == ((1L, 2L)))
+    assert(top.head.getDouble(2) > 0.99)
+  }
+}

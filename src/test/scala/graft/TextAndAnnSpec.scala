@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
+
+class TextAndAnnSpec extends SparkSpec {
+
+  test("token stats: whitespace vs bpe-ish counts") {
+    import spark.implicits._
+    val r = Seq((1L, "Hello, world! x2")).toDF("doc_id", "text")
+      .select(TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    // Hello , world ! x 2 -> 6
+    assert(r.getLong(1) == 6L)
+  }
+
+  test("quality: ratios and bounded score") {
+    import spark.implicits._
+    val q = Seq((1L, "the cat!!! sat")).toDF("doc_id", "text")
+      .select(TextAnalysis.quality(col("text")).as("q")).select("q.*").collect().head
+    assert(q.getAs[Long]("n_tokens") == 3L)
+    assert(q.getAs[Double]("punct_ratio") > 0 && q.getAs[Double]("punct_ratio") < 1)
+    assert(q.getAs[Double]("stop_ratio") > 0.33 && q.getAs[Double]("stop_ratio") < 0.34)
+    val s = q.getAs[Double]("quality")
+    assert(s > 0 && s < 1)
+  }
+
+  test("fingerprint is invariant to token order and duplication") {
+    import spark.implicits._
+    val fps = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langid is deterministic and respects profile-order tie-break") {
+    import spark.implicits._
+    // empty text -> all scores 0 -> first profile lang (de) wins the tie
+    val r = Seq((1L, "zzz qqq"), (2L, "this thing weighs everything"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.predictedLang(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "de")  // no signature hits anywhere -> tie -> profile order
+    assert(r(2L) == "en")  // th/ing-heavy
+  }
+
+  test("brute-force ANN returns the true nearest neighbor with ties broken by id") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(emb, stride = 4, k = 3).collect()  // queries: vec_id 0
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head._3 > 0.99)
+  }
+
+  test("bucketed ANN only searches within the sign bucket") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f)),
+      (1L, Array(0.9f, 0.8f)),    // same bucket "11"
+      (2L, Array(-1.0f, 1.0f))    // different bucket
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bucketedTopK(emb, stride = 3, k = 5, bits = 2).collect()
+    assert(top.map(_.getLong(2)).toSet == Set(1L), "bucket must exclude vec 2")
+  }
+
+  test("multimodal decode produces deterministic byte features") {
+    import spark.implicits._
+    val f = Multimodal.decodeFeatures(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
+      .collect().head
+    assert(f.n_bytes == 2L && f.checksum == (65 + 66) && f.head_byte == 65)
+  }
+
+  test("payload schema carries binary column + typed metadata") {
+    import spark.implicits._
+    val df = Multimodal.withPayload(Seq((7L, "xy", "en")).toDF("doc_id", "text", "lang"))
+    assert(df.schema("payload").dataType.typeName == "binary")
+    assert(df.select("meta.n_bytes").collect().head.getLong(0) == 2L)
+  }
+}
