@@ -93,11 +93,34 @@ object Collocations {
       .filter(!isnan(col("llr_raw")) && !col("llr_raw").isin(Double.PositiveInfinity, Double.NegativeInfinity))
       .withColumn("llr", round(col("llr_raw"), 6))
 
-  /** A5/A6/O2: Top-K per language with deterministic tie-breaks. */
-  def topCollocations(docs: DataFrame, k: Int = K): DataFrame =
+  /** A5/A6/O2: Top-K per language with deterministic tie-breaks.
+    *
+    * Unlike the step-by-step builders above (kept 1:1 with the operator
+    * inventory for the per-operator oracle queries), this composition
+    * materializes the unigram-count table once and reuses it for c1, c2
+    * and N. Without that, the corpus subtree appears four times in the DAG
+    * and Spark re-scans + re-tokenizes it four times — exchange reuse does
+    * not fire here because plans containing higher-order-function lambdas
+    * don't canonicalize equal. The count table is vocabulary-sized
+    * (orders of magnitude smaller than the corpus), so caching it is the
+    * same call a 100 TB pipeline makes by writing counts to a table: two
+    * corpus passes total (unigrams, bigrams), like the reference's
+    * separate 1-gram and 2-gram jobs. */
+  def topCollocations(docs: DataFrame, k: Int = K, cache: Boolean = true): DataFrame = {
+    val u0 = unigramCounts(docs)
+    val u = if (cache) u0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else u0
+    val n = u.groupBy("lang").agg(sum("c").as("n"))
+    val scoredDf = bigramCounts(docs)
+      .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
+      .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
+      .join(broadcast(n), Seq("lang"))
+      .withColumn("llr_raw", Llr.llr(col("c1"), col("c2"), col("c12"), col("n")))
+      .filter(!isnan(col("llr_raw")))
+      .withColumn("llr", round(col("llr_raw"), 6))
     TopK.topKPerGroup(
-      scored(docs).select(col("lang"), col("w1"), col("w2"), col("llr")),
+      scoredDf.select(col("lang"), col("w1"), col("w2"), col("llr")),
       Seq(col("lang")),
       Seq(col("llr").desc, col("w1").asc, col("w2").asc),
       k)
+  }
 }

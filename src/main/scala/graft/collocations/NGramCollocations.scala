@@ -32,9 +32,13 @@ object NGramCollocations {
   def grandTotalN(uniCounts: DataFrame): DataFrame =
     uniCounts.groupBy("lang", "decade").agg(sum("c1").as("n"))
 
-  /** J1 + J2 + J3 + F3 + P8 + A5/A6: the full scoring chain. */
-  def topCollocations(uni: DataFrame, bg: DataFrame, k: Int = K): DataFrame = {
-    val u = unigramCounts(uni)
+  /** J1 + J2 + J3 + F3 + P8 + A5/A6: the full scoring chain. The unigram
+    * count table (vocabulary-sized) is cached so c1, c2 and N share one
+    * corpus pass — see [[Collocations.topCollocations]] for why exchange
+    * reuse alone doesn't deduplicate it. */
+  def topCollocations(uni: DataFrame, bg: DataFrame, k: Int = K, cache: Boolean = true): DataFrame = {
+    val u0 = unigramCounts(uni)
+    val u = if (cache) u0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else u0
     val b = bigramCounts(bg)
     val n = grandTotalN(u)
     val scored = b

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.collocations.Collocations
+
+/** Physical-plan assertions (SURVEY §4): the scale story depends on
+  * specific Catalyst behaviors — these tests pin them so a refactor that
+  * silently loses a broadcast or the window-group-limit rewrite fails CI,
+  * not production. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-k window rewrites to partial+final WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("topk_window")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit rewrite:\n$p")
+    // partial (map-side) + final occurrences, mirroring the reference's
+    // combiner heap (Job3.java:83-93)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, s"expected partial+final:\n$p")
+  }
+
+  test("flagship pipeline broadcasts N and the stopword anti-joins") {
+    val p = plan(Collocations.topCollocations(Collocations.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti-join stopword filter:\n$p")
+  }
+
+  test("scan_project pushes predicates and prunes columns at the parquet scan") {
+    val df = SparkEntry.queries("scan_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters: ["), s"no pushdown:\n$scan")
+    assert(scan.contains("GreaterThan(l_quantity") , s"quantity filter not pushed:\n$scan")
+    // ReadSchema must not include unused columns like l_comment/l_tax
+    assert(!scan.contains("l_tax"), s"column pruning failed:\n$scan")
+  }
+
+  test("count aggregations run partial then final (map-side combine)") {
+    val p = plan(Collocations.unigramCounts(Collocations.documents(spark, sf)))
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("codegen dot product stays inside whole-stage codegen") {
+    import spark.implicits._
+    // a file source keeps the projection lazy (a local relation would be
+    // constant-folded into a LocalTableScan before physical planning)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = emb.select(graft.functions.VectorFunctions.dot(
+      col("embedding").cast("array<double>"), col("embedding").cast("array<double>")).as("d"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan(df).linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")),
+      s"expected graft_dot inside a codegen stage:\n${plan(df)}")
+    // and the tiny local case still evaluates correctly (interpreted path)
+    val local = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.dot(
+        col("embedding").cast("array<double>"), col("embedding").cast("array<double>")).as("d"))
+    assert(local.collect().map(_.getDouble(0)).toSeq == Seq(5.0, 25.0))
+  }
+
+  test("lsh bucket self-join is an equi join on (band, sig), not a cross product") {
+    val p = plan(graft.dedup.Dedup.lshCandidates(Collocations.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
+  }
+}
