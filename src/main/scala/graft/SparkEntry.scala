@@ -269,6 +269,53 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
              |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
+    // ------------------------------------ analytic window functions (2.5+)
+    ("window_analytics",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast("long").as("order_rank"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_spend"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER w AS BIGINT) AS order_rank,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+             |  lag(o_orderkey) OVER w AS prev_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
+
+    // --------------------------------------------------- JSON path extract
+    ("json_extract",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/events.parquet")
+          .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+          .groupBy("event_type")
+          .agg(count(col("k")).as("n_k"), min("k").as("min_k"), max("k").as("max_k"), sum("k").as("sum_k")),
+      Some("""SELECT event_type, CAST(count(k) AS BIGINT) AS n_k, min(k) AS min_k, max(k) AS max_k,
+             |       CAST(sum(k) AS BIGINT) AS sum_k
+             |FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+             |GROUP BY event_type""".stripMargin)),
+
+    // -------------------------------------------------- exact percentiles
+    ("percentiles",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ======================================================== text analysis
     ("text_token_stats",
       (s: SparkSession, d: String) =>
