@@ -10,13 +10,16 @@ import graft.text.TextAnalysis
   */
 object OracleSqlExt {
 
-  /** tcl(doc_id, lang, text, tl): cleaned non-empty token LIST per doc. */
-  val tclCte: String =
+  /** tcl(doc_id, lang, text, tl): cleaned non-empty token LIST per doc,
+    * from an arbitrary source relation. */
+  def tclCteFrom(src: String): String =
     s"""tcl AS (
        |  SELECT doc_id, lang, text,
        |         list_filter(list_transform(string_split_regex(text, '\\s+'), s -> ${OracleSql.clean("s")}), s -> length(s) > 0) AS tl
-       |  FROM documents
+       |  FROM $src
        |)""".stripMargin
+
+  val tclCte: String = tclCteFrom("documents")
 
   /** sh(doc_id, shingle): distinct word-3-shingles of cleaned tokens. */
   val shCte: String =
@@ -184,6 +187,59 @@ object OracleSqlExt {
   val fingerprintSql: String =
     s"""WITH $tclCte
        |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tl)), ' ')) AS fp FROM tcl""".stripMargin
+
+  /** Composed clean-corpus pipeline: quality gate -> exact dedup (keep min
+    * doc_id per text hash) -> LSH near-dedup (drop the larger id of each
+    * candidate pair). Mirrors [[graft.pipelines.CleanCorpus.clean]]. */
+  def cleanCorpusSql(minQuality: Double): String =
+    s"""WITH ${tclCteFrom("documents")},
+       |m AS (
+       |  SELECT doc_id, text, lang,
+       |    CAST(len(tl) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(tl, t -> t IN (${Stopwords.sqlList}))) AS BIGINT) AS n_stop
+       |  FROM tcl
+       |),
+       |q AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang,
+       |      round(1.0 / (1.0 + exp(-(1.5 - 4.0 * (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+       |                                  - 1.0 * (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END)))), 6) AS quality
+       |    FROM m
+       |  ) WHERE quality >= $minQuality
+       |),
+       |keep1 AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM q
+       |  ) WHERE rn = 1
+       |),
+       |tcl2 AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(list_transform(string_split_regex(text, '\\s+'), s -> ${OracleSql.clean("s")}), s -> length(s) > 0) AS tl
+       |  FROM keep1
+       |),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))) AS shingle
+       |  FROM tcl2 WHERE len(tl) >= 3
+       |),
+       |mh2 AS (
+       |  SELECT doc_id,
+       |         ${(0 until 16).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n         ")}
+       |  FROM sh2 GROUP BY doc_id
+       |),
+       |bk2 AS (
+       |  ${(0 until 4).map { b =>
+            val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+            s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh2"
+          }.mkString("\n  UNION ALL ")}
+       |),
+       |neardup AS (
+       |  SELECT DISTINCT r.doc_id AS b
+       |  FROM bk2 l JOIN bk2 r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |)
+       |SELECT doc_id, lang FROM keep1 WHERE doc_id NOT IN (SELECT b FROM neardup)""".stripMargin
 
   // ------------------------------------------------------------ multimodal
 

@@ -389,6 +389,12 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
       Some(OracleSqlExt.annBucketedSql(100, 5, 6))),
 
+    // ---------------------------------------- composed training-data clean
+    ("pipeline_clean_corpus",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.CleanCorpus.clean(Collocations.documents(s, d), minQuality = 0.80),
+      Some(OracleSqlExt.cleanCorpusSql(0.80))),
+
     // ========================================================= multimodal
     ("multimodal_decode",
       (s: SparkSession, d: String) =>

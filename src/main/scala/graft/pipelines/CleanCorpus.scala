@@ -1,0 +1,34 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The composed training-data cleaning pipeline — the shape a 100 TB
+  * pretraining corpus actually runs: quality gate -> exact dedup -> LSH
+  * near-dedup. Each stage is one of the engine's primitive operators; the
+  * composition stays a single lazy DAG with three shuffles (quality is
+  * shuffle-free, exact dedup shuffles on text hash, LSH on band
+  * signatures).
+  *
+  * Survivor policy is deterministic: exact groups keep the smallest
+  * doc_id; near-dup candidate pairs (a < b) drop the larger id. (Greedy,
+  * not transitive-closure minimal — the standard large-scale choice, since
+  * connected components would need an iterative join.)
+  */
+object CleanCorpus {
+
+  def clean(docs: DataFrame, minQuality: Double = 0.80): DataFrame = {
+    val q = docs
+      .select(col("doc_id"), col("text"), col("lang"), TextAnalysis.quality(col("text")).as("q"))
+      .filter(col("q.quality") >= minQuality)
+      .select("doc_id", "text", "lang")
+    val keepOne = q
+      .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+    val nearDupB = Dedup.lshCandidates(keepOne).select(col("b").as("doc_id")).distinct()
+    keepOne.join(nearDupB, Seq("doc_id"), "left_anti").select("doc_id", "lang")
+  }
+}

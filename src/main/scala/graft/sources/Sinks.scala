@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY §2.1 S6/S7). The reference writes tab-separated text and
+  * fans one reducer out to two named outputs (`DATA` + `N` subdirs via
+  * MultipleOutputs); Spark-native form is simply two writes of two derived
+  * DataFrames — each write is a separate job over the (cached or cheap)
+  * upstream, and partitioned layout replaces filename conventions.
+  */
+object Sinks {
+
+  /** Reference-format TSV (no header, \t separator). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").option("header", "false").csv(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Partitioned parquet: directory layout carries the partition column
+    * (the scalable replacement for lang-from-path conventions). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** The reference Job1 fan-out: DATA (per-word counts) and N (grand
+    * totals) written side by side (`CollocationExtraction3Jobs.java:64-65`,
+    * `Constants.java:4-5`). N derives from the cached counts, so the
+    * corpus is scanned once for both sinks. */
+  def writeCollocationOutputs(docs: DataFrame, outRoot: String): Unit = {
+    import graft.collocations.Collocations
+    import org.apache.spark.sql.functions.{col, sum}
+    val u = Collocations.unigramCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeTsv(u, s"$outRoot/data")
+    writeTsv(u.groupBy("lang").agg(sum(col("c")).as("n")), s"$outRoot/n")
+    u.unpersist()
+  }
+}

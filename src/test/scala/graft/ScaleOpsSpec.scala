@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Salt
+import graft.sources.Sinks
+
+/** Scale-mechanics operators: salted aggregation equivalence, sink
+  * round-trips, bucketed co-located joins, and the composed clean-corpus
+  * pipeline. */
+class ScaleOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted sum equals direct sum on every key") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag").agg(sum("l_quantity").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Salt.saltedSum(li, Seq("l_returnflag"), "l_quantity", buckets = 16).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6, k) }
+  }
+
+  test("salted count equals direct count") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val direct = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedCount(ev, Seq("event_type"), "event_id", buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("tsv sink round-trips the reference intermediate format") {
+    import graft.collocations.Collocations
+    val out = java.nio.file.Files.createTempDirectory("sink_test").toString
+    val docs = Collocations.documents(spark, sf)
+    Sinks.writeCollocationOutputs(docs, out)
+    val data = spark.read.option("sep", "\t")
+      .schema("lang STRING, w STRING, c LONG").csv(s"$out/data")
+    val n = spark.read.option("sep", "\t")
+      .schema("lang STRING, n LONG").csv(s"$out/n")
+    val expectU = Collocations.unigramCounts(docs).count()
+    assert(data.count() == expectU)
+    // N read back equals sum of counts per lang
+    val nMap = n.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromData = data.groupBy("lang").agg(sum("c").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nMap == fromData)
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val or = spark.read.parquet(s"$sf/orders.parquet")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li_b").saveAsTable("li_b")
+    or.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/o_b").saveAsTable("o_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_b").join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("clean corpus pipeline: survivors pass quality, no exact dups, no lsh b-side") {
+    import graft.collocations.Collocations
+    val docs = Collocations.documents(spark, sf)
+    val out = graft.pipelines.CleanCorpus.clean(docs, minQuality = 0.80)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // no surviving doc shares an exact text with a smaller surviving id
+    val texts = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byText = texts.groupBy(_._2)
+    assert(byText.values.forall(_.length == 1), "exact dups survived")
+  }
+}
