@@ -269,6 +269,44 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
              |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
+    // ----------------------------------------- set operations (2.7 beyond)
+    ("set_ops",
+      (s: SparkSession, d: String) => {
+        val rich   = s.read.parquet(s"$d/customer.parquet")
+          .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+        val buyers = s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_custkey").as("custkey")).distinct()
+        rich.intersect(buyers).withColumn("which", lit("both"))
+          .unionByName(rich.except(buyers).withColumn("which", lit("rich_only")))
+      },
+      Some("""SELECT custkey, 'both' AS which FROM (
+             |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+             |  INTERSECT
+             |  SELECT DISTINCT o_custkey AS custkey FROM orders)
+             |UNION ALL
+             |SELECT custkey, 'rich_only' AS which FROM (
+             |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+             |  EXCEPT
+             |  SELECT DISTINCT o_custkey AS custkey FROM orders)""".stripMargin)),
+
+    // ------------------------------------------------------ pivot / unpivot
+    ("pivot_status",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/orders.parquet")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          // identifier-safe output names (pivot labels carry spaces/dashes)
+          .toDF("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low"),
+      Some("""SELECT o_orderstatus,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+             |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+             |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+             |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+             |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ------------------------------------ analytic window functions (2.5+)
     ("window_analytics",
       (s: SparkSession, d: String) => {
