@@ -83,7 +83,12 @@ object Dedup {
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
     * bucket. The join is keyed on (band, sig): only same-bucket docs meet. */
   def lshCandidates(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    // persist: both sides of the self-join reference this subtree, and
+    // lambda-bearing plans don't canonicalize equal for exchange reuse —
+    // without the cache the whole shingle+minhash chain runs twice. The
+    // bucket table is (docs x bands) rows of (long, int, hex) — tiny.
     val buckets = lshBuckets(docs, k, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = buckets.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = buckets.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -96,7 +101,11 @@ object Dedup {
     * inverted index self-join (a < b). Returns (a, b, inter, na, nb,
     * jaccard rounded to 6). */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = shingles(docs, k)
+    // the shingle index is referenced three times (both join sides +
+    // per-doc counts); materialize it once — the single-DAG equivalent of
+    // writing the inverted index to a table, which is what a 100 TB
+    // pipeline does with it anyway
+    val sh = shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("shingle"), col("doc_id").as("a"))
       .join(sh.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))

@@ -25,9 +25,13 @@ object CleanCorpus {
       .select(col("doc_id"), col("text"), col("lang"), TextAnalysis.quality(col("text")).as("q"))
       .filter(col("q.quality") >= minQuality)
       .select("doc_id", "text", "lang")
+    // referenced twice (LSH candidate generation + the final anti-join);
+    // materialize once — the same "write the cleaned shard, then near-dedup
+    // it" staging a production corpus pipeline uses
     val keepOne = q
       .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
       .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDupB = Dedup.lshCandidates(keepOne).select(col("b").as("doc_id")).distinct()
     keepOne.join(nearDupB, Seq("doc_id"), "left_anti").select("doc_id", "lang")
   }

@@ -75,6 +75,15 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact-dedup: drop repeated event_ids, with a watermark so
+    * the seen-keys state is evicted once events age out — the streaming
+    * twin of exact deduplication, state bounded like every other stateful
+    * operator here. */
+  def dedupedEvents(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the windowed aggregate over a static parquet dir synchronously
     * (memory sink), returning the complete result table. */
   def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame = {

@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import org.apache.spark.sql.functions._
+    // stage the same file twice -> every event arrives twice
+    val d = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"), d.resolve("b.parquet"))
+    val q = EventsStream.dedupedEvents(EventsStream.readStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_test").count()
+    val want = Events.events(spark, "/root/testdata/sf0.001").count()
+    assert(got == want, s"expected $want deduped events, got $got")
+  }
+
   test("stateful streaming sessionization matches batch sessions (closed sessions)") {
     val closed = EventsStream.sessionize(EventsStream.readStream(spark, dir))
     val q = closed.writeStream.outputMode("append").format("memory").queryName("sess_test").start()
