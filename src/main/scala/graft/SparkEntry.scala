@@ -18,6 +18,15 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** One dialect-neutral SQL text executed verbatim by BOTH engines
+    * (spark.sql over temp views; DuckDB over the same tables). */
+  val sqlInterfaceQuery: String =
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
     * two implementations stay visibly in lockstep. */
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
@@ -385,6 +394,26 @@ object SparkEntry {
         Collocations.documents(s, d).select(col("doc_id"),
           graft.text.TextAnalysis.fingerprint(col("text")).as("fp")),
       Some(OracleSqlExt.fingerprintSql)),
+
+    ("text_rolling_hash",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d).select(col("doc_id"),
+          graft.functions.RollingHash.rollingHash(col("text")).as("rh")),
+      Some("""SELECT doc_id,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+             |                   (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS rh
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------- SQL entry surface
+    ("sql_interface",
+      (s: SparkSession, d: String) => {
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+        s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("customer")
+        // literally the oracle SQL — the engine's spark.sql surface runs
+        // the same dialect-neutral query DuckDB does
+        s.sql(SparkEntry.sqlInterfaceQuery)
+      },
+      Some(SparkEntry.sqlInterfaceQuery)),
 
     // ========================================================== dedup
     ("dedup_exact",

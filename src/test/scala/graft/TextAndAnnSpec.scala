@@ -50,6 +50,19 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r(2L) == "en")  // th/ing-heavy
   }
 
+  test("rolling hash: order-sensitive, matches scalar reference, codegen == interpreted") {
+    import spark.implicits._
+    import graft.functions.RollingHash
+    def scalar(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val rows = Seq((1L, "ab"), (2L, "ba"), (3L, ""), (4L, "the quick brown fox"))
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), RollingHash.rollingHash(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, s) => assert(got(id) == scalar(s), s) }
+    assert(got(1L) != got(2L), "order-sensitive")
+    assert(got(3L) == 0L)
+  }
+
   test("brute-force ANN returns the true nearest neighbor with ties broken by id") {
     import spark.implicits._
     val emb = Seq(
