@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: measure how the flagship pipeline scales when the corpus
+  * is multiplied in place (docs unioned m times with shifted ids) —
+  * evidence that runtime grows ~linearly with corpus size, i.e. no hidden
+  * quadratic join blowup. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    mults.foreach { m =>
+      val docs = (0 until m).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = graft.collocations.Collocations.topCollocations(docs).count()
+      println(f"SCALE m=$m%2d docs=${5000 * m}%7d rows=$n%5d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}

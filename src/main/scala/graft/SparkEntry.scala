@@ -220,6 +220,16 @@ object SparkEntry {
              |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    ("cube_pricing",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // -------------------------------------------------- distinct aggregate
     ("distinct_parts",
       (s: SparkSession, d: String) =>

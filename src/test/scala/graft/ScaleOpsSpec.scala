@@ -71,6 +71,17 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("part_write").toString + "/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Sinks.writePartitioned(docs, out, "lang")
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("lang"),
+      s"expected partition pruning:\n$scan")
+    assert(back.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("clean corpus pipeline: survivors pass quality, no exact dups, no lsh b-side") {
     import graft.collocations.Collocations
     val docs = Collocations.documents(spark, sf)
