@@ -148,11 +148,15 @@ object Dedup {
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
     * the LSH/IVF scale path lives in [[graft.similarity.Ann]]). */
   def closestEmbeddingPairs(emb: DataFrame, topN: Int = 20): DataFrame = {
-    import graft.similarity.Ann.cosine
-    val l = emb.select(col("vec_id").as("a"), col("embedding").cast("array<double>").as("va"))
-    val r = emb.select(col("vec_id").as("b"), col("embedding").cast("array<double>").as("vb"))
+    import graft.similarity.Ann.dot
+    // norms once per vector, not per pair — bit-identical cosine, 3x fewer
+    // dot products across the O(n^2) pair space
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val l = base.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val r = base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     l.join(r, col("a") < col("b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .select(col("a"), col("b"), col("cos"))
       .orderBy(col("cos").desc, col("a").asc, col("b").asc)
       .limit(topN)

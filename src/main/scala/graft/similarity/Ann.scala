@@ -27,16 +27,24 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine(a, b)
 
-  /** Deterministic query subset: every `stride`-th vector. */
+  /** Deterministic query subset: every `stride`-th vector, with the norm
+    * precomputed once per vector. `cos = dot / (norm_a * norm_b)` is the
+    * identical double to computing `sqrt(dot(x,x))` per pair (same inputs,
+    * same ops), so this costs one dot per pair instead of three while
+    * staying bit-compatible with the oracle. */
   def queries(emb: DataFrame, stride: Int): DataFrame =
     emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
+
+  private def candidates(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+      .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
 
   /** Exact top-k neighbors per query (self excluded), deterministic ties. */
   def bruteForceTopK(emb: DataFrame, stride: Int = 100, k: Int = 5): DataFrame = {
-    val cand = emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
-    val scored = cand.join(broadcast(queries(emb, stride)), col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+    val scored = candidates(emb).join(broadcast(queries(emb, stride)), col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
     graft.ops.TopK.topKPerGroup(
       scored.select(col("q_id"), col("n_id"), col("cos")),
       Seq(col("q_id")),
@@ -49,12 +57,11 @@ object Ann {
 
   /** Approximate top-k: candidates restricted to the query's bucket. */
   def bucketedTopK(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6): DataFrame = {
-    val cand = emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
-      .withColumn("bkt", bucket(col("n_vec"), bits))
+    val cand = candidates(emb).withColumn("bkt", bucket(col("n_vec"), bits))
     val q = queries(emb, stride).withColumn("bkt", bucket(col("q_vec"), bits))
     val scored = cand.join(broadcast(q), Seq("bkt"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
     graft.ops.TopK.topKPerGroup(
       scored.select(col("q_id"), col("bkt"), col("n_id"), col("cos")),
       Seq(col("q_id")),
