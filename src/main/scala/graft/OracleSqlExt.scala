@@ -29,9 +29,12 @@ object OracleSqlExt {
       |  FROM tcl WHERE len(tl) >= 3
       |)""".stripMargin
 
-  /** mh(doc_id, h0..h15): 16 md5 minhashes. */
+  /** mh(doc_id, h0..h15): 16 numeric (60-bit md5 prefix) minhashes. */
+  def minhashExpr(i: Int, shingleCol: String): String =
+    s"min(CAST('0x' || substr(md5('$i:' || $shingleCol), 1, 15) AS BIGINT))"
+
   val mhCte: String = {
-    val hs = (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n         ")
+    val hs = (0 until 16).map(i => s"${minhashExpr(i, "shingle")} AS h$i").mkString(",\n         ")
     s"""mh AS (
        |  SELECT doc_id,
        |         $hs
@@ -39,10 +42,11 @@ object OracleSqlExt {
        |)""".stripMargin
   }
 
-  /** bk(doc_id, band, sig): 4 bands x 4 rows. */
+  /** bk(doc_id, band, sig): 4 bands x 4 rows; longs render identically as
+    * strings on both engines. */
   val bkCte: String = {
     val bandSelects = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+      val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh"
     }
     s"""bk AS (
@@ -226,12 +230,12 @@ object OracleSqlExt {
        |),
        |mh2 AS (
        |  SELECT doc_id,
-       |         ${(0 until 16).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n         ")}
+       |         ${(0 until 16).map(i => s"${minhashExpr(i, "shingle")} AS h$i").mkString(",\n         ")}
        |  FROM sh2 GROUP BY doc_id
        |),
        |bk2 AS (
        |  ${(0 until 4).map { b =>
-            val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || '|' || ")
+            val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
             s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh2"
           }.mkString("\n  UNION ALL ")}
        |),

@@ -75,15 +75,27 @@ object Collocations {
     bigramCounts(docs).join(u1, Seq("lang", "w1"))
   }
 
-  /** J2: attach c2 on (lang, w2). */
+  /** J2: attach c2 on (lang, w2). One persisted count table feeds both
+    * join sides (two subtree instances never hit exchange reuse — see
+    * [[topCollocations]]). */
   def joinedC2(docs: DataFrame): DataFrame = {
-    val u2 = unigramCounts(docs).withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
-    joinedC1(docs).join(u2, Seq("lang", "w2"))
+    val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bigramCounts(docs)
+      .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
+      .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
+      .select("lang", "w2", "w1", "c12", "c1", "c2")
   }
 
-  /** J3: attach the grand total N via an explicit broadcast join. */
-  def withN(docs: DataFrame): DataFrame =
-    joinedC2(docs).join(broadcast(grandTotalN(docs)), Seq("lang"))
+  /** J3: attach the grand total N via an explicit broadcast join; same
+    * shared count table serves c1, c2 and N. */
+  def withN(docs: DataFrame): DataFrame = {
+    val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.groupBy("lang").agg(sum("c").as("n"))
+    bigramCounts(docs)
+      .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
+      .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
+      .join(broadcast(n), Seq("lang"))
+  }
 
   /** F3 + P8: LLR column, NaN/Inf rows dropped, rounded to 6 decimals for
     * cross-engine (DuckDB oracle) hash parity. */
@@ -106,21 +118,10 @@ object Collocations {
     * same call a 100 TB pipeline makes by writing counts to a table: two
     * corpus passes total (unigrams, bigrams), like the reference's
     * separate 1-gram and 2-gram jobs. */
-  def topCollocations(docs: DataFrame, k: Int = K, cache: Boolean = true): DataFrame = {
-    val u0 = unigramCounts(docs)
-    val u = if (cache) u0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else u0
-    val n = u.groupBy("lang").agg(sum("c").as("n"))
-    val scoredDf = bigramCounts(docs)
-      .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
-      .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
-      .join(broadcast(n), Seq("lang"))
-      .withColumn("llr_raw", Llr.llr(col("c1"), col("c2"), col("c12"), col("n")))
-      .filter(!isnan(col("llr_raw")))
-      .withColumn("llr", round(col("llr_raw"), 6))
+  def topCollocations(docs: DataFrame, k: Int = K): DataFrame =
     TopK.topKPerGroup(
-      scoredDf.select(col("lang"), col("w1"), col("w2"), col("llr")),
+      scored(docs).select(col("lang"), col("w1"), col("w2"), col("llr")),
       Seq(col("lang")),
       Seq(col("llr").desc, col("w1").asc, col("w2").asc),
       k)
-  }
 }

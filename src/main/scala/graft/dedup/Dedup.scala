@@ -58,12 +58,16 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** MinHash signature: h_i(doc) = min over shingles of md5(i || ':' ||
-    * shingle), as columns h0..h{n-1}. Lexicographic min over hex strings is
-    * a uniform hash order shared exactly with the oracle. */
+  /** MinHash signature: h_i(doc) = min over shingles of the first 60 bits
+    * of md5(i || ':' || shingle), as BIGINT columns h0..h{n-1}. Numeric
+    * (not hex-string) minima keep the 16-way aggregation in a fixed-width
+    * HashAggregate buffer — string min aggs fall back to sort-based
+    * aggregation, which cost a full sort of the shingle table. DuckDB
+    * reproduces the value with CAST('0x' || substr(md5(..),1,15) AS
+    * BIGINT). */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 15), 16, 10).cast("long")).as(s"h$i"))
     shingles(docs, k).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
