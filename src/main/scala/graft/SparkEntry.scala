@@ -478,6 +478,25 @@ object SparkEntry {
         graft.multimodal.Multimodal.decodeFeatures(Collocations.documents(s, d)).toDF(),
       Some(OracleSqlExt.decodeSql)),
 
+    // --------------------------------- as-of join (operator Spark lacks)
+    ("asof_join",
+      (s: SparkSession, d: String) => {
+        val ev = graft.events.Events.events(s, d)
+          .withColumn("ts_us", graft.events.Events.tsMicros)
+        val errors = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts_us")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts"), col("event_id").as("p_event"))
+        graft.ops.AsOfJoin.asofLastBefore(errors, purchases, Seq("user_id"),
+          "ts_us", "p_ts", Map("p_ts" -> "last_purchase_ts", "p_event" -> "last_purchase_event"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+             |pur AS (SELECT event_id AS p_event, user_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase')
+             |SELECT err.event_id, err.user_id, err.ts_us,
+             |       pur.p_ts AS last_purchase_ts, pur.p_event AS last_purchase_event
+             |FROM err ASOF LEFT JOIN pur ON err.user_id = pur.user_id AND err.ts_us >= pur.p_ts""".stripMargin)),
+
     // ============================================================ events
     ("events_hourly",
       (s: SparkSession, d: String) =>

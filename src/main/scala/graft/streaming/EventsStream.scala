@@ -84,6 +84,25 @@ object EventsStream {
       .withWatermark("event_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each error event matched to the same
+    * user's purchase events in the preceding 10 minutes. Watermarks on
+    * both sides + the time-range predicate bound the join state — the
+    * requirements Spark enforces before it will run a stream-stream join
+    * at all. */
+  def errorsJoinedToRecentPurchases(stream: DataFrame): DataFrame = {
+    val errors = stream.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_ts").as("err_ts"), col("event_id").as("err_id"))
+      .withWatermark("err_ts", "10 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("err_ts") &&
+        col("p_ts") >= col("err_ts") - expr("INTERVAL 10 MINUTES"))
+      .select("err_id", "user_id", "err_ts", "p_id", "p_ts")
+  }
+
   /** Run the windowed aggregate over a static parquet dir synchronously
     * (memory sink), returning the complete result table. */
   def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame = {

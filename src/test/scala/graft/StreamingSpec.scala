@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"expected $want deduped events, got $got")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val q = EventsStream.errorsJoinedToRecentPurchases(EventsStream.readStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_test")
+      .select("err_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Events.events(spark, "/root/testdata/sf0.001").withColumn("ts_us", Events.tsMicros)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_ts"), col("event_id").as("err_id"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"), col("event_id").as("p_id"))
+    val batch = err.join(pur,
+        col("user_id") === col("p_user") &&
+          col("p_ts") <= col("err_ts") &&
+          col("p_ts") >= col("err_ts") - lit(600000000L))
+      .select("err_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("stateful streaming sessionization matches batch sessions (closed sessions)") {
     val closed = EventsStream.sessionize(EventsStream.readStream(spark, dir))
     val q = closed.writeStream.outputMode("append").format("memory").queryName("sess_test").start()
