@@ -29,16 +29,30 @@ object OracleSqlExt {
       |  FROM tcl WHERE len(tl) >= 3
       |)""".stripMargin
 
-  /** mh(doc_id, h0..h15): 16 numeric (60-bit md5 prefix) minhashes. */
-  def minhashExpr(i: Int, shingleCol: String): String =
-    s"min(CAST('0x' || substr(md5('$i:' || $shingleCol), 1, 15) AS BIGINT))"
+  /** Minhash via the single-md5 affine family (mirrors
+    * [[graft.dedup.Dedup.minhashSignatures]]): x/y are the two 28-bit
+    * halves of md5(shingle); h_i = min (A_i*x + B_i*y + C_i) mod P. */
+  def minhashAgg(i: Int): String = {
+    import graft.dedup.Dedup.{minhashA, minhashB, minhashC, MinhashP}
+    s"min((${minhashA(i)} * x + ${minhashB(i)} * y + ${minhashC(i)}) % $MinhashP)"
+  }
+
+  /** Produces `SELECT doc_id, x, y` halves from a shingle relation. */
+  def minhashHalves(shingleRel: String): String =
+    s"""SELECT doc_id,
+       |       CAST('0x' || substr(m, 1, 7) AS BIGINT) AS x,
+       |       CAST('0x' || substr(m, 8, 7) AS BIGINT) AS y
+       |FROM (SELECT doc_id, md5(shingle) AS m FROM $shingleRel)""".stripMargin
 
   val mhCte: String = {
-    val hs = (0 until 16).map(i => s"${minhashExpr(i, "shingle")} AS h$i").mkString(",\n         ")
-    s"""mh AS (
+    val hs = (0 until 16).map(i => s"${minhashAgg(i)} AS h$i").mkString(",\n         ")
+    s"""mhx AS (
+       |  ${minhashHalves("sh")}
+       |),
+       |mh AS (
        |  SELECT doc_id,
        |         $hs
-       |  FROM sh GROUP BY doc_id
+       |  FROM mhx GROUP BY doc_id
        |)""".stripMargin
   }
 
@@ -228,10 +242,13 @@ object OracleSqlExt {
        |         unnest(list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))) AS shingle
        |  FROM tcl2 WHERE len(tl) >= 3
        |),
+       |mhx2 AS (
+       |  ${minhashHalves("sh2")}
+       |),
        |mh2 AS (
        |  SELECT doc_id,
-       |         ${(0 until 16).map(i => s"${minhashExpr(i, "shingle")} AS h$i").mkString(",\n         ")}
-       |  FROM sh2 GROUP BY doc_id
+       |         ${(0 until 16).map(i => s"${minhashAgg(i)} AS h$i").mkString(",\n         ")}
+       |  FROM mhx2 GROUP BY doc_id
        |),
        |bk2 AS (
        |  ${(0 until 4).map { b =>

@@ -58,17 +58,34 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** MinHash signature: h_i(doc) = min over shingles of the first 60 bits
-    * of md5(i || ':' || shingle), as BIGINT columns h0..h{n-1}. Numeric
-    * (not hex-string) minima keep the 16-way aggregation in a fixed-width
-    * HashAggregate buffer — string min aggs fall back to sort-based
-    * aggregation, which cost a full sort of the shingle table. DuckDB
-    * reproduces the value with CAST('0x' || substr(md5(..),1,15) AS
-    * BIGINT). */
+  /** Affine-family constants for the n-th minhash: h_i = (A_i*x + B_i*y +
+    * C_i) mod P over the two 28-bit halves (x, y) of ONE md5 per shingle —
+    * the classic single-hash minhash family. Every product stays < 2^59,
+    * so the arithmetic is exact 64-bit on both engines. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 2 * i + 3L
+  def minhashB(i: Int): Long = 1000003L * (i + 1) + 7
+  def minhashC(i: Int): Long = 7919L * i + 1
+
+  /** MinHash signature: h_i(doc) = min over shingles of the affine hash
+    * above, as BIGINT columns h0..h{n-1}.
+    *
+    * Two deliberate shapes: ONE md5 per shingle (16 separate salted md5s
+    * cost 16x the hashing), and numeric minima (string min() aggs fall
+    * back to sort-based aggregation — longs keep the 16-way agg in a
+    * fixed-width HashAggregate buffer). The md5 and its two halves are
+    * materialized in their own projections so the 16 affine expressions
+    * reference plain columns (no re-hash per expression). */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 15), 16, 10).cast("long")).as(s"h$i"))
-    shingles(docs, k).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val halves = shingles(docs, k)
+      .select(col("doc_id"), md5(col("shingle")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("x"),
+        conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("y"))
+    val aggs = (0 until numHashes).map { i =>
+      min((lit(minhashA(i)) * col("x") + lit(minhashB(i)) * col("y") + lit(minhashC(i))) % MinhashP).as(s"h$i")
+    }
+    halves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH bucketing: split the signature into `bands` bands of `rowsPerBand`

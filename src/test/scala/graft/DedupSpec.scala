@@ -7,12 +7,13 @@ class DedupSpec extends SparkSpec {
 
   private lazy val docs = {
     import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight while stars shine above the quiet sleepy town and everyone rests"
     Seq(
-      (1L, "the quick brown fox jumps over the lazy dog tonight"),
-      (2L, "the quick brown fox jumps over the lazy dog tonight"),          // exact dup of 1
-      (3L, "the quick brown fox jumps over the lazy cat tonight indeed"),   // near dup of 1
+      (1L, base),
+      (2L, base),                                // exact dup of 1
+      (3L, base.replace("rests", "sleeps")),     // near dup: only the final shingle differs (j ~ 0.9)
       (4L, "completely different words about spark query engines here now"),
-      (5L, "ab")                                                            // < 3 tokens: no shingles
+      (5L, "ab")                                 // < 3 tokens: no shingles
     ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
   }
 
@@ -43,7 +44,7 @@ class DedupSpec extends SparkSpec {
       .toMap                                     // note: select order is a,b,... ; row layout checked below
     val full = Dedup.jaccardPairs(docs, threshold = 0.0)
       .filter(col("a") === 1 && col("b") === 2).collect().head
-    assert(full.getLong(2) == 8L && full.getDouble(5) == 1.0) // 10-token doc -> 8 shingles, identical
+    assert(full.getLong(2) == 19L && full.getDouble(5) == 1.0) // 21-token doc -> 19 shingles, identical
   }
 
   test("simhash: identical docs equal, near-dups close in hamming distance") {
