@@ -152,6 +152,28 @@ object OracleSqlExt {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
        |) WHERE rn <= $k""".stripMargin
 
+  private def flipBucketSql(v: String, bits: Int, flip: Int): String =
+    (1 to bits).map { j =>
+      val cond = s"$v[$j] >= 0"
+      if (j == flip) s"(CASE WHEN $cond THEN '0' ELSE '1' END)"
+      else s"(CASE WHEN $cond THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  def annMultiProbeSql(stride: Int, k: Int, bits: Int): String = {
+    val probes = (bucketSql("qv", bits) +: (1 to bits).map(f => flipBucketSql("qv", bits, f))).mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |qb AS (SELECT q_id, qv, unnest([$probes]) AS bkt FROM q),
+       |cb AS (SELECT n_id, nv, ${bucketSql("nv", bits)} AS bkt FROM c),
+       |scored AS (
+       |  SELECT DISTINCT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM qb JOIN cb USING (bkt) WHERE n_id != q_id
+       |)
+       |SELECT q_id, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+  }
+
   // ------------------------------------------------------------ text
 
   val tokenStatsSql: String =

@@ -27,6 +27,13 @@ object SparkEntry {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Correlated scalar subquery, same text on both engines (Catalyst
+    * decorrelates it into an outer join). */
+  val scalarSubqueryQuery: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+      |FROM orders WHERE o_totalprice > 300000""".stripMargin
+
   /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
     * two implementations stay visibly in lockstep. */
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
@@ -471,6 +478,21 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.pipelines.CleanCorpus.clean(Collocations.documents(s, d), minQuality = 0.80),
       Some(OracleSqlExt.cleanCorpusSql(0.80))),
+
+    ("ann_multiprobe_topk",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.multiProbeTopK(
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
+      Some(OracleSqlExt.annMultiProbeSql(100, 5, 6))),
+
+    // ---------------------------------------- correlated scalar subquery
+    ("scalar_subquery",
+      (s: SparkSession, d: String) => {
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+        s.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+        s.sql(SparkEntry.scalarSubqueryQuery)
+      },
+      Some(SparkEntry.scalarSubqueryQuery)),
 
     // ========================================================= multimodal
     ("multimodal_decode",

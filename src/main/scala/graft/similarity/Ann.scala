@@ -67,4 +67,36 @@ object Ann {
       Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id").asc), k)
   }
+
+  /** The query's bucket plus every one-bit-flip neighbor bucket (probes =
+    * bits + 1) — multi-probe recovers most of the recall lost to the
+    * coarse quantizer at (bits+1)/2^bits of brute-force cost, the standard
+    * production trade. Sign boundaries are where near-neighbors land in
+    * adjacent buckets; probing them catches those misses. */
+  def probeBuckets(vec: Column, bits: Int): Column = {
+    val exact = bucket(vec, bits)
+    val flips = (1 to bits).map { i =>
+      concat((1 to bits).map { j =>
+        val b = when(element_at(vec, j) >= 0, lit("1")).otherwise(lit("0"))
+        if (i == j) when(element_at(vec, j) >= 0, lit("0")).otherwise(lit("1")) else b
+      }: _*)
+    }
+    array((exact +: flips): _*)
+  }
+
+  /** Multi-probe approximate top-k: candidates from the query's bucket and
+    * all one-bit-flip buckets. */
+  def multiProbeTopK(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6): DataFrame = {
+    val cand = candidates(emb).withColumn("bkt", bucket(col("n_vec"), bits))
+    val q = queries(emb, stride)
+      .withColumn("bkt", explode(probeBuckets(col("q_vec"), bits)))
+    val scored = cand.join(broadcast(q), Seq("bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+    // a neighbor can surface through several probes -> dedup before rank
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
 }

@@ -88,6 +88,22 @@ class TextAndAnnSpec extends SparkSpec {
     assert(top.map(_.getLong(2)).toSet == Set(1L), "bucket must exclude vec 2")
   }
 
+  test("multi-probe recall >= single-bucket recall against brute-force truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth  = pairs(Ann.bruteForceTopK(emb, stride = 100, k = 5))
+    val single = pairs(Ann.bucketedTopK(emb, stride = 100, k = 5, bits = 6))
+    val multi  = pairs(Ann.multiProbeTopK(emb, stride = 100, k = 5, bits = 6))
+    val recallS = (single intersect truth).size.toDouble / truth.size
+    val recallM = (multi intersect truth).size.toDouble / truth.size
+    assert(recallM >= recallS, s"multi-probe recall $recallM < single $recallS")
+    // absolute recall is data-dependent: these are RANDOM 64-dim vectors,
+    // so true top-5 neighbors are barely above the cosine noise floor and
+    // any bucketing loses most of them; monotonicity is the real property
+    assert(recallM > 0.1, s"multi-probe recall unexpectedly low: $recallM")
+  }
+
   test("multimodal decode produces deterministic byte features") {
     import spark.implicits._
     val f = Multimodal.decodeFeatures(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
