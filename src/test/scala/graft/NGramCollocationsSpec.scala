@@ -20,6 +20,15 @@ class NGramCollocationsSpec extends SparkSpec {
   private lazy val bg = NGramSource.bigrams(
     NGramSource.read(spark, res("eng-2gram.tsv"), res("heb-2gram.tsv")))
 
+  test("fromPaths runs the whole chain from raw TSV paths") {
+    val top = graft.collocations.NGramCollocations.fromPaths(spark,
+      Seq(res("eng-1gram.tsv"), res("heb-1gram.tsv")),
+      Seq(res("eng-2gram.tsv"), res("heb-2gram.tsv")))
+    // 2 en-1990 + 2 he-1990; en-2000's "big data" drops on the inner join
+    // (no 2000s "data" unigram row)
+    assert(top.count() == 4)
+  }
+
   test("lang inferred from file path; malformed and non-positive rows dropped") {
     val langs = uni.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // en: data_NOUN, data, big, big, science, the, (noise) = 7 surviving rows
