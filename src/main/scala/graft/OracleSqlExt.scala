@@ -109,6 +109,18 @@ object OracleSqlExt {
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
+  /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
+  def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH base AS ($simhashSql),
+       |banded AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (15 * band)) % 32768 AS bits
+       |  FROM base, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $maxHamming""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** Left-to-right dot product over 64 dims (mirrors zip_with+aggregate). */

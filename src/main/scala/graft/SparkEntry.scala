@@ -454,6 +454,11 @@ object SparkEntry {
         graft.dedup.Dedup.simhash(Collocations.documents(s, d)),
       Some(OracleSqlExt.simhashSql)),
 
+    ("dedup_simhash_pairs",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.simhashPairs(Collocations.documents(s, d), maxHamming = 3),
+      Some(OracleSqlExt.simhashPairsSql(3))),
+
     ("dedup_embedding",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.closestEmbeddingPairs(

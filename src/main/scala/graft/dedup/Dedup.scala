@@ -164,6 +164,26 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs (a < b) within `maxHamming` bit flips,
+    * found without an O(n^2) comparison: the 60-bit fingerprint splits
+    * into 4 bands of 15 bits, and by pigeonhole any pair within hamming
+    * distance 3 agrees on at least one full band — so an equi self-join on
+    * (band, band-bits) surfaces every qualifying pair, then an exact
+    * `bit_count(xor)` filter removes false candidates. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), (shiftright(col("simhash"), 15 * b) % 32768L).as("bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val l = banded.select(col("band"), col("bits"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bits"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;

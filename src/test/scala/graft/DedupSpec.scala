@@ -55,6 +55,13 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer than unrelated doc")
   }
 
+  test("simhash banded pairs find exact dups at hamming 0 without all-pairs compare") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"exact dup pair must have hamming 0: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
   test("closest embedding pairs ranks the planted near-duplicate first") {
     import spark.implicits._
     val emb = Seq(
