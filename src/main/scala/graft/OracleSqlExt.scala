@@ -109,6 +109,26 @@ object OracleSqlExt {
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
+  /** Connected components of the LSH candidate graph: recursive-CTE
+    * transitive closure + min label (mirrors the iterative min-label
+    * propagation in [[graft.dedup.Dedup.connectedComponents]]). */
+  val componentsSql: String =
+    s"""WITH RECURSIVE $tclCte,
+       |$shCte,
+       |$mhCte,
+       |$bkCte,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |),
+       |bidir AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM bidir
+       |  UNION
+       |  SELECT r.src, bd.dst FROM reach r JOIN bidir bd ON r.dst = bd.src
+       |)
+       |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin
+
   /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
   def simhashPairsSql(maxHamming: Int): String =
     s"""WITH base AS ($simhashSql),

@@ -454,6 +454,12 @@ object SparkEntry {
         graft.dedup.Dedup.simhash(Collocations.documents(s, d)),
       Some(OracleSqlExt.simhashSql)),
 
+    ("dedup_components",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.connectedComponents(
+          graft.dedup.Dedup.lshCandidates(Collocations.documents(s, d))),
+      Some(OracleSqlExt.componentsSql)),
+
     ("dedup_simhash_pairs",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.simhashPairs(Collocations.documents(s, d), maxHamming = 3),

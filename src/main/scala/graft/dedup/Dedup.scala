@@ -184,6 +184,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over the near-duplicate candidate graph —
+    * iterative min-label propagation to a fixpoint. Greedy drop-the-larger
+    * dedup ([[graft.pipelines.CleanCorpus]]) over-deletes on chains
+    * (a~b, b~c deletes b and c even if a!~c); component labeling keeps
+    * exactly one doc per transitive group.
+    *
+    * The loop is the standard large-graph pattern: each round joins the
+    * label table to the (small, bidirectional) edge list and takes the min
+    * neighbor label; rounds needed = graph diameter in the worst case,
+    * O(log n) on near-dup graphs (tiny star-shaped clusters). Each round
+    * materializes the label table so the lineage doesn't grow unboundedly.
+    * Returns (doc_id, component) for every vertex of the pair graph.  */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("component", "n_comp"), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("n_comp")).as("n_comp"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;

@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
   }
 
+  test("connected components merge chains transitively") {
+    import spark.implicits._
+    // chain 1-2-3, pair 7-9, chain 4-5-6-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 5L), (5L, 6L), (6L, 8L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 8L -> 4L))
+  }
+
   test("closest embedding pairs ranks the planted near-duplicate first") {
     import spark.implicits._
     val emb = Seq(
