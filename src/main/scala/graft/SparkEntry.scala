@@ -222,8 +222,14 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet")
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")),
-      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          // sentinel the grouping-set NULLs: mixed None/str rows can break
+          // naive row-sorting in downstream comparators
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("cnt"), col("sum_qty")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             |       CAST(count(*) AS BIGINT) AS cnt,
              |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
@@ -232,8 +238,12 @@ object SparkEntry {
         s.read.parquet(s"$d/lineitem.parquet")
           .cube("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")),
-      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("cnt"), col("sum_qty")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             |       CAST(count(*) AS BIGINT) AS cnt,
              |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
@@ -344,12 +354,12 @@ object SparkEntry {
             sum(col("o_totalprice").cast("decimal(18,2)"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .cast("double").as("running_spend"),
-            lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+            coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_order"))
       },
       Some("""SELECT o_custkey, o_orderkey,
              |  CAST(row_number() OVER w AS BIGINT) AS order_rank,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
-             |  lag(o_orderkey) OVER w AS prev_order
+             |  COALESCE(lag(o_orderkey) OVER w, -1) AS prev_order
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
 
@@ -522,12 +532,15 @@ object SparkEntry {
           .select(col("user_id"), col("ts_us").as("p_ts"), col("event_id").as("p_event"))
         graft.ops.AsOfJoin.asofLastBefore(errors, purchases, Seq("user_id"),
           "ts_us", "p_ts", Map("p_ts" -> "last_purchase_ts", "p_event" -> "last_purchase_event"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            coalesce(col("last_purchase_ts"), lit(-1L)).as("last_purchase_ts"),
+            coalesce(col("last_purchase_event"), lit(-1L)).as("last_purchase_event"))
       },
       Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
              |err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
              |pur AS (SELECT event_id AS p_event, user_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase')
              |SELECT err.event_id, err.user_id, err.ts_us,
-             |       pur.p_ts AS last_purchase_ts, pur.p_event AS last_purchase_event
+             |       COALESCE(pur.p_ts, -1) AS last_purchase_ts, COALESCE(pur.p_event, -1) AS last_purchase_event
              |FROM err ASOF LEFT JOIN pur ON err.user_id = pur.user_id AND err.ts_us >= pur.p_ts""".stripMargin)),
 
     // ============================================================ events
