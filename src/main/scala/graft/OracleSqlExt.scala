@@ -264,7 +264,7 @@ object OracleSqlExt {
     * doc_id per text hash) -> LSH near-dedup (drop the larger id of each
     * candidate pair). Mirrors [[graft.pipelines.CleanCorpus.clean]]. */
   def cleanCorpusSql(minQuality: Double): String =
-    s"""WITH ${tclCteFrom("documents")},
+    s"""WITH RECURSIVE ${tclCteFrom("documents")},
        |m AS (
        |  SELECT doc_id, text, lang,
        |    CAST(len(tl) AS BIGINT) AS n_tokens,
@@ -310,11 +310,20 @@ object OracleSqlExt {
             s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh2"
           }.mkString("\n  UNION ALL ")}
        |),
-       |neardup AS (
-       |  SELECT DISTINCT r.doc_id AS b
+       |cand2 AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bk2 l JOIN bk2 r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |)
-       |SELECT doc_id, lang FROM keep1 WHERE doc_id NOT IN (SELECT b FROM neardup)""".stripMargin
+       |),
+       |bidir2 AS (SELECT a AS src, b AS dst FROM cand2 UNION SELECT b, a FROM cand2),
+       |reach2(src, dst) AS (
+       |  SELECT src, src FROM bidir2
+       |  UNION
+       |  SELECT r.src, bd.dst FROM reach2 r JOIN bidir2 bd ON r.dst = bd.src
+       |),
+       |comp2 AS (SELECT src AS doc_id, min(dst) AS component FROM reach2 GROUP BY src)
+       |SELECT k.doc_id, k.lang
+       |FROM keep1 k LEFT JOIN comp2 c ON k.doc_id = c.doc_id
+       |WHERE c.doc_id IS NULL OR c.doc_id = c.component""".stripMargin
 
   // ------------------------------------------------------------ multimodal
 

@@ -13,10 +13,11 @@ import graft.text.TextAnalysis
   * shuffle-free, exact dedup shuffles on text hash, LSH on band
   * signatures).
   *
-  * Survivor policy is deterministic: exact groups keep the smallest
-  * doc_id; near-dup candidate pairs (a < b) drop the larger id. (Greedy,
-  * not transitive-closure minimal — the standard large-scale choice, since
-  * connected components would need an iterative join.)
+  * Survivor policy is deterministic and transitive-closure exact: exact
+  * groups keep the smallest doc_id; near-dup clusters are labeled with
+  * [[Dedup.connectedComponents]] and each cluster keeps its smallest id —
+  * unlike greedy drop-the-larger-of-each-pair, a chain a~b~c keeps `a`
+  * instead of deleting both b and c.
   */
 object CleanCorpus {
 
@@ -32,7 +33,10 @@ object CleanCorpus {
       .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
       .filter(col("rn") === 1).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearDupB = Dedup.lshCandidates(keepOne).select(col("b").as("doc_id")).distinct()
-    keepOne.join(nearDupB, Seq("doc_id"), "left_anti").select("doc_id", "lang")
+    // drop every clustered doc that is not its component's representative
+    val dropIds = Dedup.connectedComponents(Dedup.lshCandidates(keepOne))
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    keepOne.join(dropIds, Seq("doc_id"), "left_anti").select("doc_id", "lang")
   }
 }
