@@ -65,9 +65,11 @@ object OracleSql {
        |  JOIN ntab ON bg.lang = ntab.lang
        |)""".stripMargin
 
-  /** scored(lang, w1, w2, c12, c1, c2, n, llr): F3 with the reference's
-    * guard/term semantics (`LLR.java:16-47`), llr NOT yet rounded. */
-  val scoredCte: String = {
+  /** scored(<carryCols>, llr_raw): F3 with the reference's guard/term
+    * semantics (`LLR.java:16-47`), llr NOT yet rounded. `carryCols` are
+    * the group/key columns carried through from a CTE named `joined` that
+    * must provide them plus c12, c1, c2, n. */
+  def scoredChainCte(carryCols: String): String = {
     def term(k: String, e: String): String =
       s"(CASE WHEN $k = 0 OR $e <= 0 THEN 0.0 ELSE CAST($k AS DOUBLE) * ln(CAST($k AS DOUBLE) / $e) END)"
     s"""ks AS (
@@ -86,7 +88,7 @@ object OracleSql {
        |  FROM tot
        |),
        |scored AS (
-       |  SELECT lang, w1, w2, c12, c1, c2, n,
+       |  SELECT $carryCols, c12, c1, c2, n,
        |    CASE WHEN k11 < 0 OR k12 < 0 OR k21 < 0 OR k22 < 0
        |              OR n <= 0 OR c1 <= 0 OR c2 <= 0 OR c12 <= 0 OR total <= 0
        |         THEN CAST('nan' AS DOUBLE)
@@ -95,6 +97,9 @@ object OracleSql {
        |  FROM es
        |)""".stripMargin
   }
+
+  /** The lang-grained instantiation used by the documents-table queries. */
+  val scoredCte: String = scoredChainCte("lang, w1, w2")
 
   /** All collocation CTEs chained; append a final SELECT. */
   val collocationCtes: String =

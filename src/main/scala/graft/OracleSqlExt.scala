@@ -76,19 +76,28 @@ object OracleSqlExt {
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
 
-  def jaccardSql(threshold: Double): String =
+  /** Candidate-restricted exact Jaccard (mirrors
+    * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
+    * minhash, exact intersection via `list_intersect` of the two docs'
+    * shingle lists. */
+  def jaccardVerifySql(threshold: Double): String =
     s"""WITH $tclCte,
-       |$shCte,
-       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
-       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-       |  GROUP BY l.doc_id, r.doc_id
+       |slt AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+       |  FROM tcl WHERE len(tl) >= 3
+       |),
+       |sh AS (SELECT doc_id, unnest(sl) AS shingle FROM slt),
+       |$mhCte,
+       |$bkCte,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |)
        |SELECT a, b, inter, na, nb, jaccard FROM (
-       |  SELECT a, b, inter, ca.nsh AS na, cb.nsh AS nb,
-       |         round(inter / (ca.nsh + cb.nsh - inter), 6) AS jaccard
-       |  FROM inter JOIN counts ca ON inter.a = ca.doc_id JOIN counts cb ON inter.b = cb.doc_id
+       |  SELECT a, b, CAST(len(list_intersect(la.sl, lb.sl)) AS BIGINT) AS inter,
+       |         CAST(len(la.sl) AS BIGINT) AS na, CAST(len(lb.sl) AS BIGINT) AS nb,
+       |         round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
+       |  FROM cand JOIN slt la ON cand.a = la.doc_id JOIN slt lb ON cand.b = lb.doc_id
        |) WHERE jaccard >= $threshold""".stripMargin
 
   /** 60-bit simhash; bit b of md5 hex char j votes +-1 per token occurrence. */
@@ -149,6 +158,28 @@ object OracleSqlExt {
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Banded sign-LSH embedding near-dup pairs (mirrors
+    * [[graft.dedup.Dedup.embeddingLshPairs]]). */
+  def embeddingLshSql(bands: Int, rowsPerBand: Int, minCos: Double): String = {
+    val bandSelects = (0 until bands).map { b =>
+      val bits = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand)
+        .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"SELECT vec_id, $b AS band, $bits AS bits FROM e"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bk AS (
+       |  ${bandSelects.mkString("\n  UNION ALL ")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.bits = r.bits AND l.vec_id < r.vec_id
+       |)
+       |SELECT a, b, cos FROM (
+       |  SELECT a, b, round(${cosineSql("ea.v", "eb.v")}, 6) AS cos
+       |  FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id
+       |) WHERE cos >= $minCos""".stripMargin
+  }
 
   def closestPairsSql(topN: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -324,6 +355,89 @@ object OracleSqlExt {
        |SELECT k.doc_id, k.lang
        |FROM keep1 k LEFT JOIN comp2 c ON k.doc_id = c.doc_id
        |WHERE c.doc_id IS NULL OR c.doc_id = c.component""".stripMargin
+
+  // ------------------------------------------------- raw n-gram TSV path
+
+  /** Root of the reference-format TSV fixtures the driver's DuckDB can
+    * read directly (same files [[graft.collocations.NGramCollocations
+    * .fromPaths]] ingests in the Spark query). */
+  val ngramFixtureDir = "/root/repo/src/test/resources/ngrams"
+
+  /** The reference's per-language stopword routing (`Stopwords.java:26-30`
+    * + `NGramUtils.java:51-79`): `he` rows check the Hebrew set, all other
+    * languages the English set. */
+  private def notStop(w: String): String =
+    s"NOT (lang = 'he' AND $w IN (${Stopwords.heSqlList})) AND NOT (lang <> 'he' AND $w IN (${Stopwords.sqlList}))"
+
+  /** Whole-line TSV ingestion mirroring `spark.read.text` + `split`:
+    * `read_text` keeps ragged rows (extra trailing fields ignored, short
+    * rows parse to NULLs and drop) — `read_csv` would reject them. Lang
+    * comes from the file path exactly as in the Spark source. */
+  private def ngramRawCte(name: String, glob: String): String =
+    s"""$name AS (
+       |  SELECT CASE WHEN lower(filename) LIKE '%heb%' THEN 'he' ELSE 'en' END AS lang,
+       |         string_split(line, chr(9)) AS f
+       |  FROM (SELECT filename, unnest(string_split(content, chr(10))) AS line
+       |        FROM read_text('$ngramFixtureDir/$glob'))
+       |)""".stripMargin
+
+  /** End-to-end oracle for the reference's true unit of work: pre-counted
+    * n-grams at (lang, decade) grain with occurrence weights, lang from
+    * path, per-language stopwords, LLR, top-k (mirrors
+    * [[graft.collocations.NGramCollocations.fromPaths]]). */
+  def ngramDecadeSql(k: Int): String = {
+    val decade = "CAST(floor(year / 10) * 10 AS BIGINT)"
+    s"""WITH ${ngramRawCte("raw1", "*-1gram.tsv")},
+       |${ngramRawCte("raw2", "*-2gram.tsv")},
+       |u0 AS (
+       |  SELECT lang, f[1] AS ngram, TRY_CAST(f[2] AS INTEGER) AS year, TRY_CAST(f[3] AS BIGINT) AS occ
+       |  FROM raw1
+       |),
+       |u1 AS (
+       |  SELECT lang, ${OracleSql.clean("ngram")} AS w, year, occ FROM u0
+       |  WHERE ngram IS NOT NULL AND year IS NOT NULL AND occ IS NOT NULL AND occ > 0
+       |),
+       |uni AS (
+       |  SELECT lang, $decade AS decade, w, CAST(sum(occ) AS BIGINT) AS c1
+       |  FROM u1 WHERE length(w) > 0 AND ${notStop("w")}
+       |  GROUP BY lang, decade, w
+       |),
+       |b0 AS (
+       |  SELECT lang, f[1] AS ngram, TRY_CAST(f[2] AS INTEGER) AS year, TRY_CAST(f[3] AS BIGINT) AS occ
+       |  FROM raw2
+       |),
+       |b1 AS (
+       |  SELECT lang, string_split_regex(ngram, '\\s+') AS p, year, occ FROM b0
+       |  WHERE ngram IS NOT NULL AND year IS NOT NULL AND occ IS NOT NULL AND occ > 0
+       |),
+       |b2 AS (
+       |  SELECT lang, ${OracleSql.clean("p[1]")} AS w1, ${OracleSql.clean("p[2]")} AS w2, year, occ
+       |  FROM b1 WHERE len(p) >= 2
+       |),
+       |bg AS (
+       |  SELECT lang, $decade AS decade, w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+       |  FROM b2 WHERE length(w1) > 0 AND length(w2) > 0 AND ${notStop("w1")} AND ${notStop("w2")}
+       |  GROUP BY lang, decade, w1, w2
+       |),
+       |ntab AS (SELECT lang, decade, CAST(sum(c1) AS BIGINT) AS n FROM uni GROUP BY lang, decade),
+       |joined AS (
+       |  SELECT bg.lang, bg.decade, bg.w1, bg.w2, bg.c12, u1.c1 AS c1, u2.c1 AS c2, ntab.n
+       |  FROM bg
+       |  JOIN uni u1 ON bg.lang = u1.lang AND bg.decade = u1.decade AND bg.w1 = u1.w
+       |  JOIN uni u2 ON bg.lang = u2.lang AND bg.decade = u2.decade AND bg.w2 = u2.w
+       |  JOIN ntab ON bg.lang = ntab.lang AND bg.decade = ntab.decade
+       |),
+       |${OracleSql.scoredChainCte("lang, decade, w1, w2")},
+       |final AS (
+       |  SELECT lang, decade, w1, w2, round(llr_raw, 6) AS llr
+       |  FROM scored WHERE NOT isnan(llr_raw)
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang, decade ORDER BY llr DESC, w1 ASC, w2 ASC) AS rn
+       |  FROM final
+       |)
+       |SELECT lang, decade, w1, w2, llr FROM ranked WHERE rn <= $k""".stripMargin
+  }
 
   // ------------------------------------------------------------ multimodal
 

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** Dev utility: time individual stages of the expensive queries to locate
   * bottlenecks (run with SPARK_GRAFT_SF_DIR, prints name=seconds). */
@@ -25,21 +25,20 @@ object Profile {
     import graft.collocations.Collocations.documents
     import graft.dedup.Dedup
     val docs = documents(spark, sfDir)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-    time("shingles")(Dedup.shingles(docs).count())
-    time("minhashSignatures")(Dedup.minhashSignatures(docs).count())
-    time("lshBuckets")(Dedup.lshBuckets(docs).count())
-    time("lshCandidates")(Dedup.lshCandidates(docs).count())
-    time("jaccard_inter_join") {
-      val sh = Dedup.shingles(docs)
+    def clear(): Unit = spark.sharedState.cacheManager.clearCache()
+
+    clear(); time("lshCandidates")(Dedup.lshCandidates(docs).count())
+    clear(); time("shingleSets")(Dedup.shingleSets(docs).count())
+    clear(); time("shingleSets+persist+2joins") {
       import org.apache.spark.sql.functions._
-      sh.select(col("shingle"), col("doc_id").as("a"))
-        .join(sh.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
-        .filter(col("a") < col("b")).count()
+      val cand = Dedup.lshCandidates(docs)
+      val ss = Dedup.shingleSets(docs).persist()
+      cand.join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
+        .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
+        .count()
     }
-    time("jaccardPairs")(Dedup.jaccardPairs(docs, threshold = 0.3).count())
-    time("embeddingPairs")(Dedup.closestEmbeddingPairs(emb).count())
+    clear(); time("jaccardVerify")(Dedup.jaccardVerify(docs, threshold = 0.3).count())
     spark.stop()
   }
 }

@@ -192,6 +192,20 @@ object SparkEntry {
         Collocations.topCollocations(Collocations.documents(s, d)),
       Some(OracleSql.topCollocationsSql(Collocations.K))),
 
+    // --------------------------- reference-format raw TSV path (S1'/S3)
+    // The reference's true unit of work: pre-counted n-grams at
+    // (lang, decade) grain with occurrence weights and lang-from-path
+    // (Job1.java:126-186, CollocationExtraction3Jobs.java:29-32). Reads
+    // the repo's reference-shaped TSV fixtures (sfDir-independent).
+    ("ngram_decade_e2e",
+      (s: SparkSession, _: String) => {
+        val dir = OracleSqlExt.ngramFixtureDir
+        graft.collocations.NGramCollocations.fromPaths(s,
+          Seq(s"$dir/eng-1gram.tsv", s"$dir/heb-1gram.tsv"),
+          Seq(s"$dir/eng-2gram.tsv", s"$dir/heb-2gram.tsv"))
+      },
+      Some(OracleSqlExt.ngramDecadeSql(graft.collocations.NGramCollocations.K))),
+
     // ------------------------------------------- generic agg (TPC-H Q1ish)
     ("pricing_summary",
       (s: SparkSession, d: String) => {
@@ -390,6 +404,21 @@ object SparkEntry {
              |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // sketch twin of the exact form above: at 100 TB exact percentile is a
+    // sort-heavy global op; approx_percentile is a mergeable sketch
+    // (partial+final, one shuffle of sketch bytes). Not SQL-expressible in
+    // a cross-engine-exact way -> no oracle row (driver records rows-only);
+    // accuracy vs the exact form is asserted in PercentileSpec.
+    ("percentiles_approx",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"),
+            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price")),
+      None),
+
     // ======================================================== text analysis
     ("text_token_stats",
       (s: SparkSession, d: String) =>
@@ -456,8 +485,8 @@ object SparkEntry {
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) =>
-        graft.dedup.Dedup.jaccardPairs(Collocations.documents(s, d), threshold = 0.3),
-      Some(OracleSqlExt.jaccardSql(0.3))),
+        graft.dedup.Dedup.jaccardVerify(Collocations.documents(s, d), threshold = 0.3),
+      Some(OracleSqlExt.jaccardVerifySql(0.3))),
 
     ("dedup_simhash",
       (s: SparkSession, d: String) =>
@@ -466,8 +495,7 @@ object SparkEntry {
 
     ("dedup_components",
       (s: SparkSession, d: String) =>
-        graft.dedup.Dedup.connectedComponents(
-          graft.dedup.Dedup.lshCandidates(Collocations.documents(s, d))),
+        graft.dedup.Dedup.lshComponents(Collocations.documents(s, d)),
       Some(OracleSqlExt.componentsSql)),
 
     ("dedup_simhash_pairs",
@@ -480,6 +508,15 @@ object SparkEntry {
         graft.dedup.Dedup.closestEmbeddingPairs(
           s.read.parquet(s"$d/embeddings.parquet"), topN = 20),
       Some(OracleSqlExt.closestPairsSql(20))),
+
+    // scale path for the above: banded sign-LSH + exact-cosine verify.
+    // 8x6 band shape targets this corpus's similarity range (max cos
+    // ~0.51); true near-dup dedup at scale uses the 8x8 default.
+    ("dedup_embedding_lsh",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.embeddingLshPairs(
+          s.read.parquet(s"$d/embeddings.parquet"), bands = 8, rowsPerBand = 6, minCos = 0.4),
+      Some(OracleSqlExt.embeddingLshSql(8, 6, 0.4))),
 
     // ==================================================== similarity search
     ("ann_cosine_topk",

@@ -56,6 +56,21 @@ object Dedup {
     docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingleCol(col("toks"), k)).as("shingle"))
 
+  /** Per-doc distinct shingle SETS kept array-local: (doc_id, sl, nsh).
+    * The un-exploded form is what candidate verification joins against —
+    * one row per doc, bounded-size payload, never a posting list. */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), shingleCol(col("toks"), k).as("sl"))
+      .withColumn("nsh", size(col("sl")).cast("long"))
+  // NOTE: docs with < k tokens keep a NULL `sl` here rather than being
+  // filtered: a `.filter(sl.isNotNull)` would be pushed below the
+  // projections, substituting the whole tokenizer+shingle lambda into the
+  // filter predicate where Catalyst does no subexpression caching
+  // (measured 42 s vs ~1 s at sf0.1 — same pathology as [[shingleCol]]).
+  // Consumers join on candidate doc_ids, which always have shingles, so
+  // the NULL rows drop in the join.
+
   // ------------------------------------------------------------ minhash
 
   /** Affine-family constants for the n-th minhash: h_i = (A_i*x + B_i*y +
@@ -101,8 +116,31 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Same-bucket pairs (a < b) from any (doc_id, band, sig) bucket table:
+    * an equi self-join keyed on (band, sig) — only same-bucket docs meet. */
+  private def candidatesFromBuckets(buckets: DataFrame): DataFrame = {
+    val l = buckets.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = buckets.select(col("band"), col("sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Component-label seeds from the bucket table: every bucket is a clique
+    * of the candidate graph, so min(doc_id) over a doc's (shared) buckets
+    * is a valid same-component label that is already <= the doc's own id —
+    * label propagation then converges in ~1 round instead of
+    * diameter-many. Buckets with a single doc produce no pairs and are
+    * excluded, keeping the seed set exactly the pair graph's vertex set. */
+  private def seedsFromBuckets(buckets: DataFrame): DataFrame = {
+    val bucketMin = buckets.groupBy("band", "sig")
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2)
+    buckets.join(bucketMin, Seq("band", "sig"))
+      .groupBy("doc_id").agg(min(col("bmin")).as("component"))
+  }
+
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
-    * bucket. The join is keyed on (band, sig): only same-bucket docs meet. */
+    * bucket. */
   def lshCandidates(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     // persist: both sides of the self-join reference this subtree, and
     // lambda-bearing plans don't canonicalize equal for exchange reuse —
@@ -110,17 +148,55 @@ object Dedup {
     // bucket table is (docs x bands) rows of (long, int, hex) — tiny.
     val buckets = lshBuckets(docs, k, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = buckets.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = buckets.select(col("band"), col("sig"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    candidatesFromBuckets(buckets)
+  }
+
+  /** Near-duplicate component labels straight from the documents: builds
+    * the LSH bucket table ONCE, derives both the candidate pairs and the
+    * clique seeds from it, and runs seeded label propagation — the
+    * convergence loop that took diameter-many rounds from identity labels
+    * finishes in ~1 round from clique seeds. The bucket table is released
+    * once the (tiny) label table is materialized. */
+  def lshComponents(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                    maxIters: Int = 20): DataFrame = {
+    val buckets = lshBuckets(docs, k, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = connectedComponents(candidatesFromBuckets(buckets), maxIters,
+      seeds = Some(seedsFromBuckets(buckets)))
+    buckets.unpersist()
+    labels
   }
 
   // ------------------------------------------------------------ jaccard
 
-  /** Exact shingle-Jaccard for all pairs sharing >= 1 shingle, via an
-    * inverted index self-join (a < b). Returns (a, b, inter, na, nb,
-    * jaccard rounded to 6). */
+  /** Exact shingle-Jaccard as a VERIFICATION stage over the LSH candidate
+    * pairs — the 100 TB shape. Candidates come from the banded minhash
+    * self-join (bounded per-bucket work); the exact intersection is then
+    * computed per candidate pair from the two docs' array-local shingle
+    * sets (`array_intersect`), so the cost is O(|candidates| * shingles)
+    * with two equi-joins on doc_id — no inverted-index posting list ever
+    * materializes, which kills the hot-shingle (boilerplate header)
+    * quadratic blowup of the all-pairs form below.
+    * Returns (a, b, inter, na, nb, jaccard) for candidates >= threshold. */
+  def jaccardVerify(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                    threshold: Double = 0.0): DataFrame = {
+    val cand = lshCandidates(docs, k, bands, rowsPerBand)
+    // referenced by both sides of the pair lookup; lambda-bearing plans
+    // don't canonicalize equal for exchange reuse (see lshCandidates)
+    val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand
+      .join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
+      .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** Exact shingle-Jaccard for ALL pairs sharing >= 1 shingle, via an
+    * inverted index self-join (a < b) — the correctness baseline for
+    * [[jaccardVerify]]. Unbounded posting lists make this quadratic in the
+    * hottest shingle's list; do not run it at corpus scale. */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.0): DataFrame = {
     // the shingle index is referenced three times (both join sides +
     // per-doc counts); materialize it once — the single-DAG equivalent of
@@ -146,15 +222,20 @@ object Dedup {
     * the fingerprint in a positive BIGINT for oracle parity). Each token
     * occurrence votes +1/-1 per bit; fingerprint bit = (vote sum >= 0). */
   def simhash(docs: DataFrame): DataFrame = {
+    // materialize the 15 nibble columns ONCE per token row: the 60
+    // bit-votes are then plain long arithmetic over n1..n15. Inlining the
+    // nibble into each vote would evaluate 60 conv+substring per row where
+    // 15 suffice (the projection boundary below is what stops Catalyst's
+    // CollapseProject from re-inlining them into the aggregate).
     val tok = docs.select(col("doc_id"),
       explode(Normalize.tokensCol(col("text"))).as("w"))
       .withColumn("h", md5(col("w")))
-    // nibble value of hex char j (1-based) in h: 0..15
-    def nib(j: Int): Column = conv(substring(col("h"), j, 1), 16, 10).cast("long")
+      .select(col("doc_id") +: (1 to 15).map(j =>
+        conv(substring(col("h"), j, 1), 16, 10).cast("long").as(s"n$j")): _*)
     val votes = (0 until 60).map { bit =>
       val j = bit / 4 + 1     // hex char index
       val b = bit % 4         // bit within nibble
-      val bitVal = (nib(j).divide(lit(1L << b)).cast("long")) % 2
+      val bitVal = shiftright(col(s"n$j"), b) % 2
       sum(bitVal * 2 - 1).as(s"v$bit")
     }
     val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
@@ -196,13 +277,17 @@ object Dedup {
     * O(log n) on near-dup graphs (tiny star-shaped clusters). Each round
     * materializes the label table so the lineage doesn't grow unboundedly.
     * Returns (doc_id, component) for every vertex of the pair graph.  */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          seeds: Option[DataFrame] = None): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // seeds (doc_id, component) must cover exactly the pair graph's
+    // vertices with a same-component label <= the identity label; any such
+    // initialization converges to the same min-label fixpoint
+    var labels = seeds.getOrElse(
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("component", col("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var it = 0
@@ -221,13 +306,60 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // fully materialize the (vocabulary-of-duplicates-sized) label table,
+    // then release the edge list — the returned DataFrame reads from the
+    // label cache and never touches edges again
+    labels.count()
+    edges.unpersist()
     labels
   }
 
   // --------------------------------------------------- embedding near-dup
 
+  /** Embedding near-duplicate pairs via banded sign-LSH — the 100 TB
+    * replacement for the all-pairs [[closestEmbeddingPairs]]. The
+    * signature is the sign bit of each embedding dimension (axis-aligned
+    * hyperplanes — deterministic, so the DuckDB oracle reproduces it
+    * bit-for-bit; a production deployment would draw seeded Gaussian
+    * hyperplanes through the identical plumbing). Dims are split into
+    * `bands` bands of `rowsPerBand` sign bits; pairs agreeing on ALL bits
+    * of >= 1 band become candidates via an equi self-join on (band, bits)
+    * — never a cross product — and exact cosine then verifies each
+    * candidate. Band shape tunes the similarity threshold the S-curve
+    * targets: 8x8 for true near-dups (cos >= ~0.9), 8x6 for the looser
+    * threshold this synthetic corpus needs (its closest pair is ~0.51).
+    * Returns (a, b, cos) for candidates with cos >= minCos. */
+  def embeddingLshPairs(emb: DataFrame, bands: Int = 8, rowsPerBand: Int = 8,
+                        minCos: Double = 0.9): DataFrame = {
+    import graft.similarity.Ann.dot
+    // referenced three times (bucket derivation + both pair-side vector
+    // lookups); persist — the staged "write the signature table" shape
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i =>
+          when(element_at(col("v"), i) >= 0, lit("1")).otherwise(lit("0"))): _*).as("bits"))
+    }
+    val buckets = base
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val l = buckets.select(col("band"), col("bits"), col("vec_id").as("a"))
+    val r = buckets.select(col("band"), col("bits"), col("vec_id").as("b"))
+    val cand = l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(base.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), Seq("a"))
+      .join(base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), Seq("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("a", "b", "cos")
+  }
+
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
-    * the LSH/IVF scale path lives in [[graft.similarity.Ann]]). */
+    * the correctness baseline for [[embeddingLshPairs]] — do not run at
+    * corpus scale). */
   def closestEmbeddingPairs(emb: DataFrame, topN: Int = 20): DataFrame = {
     import graft.similarity.Ann.dot
     // norms once per vector, not per pair — bit-identical cosine, 3x fewer

@@ -20,14 +20,17 @@ object Events {
     * identical to DuckDB's ns->us timestamp truncation. */
   val tsMicros: Column = expr("ts div 1000")
 
-  /** Tumbling-hour bucket as epoch hours (integer division on micros). */
-  def hourBucket(tsUs: Column): Column = expr("ts_us div 3600000000")
+  /** Tumbling-hour bucket as epoch hours — exact integer floor division on
+    * micros (`floor` on the double quotient is exact here: epoch-micros
+    * < 2^53, and DuckDB's `//` on BIGINT is the same floor division). */
+  def hourBucket(tsUs: Column): Column =
+    floor(tsUs.cast("double") / 3600000000L).cast("long")
 
   /** Hourly per-type aggregate — the batch twin of the Structured
     * Streaming query in [[graft.streaming.EventsStream]]. */
   def hourlyByType(ev: DataFrame): DataFrame =
     ev.withColumn("ts_us", tsMicros)
-      .groupBy(expr("ts_us div 3600000000").as("hour"), col("event_type"))
+      .groupBy(hourBucket(col("ts_us")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 

@@ -33,8 +33,10 @@ object CleanCorpus {
       .withColumn("rn", row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
       .filter(col("rn") === 1).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // drop every clustered doc that is not its component's representative
-    val dropIds = Dedup.connectedComponents(Dedup.lshCandidates(keepOne))
+    // drop every clustered doc that is not its component's representative;
+    // lshComponents builds the bucket table once, seeds labels from bucket
+    // cliques (~1 propagation round), and releases its own caches
+    val dropIds = Dedup.lshComponents(keepOne)
       .filter(col("doc_id") =!= col("component"))
       .select("doc_id")
     keepOne.join(dropIds, Seq("doc_id"), "left_anti").select("doc_id", "lang")

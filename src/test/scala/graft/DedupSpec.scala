@@ -72,6 +72,58 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 8L -> 4L))
   }
 
+  test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
+    val cand = Dedup.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    val verified = Dedup.jaccardVerify(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    assert(verified.keySet == cand, "verify stage must cover exactly the candidate set")
+    verified.foreach { case (p, v) =>
+      assert(exact(p) == v, s"pair $p: candidate-restricted $v != baseline ${exact(p)}")
+    }
+  }
+
+  test("seeded lshComponents matches unseeded label propagation") {
+    val unseeded = Dedup.connectedComponents(Dedup.lshCandidates(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeded = Dedup.lshComponents(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeded == unseeded)
+  }
+
+  test("connectedComponents releases every internal cache") {
+    import spark.implicits._
+    // start from a clean slate: earlier tests' query-scoped caches are
+    // released per query in production (Verify/Bench clear per query)
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+    labels.count()
+    labels.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("embedding LSH pair-dedup finds the same near-dup pairs as brute force") {
+    import spark.implicits._
+    // 20 well-separated base vectors + 5 planted near-duplicates
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => math.sin(seed * 64 + j).toFloat)
+    val base = (0 until 20).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 5).map { i =>
+      val v = vec(i).clone(); v(63) = v(63) + 0.01f; (100L + i, v)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.closestEmbeddingPairs(emb, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshPairs(emb, bands = 8, rowsPerBand = 8, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"lsh=$lsh brute=$brute")
+    assert(lsh == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
   test("closest embedding pairs ranks the planted near-duplicate first") {
     import spark.implicits._
     val emb = Seq(

@@ -64,4 +64,19 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.dedup.Dedup.lshCandidates(Collocations.documents(spark, sf)))
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
   }
+
+  test("embedding LSH pair-dedup never falls back to an all-pairs join") {
+    val p = plan(SparkEntry.queries("dedup_embedding_lsh")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in embedding LSH plan:\n$p")
+  }
+
+  test("candidate-restricted jaccard joins shingle SETS, not posting lists") {
+    val p = plan(graft.dedup.Dedup.jaccardVerify(Collocations.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in jaccard verify plan:\n$p")
+    // the exact-intersection stage must be the array-local expression, not
+    // a shingle-keyed self-join aggregation
+    assert(p.contains("array_intersect"), s"expected array_intersect verify:\n$p")
+  }
 }
