@@ -287,6 +287,15 @@ object OracleSqlExt {
        |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $chain AS lang_pred FROM s""".stripMargin
   }
 
+  /** TF-IDF mirror of [[graft.text.TextAnalysis.tfidf]]. */
+  val tfidfSql: String =
+    s"""WITH ${OracleSql.toksCte},
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |ntab AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       |SELECT doc_id, w, tf, df, round(tf * ln((n + 1) / (df + 1)), 6) AS tfidf
+       |FROM tf JOIN dfreq USING (w) CROSS JOIN ntab""".stripMargin
+
   val fingerprintSql: String =
     s"""WITH $tclCte
        |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tl)), ' ')) AS fp FROM tcl""".stripMargin

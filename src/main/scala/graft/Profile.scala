@@ -28,17 +28,17 @@ object Profile {
 
     def clear(): Unit = spark.sharedState.cacheManager.clearCache()
 
-    clear(); time("lshCandidates")(Dedup.lshCandidates(docs).count())
-    clear(); time("shingleSets")(Dedup.shingleSets(docs).count())
-    clear(); time("shingleSets+persist+2joins") {
-      import org.apache.spark.sql.functions._
-      val cand = Dedup.lshCandidates(docs)
-      val ss = Dedup.shingleSets(docs).persist()
-      cand.join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
-        .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
-        .count()
+    // warmup
+    docs.count(); Dedup.simhash(docs).count()
+    clear(); time("simhash")(Dedup.simhash(docs).count())
+    clear(); time("simhash_materialize") {
+      val fp = Dedup.simhash(docs).persist()
+      fp.count()
     }
-    clear(); time("jaccardVerify")(Dedup.jaccardVerify(docs, threshold = 0.3).count())
+    time("pairs_from_cached_fp")(Dedup.simhashPairs(docs).count())  // fp NOT same instance; recomputes
+    clear(); time("simhashPairs")(Dedup.simhashPairs(docs).count())
+    clear(); time("lshComponents")(Dedup.lshComponents(docs).count())
+    clear(); time("cleanCorpus")(graft.pipelines.CleanCorpus.clean(docs).count())
     spark.stop()
   }
 }

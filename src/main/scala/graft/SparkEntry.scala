@@ -261,6 +261,40 @@ object SparkEntry {
              |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ----------------------------------------------- skew-safe salted agg
+    // Two-phase salted aggregation (ops/Salt.scala): when one key's
+    // partial results still overwhelm a reducer at 100 TB, salt the key,
+    // aggregate, re-aggregate. The oracle is the PLAIN group-by — decimal
+    // sums are exactly associative, so the rewrite is provably invisible.
+    ("salted_agg",
+      (s: SparkSession, d: String) =>
+        graft.ops.Salt.saltedSum(
+            s.read.parquet(s"$d/lineitem.parquet")
+              .withColumn("q", col("l_quantity").cast("decimal(18,2)")),
+            Seq("l_returnflag"), "q", buckets = 16)
+          .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_q")),
+      Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------- deterministic stratified sample
+    // Language-balanced downsampling, the training-data mixing primitive:
+    // keep 10% of the dominant language, 50% of the rest, chosen by a
+    // content-stable md5 bucket so reruns (and the oracle) agree row for
+    // row — never rand()-based at scale.
+    ("sample_stratified",
+      (s: SparkSession, d: String) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100
+        s.read.parquet(s"$d/documents.parquet")
+          .filter(when(col("lang") === "en", bucket < 10).otherwise(bucket < 50))
+          .select("doc_id", "lang")
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |WHERE CASE WHEN lang = 'en' THEN bucket < 10 ELSE bucket < 50 END""".stripMargin)),
+
     // -------------------------------------------------- distinct aggregate
     ("distinct_parts",
       (s: SparkSession, d: String) =>
@@ -271,6 +305,19 @@ object SparkEntry {
       Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
              |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // HLL-sketch twin of the exact distinct count: count-distinct at
+    // 100 TB is a full shuffle of the distinct keys; the sketch is a
+    // fixed-size mergeable partial. Engine-specific sketch -> no oracle
+    // row (rows-only check); accuracy asserted vs the exact form in
+    // PercentileSpec.
+    ("approx_distinct",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
+            approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps")),
+      None),
 
     // ----------------------------------------------- global ORDER BY LIMIT
     ("sort_limit",
@@ -450,6 +497,11 @@ object SparkEntry {
         Collocations.documents(s, d).select(col("doc_id"),
           graft.text.TextAnalysis.fingerprint(col("text")).as("fp")),
       Some(OracleSqlExt.fingerprintSql)),
+
+    ("text_tfidf",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.tfidf(Collocations.documents(s, d)),
+      Some(OracleSqlExt.tfidfSql)),
 
     ("text_rolling_hash",
       (s: SparkSession, d: String) =>

@@ -52,6 +52,25 @@ object TextAnalysis {
       round(lit(1.0) / (lit(1.0) + exp(-(lit(1.5) - lit(4.0) * punctRatio - lit(1.0) * stopRatio))), 6).as("quality"))
   }
 
+  /** TF-IDF over the cleaned token stream: tf = in-document term count,
+    * df = number of documents containing the term, idf = ln((N+1)/(df+1))
+    * — the smoothed form, so terms in every document stay finite. The
+    * plan is two counted aggregations on (doc, term) / (term) plus a
+    * broadcast of the single-row corpus size: the per-term join is keyed
+    * on the vocabulary (bounded, well-spread), the classic relevance /
+    * quality-weighting primitive of a training-data pipeline. */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
+  }
+
   /** Language-ID character-n-gram profiles. The synthetic corpus is
     * English-like regardless of label, so this demonstrates the operator
     * shape (profile scoring + deterministic argmax), not linguistics. */

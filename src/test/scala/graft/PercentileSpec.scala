@@ -20,4 +20,18 @@ class PercentileSpec extends SparkSpec {
         s"$flag: approx ($am,$a25,$a90) vs exact ($m,$p25,$p90)")
     }
   }
+
+  test("approx_count_distinct twin tracks the exact distinct counts within rsd") {
+    val exact = SparkEntry.queries("distinct_parts")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (p, s)) =>
+      val (ap, as) = approx(flag)
+      // rsd 0.01 -> allow 5% (5 sigma) slack
+      assert(math.abs(ap - p) <= 0.05 * p && math.abs(as - s) <= math.max(0.05 * s, 2.0),
+        s"$flag: approx ($ap,$as) vs exact ($p,$s)")
+    }
+  }
 }
