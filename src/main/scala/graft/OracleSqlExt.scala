@@ -287,6 +287,58 @@ object OracleSqlExt {
        |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $chain AS lang_pred FROM s""".stripMargin
   }
 
+  /** Repetition metrics mirror of [[graft.text.TextAnalysis.repetition]]. */
+  val repetitionSql: String =
+    s"""WITH $tclCte,
+       |base AS (
+       |  SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(tl)) AS BIGINT) AS n_distinct
+       |  FROM tcl
+       |),
+       |bgt AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1])) AS b
+       |  FROM tcl WHERE len(tl) >= 2
+       |),
+       |bc AS (SELECT doc_id, b, count(*) AS c FROM bgt GROUP BY doc_id, b),
+       |bm AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM bc GROUP BY doc_id)
+       |SELECT base.doc_id, n_tokens, n_distinct,
+       |       CASE WHEN n_tokens > 0 THEN round(n_distinct / n_tokens, 6) ELSE 0.0 END AS distinct_ratio,
+       |       CASE WHEN n_tokens > 1 THEN round(COALESCE(top_bigram, 0) / (n_tokens - 1), 6) ELSE 0.0 END AS top_bigram_frac
+       |FROM base LEFT JOIN bm ON base.doc_id = bm.doc_id""".stripMargin
+
+  /** Mixture-weight mirror of [[graft.text.TextAnalysis.mixWeights]]. */
+  val mixWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source
+      |),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(sum_chars) AS BIGINT) AS total_chars FROM per)
+      |SELECT source, n_docs, sum_chars,
+      |       round(sum_chars / total_chars, 6) AS share,
+      |       round((1.0 / n_sources) / (sum_chars / total_chars), 6) AS weight
+      |FROM per CROSS JOIN tot""".stripMargin
+
+  /** Greedy sequence-packing mirror of
+    * [[graft.pipelines.Packing.packSequences]]. */
+  def packSql(windowSize: Long): String =
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars, CAST((cum - n_chars) // $windowSize AS BIGINT) AS bin FROM c""".stripMargin
+
+  /** PII-scrub mirror of [[graft.text.TextAnalysis.scrub]] over the events
+    * `props` payload (the documents corpus carries no digits/emails). */
+  val scrubSql: String = {
+    import graft.text.TextAnalysis.{digitsPattern, emailPattern}
+    s"""SELECT event_id,
+       |  regexp_replace(regexp_replace(props, '$emailPattern', '<EMAIL>', 'g'), '$digitsPattern', '<NUM>', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(props, '$emailPattern', 0)) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(props, '$digitsPattern', 0)) AS BIGINT) AS n_nums
+       |FROM events""".stripMargin
+  }
+
   /** TF-IDF mirror of [[graft.text.TextAnalysis.tfidf]]. */
   val tfidfSql: String =
     s"""WITH ${OracleSql.toksCte},

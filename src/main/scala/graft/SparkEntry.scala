@@ -503,6 +503,31 @@ object SparkEntry {
         graft.text.TextAnalysis.tfidf(Collocations.documents(s, d)),
       Some(OracleSqlExt.tfidfSql)),
 
+    ("text_repetition",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.repetition(Collocations.documents(s, d)),
+      Some(OracleSqlExt.repetitionSql)),
+
+    ("mix_weights",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.mixWeights(Collocations.documents(s, d)),
+      Some(OracleSqlExt.mixWeightsSql)),
+
+    ("pack_sequences",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.Packing.packSequences(Collocations.documents(s, d), windowSize = 2048),
+      Some(OracleSqlExt.packSql(2048))),
+
+    ("scrub_pii",
+      (s: SparkSession, d: String) => {
+        val (ne, nn) = graft.text.TextAnalysis.scrubCounts(col("props"))
+        s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"),
+            graft.text.TextAnalysis.scrub(col("props")).as("scrubbed"),
+            ne.as("n_emails"), nn.as("n_nums"))
+      },
+      Some(OracleSqlExt.scrubSql)),
+
     ("text_rolling_hash",
       (s: SparkSession, d: String) =>
         Collocations.documents(s, d).select(col("doc_id"),

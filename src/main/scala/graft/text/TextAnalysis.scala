@@ -71,6 +71,57 @@ object TextAnalysis {
         round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
   }
 
+  /** Gopher-style repetition metrics — the standard training-data quality
+    * signals for boilerplate/spam: per-doc distinct-token ratio and the
+    * share of bigram slots taken by the single most frequent bigram. The
+    * distinct ratio is array-local; the top-bigram mode needs one
+    * (doc, bigram) count keyed by doc — well-spread, vocabulary-bounded
+    * values per doc. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+    val base = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val topBigram = t
+      .select(col("doc_id"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .groupBy(col("doc_id"), col("p.w1"), col("p.w2")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0, round(col("n_distinct") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("distinct_ratio"),
+        when(col("n_tokens") > 1,
+            round(coalesce(col("top_bigram"), lit(0L)) / (col("n_tokens") - 1), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Domain-mixture reweighting: per-source corpus share and the sampling
+    * weight that moves the mix to a uniform target — the knob a
+    * pretraining pipeline turns to rebalance sources. One aggregation on
+    * `source` plus a broadcast single-row total. Uses the `n_chars` size
+    * column (no tokenization pass). */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val tot = per.agg(count(lit(1)).as("n_sources"), sum(col("sum_chars")).as("total_chars"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        round(col("sum_chars") / col("total_chars"), 6).as("share"),
+        round((lit(1.0) / col("n_sources")) / (col("sum_chars") / col("total_chars")), 6).as("weight"))
+  }
+
+  /** PII-style scrubbing: redact email addresses and long digit runs.
+    * Pure `Column` regex work (codegen'd, shuffle-free); the character
+    * classes used agree between Java regex and RE2, so the DuckDB oracle
+    * reproduces the output byte-for-byte. */
+  val emailPattern  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitsPattern = "[0-9]{3,}"
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), digitsPattern, "<NUM>")
+  def scrubCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(digitsPattern), lit(0))).cast("long"))
+
   /** Language-ID character-n-gram profiles. The synthetic corpus is
     * English-like regardless of label, so this demonstrates the operator
     * shape (profile scoring + deterministic argmax), not linguistics. */

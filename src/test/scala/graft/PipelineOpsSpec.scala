@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+import graft.pipelines.Packing
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("scrub redacts emails and digit runs, counts match") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact john.doe+spam@example.co.uk or call 5551234567"),
+      (2L, "no pii here"),
+      (3L, "ids 123 45 6789 and a@b.io")
+    ).toDF("event_id", "props")
+    val (ne, nn) = TextAnalysis.scrubCounts(col("props"))
+    val out = rows.select(col("event_id"), TextAnalysis.scrub(col("props")).as("s"),
+        ne.as("ne"), nn.as("nn"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("contact <EMAIL> or call <NUM>", 1L, 1L)))
+    assert(out(2L) == (("no pii here", 0L, 0L)))
+    assert(out(3L) == (("ids <NUM> 45 <NUM> and <EMAIL>", 1L, 2L)))
+  }
+
+  test("repetition metrics: fully repeated doc scores low distinct ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "six completely different tokens right here")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((6L, 1L, 0.166667, 1.0)))   // one token, one bigram everywhere
+    assert(m(2L) == ((6L, 6L, 1.0, 0.2)))        // all distinct, every bigram unique (1/5)
+  }
+
+  test("packing fills windows in doc order and starts a new bin on overflow") {
+    import spark.implicits._
+    val docs = Seq((1L, 1000L), (2L, 900L), (3L, 300L), (4L, 2000L))
+      .toDF("doc_id", "n_chars")
+    val bins = Packing.packSequences(docs, windowSize = 2048).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // offsets: 0, 1000, 1900, 2200 -> bins 0,0,0,1
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("mix weights move an imbalanced corpus toward uniform") {
+    import spark.implicits._
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, if (i < 20) "big" else "small", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val w = TextAnalysis.mixWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(w("big") == ((20L, 0.666667, 0.75)))
+    assert(w("small") == ((10L, 0.333333, 1.5)))
+  }
+}
