@@ -24,6 +24,15 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = graft.collocations.Collocations.topCollocations(docs).count()
       println(f"SCALE m=$m%2d docs=${5000 * m}%7d rows=$n%5d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      spark.sharedState.cacheManager.clearCache()
+      // the multiplied corpus is the adversarial dedup input: every doc
+      // gains m-1 exact clones, so LSH cliques (and candidate pairs) grow
+      // with m^2 per text — the probe shows the seeded-component path
+      // absorbing it
+      val t1 = System.nanoTime()
+      val kept = graft.pipelines.CleanCorpus.clean(docs).count()
+      println(f"SCALE-DEDUP m=$m%2d docs=${5000 * m}%7d kept=$kept%6d  ${(System.nanoTime() - t1) / 1e9}%6.2f s")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -62,7 +62,12 @@ object TextAnalysis {
   def tfidf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("w"))
+    // the doc-term count feeds both the output and the df aggregation;
+    // persist it so the corpus is scanned+tokenized once (lambda plans
+    // defeat exchange reuse) — the staged "write the doc-term table" shape
+    // of a production tf-idf job
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(dfreq, Seq("w"))
