@@ -51,8 +51,16 @@ object Stopwords {
   /** Drop rows whose `wordCol` is a stopword of the row's (routed)
     * language: broadcast anti-join on (routed lang, word). `in` must carry
     * a `lang` column. */
-  def anti(in: DataFrame, wordCol: String): DataFrame = {
-    val sw = broadcast(df(in.sparkSession))
+  def anti(in: DataFrame, wordCol: String): DataFrame =
+    antiWith(in, wordCol, Map("en" -> en, "he" -> he))
+
+  /** [[anti]] with caller-supplied per-language sets — the runtime-file
+    * deployment path: `antiWith(df, "w", Map("en" -> fromFile(...), "he"
+    * -> fromFile(...)))`. Languages absent from the map keep all words. */
+  def antiWith(in: DataFrame, wordCol: String, sets: Map[String, Seq[String]]): DataFrame = {
+    import in.sparkSession.implicits._
+    val sw = broadcast(
+      sets.toSeq.flatMap { case (l, ws) => ws.map((l, _)) }.toDF("slang", "sw"))
     in.join(sw, in(wordCol) === sw("sw") && route(in("lang")) === sw("slang"), "left_anti")
   }
 
