@@ -509,6 +509,32 @@ object OracleSqlExt {
       |  CAST(CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS head_byte
       |FROM documents""".stripMargin
 
+  /** Rolling-hash fold over a SQL string expression (mirror of
+    * [[graft.functions.RollingHashExpr]]). */
+  private def rollSql(s: String): String =
+    s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s) + 1), q -> CAST(unicode(substr($s, q, 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT)"
+
+  /** Frame-sampling mirror of [[graft.multimodal.Multimodal.sampleFrames]]. */
+  def framesSql(nFrames: Int, frameLen: Int): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(i * (length(text) // $nFrames) + 1 AS BIGINT) AS off,
+       |         substr(text, CAST(i * (length(text) // $nFrames) + 1 AS INT), $frameLen) AS frame
+       |  FROM documents, (SELECT unnest(range(0, $nFrames)) AS i)
+       |)
+       |SELECT doc_id, off, CAST(length(frame) AS BIGINT) AS f_len, ${rollSql("frame")} AS f_hash
+       |FROM f""".stripMargin
+
+  /** Byte-resize mirror of [[graft.multimodal.Multimodal.resize]]. */
+  def resizeSql(target: Int): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, greatest(length(text) // $target, 1) AS stride FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id, array_to_string(list_transform(range(0, $target), j -> substr(text, CAST(j * stride + 1 AS INT), 1)), '') AS r
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(length(r) AS BIGINT) AS r_len, ${rollSql("r")} AS r_hash FROM r""".stripMargin
+
   // ------------------------------------------------------------ events
 
   val hourlySql: String =

@@ -608,6 +608,16 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
       Some(OracleSqlExt.annBucketedSql(100, 5, 6))),
 
+    // IVF with trained centroids: deterministic Lloyd iterations (decimal
+    // means -> bit-stable cells), probes=2. Iterative float training is
+    // not SQL-mirrorable -> rows-only gate; recall vs brute force is
+    // asserted in TextAndAnnSpec.
+    ("ann_ivf_topk",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.ivfTopK(
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5),
+      None),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>
@@ -634,6 +644,16 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.multimodal.Multimodal.decodeFeatures(Collocations.documents(s, d)).toDF(),
       Some(OracleSqlExt.decodeSql)),
+
+    ("multimodal_frames",
+      (s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.sampleFrames(Collocations.documents(s, d), nFrames = 8, frameLen = 16),
+      Some(OracleSqlExt.framesSql(8, 16))),
+
+    ("multimodal_resize",
+      (s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.resize(Collocations.documents(s, d), target = 32),
+      Some(OracleSqlExt.resizeSql(32))),
 
     // --------------------------------- as-of join (operator Spark lacks)
     ("asof_join",

@@ -59,4 +59,47 @@ object Multimodal {
         it.map(FakeCodec.decode)
       }
   }
+
+  // -------------------------------------------------- frame sample / resize
+  //
+  // Video-style operators over the payload, byte-offset plumbing only (a
+  // real deployment swaps the per-frame feature for the FFI decode): both
+  // are pure Column algebra — array-local, zero shuffle, codegen-friendly
+  // — because sampling and resizing are OFFSET arithmetic; only the codec
+  // itself needs the mapPartitions batch shape above. The payload here is
+  // the ASCII text (byte == char, same convention the decode oracle uses),
+  // and the per-frame feature is the codegen'd rolling hash.
+
+  /** Evenly-spaced frame sampling: `nFrames` windows of `frameLen` bytes
+    * at offsets i * (len div nFrames). Emits one row per (doc, frame) with
+    * the frame's offset, length and rolling-hash feature. */
+  def sampleFrames(docs: DataFrame, nFrames: Int = 8, frameLen: Int = 16): DataFrame = {
+    val stride = floor(col("n").cast("double") / nFrames).cast("long")
+    val frames = docs
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(transform(sequence(lit(0), lit(nFrames - 1)),
+          i => (i * stride + 1).as("off"))).as("off"))
+      .select(col("doc_id"), col("off"),
+        col("text").substr(col("off").cast("int"), lit(frameLen)).as("frame"))
+    frames.select(col("doc_id"), col("off"),
+      length(col("frame")).cast("long").as("f_len"),
+      graft.functions.RollingHash.rollingHash(col("frame")).as("f_hash"))
+  }
+
+  /** Nearest-neighbor byte "resize" to `target` samples: keep every
+    * (len div target)-th byte. Emits the resized length + rolling-hash
+    * feature (the real pixel resample replaces the char picks). */
+  def resize(docs: DataFrame, target: Int = 32): DataFrame = {
+    val n = length(col("text")).cast("long")
+    val base = docs.select(col("doc_id"), col("text"), n.as("n"))
+      .select(col("doc_id"), col("text"),
+        greatest(floor(col("n").cast("double") / target).cast("long"), lit(1L)).as("stride"))
+    val resized = base.select(col("doc_id"),
+      concat_ws("", transform(sequence(lit(0), lit(target - 1)),
+        j => col("text").substr((j * col("stride") + 1).cast("int"), lit(1)))).as("r"))
+    resized.select(col("doc_id"),
+      length(col("r")).cast("long").as("r_len"),
+      graft.functions.RollingHash.rollingHash(col("r")).as("r_hash"))
+  }
 }

@@ -84,6 +84,82 @@ object Ann {
     array((exact +: flips): _*)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** K-means centroids for IVF, trained with deterministic Lloyd
+    * iterations: init = the first `nCells` vectors by vec_id; assignment
+    * maximizes dot product (codegen'd); means are computed through
+    * DECIMAL sums so they are bit-stable across partitionings and runs —
+    * float averages would make cell boundaries (and therefore results)
+    * run-dependent. Returns the (cell, centroid) model — a k x dim
+    * artifact collected to the driver, which is how a serving system
+    * ships it. */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 2): Seq[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Int, Array[Double])] = base.orderBy("vec_id").limit(nCells).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.map { case (c, a) => (c, a.toSeq) }.toDF("cid", "cv"))
+      val assigned = base.crossJoin(centDf)
+        .withColumn("d", dot(col("v"), col("cv")))
+        .groupBy("vec_id", "v")
+        // max over (dot, -cid) structs: deterministic argmax, ties to the
+        // smallest cell id
+        .agg(max(struct(col("d").as("d"), (-col("cid")).as("negcid"))).as("m"))
+        .select(col("v"), (-col("m.negcid")).cast("int").as("cid"))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,14)")) / count(lit(1))).cast("double").as("mu"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      cents = dims.groupBy(_._1).toSeq.map { case (cid, rows) =>
+        val arr = new Array[Double](rows.map(_._2).max + 1)
+        rows.foreach { case (_, d, mu) => arr(d) = mu }
+        (cid, arr)
+      }.sortBy(_._1)
+    }
+    base.unpersist()
+    cents
+  }
+
+  /** IVF approximate top-k: vectors are indexed by their nearest trained
+    * centroid (one equi-join key per vector); each query probes its
+    * `probes` best cells. Unlike the data-oblivious sign quantizer, the
+    * cells follow the data distribution — the standard
+    * train-once/serve-many ANN shape. The centroid model is not
+    * SQL-mirrorable (iterative float training), so this query is
+    * rows-only at the gate; recall vs brute force is asserted in
+    * TextAndAnnSpec. */
+  def ivfTopK(emb: DataFrame, stride: Int = 100, k: Int = 5,
+              nCells: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      ivfCentroids(emb, nCells, iters).map { case (c, a) => (c, a.toSeq) }.toDF("cid", "cv"))
+    val cand = candidates(emb).crossJoin(centDf)
+      .withColumn("d", dot(col("n_vec"), col("cv")))
+      .groupBy("n_id", "n_vec", "n_nrm")
+      .agg(max(struct(col("d").as("d"), (-col("cid")).as("negcid"))).as("m"))
+      .select(col("n_id"), col("n_vec"), col("n_nrm"), (-col("m.negcid")).cast("int").as("cid"))
+    val q = queries(emb, stride).crossJoin(centDf)
+      .withColumn("d", dot(col("q_vec"), col("cv")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d").desc, col("cid").asc)))
+      .filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cid"))
+    val scored = cand.join(broadcast(q), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
+
   /** Multi-probe approximate top-k: candidates from the query's bucket and
     * all one-bit-flip buckets. */
   def multiProbeTopK(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6): DataFrame = {

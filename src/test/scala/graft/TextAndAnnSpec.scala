@@ -104,6 +104,44 @@ class TextAndAnnSpec extends SparkSpec {
     assert(recallM > 0.1, s"multi-probe recall unexpectedly low: $recallM")
   }
 
+  test("ivf recovers brute-force neighbors on clustered data") {
+    import spark.implicits._
+    // 40 vectors in 4 tight clusters around orthogonal axes, interleaved
+    // ids so the first-nCells init sees one vector per cluster
+    val emb = (0 until 40).map { i =>
+      val cluster = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(cluster * 10) = 1.0f
+      v(cluster * 10 + 1) = 0.05f * (i / 4)   // small in-cluster spread
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val brute = graft.similarity.Ann.bruteForceTopK(emb, stride = 10, k = 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = graft.similarity.Ann.ivfTopK(emb, stride = 10, k = 3,
+      nCells = 4, iters = 2, probes = 1).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ivf.keySet == brute.keySet)
+    brute.foreach { case (q, bs) =>
+      val overlap = (bs intersect ivf(q)).size
+      assert(overlap >= 2, s"query $q: ivf ${ivf(q)} vs brute $bs")
+    }
+  }
+
+  test("frame sampling and resize are deterministic offset plumbing") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(docs, nFrames = 4, frameLen = 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList.sorted
+    // len 48, stride 12 -> offsets 1,13,25,37, each frame 8 chars
+    assert(frames.map(_._1) == List(1L, 13L, 25L, 37L))
+    assert(frames.forall(_._2 == 8L))
+    val resized = Multimodal.resize(docs, target = 16).collect().head
+    assert(resized.getLong(1) == 16L)  // 48 div 16 = stride 3 -> 16 picks
+    // picks are chars at 1,4,7,... -> deterministic hash
+    val expected = "adgjmpsvy147ADGJ"
+    assert(resized.getLong(2) == graft.functions.RollingHash.compute(expected))
+  }
+
   test("multimodal decode produces deterministic byte features") {
     import spark.implicits._
     val f = Multimodal.decodeFeatures(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
