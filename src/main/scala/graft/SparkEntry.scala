@@ -630,6 +630,21 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
       Some(OracleSqlExt.annMultiProbeSql(100, 5, 6))),
 
+    // custom Catalyst Expressions surfaced through SQL: GraftFunctions
+    // registers graft_dot / graft_rolling_hash into the session's function
+    // registry (GraftExtensions does the same via spark.sql.extensions for
+    // cluster deployments), so plain SQL reaches the codegen'd operators
+    ("sql_custom_function",
+      (s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.register(s)
+        s.read.parquet(s"$d/embeddings.parquet").createOrReplaceTempView("embeddings")
+        s.sql("""SELECT vec_id,
+                |       round(graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)), 6) AS sq_norm
+                |FROM embeddings""".stripMargin)
+      },
+      Some(s"""SELECT vec_id, round(${OracleSqlExt.dotSql("v", "v")}, 6) AS sq_norm
+              |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin)),
+
     // ---------------------------------------- correlated scalar subquery
     ("scalar_subquery",
       (s: SparkSession, d: String) => {

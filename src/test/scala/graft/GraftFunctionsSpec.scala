@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.{GraftFunctions, RollingHash}
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions resolve to the codegen'd expressions") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark) // idempotent
+    Seq((1L, "hello"), (2L, "")).toDF("id", "t").createOrReplaceTempView("tt")
+    val rh = spark.sql("SELECT id, graft_rolling_hash(t) AS h FROM tt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(1L) == RollingHash.compute("hello") && rh(2L) == 0L)
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 32.0)
+  }
+
+  test("registration is session-scoped and installable on fresh sessions") {
+    // a new session gets a fresh function registry: the graft functions
+    // are absent until registered (GraftExtensions drives the same specs
+    // list at session build for spark.sql.extensions deployments)
+    val s2 = spark.newSession()
+    intercept[Exception] {
+      s2.sql("SELECT graft_rolling_hash('abc') AS h").collect()
+    }
+    GraftFunctions.register(s2)
+    val ok = s2.sql("SELECT graft_rolling_hash('abc') AS h").collect().head.getLong(0)
+    assert(ok == RollingHash.compute("abc"))
+  }
+}
