@@ -71,6 +71,28 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in embedding LSH plan:\n$p")
   }
 
+  test("salted aggregation runs two aggregation phases, no extra exchange") {
+    val p = plan(SparkEntry.queries("salted_agg")(spark, sf))
+    // two groupBys (salted + final), each partial+final = 4 HashAggregates,
+    // and exactly the two shuffles the rewrite implies
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"expected two-phase agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+  }
+
+  test("ngram decade e2e keeps the reference plan shape: broadcasts + window group limit") {
+    val p = plan(SparkEntry.queries("ngram_decade_e2e")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"expected top-k rewrite:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast count joins:\n$p")
+    assert(p.contains("LeftAnti"), s"expected stopword anti-joins:\n$p")
+  }
+
+  test("per-document text operators stay shuffle-free scans") {
+    Seq("scrub_pii", "sample_stratified", "text_token_stats").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q should be a pure scan+project:\n$p")
+    }
+  }
+
   test("candidate-restricted jaccard joins shingle SETS, not posting lists") {
     val p = plan(graft.dedup.Dedup.jaccardVerify(Collocations.documents(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
