@@ -25,7 +25,11 @@ object Packing {
       case None => Window.orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
-    docs.select(col("doc_id"), col("n_chars"))
+    val base = shardCol match {
+      case Some(s) => docs.select(col("doc_id"), col("n_chars"), s)
+      case None => docs.select(col("doc_id"), col("n_chars"))
+    }
+    base
       .withColumn("cum", sum(col("n_chars")).over(w))
       // start offset = cum - n_chars; floor division is exact on doubles
       // here (offsets < 2^53)

@@ -44,6 +44,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("sharded packing bins independently per shard (the 100 TB form)") {
+    import spark.implicits._
+    val docs = Seq((1L, 1000L, "a"), (2L, 1900L, "a"), (3L, 1000L, "b"), (4L, 1900L, "b"))
+      .toDF("doc_id", "n_chars", "shard")
+    val bins = Packing.packSequences(docs, windowSize = 2048, shardCol = Some(col("shard")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // each shard restarts at offset 0: docs 2 and 4 overflow their own
+    // shard's first window independently
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // shrink the window so the second doc of each shard overflows into bin 1
+    val bins3 = Packing.packSequences(docs, windowSize = 512, shardCol = Some(col("shard")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bins3 == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("mix weights move an imbalanced corpus toward uniform") {
     import spark.implicits._
     val docs = Seq.tabulate(30)(i =>
