@@ -94,24 +94,27 @@ object Ann {
     * run-dependent. Returns the (cell, centroid) model — a k x dim
     * artifact collected to the driver, which is how a serving system
     * ships it. */
+  /** Nearest trained cell for a vector column — an ARRAY-LOCAL argmax:
+    * the centroid model is a driver-side constant, so the
+    * per-cell dot products become literal expressions and `greatest`
+    * over (dot, -cid) structs picks the cell with zero shuffle and
+    * deterministic smallest-cid ties. Vectors never move to be
+    * assigned — the property that makes IVF indexing a narrow map at
+    * 100 TB. */
+  def ivfCell(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
+    val structs = cents.map { case (cid, arr) =>
+      struct(dot(v, array(arr.map(lit(_)): _*)).as("d"), lit(-cid).as("negcid"))
+    }
+    (-greatest(structs: _*).getField("negcid")).cast("int")
+  }
+
   def ivfCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 2): Seq[(Int, Array[Double])] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Array[Double])] = base.orderBy("vec_id").limit(nCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     for (_ <- 0 until iters) {
-      val centDf = broadcast(cents.map { case (c, a) => (c, a.toSeq) }.toDF("cid", "cv"))
-      val assigned = base.crossJoin(centDf)
-        .withColumn("d", dot(col("v"), col("cv")))
-        .groupBy("vec_id", "v")
-        // max over (dot, -cid) structs: deterministic argmax, ties to the
-        // smallest cell id
-        .agg(max(struct(col("d").as("d"), (-col("cid")).as("negcid"))).as("m"))
-        .select(col("v"), (-col("m.negcid")).cast("int").as("cid"))
-      val dims = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      val dims = base.select(ivfCell(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(col("x").cast("decimal(28,14)")) / count(lit(1))).cast("double").as("mu"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -135,22 +138,22 @@ object Ann {
     * TextAndAnnSpec. */
   def ivfTopK(emb: DataFrame, stride: Int = 100, k: Int = 5,
               nCells: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centDf = broadcast(
-      ivfCentroids(emb, nCells, iters).map { case (c, a) => (c, a.toSeq) }.toDF("cid", "cv"))
-    val cand = candidates(emb).crossJoin(centDf)
-      .withColumn("d", dot(col("n_vec"), col("cv")))
-      .groupBy("n_id", "n_vec", "n_nrm")
-      .agg(max(struct(col("d").as("d"), (-col("cid")).as("negcid"))).as("m"))
-      .select(col("n_id"), col("n_vec"), col("n_nrm"), (-col("m.negcid")).cast("int").as("cid"))
-    val q = queries(emb, stride).crossJoin(centDf)
-      .withColumn("d", dot(col("q_vec"), col("cv")))
+    val cents = ivfCentroids(emb, nCells, iters)
+    // indexing is a narrow map: each vector gets its cell from the
+    // literal centroid model, no join, no shuffle
+    val cand = candidates(emb).withColumn("cid", ivfCell(col("n_vec"), cents))
+    // the (tiny) query set probes its `probes` best cells: explode the
+    // per-cell scores array-locally and rank within the row's own cells
+    val q = queries(emb, stride)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        explode(array(cents.map { case (cid, arr) =>
+          struct(dot(col("q_vec"), array(arr.map(lit(_)): _*)).as("d"), lit(cid).as("cid"))
+        }: _*)).as("dc"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("d").desc, col("cid").asc)))
+          .orderBy(col("dc.d").desc, col("dc.cid").asc)))
       .filter(col("rk") <= probes)
-      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cid"))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("dc.cid").as("cid"))
     val scored = cand.join(broadcast(q), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
