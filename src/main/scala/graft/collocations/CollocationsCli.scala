@@ -1,0 +1,47 @@
+package graft.collocations
+
+import org.apache.spark.sql.SparkSession
+
+/** Drop-in CLI for users of the reference job chain
+  * (`CollocationExtraction3Jobs.java:22-40`: input corpora + output path
+  * on the command line, TSV results on disk). Usage:
+  *
+  * {{{
+  * spark-submit --class graft.collocations.CollocationsCli engine.jar \
+  *   --unigrams p1[,p2,...] --bigrams p1[,p2,...] --out /path [--k 100]
+  * }}}
+  *
+  * Reads reference-format n-gram TSV (lang inferred from each file's
+  * path), runs the full scoring chain at (lang, decade) grain, and writes
+  * the top-k collocations as TSV `lang \t decade \t w1 \t w2 \t llr` —
+  * the shape of the reference Job3 output (`Job3.java:100-109`). The
+  * session is owned by the caller/cluster (spark-submit); local runs get
+  * a sensible default.
+  */
+object CollocationsCli {
+
+  case class Args(unigrams: Seq[String], bigrams: Seq[String], out: String, k: Int)
+
+  def parse(argv: Array[String]): Args = {
+    val m = argv.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    def paths(key: String): Seq[String] =
+      m.getOrElse(key, sys.error(s"missing $key")).split(",").toSeq
+    Args(paths("--unigrams"), paths("--bigrams"),
+      m.getOrElse("--out", sys.error("missing --out")),
+      m.getOrElse("--k", "100").toInt)
+  }
+
+  def run(spark: SparkSession, args: Args): Unit = {
+    val top = NGramCollocations.fromPaths(spark, args.unigrams, args.bigrams, args.k)
+    graft.sources.Sinks.writeTsv(top, args.out)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv)
+    val spark = SparkSession.builder()
+      .appName("graft-collocations")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args) finally spark.stop()
+  }
+}

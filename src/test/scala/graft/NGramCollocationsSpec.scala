@@ -29,6 +29,21 @@ class NGramCollocationsSpec extends SparkSpec {
     assert(top.count() == 4)
   }
 
+  test("CLI writes reference-shaped TSV output from raw paths") {
+    import graft.collocations.CollocationsCli
+    val out = java.nio.file.Files.createTempDirectory("cli-out").toString + "/top"
+    val args = CollocationsCli.parse(Array(
+      "--unigrams", s"${res("eng-1gram.tsv")},${res("heb-1gram.tsv")}",
+      "--bigrams", s"${res("eng-2gram.tsv")},${res("heb-2gram.tsv")}",
+      "--out", out, "--k", "100"))
+    CollocationsCli.run(spark, args)
+    val rows = spark.read.option("sep", "\t").csv(out).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.length == 5))
+    val langs = rows.map(_.getString(0)).toSet
+    assert(langs == Set("en", "he"))
+  }
+
   test("lang inferred from file path; malformed and non-positive rows dropped") {
     val langs = uni.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // en: data_NOUN, data, big, big, science, the, (noise) = 7 surviving rows
