@@ -295,6 +295,46 @@ object SparkEntry {
              |  FROM documents)
              |WHERE CASE WHEN lang = 'en' THEN bucket < 10 ELSE bucket < 50 END""".stripMargin)),
 
+    // --------------------------------------- arbitrary GROUPING SETS
+    ("grouping_sets",
+      (s: SparkSession, d: String) => {
+        s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+        s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                |       CAST(count(*) AS BIGINT) AS cnt,
+                |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+             |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+             |       CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // --------------------------------------------------------- unpivot
+    ("unpivot_metrics",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price"),
+            sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("discount"))
+          .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price"), col("discount")),
+            "metric", "value"),
+      Some("""WITH agg AS (
+             |  SELECT l_returnflag,
+             |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+             |UNION ALL SELECT l_returnflag, 'price', price FROM agg
+             |UNION ALL SELECT l_returnflag, 'discount', discount FROM agg""".stripMargin)),
+
     // -------------------------------------------------- distinct aggregate
     ("distinct_parts",
       (s: SparkSession, d: String) =>

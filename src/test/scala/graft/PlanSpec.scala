@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in embedding LSH plan:\n$p")
   }
 
+  test("shuffle budgets hold for the one-exchange operators") {
+    // queries whose scale story is "exactly one shuffle" — a refactor
+    // that adds an exchange fails here before it costs anything at scale
+    Seq("events_hourly" -> 1, "sessionize" -> 1, "dedup_exact" -> 1,
+        "agg_unigrams" -> 1, "pack_sequences" -> 1).foreach { case (q, budget) =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+        .findAllIn(p).size
+      assert(n <= budget, s"$q: $n exchanges (budget $budget):\n$p")
+    }
+  }
+
   test("salted aggregation runs two aggregation phases, no extra exchange") {
     val p = plan(SparkEntry.queries("salted_agg")(spark, sf))
     // two groupBys (salted + final), each partial+final = 4 HashAggregates,
