@@ -732,6 +732,37 @@ object SparkEntry {
              |       COALESCE(pur.p_ts, -1) AS last_purchase_ts, COALESCE(pur.p_event, -1) AS last_purchase_event
              |FROM err ASOF LEFT JOIN pur ON err.user_id = pur.user_id AND err.ts_us >= pur.p_ts""".stripMargin)),
 
+    // ------------------------------------- interval (range) join
+    // errors joined to the same user's purchases in the preceding hour:
+    // an equi-join on user_id whose range predicate filters inside the
+    // join — the only scale-safe shape for a range join (the time bound
+    // never becomes a cross product; the equi key carries the shuffle).
+    ("interval_join",
+      (s: SparkSession, d: String) => {
+        val ev = graft.events.Events.events(s, d)
+          .withColumn("ts_us", graft.events.Events.tsMicros)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_ts"))
+        val hourUs = 3600L * 1000 * 1000
+        errors.join(purchases,
+            errors("user_id") === purchases("user_id") &&
+              col("p_ts") <= col("ts_us") && col("p_ts") > col("ts_us") - hourUs,
+            "left")
+          .groupBy(errors("user_id").as("user_id"), col("event_id"), col("ts_us"))
+          .agg(count(col("p_ts")).as("purchases_last_hour"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+             |pur AS (SELECT user_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase')
+             |SELECT err.user_id, err.event_id, err.ts_us,
+             |       CAST(count(pur.p_ts) AS BIGINT) AS purchases_last_hour
+             |FROM err LEFT JOIN pur
+             |  ON err.user_id = pur.user_id
+             | AND pur.p_ts <= err.ts_us AND pur.p_ts > err.ts_us - 3600000000
+             |GROUP BY err.user_id, err.event_id, err.ts_us""".stripMargin)),
+
     // ============================================================ events
     ("events_hourly",
       (s: SparkSession, d: String) =>

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.ops.{Normalize, Salt}
+import graft.functions.RollingHash
+
+/** Property-based invariants (scalacheck generators, sampled batches —
+  * same pattern as LlrSpec) for the scalar kernels and rewrites whose
+  * correctness the whole engine leans on. */
+class PropertySpec extends SparkSpec {
+
+  private val tokenGen: Gen[String] = for {
+    core <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('(', ')', '-', '.', '_', '!', 'ä', 'ש')))
+    pre  <- Gen.listOf(Gen.oneOf(' ', '\t'))
+  } yield (pre ++ core).mkString
+
+  private def cleanBatch(ts: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    ts.toDF("t").select(Normalize.cleanToken(col("t")).as("c")).collect().map(_.getString(0)).toSeq
+  }
+
+  test("cleanToken is idempotent and emits lowercase alphanumeric edges") {
+    val tokens = Gen.listOfN(300, tokenGen).sample.get
+    val once = cleanBatch(tokens)
+    val twice = cleanBatch(once)
+    assert(once == twice, "cleanToken must be idempotent")
+    once.filter(_.nonEmpty).foreach { c =>
+      assert(Character.isLetterOrDigit(c.head) && Character.isLetterOrDigit(c.last),
+        s"edges must be alphanumeric: '$c'")
+      assert(c == c.toLowerCase, s"must be lowercased: '$c'")
+    }
+  }
+
+  test("salted sum equals the direct group-by sum for arbitrary data") {
+    import spark.implicits._
+    val rows = Gen.listOfN(500,
+      Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(-10000L, 10000L))).sample.get
+    val df = rows.toDF("k", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+    val direct = df.groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val salted = Salt.saltedSum(df, Seq("k"), "v", buckets = 7).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("rolling hash obeys the fold recurrence under one-char concatenation") {
+    val cases = Gen.listOfN(300, Gen.zip(Gen.alphaNumStr.map(_.take(40)), Gen.alphaNumChar)).sample.get
+    cases.foreach { case (s, c) =>
+      val expected = (RollingHash.compute(s) * RollingHash.Base + c.toLong) % RollingHash.Mod
+      assert(RollingHash.compute(s + c) == expected)
+    }
+  }
+
+  test("toDecade truncates to the containing decade for any positive year") {
+    import spark.implicits._
+    val years = Gen.listOfN(300, Gen.chooseNum(1, 2999)).sample.get
+    val out = years.toDF("y").select(Normalize.toDecade(col("y")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    years.zip(out).foreach { case (y, d) =>
+      assert(d == (y / 10) * 10 && d <= y && y - d < 10)
+    }
+  }
+}
