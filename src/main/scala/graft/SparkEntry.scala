@@ -772,7 +772,20 @@ object SparkEntry {
     ("sessionize",
       (s: SparkSession, d: String) =>
         graft.events.Events.sessionize(graft.events.Events.events(s, d), gapMinutes = 30),
-      Some(OracleSqlExt.sessionizeSql(30)))
+      Some(OracleSqlExt.sessionizeSql(30))),
+
+    ("events_sliding",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.slidingByType(graft.events.Events.events(s, d)),
+      Some("""WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+             |w AS (
+             |  SELECT event_type, value,
+             |         ((ts_us // 1800000000) - i) * 1800000000 AS w_start
+             |  FROM ev, (SELECT unnest(range(0, 2)) AS i)
+             |)
+             |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM w WHERE w_start >= 0 GROUP BY w_start, event_type""".stripMargin))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

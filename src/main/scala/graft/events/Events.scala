@@ -34,6 +34,24 @@ object Events {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Sliding-window per-type aggregate: window length `lenUs`, slide
+    * `slideUs` (len must be a multiple of slide). Each event belongs to
+    * len/slide windows; the assignment is an array-local explode of the
+    * covering window starts — zero shuffle before the one aggregation,
+    * the same shape Structured Streaming uses for sliding windows. */
+  def slidingByType(ev: DataFrame, lenUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame = {
+    val k = (lenUs / slideUs).toInt
+    val slideBucket = floor(col("ts_us").cast("double") / slideUs).cast("long")
+    ev.withColumn("ts_us", tsMicros)
+      .withColumn("w_start",
+        explode(transform(sequence(lit(0), lit(k - 1)),
+          i => (slideBucket - i) * slideUs)))
+      .filter(col("w_start") >= 0)
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** Sessionization: a new session starts after a gap > `gapMinutes`.
     * Classic lag + cumulative-sum window; at scale this shuffles once on
     * user_id and sorts within partitions (exactly what the window needs —
