@@ -339,6 +339,26 @@ object OracleSqlExt {
        |FROM events""".stripMargin
   }
 
+  /** Bigram-LM score mirror of [[graft.text.TextAnalysis.lmScore]]. The
+    * per-term DECIMAL cast before the sum matches the Spark side, making
+    * the order-sensitive float sum exactly associative on both engines. */
+  val lmScoreSql: String =
+    s"""WITH ${OracleSql.toksCte},
+       |uni AS (SELECT lang, w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY lang, w),
+       |vocab AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM uni GROUP BY lang),
+       |bg AS (
+       |  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |),
+       |bgc AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY lang, w1, w2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       round(CAST(sum(CAST(ln((c12 + 1) / (c1 + v)) AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6) AS avg_logprob
+       |FROM bg
+       |JOIN bgc USING (lang, w1, w2)
+       |JOIN uni USING (lang, w1)
+       |JOIN vocab USING (lang)
+       |GROUP BY doc_id""".stripMargin
+
   /** TF-IDF mirror of [[graft.text.TextAnalysis.tfidf]]. */
   val tfidfSql: String =
     s"""WITH ${OracleSql.toksCte},

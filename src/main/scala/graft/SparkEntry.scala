@@ -543,6 +543,11 @@ object SparkEntry {
         graft.text.TextAnalysis.tfidf(Collocations.documents(s, d)),
       Some(OracleSqlExt.tfidfSql)),
 
+    ("text_lm_score",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScore(Collocations.documents(s, d)),
+      Some(OracleSqlExt.lmScoreSql)),
+
     ("text_repetition",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.repetition(Collocations.documents(s, d)),

@@ -76,6 +76,39 @@ object TextAnalysis {
         round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
   }
 
+  /** Bigram language-model scoring — the LM-perplexity-style quality
+    * signal: each document's mean log-probability of its bigrams under
+    * the corpus's own add-one-smoothed bigram model,
+    * `lp = ln((c12 + 1) / (c1 + V))`. Two corpus count tables (vocab-
+    * bounded keys), then every bigram occurrence joins its counts and
+    * aggregates per doc — three vocabulary-keyed shuffles total.
+    *
+    * Cross-engine determinism: a float sum over hundreds of `ln` terms is
+    * order-dependent, so each term is cast to DECIMAL(28,18) BEFORE the
+    * per-doc sum — the sum becomes exactly associative, and the <=1-ulp
+    * per-term `ln` drift between engines stays ~1e-13, far inside the
+    * round-6 contract. Docs with no bigrams (<2 tokens) are excluded. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), Normalize.tokensCol(col("text")).as("toks"))
+    val uni = toks.select(col("lang"), explode(col("toks")).as("w1"))
+      .groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+    val bg = toks
+      .select(col("doc_id"), col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+    bg.join(bgc, Seq("lang", "w1", "w2"))
+      .join(uni, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("lp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Gopher-style repetition metrics — the standard training-data quality
     * signals for boilerplate/spam: per-doc distinct-token ratio and the
     * share of bigram slots taken by the single most frequent bigram. The

@@ -10,8 +10,13 @@ import graft.functions.RollingHash
   * correctness the whole engine leans on. */
 class PropertySpec extends SparkSpec {
 
+  // NOTE: no '_' in the idempotence generator — cleanToken is deliberately
+  // NOT idempotent across underscores, faithfully to the reference: the
+  // POS-cut (strip at first '_' when idx>0) runs BEFORE edge-stripping, so
+  // a leading underscore protects later ones on the first pass but not on
+  // a second (`NGramUtils.java:29-39` order of operations; asserted below).
   private val tokenGen: Gen[String] = for {
-    core <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('(', ')', '-', '.', '_', '!', 'ä', 'ש')))
+    core <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('(', ')', '-', '.', '!', 'ä', 'ש')))
     pre  <- Gen.listOf(Gen.oneOf(' ', '\t'))
   } yield (pre ++ core).mkString
 
@@ -20,16 +25,25 @@ class PropertySpec extends SparkSpec {
     ts.toDF("t").select(Normalize.cleanToken(col("t")).as("c")).collect().map(_.getString(0)).toSeq
   }
 
-  test("cleanToken is idempotent and emits lowercase alphanumeric edges") {
+  test("cleanToken is idempotent (sans POS markers) with lowercase alphanumeric edges") {
     val tokens = Gen.listOfN(300, tokenGen).sample.get
     val once = cleanBatch(tokens)
     val twice = cleanBatch(once)
-    assert(once == twice, "cleanToken must be idempotent")
+    assert(once == twice, "cleanToken must be idempotent on underscore-free input")
     once.filter(_.nonEmpty).foreach { c =>
       assert(Character.isLetterOrDigit(c.head) && Character.isLetterOrDigit(c.last),
         s"edges must be alphanumeric: '$c'")
       assert(c == c.toLowerCase, s"must be lowercased: '$c'")
     }
+  }
+
+  test("cleanToken keeps the reference's leading-underscore POS quirk") {
+    // '_ab_NOUN': leading underscore is NOT a cut point (idx must be > 0
+    // on the trimmed string), so the POS tag survives pass 1 and only the
+    // edge-strip removes the lead underscore; pass 2 then cuts at '_NOUN'.
+    assert(cleanBatch(Seq("_ab_noun")) == Seq("ab_noun"))
+    assert(cleanBatch(Seq("ab_noun")) == Seq("ab"))
+    assert(cleanBatch(cleanBatch(Seq("_ab_noun"))) == Seq("ab"))
   }
 
   test("salted sum equals the direct group-by sum for arbitrary data") {
