@@ -42,6 +42,16 @@ object EventsStream {
       .groupBy(window(col("event_ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked sliding window (1 h length / 30 min slide) per event
+    * type — the streaming twin of [[graft.events.Events.slidingByType]],
+    * which decomposes the same way: each event expands to its covering
+    * windows before one partial-aggregated state update. */
+  def slidingCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
   case class Ev(user_id: Long, ts_us: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

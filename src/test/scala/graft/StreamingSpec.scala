@@ -32,6 +32,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sliding-window streaming counts equal the batch covering-window explode") {
+    val q = EventsStream.slidingCounts(EventsStream.readStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("slide_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide_test")
+      .select(unix_micros(col("window.start")).as("w_start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.slidingByType(Events.events(spark, "/root/testdata/sf0.001"))
+      .select(col("w_start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.functions._
     // stage the same file twice -> every event arrives twice
