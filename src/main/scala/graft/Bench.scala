@@ -21,18 +21,22 @@ object Bench {
     // cleared before every iteration so persisted intermediates inside
     // queries are re-materialized each time (no cross-iteration credit).
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // a failed query must surface as -1, never as its (short) elapsed
+      // time — a regression that throws in planning would otherwise read
+      // as a speedup
       val times = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,11 @@ object OracleSql {
       s"CASE WHEN instr(trim($x), '_') > 1 THEN substr(trim($x), 1, CAST(instr(trim($x), '_') AS INTEGER) - 1) ELSE trim($x) END, " +
       s"'^[^\\p{L}\\p{N}]+', ''), '[^\\p{L}\\p{N}]+$$', '')))"
 
-  private val stop = Stopwords.sqlList
+  /** Per-language stopword routing, mirroring `Stopwords.anti` exactly:
+    * `he` rows check the Hebrew set, every other language the English
+    * one. `w` is a SQL expression. */
+  def notStop(w: String): String =
+    s"NOT (lang = 'he' AND $w IN (${Stopwords.heSqlList})) AND NOT (lang <> 'he' AND $w IN (${Stopwords.sqlList}))"
 
   /** CTE block producing `toks(doc_id, lang, w, pos)` — cleaned non-empty
     * tokens with 1-based positions, mirroring `Normalize.tokensCol`. */
@@ -36,7 +40,7 @@ object OracleSql {
   val uniCte: String =
     s"""uni AS (
        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
-       |  FROM toks WHERE w NOT IN ($stop)
+       |  FROM toks WHERE ${notStop("w")}
        |  GROUP BY lang, w
        |)""".stripMargin
 
@@ -47,13 +51,16 @@ object OracleSql {
        |)""".stripMargin
 
   /** bg(lang, w1, w2, c12): adjacent-pair counts, both words non-stop (A3). */
-  val bgCte: String =
+  val bgCte: String = {
+    def ns(w: String): String =
+      s"NOT (a.lang = 'he' AND $w IN (${Stopwords.heSqlList})) AND NOT (a.lang <> 'he' AND $w IN (${Stopwords.sqlList}))"
     s"""bg AS (
        |  SELECT a.lang, a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |  WHERE a.w NOT IN ($stop) AND b.w NOT IN ($stop)
+       |  WHERE ${ns("a.w")} AND ${ns("b.w")}
        |  GROUP BY a.lang, a.w, b.w
        |)""".stripMargin
+  }
 
   /** joined(lang, w1, w2, c12, c1, c2, n): J1+J2+J3. */
   val joinedCte: String =

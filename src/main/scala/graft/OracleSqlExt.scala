@@ -21,13 +21,16 @@ object OracleSqlExt {
 
   val tclCte: String = tclCteFrom("documents")
 
-  /** sh(doc_id, shingle): distinct word-3-shingles of cleaned tokens. */
-  val shCte: String =
-    """sh AS (
-      |  SELECT doc_id,
-      |         unnest(list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))) AS shingle
-      |  FROM tcl WHERE len(tl) >= 3
-      |)""".stripMargin
+  /** sh(doc_id, shingle): distinct word-3-shingles of cleaned tokens,
+    * from any tcl-shaped relation. */
+  def shCteFrom(name: String, tclRel: String): String =
+    s"""$name AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))) AS shingle
+       |  FROM $tclRel WHERE len(tl) >= 3
+       |)""".stripMargin
+
+  val shCte: String = shCteFrom("sh", "tcl")
 
   /** Minhash via the single-md5 affine family (mirrors
     * [[graft.dedup.Dedup.minhashSignatures]]): x/y are the two 28-bit
@@ -44,29 +47,37 @@ object OracleSqlExt {
        |       CAST('0x' || substr(m, 8, 7) AS BIGINT) AS y
        |FROM (SELECT doc_id, md5(shingle) AS m FROM $shingleRel)""".stripMargin
 
-  val mhCte: String = {
+  /** mh(doc_id, h0..h15) from any shingle relation — ONE definition of
+    * the parity-critical minhash scheme, shared by every oracle that
+    * buckets (a drifted copy would break one query's parity while the
+    * others still pass). */
+  def mhCteFrom(suffix: String, shRel: String): String = {
     val hs = (0 until 16).map(i => s"${minhashAgg(i)} AS h$i").mkString(",\n         ")
-    s"""mhx AS (
-       |  ${minhashHalves("sh")}
+    s"""mhx$suffix AS (
+       |  ${minhashHalves(shRel)}
        |),
-       |mh AS (
+       |mh$suffix AS (
        |  SELECT doc_id,
        |         $hs
-       |  FROM mhx GROUP BY doc_id
+       |  FROM mhx$suffix GROUP BY doc_id
        |)""".stripMargin
   }
 
+  val mhCte: String = mhCteFrom("", "sh")
+
   /** bk(doc_id, band, sig): 4 bands x 4 rows; longs render identically as
     * strings on both engines. */
-  val bkCte: String = {
+  def bkCteFrom(suffix: String, mhRel: String): String = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh"
+      s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM $mhRel"
     }
-    s"""bk AS (
+    s"""bk$suffix AS (
        |  ${bandSelects.mkString("\n  UNION ALL ")}
        |)""".stripMargin
   }
+
+  val bkCte: String = bkCteFrom("", "mh")
 
   val lshCandidatesSql: String =
     s"""WITH $tclCte,
@@ -403,25 +414,9 @@ object OracleSqlExt {
        |         list_filter(list_transform(string_split_regex(text, '\\s+'), s -> ${OracleSql.clean("s")}), s -> length(s) > 0) AS tl
        |  FROM keep1
        |),
-       |sh2 AS (
-       |  SELECT doc_id,
-       |         unnest(list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))) AS shingle
-       |  FROM tcl2 WHERE len(tl) >= 3
-       |),
-       |mhx2 AS (
-       |  ${minhashHalves("sh2")}
-       |),
-       |mh2 AS (
-       |  SELECT doc_id,
-       |         ${(0 until 16).map(i => s"${minhashAgg(i)} AS h$i").mkString(",\n         ")}
-       |  FROM mhx2 GROUP BY doc_id
-       |),
-       |bk2 AS (
-       |  ${(0 until 4).map { b =>
-            val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
-            s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM mh2"
-          }.mkString("\n  UNION ALL ")}
-       |),
+       |${shCteFrom("sh2", "tcl2")},
+       |${mhCteFrom("2", "sh2")},
+       |${bkCteFrom("2", "mh2")},
        |cand2 AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bk2 l JOIN bk2 r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
@@ -445,10 +440,8 @@ object OracleSqlExt {
   val ngramFixtureDir = "/root/repo/src/test/resources/ngrams"
 
   /** The reference's per-language stopword routing (`Stopwords.java:26-30`
-    * + `NGramUtils.java:51-79`): `he` rows check the Hebrew set, all other
-    * languages the English set. */
-  private def notStop(w: String): String =
-    s"NOT (lang = 'he' AND $w IN (${Stopwords.heSqlList})) AND NOT (lang <> 'he' AND $w IN (${Stopwords.sqlList}))"
+    * + `NGramUtils.java:51-79`) — shared with the documents-path CTEs. */
+  private def notStop(w: String): String = OracleSql.notStop(w)
 
   /** Whole-line TSV ingestion mirroring `spark.read.text` + `split`:
     * `read_text` keeps ragged rows (extra trailing fields ignored, short

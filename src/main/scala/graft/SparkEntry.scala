@@ -103,7 +103,7 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         Collocations.unigrams(Collocations.documents(s, d)).distinct(),
       Some(s"""WITH ${OracleSql.toksCte}
-              |SELECT DISTINCT lang, w FROM toks WHERE w NOT IN (${Stopwords.sqlList})""".stripMargin)),
+              |SELECT DISTINCT lang, w FROM toks WHERE ${OracleSql.notStop("w")}""".stripMargin)),
 
     // ---------------------------------------------------------------- A1/A2
     ("agg_unigrams",

@@ -306,6 +306,12 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // a non-fixpoint label table would silently under-merge clusters (and
+    // diverge from the oracle's exact transitive closure) — fail loudly;
+    // maxIters is a runaway guard, not an accuracy knob
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations")
     // fully materialize the (vocabulary-of-duplicates-sized) label table,
     // then release the edge list — the returned DataFrame reads from the
     // label cache and never touches edges again

@@ -36,15 +36,25 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB codec — deterministic byte-level features standing in for a real
-    * image/audio decode. Replace `decode` with the FFI call in production. */
+  /** STUB codec — deterministic features standing in for a real
+    * image/audio decode; replace `decode` with the FFI call in
+    * production. `n_bytes` is the raw payload size; `checksum`/
+    * `head_byte` are computed over the decoded text's CODEPOINTS, not
+    * UTF-8 bytes — the DuckDB oracle's `unicode(substr(...))` speaks
+    * codepoints, and a byte-level sum would silently diverge on the
+    * first non-ASCII document. */
   object FakeCodec {
     def decode(p: Payload): Features = {
-      val bytes = p.payload
+      val s = new String(p.payload, java.nio.charset.StandardCharsets.UTF_8)
       var sum = 0L
       var i = 0
-      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-      Features(p.doc_id, bytes.length.toLong, sum, if (bytes.nonEmpty) bytes(0) & 0xff else -1)
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        sum += cp
+        i += Character.charCount(cp)
+      }
+      Features(p.doc_id, p.payload.length.toLong, sum,
+        if (s.nonEmpty) s.codePointAt(0) else -1)
     }
   }
 

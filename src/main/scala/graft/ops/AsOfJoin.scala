@@ -41,8 +41,13 @@ object AsOfJoin {
     val leftCols = left.columns.map(c => col(c))
     val unioned = l.unionByName(r.select(r.columns.map(col): _*), allowMissingColumns = true)
 
-    // right rows (_side=0) sort before left rows at equal time => inclusive
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("_t").asc, col("_side").asc)
+    // right rows (_side=0) sort before left rows at equal time => inclusive;
+    // the payload columns break ties between right rows sharing (key, time)
+    // — without them the carried value would be partition-order-dependent
+    // (the greatest payload tuple deterministically wins)
+    val tieBreak = payload.values.toSeq.sorted.map(to => col(s"_p_$to").asc_nulls_first)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_t").asc +: col("_side").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.values.toSeq.foldLeft(unioned) { (df, to) =>
       df.withColumn(to, last(col(s"_p_$to"), ignoreNulls = true).over(w))

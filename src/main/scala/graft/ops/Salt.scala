@@ -14,14 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
-  /** Deterministic per-row salt in [0, buckets). Uses the row's own value
-    * hash, so repeated runs produce identical partitioning. */
-  def saltCol(on: Column, buckets: Int): Column = pmod(hash(on), lit(buckets))
+  /** Row-unique salt in [0, buckets). A hot key's rows MUST spread
+    * regardless of their payload, so the salt hashes a per-row id — a salt
+    * derived from the aggregated value would collapse a hot key whose
+    * values are constant (1 billion rows of `(A, 1.00)`) into a single
+    * (key, salt) group, recreating the exact hot spot the rewrite exists
+    * to break. The assignment varies with physical row order, which is
+    * irrelevant: any assignment yields the same commutative-associative
+    * aggregate. */
+  def saltCol(buckets: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(buckets))
 
   /** `df.groupBy(keys).agg(sum(valueCol))`, executed as salted two-phase. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int = 16): DataFrame = {
     val salted = df
-      .withColumn("_salt", saltCol(col(valueCol), buckets))
+      .withColumn("_salt", saltCol(buckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))
     salted.groupBy(keys.map(col): _*)
@@ -29,9 +36,9 @@ object Salt {
   }
 
   /** Salted count(*) per key. */
-  def saltedCount(df: DataFrame, keys: Seq[String], saltOn: String, buckets: Int = 16): DataFrame = {
+  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16): DataFrame = {
     val salted = df
-      .withColumn("_salt", saltCol(col(saltOn), buckets))
+      .withColumn("_salt", saltCol(buckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
     salted.groupBy(keys.map(col): _*)

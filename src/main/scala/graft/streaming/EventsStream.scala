@@ -57,8 +57,17 @@ object EventsStream {
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
   /** Gap-based sessionization with explicit state: emits a session when a
-    * gap > `gapMinutes` arrives (streaming twin of
-    * [[graft.events.Events.sessionize]]). */
+    * gap > `gapMinutes` is OBSERVED in the data (streaming twin of
+    * [[graft.events.Events.sessionize]] — data-driven closes keep the two
+    * bit-comparable, which StreamingSpec pins). Cross-trigger out-of-order
+    * events can only extend the current session (`start`/`last` move
+    * monotonically via min/max), never corrupt later gap comparisons.
+    * NOTE on state: each user holds one small SessionState and nothing is
+    * evicted here — a deployment that must bound state for churned users
+    * switches to `GroupStateTimeout.EventTimeTimeout` with
+    * `setTimeoutTimestamp(last + gap)` and emits on `hasTimedOut`, at the
+    * cost of closing idle sessions by watermark instead of by observed
+    * gap (the two differ exactly on each user's final session). */
   def sessionize(stream: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
     val spark = stream.sparkSession
     import spark.implicits._
@@ -77,7 +86,9 @@ object EventsStream {
               case s if t - s.last > gapUs =>
                 out += Session(userId, s.start, s.last, s.n)
                 st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.n + 1)
+              case s =>
+                // late arrival folds in without moving `last` backwards
+                st = SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1)
             }
           }
           if (st != null) state.update(st)

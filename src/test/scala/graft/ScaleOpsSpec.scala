@@ -25,7 +25,7 @@ class ScaleOpsSpec extends SparkSpec {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val direct = ev.groupBy("event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = Salt.saltedCount(ev, Seq("event_type"), "event_id", buckets = 8).collect()
+    val salted = Salt.saltedCount(ev, Seq("event_type"), buckets = 8).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == direct)
   }

@@ -147,6 +147,11 @@ class TextAndAnnSpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
       .collect().head
     assert(f.n_bytes == 2L && f.checksum == (65 + 66) && f.head_byte == 65)
+    // non-ASCII: n_bytes counts UTF-8 bytes, checksum/head speak
+    // codepoints (the oracle's unicode() semantics)
+    val g = Multimodal.decodeFeatures(Seq((8L, "éA", "fr")).toDF("doc_id", "text", "lang"))
+      .collect().head
+    assert(g.n_bytes == 3L && g.checksum == (0xE9 + 65) && g.head_byte == 0xE9)
   }
 
   test("payload schema carries binary column + typed metadata") {
