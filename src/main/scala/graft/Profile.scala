@@ -28,17 +28,31 @@ object Profile {
 
     def clear(): Unit = spark.sharedState.cacheManager.clearCache()
 
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
     // warmup
     docs.count(); Dedup.simhash(docs).count()
-    clear(); time("simhash")(Dedup.simhash(docs).count())
-    clear(); time("simhash_materialize") {
-      val fp = Dedup.simhash(docs).persist()
-      fp.count()
+
+    def simhashVariant(nib: (Column, Int) => Column): Long = {
+      val tok = docs.select(col("doc_id"),
+        explode(graft.ops.Normalize.tokensCol(col("text"))).as("w"))
+        .withColumn("h", md5(col("w")))
+        .select(col("doc_id") +: (1 to 15).map(j => nib(col("h"), j).as(s"n$j")): _*)
+      val votes = (0 until 60).map { bit =>
+        val j = bit / 4 + 1
+        val b = bit % 4
+        sum(shiftright(col(s"n$j"), b) % 2 * 2 - 1).as(s"v$bit")
+      }
+      val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*).persist()
+      val n = agg.count(); agg.unpersist(); n
     }
-    time("pairs_from_cached_fp")(Dedup.simhashPairs(docs).count())  // fp NOT same instance; recomputes
+    clear(); time("simhash_conv")(simhashVariant((h, j) =>
+      conv(substring(h, j, 1), 16, 10).cast("long")))
+    clear(); time("simhash_ascii")(simhashVariant { (h, j) =>
+      val a = ascii(substring(h, j, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+    })
     clear(); time("simhashPairs")(Dedup.simhashPairs(docs).count())
-    clear(); time("lshComponents")(Dedup.lshComponents(docs).count())
-    clear(); time("cleanCorpus")(graft.pipelines.CleanCorpus.clean(docs).count())
     spark.stop()
   }
 }

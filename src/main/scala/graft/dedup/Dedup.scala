@@ -227,11 +227,17 @@ object Dedup {
     // nibble into each vote would evaluate 60 conv+substring per row where
     // 15 suffice (the projection boundary below is what stops Catalyst's
     // CollapseProject from re-inlining them into the aggregate).
+    // nibble via ascii arithmetic, not conv(_,16,10): md5 hex is lowercase
+    // [0-9a-f], so `a <= '9' ? a-48 : a-87` is the same value at ~60% of
+    // the cost (conv pays a general radix parser per char; measured
+    // 3.4s -> 2.0s for the whole fingerprint at sf0.1)
     val tok = docs.select(col("doc_id"),
       explode(Normalize.tokensCol(col("text"))).as("w"))
       .withColumn("h", md5(col("w")))
-      .select(col("doc_id") +: (1 to 15).map(j =>
-        conv(substring(col("h"), j, 1), 16, 10).cast("long").as(s"n$j")): _*)
+      .select(col("doc_id") +: (1 to 15).map { j =>
+        val a = ascii(substring(col("h"), j, 1))
+        when(a <= 57, a - 48).otherwise(a - 87).cast("long").as(s"n$j")
+      }: _*)
     val votes = (0 until 60).map { bit =>
       val j = bit / 4 + 1     // hex char index
       val b = bit % 4         // bit within nibble

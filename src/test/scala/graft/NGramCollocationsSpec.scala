@@ -47,8 +47,8 @@ class NGramCollocationsSpec extends SparkSpec {
   test("lang inferred from file path; malformed and non-positive rows dropped") {
     val langs = uni.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // en: data_NOUN, data, big, big, science, the, (noise) = 7 surviving rows
-    // (bad year, occ<=0, short row dropped); he: 3 rows
-    assert(langs == Map("en" -> 7L, "he" -> 3L))
+    // (bad year, occ<=0, short row dropped); he: 4 rows (incl. stopword של)
+    assert(langs == Map("en" -> 7L, "he" -> 4L))
   }
 
   test("unigram counts: POS stripped, cleaned, stopwords removed, weighted sums per decade") {
@@ -58,8 +58,9 @@ class NGramCollocationsSpec extends SparkSpec {
     assert(u(("en", 1990L, "big")) == 12L)
     assert(u(("en", 2000L, "big")) == 4L)
     assert(u(("en", 1990L, "noise")) == 3L)   // "(noise)" cleaned
-    assert(!u.contains(("en", 1990L, "the"))) // stopword
-    assert(u(("he", 1990L, "שלום")) == 6L)
+    assert(!u.contains(("en", 1990L, "the"))) // en stopword, en row
+    assert(!u.contains(("he", 1990L, "של")))  // he stopword routed to he row
+    assert(u(("he", 1990L, "שלום")) == 6L)    // NOT a stopword (prefix of של)
   }
 
   test("grand total N per (lang, decade)") {
@@ -75,6 +76,7 @@ class NGramCollocationsSpec extends SparkSpec {
     assert(b(("en", 2000L, "big", "data")) == 3L)
     assert(!b.exists(_._1._3 == "the"), "stopword w1 dropped")
     assert(!b.exists(_._1._4 == "the"), "stopword w2 dropped")
+    assert(!b.exists(_._1._3 == "של"), "he stopword w1 dropped via routing")
     assert(b.contains(("en", 1990L, "ghost", "word")), "pre-join bigram counts keep ghost")
   }
 

@@ -98,6 +98,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected stopword anti-joins:\n$p")
   }
 
+  test("document scans prune to the columns the operator touches") {
+    // text ops must not drag lang/source/n_chars through a 100 TB scan
+    Seq("text_rolling_hash", "multimodal_resize", "text_token_stats").foreach { q =>
+      val scan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+      assert(scan.contains("ReadSchema") && !scan.contains("source") && !scan.contains("n_chars"),
+        s"$q reads more than it needs:\n$scan")
+    }
+  }
+
   test("per-document text operators stay shuffle-free scans") {
     Seq("scrub_pii", "sample_stratified", "text_token_stats").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
