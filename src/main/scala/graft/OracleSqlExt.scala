@@ -12,12 +12,14 @@ object OracleSqlExt {
 
   /** tcl(doc_id, lang, text, tl): cleaned non-empty token LIST per doc,
     * from an arbitrary source relation. */
-  def tclCteFrom(src: String): String =
-    s"""tcl AS (
+  def tclCteNamed(name: String, src: String): String =
+    s"""$name AS (
        |  SELECT doc_id, lang, text,
        |         list_filter(list_transform(string_split_regex(text, '\\s+'), s -> ${OracleSql.clean("s")}), s -> length(s) > 0) AS tl
        |  FROM $src
        |)""".stripMargin
+
+  def tclCteFrom(src: String): String = tclCteNamed("tcl", src)
 
   val tclCte: String = tclCteFrom("documents")
 
@@ -169,6 +171,39 @@ object OracleSqlExt {
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Decontamination mirror of [[graft.dedup.Dedup.contamination]]:
+    * cross-set LSH candidates, exact containment verify. `benchPred` is a
+    * SQL predicate over `documents` marking the benchmark side. */
+  def decontaminateSql(benchPred: String, minContainment: Double): String = {
+    def slt(name: String, tclRel: String) =
+      s"""$name AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+         |  FROM $tclRel WHERE len(tl) >= 3
+         |)""".stripMargin
+    s"""WITH ${tclCteNamed("tclb", s"(SELECT * FROM documents WHERE $benchPred)")},
+       |${tclCteNamed("tclt", s"(SELECT * FROM documents WHERE NOT ($benchPred))")},
+       |${shCteFrom("shb", "tclb")},
+       |${shCteFrom("sht", "tclt")},
+       |${mhCteFrom("b", "shb")},
+       |${mhCteFrom("t", "sht")},
+       |${bkCteFrom("b", "mhb")},
+       |${bkCteFrom("t", "mht")},
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM bkt t JOIN bkb b ON t.band = b.band AND t.sig = b.sig
+       |),
+       |${slt("slb", "tclb")},
+       |${slt("slt2", "tclt")}
+       |SELECT doc_id, bench_id, inter, nsh, containment FROM (
+       |  SELECT cand.doc_id AS doc_id, cand.bench_id AS bench_id,
+       |         CAST(len(list_intersect(st.sl, sb.sl)) AS BIGINT) AS inter,
+       |         CAST(len(st.sl) AS BIGINT) AS nsh,
+       |         round(len(list_intersect(st.sl, sb.sl)) / len(st.sl), 6) AS containment
+       |  FROM cand JOIN slt2 st ON cand.doc_id = st.doc_id
+       |            JOIN slb sb ON cand.bench_id = sb.doc_id
+       |) WHERE containment >= $minContainment""".stripMargin
+  }
 
   /** Banded sign-LSH embedding near-dup pairs (mirrors
     * [[graft.dedup.Dedup.embeddingLshPairs]]). */

@@ -663,6 +663,14 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5),
       None),
 
+    // benchmark decontamination: training docs whose shingles are
+    // contained in an eval-set doc (src0 plays the benchmark here)
+    ("decontaminate",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.contamination(Collocations.documents(s, d),
+          isBench = col("source") === "src0", minContainment = 0.3),
+      Some(OracleSqlExt.decontaminateSql("source = 'src0'", 0.3))),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>

@@ -326,6 +326,37 @@ object Dedup {
     labels
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — flag training documents whose shingle
+    * sets are substantially CONTAINED in some benchmark/eval document
+    * (the overlap check every pretraining corpus runs before release).
+    * Same scale shape as near-dup detection, but across two sets: LSH
+    * buckets are built per side and candidates come from the cross-set
+    * equi-join on (band, sig) — a training doc is never compared to the
+    * whole benchmark, only to co-bucketed members. Exact containment
+    * |S_train ∩ S_bench| / |S_train| then verifies each candidate from
+    * the two array-local shingle sets.
+    * Returns (doc_id, bench_id, inter, nsh, containment >= min). */
+  def contamination(docs: DataFrame, isBench: Column, k: Int = 3,
+                    bands: Int = 4, rowsPerBand: Int = 4,
+                    minContainment: Double = 0.3): DataFrame = {
+    val bench = docs.filter(isBench)
+    val train = docs.filter(!isBench)
+    val candidates = lshBuckets(train, k, bands, rowsPerBand)
+      .select(col("band"), col("sig"), col("doc_id"))
+      .join(lshBuckets(bench, k, bands, rowsPerBand)
+        .select(col("band"), col("sig"), col("doc_id").as("bench_id")), Seq("band", "sig"))
+      .select("doc_id", "bench_id").distinct()
+    candidates
+      .join(shingleSets(train, k).select(col("doc_id"), col("sl").as("st"), col("nsh")), Seq("doc_id"))
+      .join(shingleSets(bench, k).select(col("doc_id").as("bench_id"), col("sl").as("sb")), Seq("bench_id"))
+      .withColumn("inter", size(array_intersect(col("st"), col("sb"))).cast("long"))
+      .withColumn("containment", round(col("inter") / col("nsh"), 6))
+      .filter(col("containment") >= minContainment)
+      .select("doc_id", "bench_id", "inter", "nsh", "containment")
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicate pairs via banded sign-LSH — the 100 TB

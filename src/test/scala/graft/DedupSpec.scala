@@ -124,6 +124,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("contamination flags the training doc containing a benchmark passage") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, bench, "bench"),
+      // training doc embedding the benchmark passage verbatim -> high containment
+      (2L, s"prefix words here $bench and some trailing words", "train"),
+      (3L, "a completely unrelated training document about query engines", "train")
+    ).map { case (i, t, s) => (i, t, "en", s) }.toDF("doc_id", "text", "lang", "source")
+    // 8 bands x 2 rows: the embedded passage gives jaccard ~0.6 vs the
+    // padded training doc, where the default 4x4 S-curve is a coin flip
+    val hits = Dedup.contamination(corpus, isBench = col("source") === "bench",
+        bands = 8, rowsPerBand = 2, minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((2L, 1L)), s"got ${hits.toSeq}")
+    assert(hits.head._3 > 0.5, "verbatim inclusion must score high containment")
+  }
+
   test("closest embedding pairs ranks the planted near-duplicate first") {
     import spark.implicits._
     val emb = Seq(
