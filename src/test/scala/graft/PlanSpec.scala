@@ -65,6 +65,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
   }
 
+  test("sketch twins aggregate partial then final (mergeable partials)") {
+    Seq("percentiles_approx", "approx_distinct").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must ship mergeable partials, not a global collect:\n$p")
+    }
+  }
+
+  test("decontamination joins buckets cross-set, never all-pairs") {
+    val p = plan(SparkEntry.queries("decontaminate")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in decontaminate plan:\n$p")
+    assert(p.contains("array_intersect"), s"expected containment verify:\n$p")
+  }
+
   test("embedding LSH pair-dedup never falls back to an all-pairs join") {
     val p = plan(SparkEntry.queries("dedup_embedding_lsh")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
