@@ -106,6 +106,20 @@ class DedupSpec extends SparkSpec {
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("a Verify-style sweep of cache-heavy queries leaves no persisted RDDs") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sharedState.cacheManager.clearCache()
+    // the three heaviest cache users: builder-internal persists must be
+    // scoped, and the per-query clearCache (what Verify/Bench do) must
+    // release the rest
+    Seq("pipeline_clean_corpus", "dedup_ngram_jaccard", "collocations_e2e").foreach { q =>
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.sharedState.cacheManager.clearCache()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$q leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    }
+  }
+
   test("embedding LSH pair-dedup finds the same near-dup pairs as brute force") {
     import spark.implicits._
     // 20 well-separated base vectors + 5 planted near-duplicates
