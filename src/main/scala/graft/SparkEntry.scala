@@ -464,6 +464,60 @@ object SparkEntry {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
 
+    // ------------------------------------------- NTILE quantile bucketing
+    ("ntile_customers",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(10).over(w).cast("long").as("decile"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |       CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS decile
+             |FROM customer""".stripMargin)),
+
+    // ---------------------------------------- statistical aggregates
+    // mean/variance/stddev/correlation computed from DECIMAL power sums,
+    // not the built-in float accumulators: Welford-style streaming
+    // accumulation is partition-order-dependent and differs between
+    // engines, while power sums of DECIMAL(18,2)-cast inputs are exactly
+    // associative — the same one-shuffle partial+final plan, bit-stable
+    // anywhere. (Catastrophic cancellation is not a concern at these
+    // magnitudes; for extreme ones you'd shift by a pivot first.)
+    ("stats_agg",
+      (s: SparkSession, d: String) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        s.read.parquet(s"$d/lineitem.parquet")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("sx").cast("double") / col("n"), 6).as("mean_qty"),
+            round(sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) / (col("n") - 1)), 6).as("stddev_qty"),
+            round((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+              (sqrt(col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+               sqrt(col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))), 6).as("corr_qty_price"))
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l_returnflag, n,
+             |       round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+             |       round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS stddev_qty,
+             |       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+             |             (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+             |              sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr_qty_price
+             |FROM s""".stripMargin)),
+
     // --------------------------------------------------- JSON path extract
     ("json_extract",
       (s: SparkSession, d: String) =>
