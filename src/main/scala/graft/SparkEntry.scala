@@ -465,14 +465,15 @@ object SparkEntry {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
 
     // ------------------------------------------- NTILE quantile bucketing
+    // NOT the naive global window (single-partition at scale): ntile is
+    // derived from a range-partitioned global rank — see ops/Ranks.scala.
     ("ntile_customers",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-        s.read.parquet(s"$d/customer.parquet")
-          .select(col("c_custkey"), col("c_mktsegment"),
-            ntile(10).over(w).cast("long").as("decile"))
-      },
+      (s: SparkSession, d: String) =>
+        graft.ops.Ranks.ntileByRange(
+            s.read.parquet(s"$d/customer.parquet")
+              .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+            10, Seq(col("c_acctbal").desc, col("c_custkey").asc), "decile")
+          .select(col("c_custkey"), col("c_mktsegment"), col("decile")),
       Some("""SELECT c_custkey, c_mktsegment,
              |       CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS decile
              |FROM customer""".stripMargin)),
