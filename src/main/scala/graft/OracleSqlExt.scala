@@ -227,13 +227,6 @@ object OracleSqlExt {
        |) WHERE cos >= $minCos""".stripMargin
   }
 
-  def closestPairsSql(topN: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT a, b, cos FROM (
-       |  SELECT l.vec_id AS a, r.vec_id AS b, round(${cosineSql("l.v", "r.v")}, 6) AS cos
-       |  FROM e l JOIN e r ON l.vec_id < r.vec_id
-       |) ORDER BY cos DESC, a ASC, b ASC LIMIT $topN""".stripMargin
-
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),

@@ -680,13 +680,13 @@ object SparkEntry {
         graft.dedup.Dedup.simhashPairs(Collocations.documents(s, d), maxHamming = 3),
       Some(OracleSqlExt.simhashPairsSql(3))),
 
-    ("dedup_embedding",
-      (s: SparkSession, d: String) =>
-        graft.dedup.Dedup.closestEmbeddingPairs(
-          s.read.parquet(s"$d/embeddings.parquet"), topN = 20),
-      Some(OracleSqlExt.closestPairsSql(20))),
+    // NOTE: the all-pairs `closestEmbeddingPairs` baseline is deliberately
+    // NOT a registry query — its O(n²) BroadcastNestedLoop plan must never
+    // ship as a runnable surface. It survives as the recall oracle for the
+    // LSH path in DedupSpec, and the registry-wide plan sweep (PlanSpec)
+    // enforces that no shipped query carries a cartesian/BNLJ plan.
 
-    // scale path for the above: banded sign-LSH + exact-cosine verify.
+    // scale path for embedding near-dup: banded sign-LSH + exact-cosine verify.
     // 8x6 band shape targets this corpus's similarity range (max cos
     // ~0.51); true near-dup dedup at scale uses the 8x8 default.
     ("dedup_embedding_lsh",

@@ -27,29 +27,37 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ranks {
 
-  /** Global 1-based rank (row_number over a total order) as `out`, computed
+  /** Global running sum of `value` over a total order as `out`, computed
     * without any single-partition pass over data rows. `sortCols` must be a
-    * total order (include a tiebreaker key) — with ties the local
-    * row_number would make ranks partition-placement-dependent. Also
-    * attaches `_n_total` (the global row count) for consumers that need it.
-    */
-  def globalRank(df: DataFrame, sortCols: Seq[Column], out: String = "rank"): DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*).withColumn("_pid", spark_partition_id())
+    * total order (include a tiebreaker key) — with ties the ROWS-frame
+    * local sum would make results partition-placement-dependent. Also
+    * attaches `_n_total` (the global sum of `value`) for consumers that
+    * need it. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+                   out: String = "cumsum"): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("_pid", spark_partition_id()).withColumn("_v", value)
     // both consumers below share the range Exchange (ReusedExchange)
     val local = ranged.withColumn(
-      "_lr", row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*)).cast("long"))
-    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      "_lc", sum(col("_v")).over(Window.partitionBy("_pid").orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = ranged.groupBy("_pid").agg(sum(col("_v")).as("_cnt"))
     val byPid = Window.orderBy("_pid")
-    val offsets = counts.select(
+    val offsets = totals.select(
       col("_pid"),
       coalesce(sum("_cnt").over(byPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
         .as("_off"),
       sum("_cnt").over(byPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .as("_n_total"))
     local.join(broadcast(offsets), "_pid")
-      .withColumn(out, col("_off") + col("_lr"))
-      .drop("_pid", "_lr", "_off", "_cnt")
+      .withColumn(out, col("_off") + col("_lc"))
+      .drop("_pid", "_v", "_lc", "_off")
   }
+
+  /** Global 1-based rank (row_number over a total order) as `out`: the
+    * running count of rows — [[globalCumSum]] of the constant 1. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], out: String = "rank"): DataFrame =
+    globalCumSum(df, sortCols, lit(1L), out)
 
   /** Scale-safe NTILE(k) over a total order, bit-identical to the SQL
     * `ntile(k) OVER (ORDER BY ...)`: the first `n mod k` buckets take

@@ -9,28 +9,28 @@ import org.apache.spark.sql.functions._
   * training sequences. A document lands in the bin its *start offset*
   * falls into: bin = floor(running_length_before_doc / windowSize).
   *
-  * The running sum here is one global window ordered by doc_id, which at
-  * 100 TB serializes into a single task — a deployment packs per shard
-  * instead (partitionBy(shard) over the same expression), which this
-  * function exposes via `shardCol`. The global form is what the oracle
-  * can mirror deterministically.
+  * Per shard the running sum is an ordinary partitioned window
+  * (`shardCol`); the global form routes through [[graft.ops.Ranks
+  * .globalCumSum]] — range-partitioned local sums offset-corrected by
+  * broadcast per-partition totals — so neither shape ever funnels data
+  * rows through a single task.
   */
 object Packing {
 
   def packSequences(docs: DataFrame, windowSize: Long = 2048,
                     shardCol: Option[Column] = None): DataFrame = {
-    val w = shardCol match {
-      case Some(s) => Window.partitionBy(s).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      case None => Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = shardCol match {
+      case Some(s) =>
+        val w = Window.partitionBy(s).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.select(col("doc_id"), col("n_chars"), s)
+          .withColumn("cum", sum(col("n_chars")).over(w))
+      case None =>
+        graft.ops.Ranks.globalCumSum(
+          docs.select(col("doc_id"), col("n_chars")),
+          Seq(col("doc_id").asc), col("n_chars"), "cum")
     }
-    val base = shardCol match {
-      case Some(s) => docs.select(col("doc_id"), col("n_chars"), s)
-      case None => docs.select(col("doc_id"), col("n_chars"))
-    }
-    base
-      .withColumn("cum", sum(col("n_chars")).over(w))
+    cum
       // start offset = cum - n_chars; floor division is exact on doubles
       // here (offsets < 2^53)
       .select(col("doc_id"), col("n_chars"),

@@ -41,12 +41,30 @@ object Ann {
     emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
 
-  /** Exact top-k neighbors per query (self excluded), deterministic ties. */
+  /** Exact top-k neighbors per query (self excluded), deterministic ties.
+    *
+    * The strided probe set is bounded (n/stride rows), so it ships as a
+    * literal MODEL, not a join side — collected once and exploded
+    * array-locally against the scan, the same serve-a-model shape as the
+    * IVF centroids. The corpus side therefore never joins at all: the plan
+    * is scan → explode(literal probes) → score → top-k, and the q_nrm /
+    * cos doubles are bit-identical to the join form (same inputs, same
+    * fold order). */
   def bruteForceTopK(emb: DataFrame, stride: Int = 100, k: Int = 5): DataFrame = {
-    val scored = candidates(emb).join(broadcast(queries(emb, stride)), col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+    val probes = queries(emb, stride).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val probeStructs = probes.map { case (id, vec, nrm) =>
+      struct(lit(id).as("q_id"), array(vec.map(lit(_)): _*).as("q_vec"), lit(nrm).as("q_nrm"))
+    }
+    val scored = candidates(emb)
+      .select(col("n_id"), col("n_vec"), col("n_nrm"),
+        explode(array(probeStructs: _*)).as("q"))
+      .filter(col("n_id") =!= col("q.q_id"))
+      .withColumn("cos",
+        round(dot(col("q.q_vec"), col("n_vec")) / (col("q.q_nrm") * col("n_nrm")), 6))
     graft.ops.TopK.topKPerGroup(
-      scored.select(col("q_id"), col("n_id"), col("cos")),
+      scored.select(col("q.q_id").as("q_id"), col("n_id"), col("cos")),
       Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id").asc), k)
   }

@@ -70,6 +70,9 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
+    // single-row global total: crossJoin(broadcast) is the idiomatic
+    // attach; the plan sweep proves boundedness from the grouping-free
+    // aggregate on the broadcast side
     tf.join(dfreq, Seq("w"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"), col("tf"), col("df"),

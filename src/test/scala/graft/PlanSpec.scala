@@ -89,8 +89,13 @@ class PlanSpec extends SparkSpec {
   test("shuffle budgets hold for the one-exchange operators") {
     // queries whose scale story is "exactly one shuffle" — a refactor
     // that adds an exchange fails here before it costs anything at scale
+    // pack_sequences: 5 = the globalCumSum rewrite's fixed budget — range
+    // (printed twice pre-AQE; runtime stage reuse dedups it) + window
+    // repartition over data rows, plus the per-partition-totals agg and
+    // single-partition offsets window that only move ≤ partition-count
+    // metadata rows
     Seq("events_hourly" -> 1, "sessionize" -> 1, "dedup_exact" -> 1,
-        "agg_unigrams" -> 1, "pack_sequences" -> 1).foreach { case (q, budget) =>
+        "agg_unigrams" -> 1, "pack_sequences" -> 5).foreach { case (q, budget) =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
         .findAllIn(p).size
@@ -128,6 +133,43 @@ class PlanSpec extends SparkSpec {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Exchange"), s"$q should be a pure scan+project:\n$p")
     }
+  }
+
+  test("no registry query plans a cartesian product, BNLJ, or global window over data") {
+    // The absolute scale invariant, swept over EVERY shipped query: no
+    // unbounded×unbounded join node anywhere (bounded cross products go
+    // through ops/Joins.withEach's constant-key BroadcastHashJoin), and any
+    // empty-partition window must consume aggregated metadata (≤ partition
+    // count rows), never raw table rows. Baselines that genuinely need an
+    // all-pairs plan (closestEmbeddingPairs) live in tests, not here.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val p = physicalPlan(q(spark, sf))
+      val bad =
+        p.collect { case _: CartesianProductExec => "CartesianProduct" }.toSeq ++
+        p.collect {
+          // a BNLJ is tolerable ONLY when the plan itself proves the build
+          // side is a single row: a grouping-free aggregate beneath the
+          // broadcast (the crossJoin(broadcast(globalTotal)) idiom)
+          case j: BroadcastNestedLoopJoinExec
+            if { val build = j.buildSide match {
+                   case BuildLeft => j.left; case BuildRight => j.right }
+                 build.collect {
+                   case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+                 }.isEmpty } =>
+            "BroadcastNestedLoopJoin with unbounded build side"
+        } ++
+        p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.child.collect { case a: BaseAggregateExec => a }.isEmpty =>
+            "global Window over raw rows"
+        }
+      bad.map(b => s"$name: $b")
+    }
+    assert(offenders.isEmpty, s"scale-unsafe plans:\n${offenders.mkString("\n")}")
   }
 
   test("candidate-restricted jaccard joins shingle SETS, not posting lists") {

@@ -46,14 +46,7 @@ class RanksSpec extends SparkSpec {
   }
 
   test("ntile_customers plan keeps global windows off data rows") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def strip(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
-      case other                    => other
-    }
-    val plan = strip(SparkEntry.queries("ntile_customers")(spark, sf)
-      .queryExecution.executedPlan)
+    val plan = physicalPlan(SparkEntry.queries("ntile_customers")(spark, sf))
     // every empty-partition window must sit above an aggregation — i.e. it
     // processes per-range-partition METADATA (≤ shuffle partition count
     // rows), never table rows. The old Window.orderBy(ntile) form fails:

@@ -13,4 +13,16 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Physical plan with AQE wrappers unwrapped, so node-level assertions
+    * (`plan.collect { case j: ...Exec => }`) see the real operators. */
+  def physicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def strip(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+      p match {
+        case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+        case other                    => other
+      }
+    strip(df.queryExecution.executedPlan)
+  }
 }
