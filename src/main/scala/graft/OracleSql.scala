@@ -19,10 +19,14 @@ object OracleSql {
       s"'^[^\\p{L}\\p{N}]+', ''), '[^\\p{L}\\p{N}]+$$', '')))"
 
   /** Per-language stopword routing, mirroring `Stopwords.anti` exactly:
-    * `he` rows check the Hebrew set, every other language the English
-    * one. `w` is a SQL expression. */
-  def notStop(w: String): String =
-    s"NOT (lang = 'he' AND $w IN (${Stopwords.heSqlList})) AND NOT (lang <> 'he' AND $w IN (${Stopwords.sqlList}))"
+    * `he` rows check the Hebrew set, every other language — including a
+    * NULL lang, which Spark's otherwise-branch sends to English — the
+    * English one. The CASE keeps three-valued logic out: the old
+    * conjunction form evaluated to NULL (row dropped) for NULL lang
+    * whenever the word sat in either list, diverging from Spark. */
+  def notStop(w: String, lang: String = "lang"): String =
+    s"(CASE WHEN COALESCE($lang, '') = 'he' THEN $w NOT IN (${Stopwords.heSqlList}) " +
+      s"ELSE $w NOT IN (${Stopwords.sqlList}) END)"
 
   /** CTE block producing `toks(doc_id, lang, w, pos)` — cleaned non-empty
     * tokens with 1-based positions, mirroring `Normalize.tokensCol`. */
@@ -51,16 +55,13 @@ object OracleSql {
        |)""".stripMargin
 
   /** bg(lang, w1, w2, c12): adjacent-pair counts, both words non-stop (A3). */
-  val bgCte: String = {
-    def ns(w: String): String =
-      s"NOT (a.lang = 'he' AND $w IN (${Stopwords.heSqlList})) AND NOT (a.lang <> 'he' AND $w IN (${Stopwords.sqlList}))"
+  val bgCte: String =
     s"""bg AS (
        |  SELECT a.lang, a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |  WHERE ${ns("a.w")} AND ${ns("b.w")}
+       |  WHERE ${notStop("a.w", "a.lang")} AND ${notStop("b.w", "a.lang")}
        |  GROUP BY a.lang, a.w, b.w
        |)""".stripMargin
-  }
 
   /** joined(lang, w1, w2, c12, c1, c2, n): J1+J2+J3. */
   val joinedCte: String =

@@ -464,8 +464,16 @@ object OracleSqlExt {
 
   /** Root of the reference-format TSV fixtures the driver's DuckDB can
     * read directly (same files [[graft.collocations.NGramCollocations
-    * .fromPaths]] ingests in the Spark query). */
-  val ngramFixtureDir = "/root/repo/src/test/resources/ngrams"
+    * .fromPaths]] ingests in the Spark query). Overridable for checkouts
+    * rooted elsewhere; the default resolves against the working directory
+    * when the canonical absolute path is absent. */
+  val ngramFixtureDir: String = sys.props.get("graft.ngram.fixtures")
+    .orElse(sys.env.get("GRAFT_NGRAM_FIXTURES"))
+    .getOrElse {
+      val canonical = "/root/repo/src/test/resources/ngrams"
+      if (new java.io.File(canonical).isDirectory) canonical
+      else new java.io.File("src/test/resources/ngrams").getAbsolutePath
+    }
 
   /** The reference's per-language stopword routing (`Stopwords.java:26-30`
     * + `NGramUtils.java:51-79`) — shared with the documents-path CTEs. */

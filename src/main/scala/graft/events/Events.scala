@@ -40,6 +40,9 @@ object Events {
     * covering window starts — zero shuffle before the one aggregation,
     * the same shape Structured Streaming uses for sliding windows. */
   def slidingByType(ev: DataFrame, lenUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame = {
+    require(lenUs > 0 && slideUs > 0 && lenUs % slideUs == 0,
+      s"window length ($lenUs) must be a positive multiple of the slide ($slideUs) — " +
+        "a non-multiple would silently truncate to windows of the wrong effective length")
     val k = (lenUs / slideUs).toInt
     val slideBucket = floor(col("ts_us").cast("double") / slideUs).cast("long")
     ev.withColumn("ts_us", tsMicros)

@@ -14,21 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
-  /** Row-unique salt in [0, buckets). A hot key's rows MUST spread
-    * regardless of their payload, so the salt hashes a per-row id — a salt
-    * derived from the aggregated value would collapse a hot key whose
-    * values are constant (1 billion rows of `(A, 1.00)`) into a single
-    * (key, salt) group, recreating the exact hot spot the rewrite exists
-    * to break. The assignment varies with physical row order, which is
-    * irrelevant: any assignment yields the same commutative-associative
-    * aggregate. */
-  def saltCol(buckets: Int): Column =
-    pmod(hash(monotonically_increasing_id()), lit(buckets))
+  /** Content-stable salt in [0, buckets): a hash of EVERY input column.
+    * Hashing a physical row id (monotonically_increasing_id) would spread
+    * perfectly but depends on row order within a partition — after a
+    * fetch-failure recomputation the same row can land in a different
+    * (key, salt) group than the partials already shipped, double-counting
+    * or dropping it. Content hashing re-salts a recomputed row
+    * identically, so retries are safe; a hot key still spreads as long as
+    * its rows differ in ANY column (payloads, ids, timestamps).
+    *
+    * Limit: rows identical in EVERY column collapse into one (key, salt)
+    * group. If your skew case is billions of byte-identical rows,
+    * disambiguate upstream (e.g. carry a source offset column) — no
+    * deterministic content salt can split indistinguishable rows. */
+  def saltCol(df: DataFrame, buckets: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets))
 
   /** `df.groupBy(keys).agg(sum(valueCol))`, executed as salted two-phase. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int = 16): DataFrame = {
     val salted = df
-      .withColumn("_salt", saltCol(buckets))
+      .withColumn("_salt", saltCol(df, buckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))
     salted.groupBy(keys.map(col): _*)
@@ -38,7 +43,7 @@ object Salt {
   /** Salted count(*) per key. */
   def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16): DataFrame = {
     val salted = df
-      .withColumn("_salt", saltCol(buckets))
+      .withColumn("_salt", saltCol(df, buckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
     salted.groupBy(keys.map(col): _*)

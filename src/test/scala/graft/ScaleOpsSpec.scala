@@ -30,6 +30,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("asof fixture carries no duplicate (user_id, ts) purchases at any sf") {
+    // AsOfJoin breaks right-side (key, time) ties deterministically
+    // (greatest payload wins), but DuckDB's ASOF JOIN leaves the choice
+    // unspecified — the oracle gate is only sound while the fixture has no
+    // such ties. Pin that precondition so a regenerated fixture that gains
+    // one fails HERE with a clear message, not as a flaky hash mismatch.
+    Seq("sf0.001", "sf0.01").foreach { s =>
+      val dups = graft.events.Events.events(spark, s"/root/testdata/$s")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+      assert(dups == 0L, s"$s: duplicate (user_id, ts) purchase rows make the asof oracle ambiguous")
+    }
+  }
+
   test("tsv sink round-trips the reference intermediate format") {
     import graft.collocations.Collocations
     val out = java.nio.file.Files.createTempDirectory("sink_test").toString
