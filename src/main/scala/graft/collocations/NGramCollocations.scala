@@ -63,4 +63,13 @@ object NGramCollocations {
     val bg  = NGramSource.bigrams(NGramSource.read(spark, bigramPaths: _*))
     topCollocations(uni, bg, k)
   }
+
+  /** [[fromPaths]] over the reference's on-disk SequenceFile corpus format
+    * (`CollocationExtraction3Jobs.java:67-71`). */
+  def fromSequencePaths(spark: SparkSession, unigramPaths: Seq[String], bigramPaths: Seq[String],
+                        k: Int = K): DataFrame = {
+    val uni = NGramSource.unigrams(NGramSource.readSequence(spark, unigramPaths: _*))
+    val bg  = NGramSource.bigrams(NGramSource.readSequence(spark, bigramPaths: _*))
+    topCollocations(uni, bg, k)
+  }
 }

@@ -28,10 +28,35 @@ object NGramSource {
   val EN = "en"
 
   /** Parse one or more TSV paths into (lang, ngram, year, occurrences). */
-  def read(spark: SparkSession, paths: String*): DataFrame = {
-    val raw = spark.read.text(paths: _*)
+  def read(spark: SparkSession, paths: String*): DataFrame =
+    parse(spark.read.text(paths: _*)
       .withColumn("lang",
-        when(lower(input_file_name()).contains("heb"), lit(HE)).otherwise(lit(EN)))
+        when(lower(input_file_name()).contains("heb"), lit(HE)).otherwise(lit(EN))))
+
+  /** The corpus the reference actually points at ships as Hadoop
+    * SequenceFiles of (LongWritable offset, Text tsv-line) — the format
+    * `CollocationExtraction3Jobs.java:67-71` wires via
+    * `SequenceFileInputFormat` with `Mapper<LongWritable, Text, ...>`
+    * (`Job1.java:113,124`). Same parse chain as [[read]]; each path gets
+    * its language from its own name, mirroring the reference's per-path
+    * `MultipleInputs` registration. */
+  def readSequence(spark: SparkSession, paths: String*): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import spark.implicits._
+    val tagged = paths.map { p =>
+      val lang = if (p.toLowerCase.contains("heb")) HE else EN
+      spark.sparkContext.sequenceFile(p, classOf[LongWritable], classOf[Text])
+        // Hadoop reuses the Writable instances across records — the value
+        // must be copied out (toString) before the iterator advances
+        .map(_._2.toString)
+        .toDF("value").withColumn("lang", lit(lang))
+    }
+    parse(tagged.reduce(_ unionByName _))
+  }
+
+  /** Shared TSV-line parse: (lang, value) → (lang, ngram, year,
+    * occurrences), malformed rows dropped. */
+  private def parse(raw: DataFrame): DataFrame = {
     val f = split(col("value"), "\t")
     // try_element_at / try_cast, not element_at / cast: Spark 4 ANSI mode
     // makes the plain forms *throw* on ragged rows or malformed numbers;

@@ -29,6 +29,39 @@ class NGramCollocationsSpec extends SparkSpec {
     assert(top.count() == 4)
   }
 
+  test("SequenceFile corpus format yields byte-identical collocations to the TSV path") {
+    // the reference ingests SequenceFiles of (LongWritable, Text tsv-line)
+    // (CollocationExtraction3Jobs.java:67-71); re-encode each TSV fixture
+    // as one and run the identical chain — results must match exactly
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{LongWritable, SequenceFile, Text}
+    val dir = java.nio.file.Files.createTempDirectory("seq-ngrams")
+    def toSeqFile(tsv: String): String = {
+      // keep the basename so lang-from-path ("heb") routing still fires
+      val out = dir.resolve(new java.io.File(tsv).getName + ".seq").toString
+      val writer = SequenceFile.createWriter(spark.sparkContext.hadoopConfiguration,
+        SequenceFile.Writer.file(new Path(out)),
+        SequenceFile.Writer.keyClass(classOf[LongWritable]),
+        SequenceFile.Writer.valueClass(classOf[Text]))
+      try {
+        var off = 0L
+        scala.io.Source.fromFile(tsv, "UTF-8").getLines().foreach { line =>
+          writer.append(new LongWritable(off), new Text(line))
+          off += line.getBytes("UTF-8").length + 1
+        }
+      } finally writer.close()
+      out
+    }
+    val top = NGramCollocations.fromSequencePaths(spark,
+      Seq(toSeqFile(res("eng-1gram.tsv")), toSeqFile(res("heb-1gram.tsv"))),
+      Seq(toSeqFile(res("eng-2gram.tsv")), toSeqFile(res("heb-2gram.tsv"))))
+    val viaTsv = NGramCollocations.fromPaths(spark,
+      Seq(res("eng-1gram.tsv"), res("heb-1gram.tsv")),
+      Seq(res("eng-2gram.tsv"), res("heb-2gram.tsv")))
+    assert(top.except(viaTsv).isEmpty && viaTsv.except(top).isEmpty)
+    assert(top.count() == 4)
+  }
+
   test("CLI writes reference-shaped TSV output from raw paths") {
     import graft.collocations.CollocationsCli
     val out = java.nio.file.Files.createTempDirectory("cli-out").toString + "/top"
