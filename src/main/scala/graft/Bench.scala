@@ -16,21 +16,23 @@ object Bench {
     // carry session bootstrap cost
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // best-of-2 per query: single-sample local timings swing +-30% from
-    // GC/compilation noise; the min is the steady-state cost. The cache is
-    // cleared before every iteration so persisted intermediates inside
-    // queries are re-materialized each time (no cross-iteration credit).
+    // median-of-3 per query: single samples swung 3-9x between rounds on
+    // identical plans (GC/JIT noise), and best-of-2 still inherits the
+    // floor of one noisy pair. The median discards one bad run per query
+    // in either direction. The cache is cleared before every iteration so
+    // persisted intermediates inside queries are re-materialized each time
+    // (no cross-iteration credit).
     val results = SparkEntry.queries.map { case (name, fn) =>
       // a failed query must surface as -1, never as its (short) elapsed
       // time — a regression that throws in planning would otherwise read
       // as a speedup
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -712,10 +712,13 @@ object SparkEntry {
     // means -> bit-stable cells), probes=2. Iterative float training is
     // not SQL-mirrorable -> rows-only gate; recall vs brute force is
     // asserted in TextAndAnnSpec.
+    // trains Lloyd on the vec_id % 8 sample (the 100 TB shape: sampled
+    // training, full-corpus assignment); rows-only gate — iterative float
+    // training isn't SQL-mirrorable — with recall pinned in TextAndAnnSpec
     ("ann_ivf_topk",
       (s: SparkSession, d: String) =>
         graft.similarity.Ann.ivfTopK(
-          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5),
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, trainStride = 8),
       None),
 
     // benchmark decontamination: training docs whose shingles are

@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Reads reference-format n-gram TSV (lang inferred from each file's
   * path), runs the full scoring chain at (lang, decade) grain, and writes
-  * the top-k collocations as TSV `lang \t decade \t w1 \t w2 \t llr` —
-  * the shape of the reference Job3 output (`Job3.java:100-109`). The
+  * the top-k collocations as TSV `lang \t decade \t "w1 w2" \t llr` with
+  * the bigram space-joined into ONE field — byte-for-byte the reference
+  * output line (`Job2.java:245`, re-emitted by `Job3.java:104-108`). The
   * session is owned by the caller/cluster (spark-submit); local runs get
   * a sensible default.
   */
@@ -32,7 +33,10 @@ object CollocationsCli {
   }
 
   def run(spark: SparkSession, args: Args): Unit = {
+    import org.apache.spark.sql.functions._
     val top = NGramCollocations.fromPaths(spark, args.unigrams, args.bigrams, args.k)
+      .select(col("lang"), col("decade"),
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("llr"))
     graft.sources.Sinks.writeTsv(top, args.out)
   }
 

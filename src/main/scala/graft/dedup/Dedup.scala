@@ -373,7 +373,37 @@ object Dedup {
     * threshold this synthetic corpus needs (its closest pair is ~0.51).
     * Returns (a, b, cos) for candidates with cos >= minCos. */
   def embeddingLshPairs(emb: DataFrame, bands: Int = 8, rowsPerBand: Int = 8,
-                        minCos: Double = 0.9): DataFrame = {
+                        minCos: Double = 0.9): DataFrame =
+    bandedSignPairs(emb, bands, rowsPerBand, minCos,
+      // axis-aligned signs: bit i is sign(v[i]) — hyperplane-free, exactly
+      // SQL-mirrorable, which is what the oracle gate needs
+      (v, i) => element_at(v, i + 1) >= 0)
+
+  /** [[embeddingLshPairs]] with SEEDED RANDOM Gaussian hyperplanes — the
+    * production form of sign-LSH (Charikar's SimHash for vectors):
+    * bit i is sign(v · h_i) for h_i ~ N(0, I), giving
+    * P[bit collision] = 1 − θ/π for ANY data orientation, where the
+    * axis-aligned variant depends on how mass spreads across coordinates.
+    * The hyperplanes are generated driver-side from `seed` (content-stable
+    * across runs/retries) and enter the plan as literal arrays — the same
+    * serve-a-model shape as the IVF centroids, so bucketing stays a
+    * narrow, shuffle-free map. `dim` is the embedding width. */
+  def embeddingLshPairsGaussian(emb: DataFrame, dim: Int, bands: Int = 8,
+                                rowsPerBand: Int = 8, minCos: Double = 0.9,
+                                seed: Long = 42L): DataFrame = {
+    import graft.similarity.Ann.dot
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand)(
+      array(Array.fill(dim)(lit(rnd.nextGaussian())): _*))
+    bandedSignPairs(emb, bands, rowsPerBand, minCos, (v, i) => dot(v, planes(i)) >= 0)
+  }
+
+  /** Shared banded sign-LSH plumbing: bucket on (band, concatenated sign
+    * bits), self-join per bucket, exact-cosine verify. `bit(v, i)` yields
+    * the i-th (0-based) sign bit predicate. */
+  private def bandedSignPairs(emb: DataFrame, bands: Int, rowsPerBand: Int,
+                              minCos: Double,
+                              bit: (Column, Int) => Column): DataFrame = {
     import graft.similarity.Ann.dot
     // referenced three times (bucket derivation + both pair-side vector
     // lookups); persist — the staged "write the signature table" shape
@@ -382,8 +412,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i =>
-          when(element_at(col("v"), i) >= 0, lit("1")).otherwise(lit("0"))): _*).as("bits"))
+        concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+          when(bit(col("v"), i), lit("1")).otherwise(lit("0"))): _*).as("bits"))
     }
     val buckets = base
       .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))

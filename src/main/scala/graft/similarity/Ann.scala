@@ -126,8 +126,17 @@ object Ann {
     (-greatest(structs: _*).getField("negcid")).cast("int")
   }
 
-  def ivfCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 2): Seq[(Int, Array[Double])] = {
+  /** @param trainStride Lloyd iterations aggregate a posexplode of every
+    *   TRAINING vector (N_train × dim rows shuffled per iteration) — at
+    *   corpus scale, train on the deterministic `vec_id % trainStride == 0`
+    *   sample and assign the full set. The sample is content-stable (no
+    *   rand()), so centroids are identical across runs and retries; k-means
+    *   only needs the sample's distribution, and assignment stays a
+    *   narrow full-corpus map either way. Must leave ≥ nCells vectors. */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                   trainStride: Int = 1): Seq[(Int, Array[Double])] = {
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(pmod(col("vec_id"), lit(trainStride.toLong)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Array[Double])] = base.orderBy("vec_id").limit(nCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
@@ -155,8 +164,9 @@ object Ann {
     * rows-only at the gate; recall vs brute force is asserted in
     * TextAndAnnSpec. */
   def ivfTopK(emb: DataFrame, stride: Int = 100, k: Int = 5,
-              nCells: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
-    val cents = ivfCentroids(emb, nCells, iters)
+              nCells: Int = 16, iters: Int = 2, probes: Int = 2,
+              trainStride: Int = 1): DataFrame = {
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
     // indexing is a narrow map: each vector gets its cell from the
     // literal centroid model, no join, no shuffle
     val cand = candidates(emb).withColumn("cid", ivfCell(col("n_vec"), cents))

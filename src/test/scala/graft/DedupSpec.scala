@@ -138,6 +138,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("Gaussian hyperplane LSH matches brute force and is seed-deterministic") {
+    import spark.implicits._
+    // same planted-near-dup corpus as the axis-aligned test: the random
+    // hyperplane form must find exactly the brute-force pairs at 8x8 bands
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => math.sin(seed * 64 + j).toFloat)
+    val base = (0 until 20).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 5).map { i =>
+      val v = vec(i).clone(); v(63) = v(63) + 0.01f; (100L + i, v)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.closestEmbeddingPairs(emb, topN = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = Dedup.embeddingLshPairsGaussian(emb, dim = 64, bands = 8, rowsPerBand = 8,
+      minCos = 0.99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g == brute, s"gaussian=$g brute=$brute")
+    // same seed -> identical pair set on a re-run (content-stable planes)
+    val g2 = Dedup.embeddingLshPairsGaussian(emb, dim = 64, bands = 8, rowsPerBand = 8,
+      minCos = 0.99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g2 == g)
+  }
+
   test("contamination flags the training doc containing a benchmark passage") {
     import spark.implicits._
     val bench = "the quick brown fox jumps over the lazy dog near the river bank today"

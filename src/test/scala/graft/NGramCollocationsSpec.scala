@@ -72,7 +72,10 @@ class NGramCollocationsSpec extends SparkSpec {
     CollocationsCli.run(spark, args)
     val rows = spark.read.option("sep", "\t").csv(out).collect()
     assert(rows.length == 4)
-    assert(rows.forall(_.length == 5))
+    // reference line shape (Job2.java:245): lang, decade, "w1 w2", llr —
+    // the bigram space-joined into a single field
+    assert(rows.forall(_.length == 4))
+    assert(rows.forall(_.getString(2).split(" ").length == 2))
     val langs = rows.map(_.getString(0)).toSet
     assert(langs == Set("en", "he"))
   }

@@ -125,6 +125,17 @@ class TextAndAnnSpec extends SparkSpec {
       val overlap = (bs intersect ivf(q)).size
       assert(overlap >= 2, s"query $q: ivf ${ivf(q)} vs brute $bs")
     }
+    // sampled training (the 100 TB shape): stride 3 is coprime with the
+    // id%4 cluster layout, so the sample still sees every cluster — recall
+    // must hold with centroids trained on a third of the vectors
+    val sampled = graft.similarity.Ann.ivfTopK(emb, stride = 10, k = 3,
+      nCells = 4, iters = 2, probes = 1, trainStride = 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(sampled.keySet == brute.keySet)
+    brute.foreach { case (q, bs) =>
+      assert((bs intersect sampled(q)).size >= 2,
+        s"query $q (sampled training): ivf ${sampled(q)} vs brute $bs")
+    }
   }
 
   test("frame sampling and resize are deterministic offset plumbing") {
