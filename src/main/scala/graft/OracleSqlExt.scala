@@ -93,6 +93,32 @@ object OracleSqlExt {
     * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
     * minhash, exact intersection via `list_intersect` of the two docs'
     * shingle lists. */
+  /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
+    * passages, md5 per passage, first-occurrence rank over
+    * (doc_id, idx), per-document dup counts. DuckDB zips the parallel
+    * `unnest`s positionally, pairing each idx with its hash. */
+  def passageDupSql(w: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), s -> length(s) > 0) AS toks
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id,
+       |         unnest(range(CAST(floor(len(toks)/$w) AS BIGINT))) AS idx,
+       |         unnest(list_transform(range(CAST(floor(len(toks)/$w) AS BIGINT)),
+       |                i -> md5(array_to_string(toks[(i*$w+1):(i*$w+$w)], ' ')))) AS h
+       |  FROM t
+       |),
+       |r AS (
+       |  SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       |  FROM p
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+       |FROM r GROUP BY doc_id""".stripMargin
+
   def jaccardVerifySql(threshold: Double): String =
     s"""WITH $tclCte,
        |slt AS (

@@ -519,6 +519,26 @@ object SparkEntry {
              |              sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr_qty_price
              |FROM s""".stripMargin)),
 
+    // ---------------------------------------------- argmax/argmin per group
+    // max_by/min_by on ONE scalar ordering key: acctbal has exactly 2
+    // decimals, so acctbal*100 is an exact integer and *1_000_000 leaves
+    // room for the custkey tiebreaker — a total order both engines agree
+    // on (DuckDB's arg_max does not take composite keys)
+    ("argmax_customer",
+      (s: SparkSession, d: String) => {
+        val key = (col("c_acctbal") * 100).cast("long") * lit(1000000L) + col("c_custkey")
+        s.read.parquet(s"$d/customer.parquet")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(max_by(col("c_name"), key).as("top_customer"),
+            min_by(col("c_name"), key).as("bottom_customer"),
+            max(col("c_acctbal")).cast("double").as("max_bal"))
+      },
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             |  arg_max(c_name, CAST(c_acctbal*100 AS BIGINT)*1000000 + c_custkey) AS top_customer,
+             |  arg_min(c_name, CAST(c_acctbal*100 AS BIGINT)*1000000 + c_custkey) AS bottom_customer,
+             |  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+             |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
     // --------------------------------------------------- JSON path extract
     ("json_extract",
       (s: SparkSession, d: String) =>
@@ -654,6 +674,14 @@ object SparkEntry {
         graft.dedup.Dedup.exactGroups(Collocations.documents(s, d)),
       Some("""SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
              |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // passage (fixed token window) exact dedup — the line/paragraph dedup
+    // of a C4-style pipeline; window 3 so the tiny synthetic vocabulary
+    // actually produces cross-document repeats to verify against
+    ("dedup_passages",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.passageDupStats(Collocations.documents(s, d), window = 3),
+      Some(OracleSqlExt.passageDupSql(3))),
 
     ("dedup_minhash_lsh",
       (s: SparkSession, d: String) =>

@@ -35,6 +35,39 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
+  /** Passage-level exact dedup over fixed token windows — the token-stream
+    * form of the line/paragraph dedup a C4/RefinedWeb-style pipeline runs:
+    * chunk each document into consecutive `window`-token passages, hash
+    * each, and mark every passage that repeats an earlier (doc_id, idx)
+    * occurrence anywhere in the corpus. Emits per-document
+    * (n_passages, n_dup, dup_ratio) — the curation signal; dropping or
+    * rewriting flagged passages composes on top.
+    *
+    * Scale shape: passages explode array-locally (no shuffle), then one
+    * shuffle on the passage hash (high-cardinality, well spread) for the
+    * first-occurrence window, then one shuffle back on doc_id. */
+  def passageDupStats(docs: DataFrame, window: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val nPass = floor(size(col("toks")) / window).cast("long")
+    val passages = base
+      .select(col("doc_id"),
+        explode(when(nPass > 0, transform(sequence(lit(0L), nPass - 1),
+            i => struct(i.as("idx"),
+              md5(concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window))))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<idx:bigint,h:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.idx").as("idx"), col("p.h").as("h"))
+    val rn = row_number().over(Window.partitionBy("h").orderBy(col("doc_id"), col("idx")))
+    passages.withColumn("rn", rn)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_passages"), 6))
+  }
+
   // ------------------------------------------------------------ shingles
 
   /** Distinct word k-shingles from an already-materialized token array.

@@ -138,6 +138,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("passage dedup flags repeated token windows, first occurrence exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // w=3 passages: [a b c] [d e f] — both first
+      (2L, "a b c x y z"),        // [a b c] repeats (1,0); [x y z] first
+      (3L, "x y z a b c extra")   // 7 tokens -> 2 passages, BOTH repeats
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDupStats(docs, window = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 0L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((2L, 2L)))
+    // a document shorter than one window contributes nothing
+    val tiny = Dedup.passageDupStats(Seq((9L, "a b")).toDF("doc_id", "text"), window = 3)
+    assert(tiny.count() == 0)
+  }
+
   test("Gaussian hyperplane LSH matches brute force and is seed-deterministic") {
     import spark.implicits._
     // same planted-near-dup corpus as the axis-aligned test: the random
