@@ -276,6 +276,24 @@ object SparkEntry {
       Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // skewed-key join via salting: right side replicated buckets×, left
+    // salted content-stably — row-identical to the plain join the oracle
+    // runs, which is the point (the rewrite must be invisible)
+    ("skew_join",
+      (s: SparkSession, d: String) =>
+        graft.ops.Salt.saltedJoin(
+            s.read.parquet(s"$d/orders.parquet")
+              .select(col("o_custkey").as("c_custkey"),
+                col("o_totalprice").cast("decimal(18,2)").as("price")),
+            s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment"),
+            "c_custkey", buckets = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum(col("price")).cast("double").as("revenue")),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // ------------------------------------- deterministic stratified sample
     // Language-balanced downsampling, the training-data mixing primitive:
     // keep 10% of the dominant language, 50% of the rest, chosen by a
@@ -406,6 +424,25 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
              |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
+    // ------------------------------------- full outer join, orphan rows on
+    // BOTH sides (event users without a customer row and vice versa)
+    ("outer_join_users",
+      (s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/events.parquet")
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val c = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey").as("cust_id"), col("c_mktsegment"))
+        e.join(c, col("user_id") === col("cust_id"), "full_outer")
+          .select(coalesce(col("user_id"), col("cust_id")).as("user_id"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id)
+             |SELECT COALESCE(e.user_id, c.c_custkey) AS user_id,
+             |       COALESCE(e.n_events, 0) AS n_events,
+             |       COALESCE(c.c_mktsegment, 'NONE') AS segment
+             |FROM e FULL JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
+
     // ----------------------------------------- set operations (2.7 beyond)
     ("set_ops",
       (s: SparkSession, d: String) => {
@@ -463,6 +500,29 @@ object SparkEntry {
              |  COALESCE(lag(o_orderkey) OVER w, -1) AS prev_order
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
+
+    // ------------------------------- RANGE-frame window (value-based frame)
+    // 30-day trailing spend per customer: the frame is defined by the
+    // ORDER-BY VALUE distance (all orders within 30 days), not a row
+    // count — the other half of the SQL window-frame surface next to
+    // window_analytics' ROWS frames
+    ("window_range_frame",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long")
+        val w = Window.partitionBy("o_custkey").orderBy(col("d")).rangeBetween(-30, 0)
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_custkey"), col("o_orderkey"), day.as("d"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+          .select(col("o_custkey"), col("o_orderkey"), col("d"),
+            sum(col("price")).over(w).cast("double").as("spend_30d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, d,
+             |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+             |FROM (SELECT o_custkey, o_orderkey,
+             |             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |      FROM orders)""".stripMargin)),
 
     // ------------------------------------------- NTILE quantile bucketing
     // NOT the naive global window (single-partition at scale): ntile is

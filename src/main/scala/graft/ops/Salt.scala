@@ -40,6 +40,22 @@ object Salt {
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
   }
 
+  /** Skew-safe inner equi-join on `key`: the (large, skewed) left side is
+    * salted content-stably; the right side is replicated `buckets`× so
+    * every (key, salt) bucket finds its match. A hot join key's rows then
+    * land on `buckets` reducers instead of one. Replication multiplies the
+    * RIGHT side — pass the smaller relation there. Row-identical to
+    * `left.join(right, key)`: salting only refines the partitioning key.
+    * (AQE's skew-join split handles moderate skew automatically; this is
+    * the explicit form for the pathological single-key case a plan can't
+    * split because one KEY, not one partition, is hot.) */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val l = left.withColumn("_salt", saltCol(left, buckets))
+    val r = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Salted count(*) per key. */
   def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16): DataFrame = {
     val salted = df

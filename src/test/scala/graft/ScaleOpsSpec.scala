@@ -30,6 +30,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join is row-identical to the plain join") {
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val plain = ord.join(cust, Seq("c_custkey"))
+    val salted = Salt.saltedJoin(ord, cust, "c_custkey", buckets = 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    assert(salted.count() == plain.count())   // except() dedups; counts pin multiplicity
+  }
+
   test("asof fixture carries no duplicate (user_id, ts) purchases at any sf") {
     // AsOfJoin breaks right-side (key, time) ties deterministically
     // (greatest payload wins), but DuckDB's ASOF JOIN leaves the choice
