@@ -94,8 +94,11 @@ class PlanSpec extends SparkSpec {
     // repartition over data rows, plus the per-partition-totals agg and
     // single-partition offsets window that only move ≤ partition-count
     // metadata rows
+    // dedup_passages: 2 = hash-of-passage window + per-doc aggregation;
+    // the passage explode itself is array-local (shuffle-free)
     Seq("events_hourly" -> 1, "sessionize" -> 1, "dedup_exact" -> 1,
-        "agg_unigrams" -> 1, "pack_sequences" -> 5).foreach { case (q, budget) =>
+        "agg_unigrams" -> 1, "pack_sequences" -> 5,
+        "dedup_passages" -> 2).foreach { case (q, budget) =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
         .findAllIn(p).size
