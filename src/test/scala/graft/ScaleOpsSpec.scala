@@ -30,6 +30,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("jsonl documents round-trip and malformed lines drop, not abort") {
+    import graft.sources.DocumentSource
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    DocumentSource.writeJsonl(docs, s"$dir/docs")
+    val back = DocumentSource.readJsonl(spark, s"$dir/docs")
+      .select(docs.columns.map(col): _*)
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+    // a corrupt shard costs rows, never the job
+    val broken = s"$dir/broken.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(broken),
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
+        |this line is not json at all
+        |{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}
+        |""".stripMargin.getBytes("UTF-8"))
+    val kept = DocumentSource.readJsonl(spark, broken)
+    assert(kept.count() == 2)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("salted join is row-identical to the plain join") {
     val ord = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
