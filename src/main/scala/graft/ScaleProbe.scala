@@ -33,6 +33,22 @@ object ScaleProbe {
       val kept = graft.pipelines.CleanCorpus.clean(docs).count()
       println(f"SCALE-DEDUP m=$m%2d docs=${5000 * m}%7d kept=$kept%6d  ${(System.nanoTime() - t1) / 1e9}%6.2f s")
       spark.sharedState.cacheManager.clearCache()
+      // passage dedup: cloned corpora multiply every passage's occurrence
+      // count m-fold, but the plan is explode + hash window + per-doc agg —
+      // runtime must stay ~linear in total passages
+      val t2 = System.nanoTime()
+      val np = graft.dedup.Dedup.passageDupStats(docs, window = 3).count()
+      println(f"SCALE-PASSAGE m=$m%2d docs=${5000 * m}%7d rows=$np%7d  ${(System.nanoTime() - t2) / 1e9}%6.2f s")
+      spark.sharedState.cacheManager.clearCache()
+      // global ntile via range-partitioned rank: the single-partition
+      // window this replaces would flatline one core here
+      val t3 = System.nanoTime()
+      val nt = graft.ops.Ranks.ntileByRange(
+          docs.select(col("doc_id"), col("n_chars")), 10,
+          Seq(col("n_chars").desc, col("doc_id").asc), "decile")
+        .groupBy("decile").count().count()
+      println(f"SCALE-NTILE m=$m%2d docs=${5000 * m}%7d tiles=$nt%3d  ${(System.nanoTime() - t3) / 1e9}%6.2f s")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
