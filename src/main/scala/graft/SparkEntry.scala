@@ -581,12 +581,16 @@ object SparkEntry {
 
     // ---------------------------------------------- argmax/argmin per group
     // max_by/min_by on ONE scalar ordering key: acctbal has exactly 2
-    // decimals, so acctbal*100 is an exact integer and *1_000_000 leaves
-    // room for the custkey tiebreaker — a total order both engines agree
-    // on (DuckDB's arg_max does not take composite keys)
+    // decimals, so round(acctbal*100) is an exact integer and *1_000_000
+    // leaves room for the custkey tiebreaker — a total order both engines
+    // agree on (DuckDB's arg_max does not take composite keys). The
+    // explicit round matters: acctbal is a DOUBLE, so *100 lands at
+    // 12344.999…; a bare long cast TRUNCATES in Spark but ROUNDS in
+    // DuckDB, and exact .5 can't arise from 2-decimal money, so rounding
+    // first makes the encode identical on both engines
     ("argmax_customer",
       (s: SparkSession, d: String) => {
-        val key = (col("c_acctbal") * 100).cast("long") * lit(1000000L) + col("c_custkey")
+        val key = round(col("c_acctbal") * 100).cast("long") * lit(1000000L) + col("c_custkey")
         s.read.parquet(s"$d/customer.parquet")
           .groupBy(col("c_nationkey").cast("long").as("nationkey"))
           .agg(max_by(col("c_name"), key).as("top_customer"),
@@ -594,8 +598,8 @@ object SparkEntry {
             max(col("c_acctbal")).cast("double").as("max_bal"))
       },
       Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-             |  arg_max(c_name, CAST(c_acctbal*100 AS BIGINT)*1000000 + c_custkey) AS top_customer,
-             |  arg_min(c_name, CAST(c_acctbal*100 AS BIGINT)*1000000 + c_custkey) AS bottom_customer,
+             |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000 + c_custkey) AS top_customer,
+             |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000 + c_custkey) AS bottom_customer,
              |  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
              |FROM customer GROUP BY c_nationkey""".stripMargin)),
 

@@ -35,7 +35,15 @@ object Ranks {
     * need it. */
   def globalCumSum(df: DataFrame, sortCols: Seq[Column], value: Column,
                    out: String = "cumsum"): DataFrame = {
-    val ranged = df.repartitionByRange(sortCols: _*)
+    // EXPLICIT partition count, not repartitionByRange(cols…): the offsets
+    // join keys on spark_partition_id(), and the window branch and the
+    // counts branch each read the range exchange. A column-only
+    // repartition is REPARTITION_BY_COL, which AQE may coalesce — and it
+    // may coalesce the two reads DIFFERENTLY, silently misaligning the
+    // pids the two branches join on. REPARTITION_BY_NUM is never
+    // coalesced, so both branches observe the identical layout.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("_pid", spark_partition_id()).withColumn("_v", value)
     // both consumers below share the range Exchange (ReusedExchange)
     val local = ranged.withColumn(
