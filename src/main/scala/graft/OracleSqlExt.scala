@@ -89,10 +89,6 @@ object OracleSqlExt {
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
 
-  /** Candidate-restricted exact Jaccard (mirrors
-    * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
-    * minhash, exact intersection via `list_intersect` of the two docs'
-    * shingle lists. */
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
     * (doc_id, idx), per-document dup counts. DuckDB zips the parallel
@@ -119,6 +115,10 @@ object OracleSqlExt {
        |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
        |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Candidate-restricted exact Jaccard (mirrors
+    * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
+    * minhash, exact intersection via `list_intersect` of the two docs'
+    * shingle lists. */
   def jaccardVerifySql(threshold: Double): String =
     s"""WITH $tclCte,
        |slt AS (

@@ -45,7 +45,7 @@ object ScaleProbe {
       val t3 = System.nanoTime()
       val nt = graft.ops.Ranks.ntileByRange(
           docs.select(col("doc_id"), col("n_chars")), 10,
-          Seq(col("n_chars").desc, col("doc_id").asc), "decile")
+          Seq(col("n_chars") -> false, col("doc_id") -> true), "decile")
         .groupBy("decile").count().count()
       println(f"SCALE-NTILE m=$m%2d docs=${5000 * m}%7d tiles=$nt%3d  ${(System.nanoTime() - t3) / 1e9}%6.2f s")
       spark.sharedState.cacheManager.clearCache()

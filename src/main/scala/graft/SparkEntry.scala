@@ -526,13 +526,13 @@ object SparkEntry {
 
     // ------------------------------------------- NTILE quantile bucketing
     // NOT the naive global window (single-partition at scale): ntile is
-    // derived from a range-partitioned global rank — see ops/Ranks.scala.
+    // derived from a content-bucketed global rank — see ops/Ranks.scala.
     ("ntile_customers",
       (s: SparkSession, d: String) =>
         graft.ops.Ranks.ntileByRange(
             s.read.parquet(s"$d/customer.parquet")
               .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
-            10, Seq(col("c_acctbal").desc, col("c_custkey").asc), "decile")
+            10, Seq(col("c_acctbal") -> false, col("c_custkey") -> true), "decile")
           .select(col("c_custkey"), col("c_mktsegment"), col("decile")),
       Some("""SELECT c_custkey, c_mktsegment,
              |       CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS decile
@@ -581,16 +581,17 @@ object SparkEntry {
 
     // ---------------------------------------------- argmax/argmin per group
     // max_by/min_by on ONE scalar ordering key: acctbal has exactly 2
-    // decimals, so round(acctbal*100) is an exact integer and *1_000_000
-    // leaves room for the custkey tiebreaker — a total order both engines
-    // agree on (DuckDB's arg_max does not take composite keys). The
-    // explicit round matters: acctbal is a DOUBLE, so *100 lands at
-    // 12344.999…; a bare long cast TRUNCATES in Spark but ROUNDS in
-    // DuckDB, and exact .5 can't arise from 2-decimal money, so rounding
-    // first makes the encode identical on both engines
+    // decimals, so round(acctbal*100) is an exact integer (|.| < 1e6) and
+    // *1e12 leaves the low 12 digits for the custkey tiebreaker — a total
+    // order both engines agree on (DuckDB's arg_max takes no composite
+    // keys), valid to 1e12 customers (~TPC-H SF 6.6M) with the key still
+    // inside a BIGINT. The explicit round matters: acctbal is a DOUBLE,
+    // so *100 lands at 12344.999…; a bare long cast TRUNCATES in Spark
+    // but ROUNDS in DuckDB, and exact .5 can't arise from 2-decimal
+    // money, so rounding first makes the encode identical on both engines
     ("argmax_customer",
       (s: SparkSession, d: String) => {
-        val key = round(col("c_acctbal") * 100).cast("long") * lit(1000000L) + col("c_custkey")
+        val key = round(col("c_acctbal") * 100).cast("long") * lit(1000000000000L) + col("c_custkey")
         s.read.parquet(s"$d/customer.parquet")
           .groupBy(col("c_nationkey").cast("long").as("nationkey"))
           .agg(max_by(col("c_name"), key).as("top_customer"),
@@ -598,8 +599,8 @@ object SparkEntry {
             max(col("c_acctbal")).cast("double").as("max_bal"))
       },
       Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-             |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000 + c_custkey) AS top_customer,
-             |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000 + c_custkey) AS bottom_customer,
+             |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000000000 + c_custkey) AS top_customer,
+             |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*1000000000000 + c_custkey) AS bottom_customer,
              |  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
              |FROM customer GROUP BY c_nationkey""".stripMargin)),
 

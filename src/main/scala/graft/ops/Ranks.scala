@@ -8,48 +8,71 @@ import org.apache.spark.sql.expressions.Window
   *
   * A bare `Window.orderBy(...)` funnels the whole table through ONE task
   * (Exchange SinglePartition) — correct at sf0.1, a wall at 100 TB. The
-  * classic distributed rewrite keeps the answer bit-identical while every
-  * wide stage stays parallel:
+  * distributed rewrite here keeps answers bit-identical while every wide
+  * stage stays parallel:
   *
-  *   1. range-partition on the sort key (the same sampled partitioner a
-  *      global `ORDER BY` uses — partitions are contiguous key ranges in
-  *      order, so partition id IS the coarse rank);
-  *   2. rank locally inside each range partition;
-  *   3. aggregate one `(partition, count)` row per partition — bounded by
-  *      the partition COUNT, i.e. metadata, not data — and turn it into
-  *      cumulative offsets with a tiny single-partition window (over ≤ the
-  *      shuffle-partition count rows, never over table rows);
-  *   4. broadcast-join the offsets back: global rank = offset + local rank.
+  *   1. bucket every row by CONTENT: `_pid` = how many of n−1 literal
+  *      quantile bounds (an approx-percentile sketch of the leading sort
+  *      key, collected once at plan-build — bounded metadata, the same
+  *      serve-a-model shape as the IVF centroids) sort before the row's
+  *      key. Any monotone assignment yields exact ranks; bound precision
+  *      only affects balance, never the answer;
+  *   2. repartition on `_pid` and take the running sum inside each bucket
+  *      (the bucket-partitioned window needs no further exchange);
+  *   3. aggregate per-bucket totals straight off the scan — one tiny
+  *      shuffle of ≤ n partial rows — turn them into cumulative offsets
+  *      with a window over those ≤ n metadata rows, and broadcast-join
+  *      them back: global = offset(_pid) + local.
   *
-  * The global rank depends only on the total order, not on where the
-  * sampled range bounds land, so the result is deterministic even though
-  * the partitioner samples.
+  * Because `_pid` is computed from literals, every branch and every task
+  * retry derives the identical bucket for a row — correctness does not
+  * depend on physical partition ids, exchange reuse, or AQE decisions.
+  * (An earlier form keyed on `spark_partition_id()` after
+  * `repartitionByRange`; that silently misaligns if the two consumers of
+  * the exchange ever observe different layouts.)
+  *
+  * Sort keys are `(expression, ascending)` pairs; the LEADING key must be
+  * numeric (the quantile sketch needs it) and the full key list must be a
+  * total order — with ties the ROWS-frame local sum would be
+  * partition-placement-dependent.
   */
 object Ranks {
 
-  /** Global running sum of `value` over a total order as `out`, computed
-    * without any single-partition pass over data rows. `sortCols` must be a
-    * total order (include a tiebreaker key) — with ties the ROWS-frame
-    * local sum would make results partition-placement-dependent. Also
-    * attaches `_n_total` (the global sum of `value`) for consumers that
-    * need it. */
-  def globalCumSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+  /** Global running sum of `value` over the total order given by `keys`,
+    * as `out`; also attaches `_n_total` (the global sum of `value`). */
+  def globalCumSum(df: DataFrame, keys: Seq[(Column, Boolean)], value: Column,
                    out: String = "cumsum"): DataFrame = {
-    // EXPLICIT partition count, not repartitionByRange(cols…): the offsets
-    // join keys on spark_partition_id(), and the window branch and the
-    // counts branch each read the range exchange. A column-only
-    // repartition is REPARTITION_BY_COL, which AQE may coalesce — and it
-    // may coalesce the two reads DIFFERENTLY, silently misaligning the
-    // pids the two branches join on. REPARTITION_BY_NUM is never
-    // coalesced, so both branches observe the identical layout.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sortCols: _*)
-      .withColumn("_pid", spark_partition_id()).withColumn("_v", value)
-    // both consumers below share the range Exchange (ReusedExchange)
-    val local = ranged.withColumn(
-      "_lc", sum(col("_v")).over(Window.partitionBy("_pid").orderBy(sortCols: _*)
+    val (lead, leadAsc) = keys.head
+    val sortCols = keys.map { case (c, asc) => if (asc) c.asc else c.desc }
+
+    // n−1 ascending quantile bounds of the leading key, one small job at
+    // plan-build time; a null/empty sketch (empty input) degrades to a
+    // single bucket, which is still exact
+    val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val boundsRow = df.select(percentile_approx(lead, qs, lit(10000)).as("b")).head()
+    val bounds: Seq[Any] =
+      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Any](0)
+
+    // monotone content bucket: count of bounds sorting strictly before the
+    // key. Nulls go where the default sort order puts them (asc = first
+    // bucket, desc = last).
+    val pid: Column =
+      if (bounds.isEmpty) lit(0)
+      else {
+        val hits = bounds.map { b =>
+          when(if (leadAsc) lead > lit(b) else lead < lit(b), 1).otherwise(0)
+        }.reduce(_ + _)
+        when(lead.isNull, if (leadAsc) lit(0) else lit(bounds.size)).otherwise(hits)
+      }
+
+    val keyed = df.withColumn("_v", value).withColumn("_pid", pid)
+    val local = keyed.repartition(n, col("_pid"))
+      .withColumn("_lc", sum(col("_v")).over(Window.partitionBy("_pid").orderBy(sortCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = ranged.groupBy("_pid").agg(sum(col("_v")).as("_cnt"))
+    // totals come straight off the (column-pruned) scan — the map-side
+    // partial aggregation ships ≤ n rows per task
+    val totals = keyed.groupBy("_pid").agg(sum(col("_v")).as("_cnt"))
     val byPid = Window.orderBy("_pid")
     val offsets = totals.select(
       col("_pid"),
@@ -64,19 +87,20 @@ object Ranks {
 
   /** Global 1-based rank (row_number over a total order) as `out`: the
     * running count of rows — [[globalCumSum]] of the constant 1. */
-  def globalRank(df: DataFrame, sortCols: Seq[Column], out: String = "rank"): DataFrame =
-    globalCumSum(df, sortCols, lit(1L), out)
+  def globalRank(df: DataFrame, keys: Seq[(Column, Boolean)], out: String = "rank"): DataFrame =
+    globalCumSum(df, keys, lit(1L), out)
 
   /** Scale-safe NTILE(k) over a total order, bit-identical to the SQL
     * `ntile(k) OVER (ORDER BY ...)`: the first `n mod k` buckets take
     * `n div k + 1` rows, the rest `n div k`, assigned from the global rank
     * computed by [[globalRank]] — no single-partition window over data. */
-  def ntileByRange(df: DataFrame, k: Int, sortCols: Seq[Column], out: String = "ntile"): DataFrame = {
+  def ntileByRange(df: DataFrame, k: Int, keys: Seq[(Column, Boolean)],
+                   out: String = "ntile"): DataFrame = {
     val r = col("_r")
     val q = (col("_n_total") / k).cast("long")      // floor: counts are non-negative
     val m = pmod(col("_n_total"), lit(k.toLong))
     val thresh = m * (q + 1)                        // rows living in the wide buckets
-    Ranks.globalRank(df, sortCols, "_r")
+    Ranks.globalRank(df, keys, "_r")
       .withColumn(out,
         when(r <= thresh, (r - 1) / (q + 1))
           // guard: q = 0 only when n < k, where the branch above covers

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Per shard the running sum is an ordinary partitioned window
   * (`shardCol`); the global form routes through [[graft.ops.Ranks
-  * .globalCumSum]] — range-partitioned local sums offset-corrected by
-  * broadcast per-partition totals — so neither shape ever funnels data
+  * .globalCumSum]] — content-bucketed local sums offset-corrected by
+  * broadcast per-bucket totals — so neither shape ever funnels data
   * rows through a single task.
   */
 object Packing {
@@ -28,7 +28,7 @@ object Packing {
       case None =>
         graft.ops.Ranks.globalCumSum(
           docs.select(col("doc_id"), col("n_chars")),
-          Seq(col("doc_id").asc), col("n_chars"), "cum")
+          Seq(col("doc_id") -> true), col("n_chars"), "cum")
     }
     cum
       // start offset = cum - n_chars; floor division is exact on doubles

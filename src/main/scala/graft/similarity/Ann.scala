@@ -50,10 +50,24 @@ object Ann {
     * is scan → explode(literal probes) → score → top-k, and the q_nrm /
     * cos doubles are bit-identical to the join form (same inputs, same
     * fold order). */
-  def bruteForceTopK(emb: DataFrame, stride: Int = 100, k: Int = 5): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, stride: Int = 100, k: Int = 5,
+                     maxProbes: Int = 4096): DataFrame = {
     val probes = queries(emb, stride).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    // the literal-model shape is only valid for a BOUNDED probe set —
+    // n/stride grows with the corpus, so fail loudly before building an
+    // unanalyzable million-literal plan (raise stride, or probe in
+    // batches, rather than maxProbes)
+    require(probes.length <= maxProbes,
+      s"${probes.length} probes exceed maxProbes=$maxProbes: raise stride for this corpus")
+    if (probes.isEmpty) {
+      // explode(array()) yields a NullType the q.* extraction can't
+      // resolve; return the typed empty result the join form produced
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0L).as("n_id"), lit(0.0).as("cos"))
+        .limit(0)
+    }
     val probeStructs = probes.map { case (id, vec, nrm) =>
       struct(lit(id).as("q_id"), array(vec.map(lit(_)): _*).as("q_vec"), lit(nrm).as("q_nrm"))
     }

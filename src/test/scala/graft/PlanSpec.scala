@@ -89,15 +89,15 @@ class PlanSpec extends SparkSpec {
   test("shuffle budgets hold for the one-exchange operators") {
     // queries whose scale story is "exactly one shuffle" — a refactor
     // that adds an exchange fails here before it costs anything at scale
-    // pack_sequences: 5 = the globalCumSum rewrite's fixed budget — range
-    // (printed twice pre-AQE; runtime stage reuse dedups it) + window
-    // repartition over data rows, plus the per-partition-totals agg and
-    // single-partition offsets window that only move ≤ partition-count
+    // pack_sequences: 3 = the globalCumSum rewrite's fixed budget — ONE
+    // repartition of data rows on the content-derived bucket (the bucket
+    // window rides it exchange-free), plus the per-bucket-totals agg and
+    // single-partition offsets window that only move ≤ bucket-count
     // metadata rows
     // dedup_passages: 2 = hash-of-passage window + per-doc aggregation;
     // the passage explode itself is array-local (shuffle-free)
     Seq("events_hourly" -> 1, "sessionize" -> 1, "dedup_exact" -> 1,
-        "agg_unigrams" -> 1, "pack_sequences" -> 5,
+        "agg_unigrams" -> 1, "pack_sequences" -> 3,
         "dedup_passages" -> 2).foreach { case (q, budget) =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
@@ -140,29 +140,45 @@ class PlanSpec extends SparkSpec {
 
   test("no registry query plans a cartesian product, BNLJ, or global window over data") {
     // The absolute scale invariant, swept over EVERY shipped query: no
-    // unbounded×unbounded join node anywhere (bounded cross products go
-    // through ops/Joins.withEach's constant-key BroadcastHashJoin), and any
+    // unbounded×unbounded join node anywhere (a BNLJ passes only with a
+    // plan-provable single-row build side), and any
     // empty-partition window must consume aggregated metadata (≤ partition
     // count rows), never raw table rows. Baselines that genuinely need an
     // all-pairs plan (closestEmbeddingPairs) live in tests, not here.
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.{InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // a BNLJ build side provably emits ≤ 1 row only if, after stripping
+    // row-preserving wrappers, its ROOT is a grouping-free aggregate —
+    // an aggregate merely somewhere below (e.g. under a join that fans
+    // back out) proves nothing
+    @annotation.tailrec
+    def singleRowRoot(p: SparkPlan): Boolean = p match {
+      case e: BroadcastExchangeExec => singleRowRoot(e.child)
+      case e: ReusedExchangeExec    => singleRowRoot(e.child)
+      case w: WholeStageCodegenExec => singleRowRoot(w.child)
+      case i: InputAdapter          => singleRowRoot(i.child)
+      case r: AQEShuffleReadExec    => singleRowRoot(r.child)
+      case s: QueryStageExec        => singleRowRoot(s.plan)
+      case pr: ProjectExec          => singleRowRoot(pr.child)
+      case a: BaseAggregateExec     => a.groupingExpressions.isEmpty
+      case _                        => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val p = physicalPlan(q(spark, sf))
       val bad =
         p.collect { case _: CartesianProductExec => "CartesianProduct" }.toSeq ++
         p.collect {
           // a BNLJ is tolerable ONLY when the plan itself proves the build
-          // side is a single row: a grouping-free aggregate beneath the
-          // broadcast (the crossJoin(broadcast(globalTotal)) idiom)
+          // side is a single row (the crossJoin(broadcast(globalTotal))
+          // idiom)
           case j: BroadcastNestedLoopJoinExec
-            if { val build = j.buildSide match {
-                   case BuildLeft => j.left; case BuildRight => j.right }
-                 build.collect {
-                   case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
-                 }.isEmpty } =>
+            if !singleRowRoot(j.buildSide match {
+                 case BuildLeft => j.left; case BuildRight => j.right }) =>
             "BroadcastNestedLoopJoin with unbounded build side"
         } ++
         p.collect {

@@ -16,10 +16,12 @@ class RanksSpec extends SparkSpec {
   test("globalRank matches row_number over a global order") {
     val df = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"))
-    val keys = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
     val naive = df.withColumn("rank",
-      row_number().over(Window.orderBy(keys: _*)).cast("long"))
-    val fast = Ranks.globalRank(df, keys, "rank").drop("_n_total")
+      row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+        .cast("long"))
+    val fast = Ranks.globalRank(df,
+      Seq(col("o_totalprice") -> false, col("o_orderkey") -> true), "rank")
+      .drop("_n_total")
     assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
   }
 
@@ -29,9 +31,9 @@ class RanksSpec extends SparkSpec {
     // n = 20, k = 5 → even split. Both must match the SQL ntile exactly.
     for (n <- Seq(17, 20); k <- Seq(5, 3)) {
       val df = (1 to n).map(i => (i.toLong, (i * 37 % n).toLong)).toDF("id", "v")
-      val keys = Seq(col("v").desc, col("id").asc)
-      val naive = df.withColumn("b", ntile(k).over(Window.orderBy(keys: _*)).cast("long"))
-      val fast = Ranks.ntileByRange(df, k, keys, "b")
+      val naive = df.withColumn("b",
+        ntile(k).over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      val fast = Ranks.ntileByRange(df, k, Seq(col("v") -> false, col("id") -> true), "b")
       assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
         s"ntile mismatch at n=$n k=$k")
     }
@@ -40,7 +42,7 @@ class RanksSpec extends SparkSpec {
   test("ntileByRange with n < k assigns one row per leading bucket") {
     import spark.implicits._
     val df = (1 to 3).map(_.toLong).toDF("id")
-    val out = Ranks.ntileByRange(df, 10, Seq(col("id").asc), "b")
+    val out = Ranks.ntileByRange(df, 10, Seq(col("id") -> true), "b")
       .select("id", "b").as[(Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
@@ -57,9 +59,10 @@ class RanksSpec extends SparkSpec {
       assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
         s"global window over raw rows (single-partition bottleneck):\n$w")
     }
-    // the data path is range-partitioned and the offsets come back broadcast
+    // the data path is bucket-repartitioned on the content-derived _pid
+    // and the offsets come back broadcast
     val s = plan.toString
-    assert(s.contains("rangepartitioning"), s"expected range partitioning:\n$s")
+    assert(s.contains("hashpartitioning(_pid"), s"expected _pid repartition:\n$s")
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast offsets join:\n$s")
   }
 }
