@@ -53,6 +53,29 @@ object Profile {
       when(a <= 57, a - 48).otherwise(a - 87).cast("long")
     })
     clear(); time("simhashPairs")(Dedup.simhashPairs(docs).count())
+
+    // minhash md5-parse variants: one 7-char conv per half vs a 7-term
+    // ascii-nibble polynomial (same values, different parse cost)
+    def minhashVariant(xy: Column => Seq[Column]): Long = {
+      val halves = Dedup.shingles(docs, 3)
+        .select(col("doc_id"), md5(col("shingle")).as("m"))
+        .select(col("doc_id") +: xy(col("m")): _*)
+      val aggs = (0 until 16).map { i =>
+        min((lit(Dedup.minhashA(i)) * col("x") + lit(Dedup.minhashB(i)) * col("y") +
+          lit(Dedup.minhashC(i))) % Dedup.MinhashP).as(s"h$i")
+      }
+      halves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).count()
+    }
+    def hex7(m: Column, start: Int): Column =
+      (0 until 7).map { k =>
+        val a = ascii(substring(m, start + k, 1))
+        when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - k)))
+      }.reduce(_ + _)
+    clear(); time("minhash_conv")(minhashVariant(m => Seq(
+      conv(substring(m, 1, 7), 16, 10).cast("long").as("x"),
+      conv(substring(m, 8, 7), 16, 10).cast("long").as("y"))))
+    clear(); time("minhash_ascii")(minhashVariant(m => Seq(
+      hex7(m, 1).as("x"), hex7(m, 8).as("y"))))
     spark.stop()
   }
 }

@@ -123,13 +123,20 @@ object Dedup {
     * back to sort-based aggregation — longs keep the 16-way agg in a
     * fixed-width HashAggregate buffer). The md5 and its two halves are
     * materialized in their own projections so the 16 affine expressions
-    * reference plain columns (no re-hash per expression). */
+    * reference plain columns (no re-hash per expression). The halves
+    * parse via an ascii-nibble polynomial, not conv(_,16,10): md5 hex is
+    * lowercase [0-9a-f], and conv's general radix parser measured ~1.4x
+    * the cost (Profile: 1.04 s vs 0.76 s for the sf0.1 signature table —
+    * the same trade the simhash nibbles use). */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
+    def hex7(m: Column, start: Int): Column =
+      (0 until 7).map { j =>
+        val a = ascii(substring(m, start + j, 1))
+        when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - j)))
+      }.reduce(_ + _)
     val halves = shingles(docs, k)
       .select(col("doc_id"), md5(col("shingle")).as("m"))
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("x"),
-        conv(substring(col("m"), 8, 7), 16, 10).cast("long").as("y"))
+      .select(col("doc_id"), hex7(col("m"), 1).as("x"), hex7(col("m"), 8).as("y"))
     val aggs = (0 until numHashes).map { i =>
       min((lit(minhashA(i)) * col("x") + lit(minhashB(i)) * col("y") + lit(minhashC(i))) % MinhashP).as(s"h$i")
     }
