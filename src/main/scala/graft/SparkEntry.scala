@@ -443,6 +443,28 @@ object SparkEntry {
              |       COALESCE(c.c_mktsegment, 'NONE') AS segment
              |FROM e FULL JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
 
+    // ------------------------------ set operations with BAG semantics
+    // EXCEPT ALL / INTERSECT ALL preserve multiplicity (orders contribute
+    // one custkey per order; customers one each): except_all multiplicity
+    // = n_orders - 1, intersect_all = 1 — the multiset algebra both
+    // engines define identically
+    ("set_ops_all",
+      (s: SparkSession, d: String) => {
+        val a = s.read.parquet(s"$d/orders.parquet").select(col("o_custkey").as("custkey"))
+        val b = s.read.parquet(s"$d/customer.parquet").select(col("c_custkey").as("custkey"))
+        a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+          .withColumn("which", lit("except_all"))
+          .unionByName(a.intersectAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+            .withColumn("which", lit("intersect_all")))
+      },
+      Some("""WITH a AS (SELECT o_custkey AS custkey FROM orders),
+             |     b AS (SELECT c_custkey AS custkey FROM customer),
+             |     ex AS (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b),
+             |     ia AS (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+             |SELECT custkey, CAST(count(*) AS BIGINT) AS n, 'except_all' AS which FROM ex GROUP BY custkey
+             |UNION ALL
+             |SELECT custkey, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS which FROM ia GROUP BY custkey""".stripMargin)),
+
     // ----------------------------------------- set operations (2.7 beyond)
     ("set_ops",
       (s: SparkSession, d: String) => {
@@ -500,6 +522,46 @@ object SparkEntry {
              |  COALESCE(lag(o_orderkey) OVER w, -1) AS prev_order
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
+
+    // -------------------------------------- ranking window functions
+    // dense_rank / percent_rank / cume_dist / first_value over a total
+    // order per priority class; (rank-1)/(n-1) and cumulative fractions
+    // are the same integer-derived doubles on both engines
+    ("window_ranks",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            dense_rank().over(w).cast("long").as("drank"),
+            round(percent_rank().over(w), 6).as("prank"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            first_value(col("o_orderkey")).over(w).as("top_key"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             |  round(percent_rank() OVER w, 6) AS prank,
+             |  round(cume_dist() OVER w, 6) AS cdist,
+             |  first_value(o_orderkey) OVER w AS top_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin)),
+
+    // -------------------------------------- calendar-part aggregation
+    ("date_parts",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(s"$d/orders.parquet")
+          .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+            quarter(col("o_orderdate")).cast("long").as("q"),
+            month(col("o_orderdate")).cast("long").as("m"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |       CAST(month(o_orderdate) AS BIGINT) AS m,
+             |       CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1, 2, 3""".stripMargin)),
 
     // ------------------------------- RANGE-frame window (value-based frame)
     // 30-day trailing spend per customer: the frame is defined by the
