@@ -37,6 +37,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ntileByRange equals the SQL ntile on random multisets with tied leading keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy duplication in the leading key (values drawn from a tiny
+    // domain) forces ties to land ON the quantile bounds — the edge the
+    // monotone content-bucketing must absorb; id is the unique tiebreak
+    val caseGen = for {
+      n <- Gen.choose(1, 60)
+      k <- Gen.choose(1, 7)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 5L))
+      asc <- Gen.oneOf(true, false)
+    } yield (vs, k, asc)
+    Gen.listOfN(8, caseGen).sample.get.foreach { case (vs, k, asc) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val sort = if (asc) Seq(col("v").asc, col("id").asc) else Seq(col("v").desc, col("id").asc)
+      val naive = df.withColumn("b", ntile(k).over(Window.orderBy(sort: _*)).cast("long"))
+      val fast = graft.ops.Ranks.ntileByRange(df, k, Seq(col("v") -> asc, col("id") -> true), "b")
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+        s"ntile mismatch: n=${vs.size} k=$k asc=$asc vs=$vs")
+    }
+  }
+
   test("cleanToken keeps the reference's leading-underscore POS quirk") {
     // '_ab_NOUN': leading underscore is NOT a cut point (idx must be > 0
     // on the trimmed string), so the POS tag survives pass 1 and only the
