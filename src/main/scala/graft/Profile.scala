@@ -66,16 +66,12 @@ object Profile {
       }
       halves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).count()
     }
-    def hex7(m: Column, start: Int): Column =
-      (0 until 7).map { k =>
-        val a = ascii(substring(m, start + k, 1))
-        when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - k)))
-      }.reduce(_ + _)
     clear(); time("minhash_conv")(minhashVariant(m => Seq(
       conv(substring(m, 1, 7), 16, 10).cast("long").as("x"),
       conv(substring(m, 8, 7), 16, 10).cast("long").as("y"))))
+    // the ascii variant is the SHIPPED parser, not a re-implementation
     clear(); time("minhash_ascii")(minhashVariant(m => Seq(
-      hex7(m, 1).as("x"), hex7(m, 8).as("y"))))
+      Dedup.md5Half(m, 1).as("x"), Dedup.md5Half(m, 8).as("y"))))
     spark.stop()
   }
 }

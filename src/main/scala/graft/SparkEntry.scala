@@ -271,7 +271,9 @@ object SparkEntry {
         graft.ops.Salt.saltedSum(
             s.read.parquet(s"$d/lineitem.parquet")
               .withColumn("q", col("l_quantity").cast("decimal(18,2)")),
-            Seq("l_returnflag"), "q", buckets = 16)
+            Seq("l_returnflag"), "q", buckets = 16,
+            // salt on the compact row key, not all 17 columns
+            saltOn = Seq("l_orderkey", "l_linenumber"))
           .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_q")),
       Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),

@@ -128,15 +128,19 @@ object Dedup {
     * lowercase [0-9a-f], and conv's general radix parser measured ~1.4x
     * the cost (Profile: 1.04 s vs 0.76 s for the sf0.1 signature table —
     * the same trade the simhash nibbles use). */
+  /** 28-bit half of an md5 hex string as a long: ascii-nibble polynomial
+    * over the 7 chars at [start, start+6]. Shared with Profile's parse
+    * A/B harness so the profiled variant IS the shipped one. */
+  private[graft] def md5Half(m: Column, start: Int): Column =
+    (0 until 7).map { j =>
+      val a = ascii(substring(m, start + j, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - j)))
+    }.reduce(_ + _)
+
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    def hex7(m: Column, start: Int): Column =
-      (0 until 7).map { j =>
-        val a = ascii(substring(m, start + j, 1))
-        when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - j)))
-      }.reduce(_ + _)
     val halves = shingles(docs, k)
       .select(col("doc_id"), md5(col("shingle")).as("m"))
-      .select(col("doc_id"), hex7(col("m"), 1).as("x"), hex7(col("m"), 8).as("y"))
+      .select(col("doc_id"), md5Half(col("m"), 1).as("x"), md5Half(col("m"), 8).as("y"))
     val aggs = (0 until numHashes).map { i =>
       min((lit(minhashA(i)) * col("x") + lit(minhashB(i)) * col("y") + lit(minhashC(i))) % MinhashP).as(s"h$i")
     }

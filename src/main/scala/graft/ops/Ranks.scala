@@ -46,25 +46,29 @@ object Ranks {
     val (lead, leadAsc) = keys.head
     val sortCols = keys.map { case (c, asc) => if (asc) c.asc else c.desc }
 
-    // n−1 ascending quantile bounds of the leading key, one small job at
-    // plan-build time; a null/empty sketch (empty input) degrades to a
-    // single bucket, which is still exact
+    // n−1 ascending quantile bounds of the leading key (as doubles — the
+    // cast is monotone, and only bucketing uses it; the local sort keeps
+    // the exact keys), one small job at plan-build time; a null/empty
+    // sketch (empty input) degrades to a single bucket, which is still
+    // exact
+    val leadD = lead.cast("double")
     val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    val boundsRow = df.select(percentile_approx(lead, qs, lit(10000)).as("b")).head()
-    val bounds: Seq[Any] =
-      if (boundsRow.isNullAt(0)) Seq.empty else boundsRow.getSeq[Any](0)
+    val boundsRow = df.select(percentile_approx(leadD, qs, lit(10000)).as("b")).head()
+    val bounds: Array[Double] =
+      if (boundsRow.isNullAt(0)) Array.empty
+      else boundsRow.getSeq[Double](0).toArray
 
-    // monotone content bucket: count of bounds sorting strictly before the
-    // key. Nulls go where the default sort order puts them (asc = first
-    // bucket, desc = last).
+    // monotone content bucket: count of bounds sorting strictly before
+    // the key, via the codegen'd binary-search Expression (O(log n) per
+    // row, O(1) plan nodes — a compare-and-add Column chain would be an
+    // O(n)-deep tree and O(n) per row at cluster partition counts). Nulls
+    // go where the default sort order puts them (asc = first bucket,
+    // desc = last).
+    val sortedBounds = if (leadAsc) bounds else bounds.reverse
     val pid: Column =
-      if (bounds.isEmpty) lit(0)
-      else {
-        val hits = bounds.map { b =>
-          when(if (leadAsc) lead > lit(b) else lead < lit(b), 1).otherwise(0)
-        }.reduce(_ + _)
-        when(lead.isNull, if (leadAsc) lit(0) else lit(bounds.size)).otherwise(hits)
-      }
+      if (sortedBounds.isEmpty) lit(0)
+      else when(lead.isNull, if (leadAsc) lit(0) else lit(sortedBounds.length))
+        .otherwise(graft.functions.SearchSorted.bucketOf(leadD, sortedBounds, leadAsc))
 
     val keyed = df.withColumn("_v", value).withColumn("_pid", pid)
     val local = keyed.repartition(n, col("_pid"))
@@ -93,20 +97,21 @@ object Ranks {
   /** Scale-safe NTILE(k) over a total order, bit-identical to the SQL
     * `ntile(k) OVER (ORDER BY ...)`: the first `n mod k` buckets take
     * `n div k + 1` rows, the rest `n div k`, assigned from the global rank
-    * computed by [[globalRank]] — no single-partition window over data. */
+    * computed by [[globalRank]] — no single-partition window over data.
+    * All bucket arithmetic is integer `div`/`pmod`, never double division:
+    * a double quotient one ulp above a true integer would mis-assign a
+    * row once counts reach 2^53-quotient territory. */
   def ntileByRange(df: DataFrame, k: Int, keys: Seq[(Column, Boolean)],
-                   out: String = "ntile"): DataFrame = {
-    val r = col("_r")
-    val q = (col("_n_total") / k).cast("long")      // floor: counts are non-negative
-    val m = pmod(col("_n_total"), lit(k.toLong))
-    val thresh = m * (q + 1)                        // rows living in the wide buckets
+                   out: String = "ntile"): DataFrame =
     Ranks.globalRank(df, keys, "_r")
+      .withColumn("_q", expr(s"_n_total div CAST($k AS BIGINT)"))
+      .withColumn("_m", pmod(col("_n_total"), lit(k.toLong)))
+      .withColumn("_thresh", col("_m") * (col("_q") + 1)) // rows in the wide buckets
       .withColumn(out,
-        when(r <= thresh, (r - 1) / (q + 1))
-          // guard: q = 0 only when n < k, where the branch above covers
+        when(col("_r") <= col("_thresh"), expr("(_r - 1) div (_q + 1)"))
+          // guard: _q = 0 only when n < k, where the branch above covers
           // every row; greatest() keeps the dead branch division legal
-          .otherwise(m + (r - thresh - 1) / greatest(q, lit(1L)))
-          .cast("long") + 1L)
-      .drop("_r", "_n_total")
-  }
+          .otherwise(col("_m") + expr("(_r - _thresh - 1) div greatest(_q, CAST(1 AS BIGINT))"))
+          + 1L)
+      .drop("_r", "_n_total", "_q", "_m", "_thresh")
 }

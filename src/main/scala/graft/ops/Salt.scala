@@ -23,17 +23,25 @@ object Salt {
     * identically, so retries are safe; a hot key still spreads as long as
     * its rows differ in ANY column (payloads, ids, timestamps).
     *
-    * Limit: rows identical in EVERY column collapse into one (key, salt)
-    * group. If your skew case is billions of byte-identical rows,
-    * disambiguate upstream (e.g. carry a source offset column) — no
-    * deterministic content salt can split indistinguishable rows. */
-  def saltCol(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets))
+    * Limit: rows identical in EVERY hashed column collapse into one
+    * (key, salt) group. If your skew case is billions of byte-identical
+    * rows, disambiguate upstream (e.g. carry a source offset column) — no
+    * deterministic content salt can split indistinguishable rows.
+    *
+    * `saltOn` narrows the hash to a discriminating subset (a row key like
+    * (l_orderkey, l_linenumber)) — hashing a multi-KB text payload per
+    * row to derive a 4-bit salt is pure waste; default (empty) hashes
+    * every column as the always-correct fallback. */
+  def saltCol(df: DataFrame, buckets: Int, saltOn: Seq[String] = Nil): Column = {
+    val cols = if (saltOn.nonEmpty) saltOn else df.columns.toSeq
+    pmod(hash(cols.map(col): _*), lit(buckets))
+  }
 
   /** `df.groupBy(keys).agg(sum(valueCol))`, executed as salted two-phase. */
-  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int = 16): DataFrame = {
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int = 16,
+                saltOn: Seq[String] = Nil): DataFrame = {
     val salted = df
-      .withColumn("_salt", saltCol(df, buckets))
+      .withColumn("_salt", saltCol(df, buckets, saltOn))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))
     salted.groupBy(keys.map(col): _*)
@@ -50,8 +58,8 @@ object Salt {
     * the explicit form for the pathological single-key case a plan can't
     * split because one KEY, not one partition, is hot.) */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 buckets: Int = 16): DataFrame = {
-    val l = left.withColumn("_salt", saltCol(left, buckets))
+                 buckets: Int = 16, saltOn: Seq[String] = Nil): DataFrame = {
+    val l = left.withColumn("_salt", saltCol(left, buckets, saltOn))
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }

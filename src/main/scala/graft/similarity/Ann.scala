@@ -154,6 +154,9 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Array[Double])] = base.orderBy("vec_id").limit(nCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    // over-striding must fail loudly, not quietly serve a collapsed index
+    require(cents.length == nCells,
+      s"training sample has only ${cents.length} vectors for $nCells cells: lower trainStride")
     for (_ <- 0 until iters) {
       val dims = base.select(ivfCell(col("v"), cents).as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")

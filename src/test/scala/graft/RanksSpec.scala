@@ -47,6 +47,22 @@ class RanksSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("bucket-of binary search matches the linear count, both directions and ties") {
+    import graft.functions.SearchSorted
+    val asc = Array(1.0, 3.0, 3.0, 7.0)
+    for (v <- Seq(0.0, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0))
+      assert(SearchSorted.countBefore(asc, v, asc = true) == asc.count(_ < v), s"asc v=$v")
+    val desc = Array(7.0, 3.0, 3.0, 1.0)
+    for (v <- Seq(9.0, 7.0, 5.0, 3.0, 2.0, 1.0, 0.0))
+      assert(SearchSorted.countBefore(desc, v, asc = false) == desc.count(_ > v), s"desc v=$v")
+    // Column path (codegen) agrees with the scalar; a tie maps to the
+    // bucket BEFORE the bound, matching the strict comparison
+    val got = spark.range(10).select(col("id").cast("double").as("v"))
+      .select(col("v"), SearchSorted.bucketOf(col("v"), Array(2.0, 5.0, 8.0), asc = true).as("b"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(got(0.0) == 0 && got(2.0) == 0 && got(3.0) == 1 && got(8.0) == 2 && got(9.0) == 3)
+  }
+
   test("ntile_customers plan keeps global windows off data rows") {
     val plan = physicalPlan(SparkEntry.queries("ntile_customers")(spark, sf))
     // every empty-partition window must sit above an aggregation — i.e. it
