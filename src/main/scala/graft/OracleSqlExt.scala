@@ -115,6 +115,33 @@ object OracleSqlExt {
        |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
        |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.removeDupPassages]]: the same passage
+    * grid and first-occurrence ranks, reassembling kept passages in idx
+    * order (`string_agg` skips the NULLed repeats exactly as Spark's
+    * `collect_list` does; all-dropped docs coalesce to ''). */
+  def removeDupPassagesSql(w: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), s -> length(s) > 0) AS toks
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id,
+       |         unnest(range(CAST(floor(len(toks)/$w) AS BIGINT))) AS idx,
+       |         unnest(list_transform(range(CAST(floor(len(toks)/$w) AS BIGINT)),
+       |                i -> array_to_string(toks[(i*$w+1):(i*$w+$w)], ' '))) AS p
+       |  FROM t
+       |),
+       |r AS (
+       |  SELECT doc_id, idx, p, row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, idx) AS rn
+       |  FROM p
+       |)
+       |SELECT doc_id,
+       |       COALESCE(string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY idx), '') AS clean_text,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM r GROUP BY doc_id""".stripMargin
+
   /** Candidate-restricted exact Jaccard (mirrors
     * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
     * minhash, exact intersection via `list_intersect` of the two docs'

@@ -812,6 +812,13 @@ object SparkEntry {
         graft.dedup.Dedup.passageDupStats(Collocations.documents(s, d), window = 3),
       Some(OracleSqlExt.passageDupSql(3))),
 
+    // the transform the stats measure: rewrite each doc keeping only
+    // corpus-wide first-occurrence passages
+    ("scrub_dup_passages",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.removeDupPassages(Collocations.documents(s, d), window = 3),
+      Some(OracleSqlExt.removeDupPassagesSql(3))),
+
     ("dedup_minhash_lsh",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.lshCandidates(Collocations.documents(s, d)),

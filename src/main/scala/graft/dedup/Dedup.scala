@@ -68,6 +68,36 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_passages"), 6))
   }
 
+  /** The transform [[passageDupStats]] measures: rebuild each document
+    * with only its FIRST-occurrence passages (corpus-wide), dropping every
+    * repeat of an earlier (doc_id, idx) — line/paragraph dedup as a
+    * rewrite. Trailing tokens that don't fill a window are dropped with
+    * the window grid (documented semantics of the fixed-window form).
+    * Emits (doc_id, clean_text, n_kept, n_dropped). */
+  def removeDupPassages(docs: DataFrame, window: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val nPass = floor(size(col("toks")) / window).cast("long")
+    val passages = base
+      .select(col("doc_id"),
+        explode(when(nPass > 0, transform(sequence(lit(0L), nPass - 1),
+            i => struct(i.as("idx"),
+              concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window)))
+                .as("p"))))
+          .otherwise(array().cast("array<struct<idx:bigint,p:string>>"))).as("w"))
+      .select(col("doc_id"), col("w.idx").as("idx"), col("w.p").as("p"))
+    val rn = row_number().over(Window.partitionBy(md5(col("p"))).orderBy(col("doc_id"), col("idx")))
+    passages.withColumn("rn", rn)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("p"))))),
+            x => x.getField("p")), " ").as("clean_text"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   // ------------------------------------------------------------ shingles
 
   /** Distinct word k-shingles from an already-materialized token array.

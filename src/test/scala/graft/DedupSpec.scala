@@ -155,6 +155,20 @@ class DedupSpec extends SparkSpec {
     assert(tiny.count() == 0)
   }
 
+  test("dup-passage removal keeps first occurrences in order, drops repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // both passages first -> unchanged
+      (2L, "a b c x y z"),        // [a b c] repeats (1,0) -> only "x y z" kept
+      (3L, "x y z a b c")         // both repeat -> empty rewrite
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupPassages(docs, window = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L)))
+    assert(out(2L) == (("x y z", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 2L)))
+  }
+
   test("Gaussian hyperplane LSH matches brute force and is seed-deterministic") {
     import spark.implicits._
     // same planted-near-dup corpus as the axis-aligned test: the random
