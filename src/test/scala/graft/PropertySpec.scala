@@ -59,6 +59,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("globalCumSum equals the naive global running sum on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val caseGen = for {
+      n <- Gen.choose(1, 50)
+      vs <- Gen.listOfN(n, Gen.choose(-100L, 100L))
+    } yield vs
+    Gen.listOfN(5, caseGen).sample.get.foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val naive = df.withColumn("c",
+        sum("v").over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val fast = graft.ops.Ranks.globalCumSum(df, Seq(col("id") -> true), col("v"), "c")
+        .drop("_n_total")
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+        s"cumsum mismatch for $vs")
+    }
+  }
+
   test("cleanToken keeps the reference's leading-underscore POS quirk") {
     // '_ab_NOUN': leading underscore is NOT a cut point (idx must be > 0
     // on the trimmed string), so the POS tag survives pass 1 and only the

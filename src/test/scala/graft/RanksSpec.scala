@@ -80,5 +80,15 @@ class RanksSpec extends SparkSpec {
     val s = plan.toString
     assert(s.contains("hashpartitioning(_pid"), s"expected _pid repartition:\n$s")
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast offsets join:\n$s")
+    // the bucket binary search must run inside whole-stage codegen, not
+    // interpreted eval — asserted on an exchange-free scan+project (an
+    // AQE plan hides materialized stage internals from inspection; "*("
+    // marks codegen stages)
+    val probe = spark.read.parquet(s"$sf/customer.parquet")
+      .select(graft.functions.SearchSorted.bucketOf(
+        col("c_acctbal").cast("double"), Array(0.0, 1000.0, 5000.0), asc = true).as("b"))
+    val ps = probe.queryExecution.executedPlan.toString
+    assert(ps.linesIterator.exists(l => l.contains("*(") && l.contains("graft_bucket_of")),
+      s"expected graft_bucket_of in a codegen stage:\n$ps")
   }
 }
