@@ -33,7 +33,22 @@ object GraftFunctions {
       (es: Seq[Expression]) => RollingHashExpr(es.head)),
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    // graft_bucket_of(value, sorted_bounds, asc): the bounds MODEL must be
+    // a literal (it ships as one plan reference object, same as the
+    // DataFrame path) — fold it here at resolution time
+    ("graft_bucket_of",
+      new ExpressionInfo(classOf[SearchSortedCount].getName, "graft_bucket_of"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3 && es(1).foldable && es(2).foldable,
+          "graft_bucket_of(value, sorted_bounds_array, asc) requires literal bounds and direction")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val bounds = Cast(es(1), ArrayType(DoubleType)).eval()
+          .asInstanceOf[ArrayData].toDoubleArray()
+        SearchSortedCount(es.head, bounds, es(2).eval().asInstanceOf[Boolean])
+      }))
 
   /** Install the functions into a live session (idempotent). */
   def register(spark: SparkSession): Unit =

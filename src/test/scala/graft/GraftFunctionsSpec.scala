@@ -15,6 +15,19 @@ class GraftFunctionsSpec extends SparkSpec {
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
       .collect().head.getDouble(0)
     assert(d == 32.0)
+    // literal bounds fold at resolution into the binary-search model;
+    // integer literals cast to the double[] the expression carries
+    // strictly-before counting: a value EQUAL to a bound stays in the
+    // earlier bucket, so ids 0-3 -> 0, 4-7 -> 1, 8-9 -> 2
+    val b = spark.sql(
+      "SELECT graft_bucket_of(CAST(id AS DOUBLE), array(3, 7), true) AS b FROM range(10)")
+      .collect().map(_.getInt(0))
+    assert(b.count(_ == 0) == 4 && b.count(_ == 1) == 4 && b.count(_ == 2) == 2)
+    // non-literal bounds must be rejected, not silently mis-planned
+    intercept[Exception] {
+      spark.sql("SELECT graft_bucket_of(CAST(id AS DOUBLE), array(CAST(id AS DOUBLE)), true) FROM range(3)")
+        .collect()
+    }
   }
 
   test("registration is session-scoped and installable on fresh sessions") {
