@@ -527,27 +527,30 @@ object SparkEntry {
 
     // -------------------------------------- ranking window functions
     // dense_rank / percent_rank / cume_dist / first_value over a total
-    // order per priority class; (rank-1)/(n-1) and cumulative fractions
-    // are the same integer-derived doubles on both engines
+    // order per CUSTOMER — a high-cardinality partition key on purpose:
+    // rank windows get no WindowGroupLimit cut, so a low-cardinality
+    // partition (e.g. the 5 priority classes) would serialize the table
+    // into 5 tasks at scale. (rank-1)/(n-1) and cumulative fractions are
+    // the same integer-derived doubles on both engines.
     ("window_ranks",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("o_orderpriority")
+        val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         s.read.parquet(s"$d/orders.parquet")
-          .select(col("o_orderkey"), col("o_orderpriority"),
+          .select(col("o_orderkey"), col("o_custkey"),
             dense_rank().over(w).cast("long").as("drank"),
             round(percent_rank().over(w), 6).as("prank"),
             round(cume_dist().over(w), 6).as("cdist"),
             first_value(col("o_orderkey")).over(w).as("top_key"))
       },
-      Some("""SELECT o_orderkey, o_orderpriority,
+      Some("""SELECT o_orderkey, o_custkey,
              |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
              |  round(percent_rank() OVER w, 6) AS prank,
              |  round(cume_dist() OVER w, 6) AS cdist,
              |  first_value(o_orderkey) OVER w AS top_key
              |FROM orders
-             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin)),
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin)),
 
     // -------------------------------------- calendar-part aggregation
     ("date_parts",
