@@ -483,6 +483,10 @@ object Dedup {
     // lookups); persist — the staged "write the signature table" shape
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // cosine is undefined for zero-norm vectors; without the guard Spark
+      // scores them NaN (which compares GREATER than any threshold) while
+      // the oracle's 0/0 is NULL — drop them on both sides
+      .filter(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),

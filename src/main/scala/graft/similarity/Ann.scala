@@ -36,10 +36,15 @@ object Ann {
     emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_vec"))
       .withColumn("q_nrm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      // zero-norm vectors have no cosine: drop them here so Spark's NaN
+      // (> any threshold, sorts first) never diverges from the oracle's
+      // NULL (dropped) — mirrored by the norm guards in the oracle CTEs
+      .filter(col("q_nrm") > 0)
 
   private def candidates(emb: DataFrame): DataFrame =
     emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
       .withColumn("n_nrm", sqrt(dot(col("n_vec"), col("n_vec"))))
+      .filter(col("n_nrm") > 0)
 
   /** Exact top-k neighbors per query (self excluded), deterministic ties.
     *
