@@ -92,7 +92,8 @@ object OracleSqlExt {
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
     * (doc_id, idx), per-document dup counts. DuckDB zips the parallel
-    * `unnest`s positionally, pairing each idx with its hash. */
+    * `unnest`s positionally, pairing each idx with its hash. Short docs
+    * (no full window) come back via the LEFT JOIN as (0, 0, NULL). */
   def passageDupSql(w: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -109,16 +110,23 @@ object OracleSqlExt {
        |r AS (
        |  SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
        |  FROM p
+       |),
+       |s AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM r GROUP BY doc_id
        |)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
-       |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       |       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
-       |FROM r GROUP BY doc_id""".stripMargin
+       |SELECT t.doc_id AS doc_id,
+       |       CAST(COALESCE(s.n_passages, 0) AS BIGINT) AS n_passages,
+       |       CAST(COALESCE(s.n_dup, 0) AS BIGINT) AS n_dup,
+       |       round(CAST(s.n_dup AS DOUBLE) / s.n_passages, 6) AS dup_ratio
+       |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin
 
   /** Mirror of [[graft.dedup.Dedup.removeDupPassages]]: the same passage
     * grid and first-occurrence ranks, reassembling kept passages in idx
     * order (`string_agg` skips the NULLed repeats exactly as Spark's
-    * `collect_list` does; all-dropped docs coalesce to ''). */
+    * `collect_list` does; all-dropped docs coalesce to ''). Short docs
+    * (no full window) come back via the LEFT JOIN as ('', 0, 0). */
   def removeDupPassagesSql(w: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -135,12 +143,19 @@ object OracleSqlExt {
        |r AS (
        |  SELECT doc_id, idx, p, row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, idx) AS rn
        |  FROM p
+       |),
+       |g AS (
+       |  SELECT doc_id,
+       |         COALESCE(string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY idx), '') AS clean_text,
+       |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |  FROM r GROUP BY doc_id
        |)
-       |SELECT doc_id,
-       |       COALESCE(string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY idx), '') AS clean_text,
-       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-       |FROM r GROUP BY doc_id""".stripMargin
+       |SELECT t.doc_id AS doc_id,
+       |       COALESCE(g.clean_text, '') AS clean_text,
+       |       CAST(COALESCE(g.n_kept, 0) AS BIGINT) AS n_kept,
+       |       CAST(COALESCE(g.n_dropped, 0) AS BIGINT) AS n_dropped
+       |FROM t LEFT JOIN g ON t.doc_id = g.doc_id""".stripMargin
 
   /** Candidate-restricted exact Jaccard (mirrors
     * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
@@ -225,6 +240,13 @@ object OracleSqlExt {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Zero-norm guard for a vector CTE: the Spark side drops vectors with
+    * no defined cosine (`sqrt(dot(v,v)) > 0`), so every oracle CTE over
+    * embeddings must too — otherwise a zero vector's NULL/NaN cosine rows
+    * could rank into DuckDB's top-k while Spark never saw them. (DuckDB
+    * lets a WHERE clause reference the SELECT alias.) */
+  def normGuardSql(v: String): String = s"sqrt(${dotSql(v, v)}) > 0"
+
   /** Decontamination mirror of [[graft.dedup.Dedup.contamination]]:
     * cross-set LSH candidates, exact containment verify. `benchPred` is a
     * SQL predicate over `documents` marking the benchmark side. */
@@ -266,7 +288,7 @@ object OracleSqlExt {
         .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
       s"SELECT vec_id, $b AS band, $bits AS bits FROM e"
     }
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
        |bk AS (
        |  ${bandSelects.mkString("\n  UNION ALL ")}
        |),
@@ -281,8 +303,8 @@ object OracleSqlExt {
   }
 
   def annBruteSql(stride: Int, k: Int): String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
-       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
        |scored AS (
        |  SELECT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
        |  FROM q JOIN c ON n_id != q_id
@@ -295,8 +317,8 @@ object OracleSqlExt {
     (1 to bits).map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
   def annBucketedSql(stride: Int, k: Int, bits: Int): String =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
-       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
        |qb AS (SELECT *, ${bucketSql("qv", bits)} AS bkt FROM q),
        |cb AS (SELECT *, ${bucketSql("nv", bits)} AS bkt FROM c),
        |scored AS (
@@ -316,8 +338,8 @@ object OracleSqlExt {
 
   def annMultiProbeSql(stride: Int, k: Int, bits: Int): String = {
     val probes = (bucketSql("qv", bits) +: (1 to bits).map(f => flipBucketSql("qv", bits, f))).mkString(", ")
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0),
-       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
        |qb AS (SELECT q_id, qv, unnest([$probes]) AS bkt FROM q),
        |cb AS (SELECT n_id, nv, ${bucketSql("nv", bits)} AS bkt FROM c),
        |scored AS (

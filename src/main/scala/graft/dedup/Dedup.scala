@@ -43,6 +43,12 @@ object Dedup {
     * (n_passages, n_dup, dup_ratio) — the curation signal; dropping or
     * rewriting flagged passages composes on top.
     *
+    * EVERY input document appears in the output: docs shorter than one
+    * window have no passages and come back as (0, 0, NULL dup_ratio) via
+    * the left join — they never enter the hash shuffle (routing their
+    * NULL hashes through the first-occurrence window would funnel all
+    * short docs into one task), they rejoin afterwards on doc_id.
+    *
     * Scale shape: passages explode array-locally (no shuffle), then one
     * shuffle on the passage hash (high-cardinality, well spread) for the
     * first-occurrence window, then one shuffle back on doc_id. */
@@ -60,19 +66,29 @@ object Dedup {
           .otherwise(array().cast("array<struct<idx:bigint,h:string>>"))).as("p"))
       .select(col("doc_id"), col("p.idx").as("idx"), col("p.h").as("h"))
     val rn = row_number().over(Window.partitionBy("h").orderBy(col("doc_id"), col("idx")))
-    passages.withColumn("rn", rn)
+    val stats = passages.withColumn("rn", rn)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_ratio",
-        round(col("n_dup").cast("double") / col("n_passages"), 6))
+    base.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // ratio first, off the PRE-coalesce columns: NULL/NULL stays NULL
+        // for passage-less docs (0/0 has no defined ratio)
+        round(col("n_dup").cast("double") / col("n_passages"), 6).as("dup_ratio"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup"), col("dup_ratio"))
   }
 
   /** The transform [[passageDupStats]] measures: rebuild each document
     * with only its FIRST-occurrence passages (corpus-wide), dropping every
     * repeat of an earlier (doc_id, idx) — line/paragraph dedup as a
     * rewrite. Trailing tokens that don't fill a window are dropped with
-    * the window grid (documented semantics of the fixed-window form).
+    * the window grid (documented semantics of the fixed-window form), so a
+    * document shorter than one window rebuilds to `clean_text = ''` with
+    * (n_kept, n_dropped) = (0, 0) — it stays IN the output (left join back
+    * onto the doc list), it is not silently deleted from the corpus.
     * Emits (doc_id, clean_text, n_kept, n_dropped). */
   def removeDupPassages(docs: DataFrame, window: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -88,7 +104,7 @@ object Dedup {
           .otherwise(array().cast("array<struct<idx:bigint,p:string>>"))).as("w"))
       .select(col("doc_id"), col("w.idx").as("idx"), col("w.p").as("p"))
     val rn = row_number().over(Window.partitionBy(md5(col("p"))).orderBy(col("doc_id"), col("idx")))
-    passages.withColumn("rn", rn)
+    val rebuilt = passages.withColumn("rn", rn)
       .groupBy("doc_id")
       .agg(
         array_join(
@@ -96,6 +112,12 @@ object Dedup {
             x => x.getField("p")), " ").as("clean_text"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+    base.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
   // ------------------------------------------------------------ shingles

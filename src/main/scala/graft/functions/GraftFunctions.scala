@@ -47,7 +47,7 @@ object GraftFunctions {
         import org.apache.spark.sql.types.{ArrayType, DoubleType}
         val bounds = Cast(es(1), ArrayType(DoubleType)).eval()
           .asInstanceOf[ArrayData].toDoubleArray()
-        SearchSortedCount(es.head, bounds, es(2).eval().asInstanceOf[Boolean])
+        SearchSortedCount(es.head, bounds.toIndexedSeq, es(2).eval().asInstanceOf[Boolean])
       }))
 
   /** Install the functions into a live session (idempotent). */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Codegen'd binary search over a literal sorted bounds array: how many of
@@ -21,17 +21,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * a run of duplicate bounds (a skewed quantile sketch) maps a tied value
   * to the FIRST bucket of the run — the monotone tie rule Ranks needs.
   */
-case class SearchSortedCount(child: Expression, bounds: Array[Double], asc: Boolean)
-    extends UnaryExpression {
+case class SearchSortedCount(child: Expression, bounds: IndexedSeq[Double], asc: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // The bounds model is an IndexedSeq (value-based equals/hashCode) so two
+  // independently built but identical expressions canonicalize equal —
+  // an Array field here would make semanticEquals reference-based and
+  // silently defeat CSE / exchange reuse. The primitive double[] the hot
+  // path needs is derived once per task, not per row.
+  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
 
   override def dataType: DataType = IntegerType
+  // Coerce any numeric child to DOUBLE at analysis time: interpreted eval
+  // casts input to Double, so an uncast INT child (reachable via the SQL
+  // builder) would CCE whenever Spark falls back off codegen.
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(DoubleType)
   override def prettyName: String = "graft_bucket_of"
 
   override def nullSafeEval(input: Any): Any =
-    SearchSorted.countBefore(bounds, input.asInstanceOf[Double], asc)
+    SearchSorted.countBefore(boundsArr, input.asInstanceOf[Double], asc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val ref = ctx.addReferenceObj("bounds", boundsArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.SearchSorted.countBefore($ref, $c, $asc)")
   }
@@ -60,5 +71,6 @@ object SearchSorted {
 
   /** Bucket index of `v` among the `bounds.length + 1` range buckets. */
   def bucketOf(v: Column, bounds: Array[Double], asc: Boolean): Column =
-    GraftSqlBridge.column(SearchSortedCount(GraftSqlBridge.expression(v), bounds, asc))
+    GraftSqlBridge.column(
+      SearchSortedCount(GraftSqlBridge.expression(v), bounds.toIndexedSeq, asc))
 }

@@ -54,20 +54,26 @@ object Ranks {
     val leadD = lead.cast("double")
     val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
     val boundsRow = df.select(percentile_approx(leadD, qs, lit(10000)).as("b")).head()
+    // drop any NaN the sketch absorbed — NaN rows are routed explicitly
+    // below, and a NaN bound would wreck the binary search's ordering
     val bounds: Array[Double] =
       if (boundsRow.isNullAt(0)) Array.empty
-      else boundsRow.getSeq[Double](0).toArray
+      else boundsRow.getSeq[Double](0).filterNot(_.isNaN).toArray
 
     // monotone content bucket: count of bounds sorting strictly before
     // the key, via the codegen'd binary-search Expression (O(log n) per
     // row, O(1) plan nodes — a compare-and-add Column chain would be an
     // O(n)-deep tree and O(n) per row at cluster partition counts). Nulls
     // go where the default sort order puts them (asc = first bucket,
-    // desc = last).
+    // desc = last); NaN is Spark's LARGEST double (sorts after +Inf), so
+    // it gets the last asc / first desc bucket — the strict comparisons
+    // in the binary search are all false for NaN and would otherwise drop
+    // it into bucket 0 regardless of direction.
     val sortedBounds = if (leadAsc) bounds else bounds.reverse
     val pid: Column =
       if (sortedBounds.isEmpty) lit(0)
       else when(lead.isNull, if (leadAsc) lit(0) else lit(sortedBounds.length))
+        .when(isnan(leadD), if (leadAsc) lit(sortedBounds.length) else lit(0))
         .otherwise(graft.functions.SearchSorted.bucketOf(leadD, sortedBounds, leadAsc))
 
     val keyed = df.withColumn("_v", value).withColumn("_pid", pid)

@@ -11,4 +11,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4, so an expression
+    * outside this package can't write the `ExpectsInputTypes.inputTypes`
+    * signature; this public alias re-exports it. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -150,9 +150,12 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L)))
     assert(out(2L) == ((2L, 1L)))
     assert(out(3L) == ((2L, 2L)))
-    // a document shorter than one window contributes nothing
+    // a document shorter than one window still appears: zero passages,
+    // zero dups, NULL ratio (0/0 has no defined value)
     val tiny = Dedup.passageDupStats(Seq((9L, "a b")).toDF("doc_id", "text"), window = 3)
-    assert(tiny.count() == 0)
+      .collect()
+    assert(tiny.length == 1)
+    assert(tiny(0).getLong(1) == 0L && tiny(0).getLong(2) == 0L && tiny(0).isNullAt(3))
   }
 
   test("dup-passage removal keeps first occurrences in order, drops repeats") {
@@ -160,13 +163,15 @@ class DedupSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b c d e f"),        // both passages first -> unchanged
       (2L, "a b c x y z"),        // [a b c] repeats (1,0) -> only "x y z" kept
-      (3L, "x y z a b c")         // both repeat -> empty rewrite
+      (3L, "x y z a b c"),        // both repeat -> empty rewrite
+      (4L, "q r")                 // shorter than one window -> stays, rebuilt empty
     ).toDF("doc_id", "text")
     val out = Dedup.removeDupPassages(docs, window = 3).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out(1L) == (("a b c d e f", 2L, 0L)))
     assert(out(2L) == (("x y z", 1L, 1L)))
     assert(out(3L) == (("", 0L, 2L)))
+    assert(out(4L) == (("", 0L, 0L)))
   }
 
   test("Gaussian hyperplane LSH matches brute force and is seed-deterministic") {

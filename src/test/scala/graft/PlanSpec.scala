@@ -94,11 +94,14 @@ class PlanSpec extends SparkSpec {
     // window rides it exchange-free), plus the per-bucket-totals agg and
     // single-partition offsets window that only move ≤ bucket-count
     // metadata rows
-    // dedup_passages: 2 = hash-of-passage window + per-doc aggregation;
-    // the passage explode itself is array-local (shuffle-free)
+    // dedup_passages: 3 = hash-of-passage window + per-doc aggregation +
+    // the doc-id-list side of the short-doc pass-through join (the agg
+    // output is already hash-partitioned on doc_id, so the stats side of
+    // that join rides exchange-free); the passage explode itself is
+    // array-local (shuffle-free)
     Seq("events_hourly" -> 1, "sessionize" -> 1, "dedup_exact" -> 1,
         "agg_unigrams" -> 1, "pack_sequences" -> 3,
-        "dedup_passages" -> 2).foreach { case (q, budget) =>
+        "dedup_passages" -> 3).foreach { case (q, budget) =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
         .findAllIn(p).size

@@ -63,6 +63,39 @@ class RanksSpec extends SparkSpec {
     assert(got(0.0) == 0 && got(2.0) == 0 && got(3.0) == 1 && got(8.0) == 2 && got(9.0) == 3)
   }
 
+  test("globalRank routes NaN with Spark's sort order (largest double)") {
+    import spark.implicits._
+    // NaN sorts AFTER +Inf in Spark; the bucket router must agree in both
+    // directions or NaN rows get wrong global ranks
+    val df = Seq(5.0, Double.NaN, 1.0, 3.0, Double.NaN, 2.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val order = if (asc) Seq(col("v").asc, col("id").asc) else Seq(col("v").desc, col("id").asc)
+      val naive = df.withColumn("r", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      val fast = Ranks.globalRank(df, Seq(col("v") -> asc, col("id") -> true), "r")
+        .drop("_n_total")
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty, s"asc=$asc")
+    }
+  }
+
+  test("graft_bucket_of coerces an integer child for interpreted eval") {
+    // the SQL surface passes the child through uncast; ImplicitCastInputTypes
+    // must make the analyzer insert the DOUBLE cast so interpreted
+    // (non-codegen) fallback eval never sees a java.lang.Long
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    graft.functions.GraftFunctions.register(spark)
+    val q = spark.sql("SELECT graft_bucket_of(id, array(3.0D, 7.0D), true) AS b FROM range(10)")
+    assert(q.queryExecution.analyzed.toString.toLowerCase.contains("cast(id"),
+      s"analyzer did not coerce the BIGINT child:\n${q.queryExecution.analyzed}")
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0, 0, 1, 1, 1, 1, 2, 2))
+    // and two independently-built identical expressions canonicalize equal
+    // (bounds as IndexedSeq, not Array) — what CSE / exchange reuse needs
+    import graft.functions.SearchSortedCount
+    val e1 = SearchSortedCount(Literal(1.0), IndexedSeq(1.0, 2.0), asc = true)
+    val e2 = SearchSortedCount(Literal(1.0), IndexedSeq(1.0, 2.0), asc = true)
+    assert(e1 == e2 && e1.semanticEquals(e2))
+  }
+
   test("ntile_customers plan keeps global windows off data rows") {
     val plan = physicalPlan(SparkEntry.queries("ntile_customers")(spark, sf))
     // every empty-partition window must sit above an aggregation — i.e. it
