@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,29 +17,46 @@ object Bench {
     // carry session bootstrap cost
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // median-of-3 per query: single samples swung 3-9x between rounds on
-    // identical plans (GC/JIT noise), and best-of-2 still inherits the
-    // floor of one noisy pair. The median discards one bad run per query
-    // in either direction. The cache is cleared before every iteration so
-    // persisted intermediates inside queries are re-materialized each time
-    // (no cross-iteration credit).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // ROUND-ROBIN sweeps + per-query MIN: the r5 reading showed median-of-3
+    // back-to-back samples is still noise-blind — all 3 samples of a query
+    // share one sandbox contention burst, so untouched queries swung 4-7x
+    // between rounds. Running the ENTIRE registry, then repeating the whole
+    // sweep, separates a query's samples by minutes, so at most one of them
+    // lands in any given burst; the minimum is then the standard robust
+    // estimator for cold-cache wall time (noise on a fixed plan is strictly
+    // additive — GC, JIT deopt, CPU contention all only ever ADD time).
+    // The spread (max/min per query) is emitted alongside so a bench whose
+    // samples still disagree flags itself as unreliable instead of silently
+    // reporting noise. The cache is cleared before every sample so persisted
+    // intermediates inside queries are re-materialized each time (no
+    // cross-sweep credit).
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to sweeps; (name, fn) <- names) {
+      spark.sharedState.cacheManager.clearCache()
       // a failed query must surface as -1, never as its (short) elapsed
       // time — a regression that throws in planning would otherwise read
       // as a speedup
-      val times = (1 to 3).map { _ =>
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(1))
+      val t0 = System.nanoTime()
+      val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+      samples(name) = samples(name) :+ v
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = names.map { case (name, _) =>
+      val ts = samples(name)
+      name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    }
+    val spreads = names.map { case (name, _) =>
+      val ts = samples(name).filter(_ >= 0)
+      name -> (if (ts.isEmpty || ts.min <= 0) -1.0
+               else BigDecimal(ts.max / ts.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"sweeps":$sweeps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

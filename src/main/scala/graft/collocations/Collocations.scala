@@ -77,24 +77,38 @@ object Collocations {
 
   /** J2: attach c2 on (lang, w2). One persisted count table feeds both
     * join sides (two subtree instances never hit exchange reuse — see
-    * [[topCollocations]]). */
+    * [[topCollocations]]). Cache lifecycle: the count table is released
+    * before returning; only the RETURNED (bigram-vocabulary-sized) result
+    * stays cached, and the caller owns it — `result.unpersist()` leaves
+    * zero session caches behind (asserted in DedupSpec). */
   def joinedC2(docs: DataFrame): DataFrame = {
     val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bigramCounts(docs)
+    val out = bigramCounts(docs)
       .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
       .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
       .select("lang", "w2", "w1", "c12", "c1", "c2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    u.unpersist()
+    out
   }
 
   /** J3: attach the grand total N via an explicit broadcast join; same
-    * shared count table serves c1, c2 and N. */
+    * shared count table serves c1, c2 and N. Same lifecycle as
+    * [[joinedC2]]: the count table is released once the joined result is
+    * materialized — the cached return value is the single-DAG equivalent
+    * of the reference writing Job2's joined output to a table. */
   def withN(docs: DataFrame): DataFrame = {
     val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = u.groupBy("lang").agg(sum("c").as("n"))
-    bigramCounts(docs)
+    val out = bigramCounts(docs)
       .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
       .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
       .join(broadcast(n), Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    u.unpersist()
+    out
   }
 
   /** F3 + P8: LLR column, NaN/Inf rows dropped, rounded to 6 decimals for

@@ -51,7 +51,13 @@ object Dedup {
     *
     * Scale shape: passages explode array-locally (no shuffle), then one
     * shuffle on the passage hash (high-cardinality, well spread) for the
-    * first-occurrence window, then one shuffle back on doc_id. */
+    * first-occurrence window, then one shuffle back on doc_id.
+    *
+    * PRECONDITION: `doc_id` is a key of `docs` (true for every corpus this
+    * engine ingests). The short-doc pass-through join re-attaches stats by
+    * doc_id, so duplicate input ids would fan out into duplicate output
+    * rows rather than collapse — dedup ids upstream (exactGroups) first if
+    * the source can't guarantee uniqueness. */
   def passageDupStats(docs: DataFrame, window: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
@@ -89,7 +95,8 @@ object Dedup {
     * document shorter than one window rebuilds to `clean_text = ''` with
     * (n_kept, n_dropped) = (0, 0) — it stays IN the output (left join back
     * onto the doc list), it is not silently deleted from the corpus.
-    * Emits (doc_id, clean_text, n_kept, n_dropped). */
+    * Emits (doc_id, clean_text, n_kept, n_dropped).
+    * Same doc_id-uniqueness PRECONDITION as [[passageDupStats]]. */
   def removeDupPassages(docs: DataFrame, window: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
@@ -236,7 +243,10 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
-    * bucket. */
+    * bucket. Cache lifecycle: the bucket table is released before
+    * returning; only the RETURNED (candidate-pair-sized) result stays
+    * cached, owned by the caller — `result.unpersist()` leaves zero
+    * session caches (asserted in DedupSpec). */
   def lshCandidates(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     // persist: both sides of the self-join reference this subtree, and
     // lambda-bearing plans don't canonicalize equal for exchange reuse —
@@ -244,7 +254,11 @@ object Dedup {
     // bucket table is (docs x bands) rows of (long, int, hex) — tiny.
     val buckets = lshBuckets(docs, k, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidatesFromBuckets(buckets)
+    val cand = candidatesFromBuckets(buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    buckets.unpersist()
+    cand
   }
 
   /** Near-duplicate component labels straight from the documents: builds
@@ -280,13 +294,21 @@ object Dedup {
     // referenced by both sides of the pair lookup; lambda-bearing plans
     // don't canonicalize equal for exchange reuse (see lshCandidates)
     val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
+    val out = cand
       .join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
       .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same lifecycle as lshComponents: materialize the (small) verified
+    // pair table, release every upstream cache — the caller owns only the
+    // returned result's cache
+    out.count()
+    ss.unpersist()
+    cand.unpersist()
+    out
   }
 
   /** Exact shingle-Jaccard for ALL pairs sharing >= 1 shingle, via an
@@ -308,8 +330,12 @@ object Dedup {
       .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
       .join(counts.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-    j.filter(col("jaccard") >= threshold)
+    val out = j.filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist()
+    out
   }
 
   // ------------------------------------------------------------ simhash
@@ -361,10 +387,16 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
     val l = banded.select(col("band"), col("bits"), col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bits"), col("doc_id").as("b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
+    val out = l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) pair table, release the fingerprint cache;
+    // the caller owns the returned result's cache
+    out.count()
+    fp.unpersist()
+    out
   }
 
   /** Connected components over the near-duplicate candidate graph —
@@ -522,12 +554,18 @@ object Dedup {
     val r = buckets.select(col("band"), col("bits"), col("vec_id").as("b"))
     val cand = l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+    val out = cand
       .join(base.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), Seq("a"))
       .join(base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), Seq("b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select("a", "b", "cos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the verified pairs, release the vector cache; the caller
+    // owns the returned result's cache
+    out.count()
+    base.unpersist()
+    out
   }
 
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;

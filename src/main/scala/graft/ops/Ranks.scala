@@ -45,6 +45,14 @@ object Ranks {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val (lead, leadAsc) = keys.head
     val sortCols = keys.map { case (c, asc) => if (asc) c.asc else c.desc }
+    // the documented "leading key must be numeric" constraint, enforced at
+    // plan-build: a non-numeric key whose double cast yields NULL would
+    // otherwise get a NULL _pid and be silently DROPPED by the offsets
+    // join — fail loudly instead
+    val leadType = df.select(lead).schema.head.dataType
+    require(leadType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"globalCumSum leading sort key must be numeric, got $leadType: " +
+        "the quantile sketch and content bucketing cast it to double")
 
     // n−1 ascending quantile bounds of the leading key (as doubles — the
     // cast is monotone, and only bucketing uses it; the local sort keeps

@@ -106,6 +106,31 @@ class DedupSpec extends SparkSpec {
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("every persisting builder releases its internal caches; caller owns only the result") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => math.sin(seed * 64 + j).toFloat)
+    val emb = ((0 until 8).map(i => (i.toLong, vec(i))) :+ (100L, vec(0)))
+      .toDF("vec_id", "embedding")
+    val builders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "lshCandidates" -> (() => Dedup.lshCandidates(docs)),
+      "jaccardVerify" -> (() => Dedup.jaccardVerify(docs, threshold = 0.0)),
+      "jaccardPairs" -> (() => Dedup.jaccardPairs(docs, threshold = 0.0)),
+      "simhashPairs" -> (() => Dedup.simhashPairs(docs)),
+      "embeddingLshPairs" -> (() => Dedup.embeddingLshPairs(emb, bands = 8, rowsPerBand = 8, minCos = 0.99)),
+      "lshComponents" -> (() => Dedup.lshComponents(docs)),
+      "Collocations.joinedC2" -> (() => graft.collocations.Collocations.joinedC2(docs)),
+      "Collocations.withN" -> (() => graft.collocations.Collocations.withN(docs)))
+    builders.foreach { case (name, build) =>
+      val out = build()
+      out.count()
+      out.unpersist(blocking = true)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$name leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    }
+  }
+
   test("a Verify-style sweep of cache-heavy queries leaves no persisted RDDs") {
     val sf = "/root/testdata/sf0.001"
     spark.sharedState.cacheManager.clearCache()

@@ -171,9 +171,21 @@ class PlanSpec extends SparkSpec {
       case a: BaseAggregateExec     => a.groupingExpressions.isEmpty
       case _                        => false
     }
+    // `collect` does not descend into InMemoryRelation.cachedPlan (cached
+    // subtrees are innerChildren, display-only), so a scale-unsafe join
+    // hidden under a builder-persisted intermediate or materialized result
+    // would escape the sweep — expand every cached plan and sweep those too
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def stripAqe(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => stripAqe(a.executedPlan)
+      case other                    => other
+    }
+    def expandCached(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect { case s: InMemoryTableScanExec => stripAqe(s.relation.cachedPlan) }
+        .flatMap(expandCached).toSeq
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val p = physicalPlan(q(spark, sf))
-      val bad =
+      val bad = expandCached(physicalPlan(q(spark, sf))).flatMap { p =>
         p.collect { case _: CartesianProductExec => "CartesianProduct" }.toSeq ++
         p.collect {
           // a BNLJ is tolerable ONLY when the plan itself proves the build
@@ -189,6 +201,7 @@ class PlanSpec extends SparkSpec {
             w.child.collect { case a: BaseAggregateExec => a }.isEmpty =>
             "global Window over raw rows"
         }
+      }
       bad.map(b => s"$name: $b")
     }
     assert(offenders.isEmpty, s"scale-unsafe plans:\n${offenders.mkString("\n")}")

@@ -78,6 +78,15 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("non-numeric leading sort key fails loudly at plan build, not by dropping rows") {
+    import spark.implicits._
+    val df = Seq(("b", 1L), ("a", 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Ranks.globalCumSum(df, Seq(col("k") -> true), col("v"))
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("graft_bucket_of coerces an integer child for interpreted eval") {
     // the SQL surface passes the child through uncast; ImplicitCastInputTypes
     // must make the analyzer insert the DOUBLE cast so interpreted
