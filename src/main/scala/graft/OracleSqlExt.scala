@@ -351,6 +351,51 @@ object OracleSqlExt {
        |) WHERE rn <= $k""".stripMargin
   }
 
+  /** Mirror of [[graft.similarity.Ann.ivfTopK]] GIVEN the trained
+    * centroids, injected as literal DOUBLE[] rows (the same
+    * serve-a-model shape the Spark plan uses — centroids are plan
+    * literals there too). `Double.toString` renders the shortest
+    * round-tripping decimal and DuckDB's parser is correctly rounded, so
+    * both engines see bit-identical centroid values; assignment is the
+    * argmax dot with smallest-cid ties, exactly the `greatest(struct(d,
+    * -cid))` on the Spark side. */
+  def annIvfSql(cents: Seq[(Int, Array[Double])], stride: Int, k: Int, probes: Int): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |ca AS (
+       |  SELECT n_id, nv, cid FROM (
+       |    SELECT n_id, nv, cid, row_number() OVER (PARTITION BY n_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT n_id, nv, cid, ${dotSql("nv", "cv")} AS d FROM c CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |qp AS (
+       |  SELECT q_id, qv, cid FROM (
+       |    SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT q_id, qv, cid, ${dotSql("qv", "cv")} AS d FROM q CROSS JOIN cents)
+       |  ) WHERE rn <= $probes
+       |),
+       |scored AS (
+       |  SELECT DISTINCT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM qp JOIN ca USING (cid) WHERE n_id != q_id
+       |)
+       |SELECT q_id, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+  }
+
+  /** Oracle SQL for the last-trained IVF model, if a query has run (the
+    * Verify contract: queries execute before oracle SQL is dumped). */
+  def annIvfSqlFromLastModel: Option[String] =
+    graft.similarity.Ann.lastIvfModel.map { case (cents, stride, k, probes) =>
+      annIvfSql(cents, stride, k, probes)
+    }
+
   // ------------------------------------------------------------ text
 
   val tokenStatsSql: String =

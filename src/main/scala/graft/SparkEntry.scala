@@ -876,12 +876,13 @@ object SparkEntry {
       Some(OracleSqlExt.annBucketedSql(100, 5, 6))),
 
     // IVF with trained centroids: deterministic Lloyd iterations (decimal
-    // means -> bit-stable cells), probes=2. Iterative float training is
-    // not SQL-mirrorable -> rows-only gate; recall vs brute force is
-    // asserted in TextAndAnnSpec.
-    // trains Lloyd on the vec_id % 8 sample (the 100 TB shape: sampled
-    // training, full-corpus assignment); rows-only gate — iterative float
-    // training isn't SQL-mirrorable — with recall pinned in TextAndAnnSpec
+    // means -> bit-stable cells), probes=2; trains on the vec_id % 8
+    // sample (the 100 TB shape: sampled training, full-corpus assignment).
+    // The oracle is DYNAMIC: training isn't SQL-mirrorable, but
+    // assignment + probe + scoring given the trained model is — running
+    // the query stashes the centroids, and oracleSql injects them as
+    // literal arrays into a generated DuckDB query (see oracleSql below);
+    // recall vs brute force is additionally pinned in TextAndAnnSpec.
     ("ann_ivf_topk",
       (s: SparkSession, d: String) =>
         graft.similarity.Ann.ivfTopK(
@@ -1033,6 +1034,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q, _) => n -> q }.toMap
 
+  /** Static oracle SQL from the registry, plus the DYNAMIC ann_ivf_topk
+    * entry: its oracle embeds the trained centroid model, which only
+    * exists after the query has executed. Verify runs every query before
+    * dumping this map, and training is deterministic, so the stashed
+    * model is exactly the one the dumped parquet used; if the query never
+    * ran (or failed) the entry is simply absent → rows-only gate. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
+      OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _)
 }

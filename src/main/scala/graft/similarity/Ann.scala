@@ -177,18 +177,28 @@ object Ann {
     cents
   }
 
+  /** The most recently trained IVF model: (centroids, stride, k, probes).
+    * TRAINING is not SQL-mirrorable (iterative float means), but
+    * assignment + probing + scoring GIVEN the trained centroids is — so
+    * the oracle gate injects the collected model back into a generated
+    * DuckDB query as literal arrays ([[graft.OracleSqlExt.annIvfSql]]).
+    * Verify runs every query before dumping oracle SQL, and Lloyd training
+    * is deterministic (content-stable sample, DECIMAL means), so the
+    * stashed model is exactly the one the dumped result used. */
+  @volatile private[graft] var lastIvfModel: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None
+
   /** IVF approximate top-k: vectors are indexed by their nearest trained
     * centroid (one equi-join key per vector); each query probes its
     * `probes` best cells. Unlike the data-oblivious sign quantizer, the
     * cells follow the data distribution — the standard
-    * train-once/serve-many ANN shape. The centroid model is not
-    * SQL-mirrorable (iterative float training), so this query is
-    * rows-only at the gate; recall vs brute force is asserted in
-    * TextAndAnnSpec. */
+    * train-once/serve-many ANN shape. Scoring math given the trained
+    * centroids is oracle-gated via [[lastIvfModel]]; recall vs brute
+    * force is asserted in TextAndAnnSpec. */
   def ivfTopK(emb: DataFrame, stride: Int = 100, k: Int = 5,
               nCells: Int = 16, iters: Int = 2, probes: Int = 2,
               trainStride: Int = 1): DataFrame = {
     val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    lastIvfModel = Some((cents, stride, k, probes))
     // indexing is a narrow map: each vector gets its cell from the
     // literal centroid model, no join, no shuffle
     val cand = candidates(emb).withColumn("cid", ivfCell(col("n_vec"), cents))

@@ -138,6 +138,26 @@ class TextAndAnnSpec extends SparkSpec {
     }
   }
 
+  test("running ivfTopK stashes the trained model and yields a centroid-literal oracle") {
+    import spark.implicits._
+    val emb = (0 until 40).map { i =>
+      val v = Array.fill(64)(0.0f); v((i % 4) * 10) = 1.0f; (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    graft.similarity.Ann.ivfTopK(emb, stride = 10, k = 3, nCells = 4, iters = 1, probes = 2).count()
+    val model = graft.similarity.Ann.lastIvfModel
+    assert(model.isDefined)
+    val (cents, stride, k, probes) = model.get
+    assert(cents.length == 4 && stride == 10 && k == 3 && probes == 2)
+    assert(cents.forall(_._2.length == 64))
+    val sql = OracleSqlExt.annIvfSqlFromLastModel.get
+    // one literal DOUBLE[] row per trained centroid, and the invocation's
+    // own parameters baked into the probes/top-k predicates
+    assert("::DOUBLE\\[\\] AS cv".r.findAllIn(sql).size == 4, sql)
+    assert(sql.contains("rn <= 2") && sql.contains("rn <= 3") && sql.contains("% 10 = 0"), sql)
+    // the oracle map picks the dynamic entry up once the query has run
+    assert(SparkEntry.oracleSql.get("ann_ivf_topk").contains(sql))
+  }
+
   test("frame sampling and resize are deterministic offset plumbing") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL")).toDF("doc_id", "text")
