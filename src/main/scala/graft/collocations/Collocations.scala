@@ -138,4 +138,54 @@ object Collocations {
       Seq(col("lang")),
       Seq(col("llr").desc, col("w1").asc, col("w2").asc),
       k)
+
+  /** Runs the flagship pipeline with the reference's COUNTERS attached and
+    * returns (output_rows, pre_agg_records, post_agg_groups,
+    * pre_topk_records). The reference's only published performance numbers
+    * are counter ratios (`StatisticalReport .md:29-116`): the Job1/Job2
+    * combiners cut ~75-78% of map output records, and Job3's bounded heap
+    * cuts >99.9% of its input. The Spark-native counters are
+    * `df.observe` nodes ([[graft.ops.Metrics.observed]]) — computed inline
+    * during the ONE action, zero extra passes, exactly how Hadoop counters
+    * ride the job:
+    *  - pre_agg: bigram pair records entering the count aggregation (the
+    *    reference's Job1 map output records);
+    *  - post_agg: final (lang,w1,w2) groups — a lower bound on combiner
+    *    output (each partial emits each group at most once per partition),
+    *    so `1 - post_agg/pre_agg` is an UPPER bound of the map→combine cut
+    *    the reference reports;
+    *  - pre_topk: scored rows entering the top-k window (Job3's combiner
+    *    input), against which the ≤ k-per-lang output is the heap cut.
+    * Same plan shape as [[topCollocations]] (observe is a metadata-only
+    * node; the WindowGroupLimit rewrite lands above it), with the count
+    * table released before returning. */
+  def flagshipCounters(docs: DataFrame, k: Int = K): (Long, Long, Long, Long) = {
+    import graft.ops.Metrics
+    val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.groupBy("lang").agg(sum("c").as("n"))
+    val (pairs, preAgg) = Metrics.observed(bigramPairs(docs), "graft_pre_agg",
+      count(lit(1)).as("records"))
+    val bc = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val (bcObs, postAgg) = Metrics.observed(bc, "graft_post_agg",
+      count(lit(1)).as("records"))
+    val joined = bcObs
+      .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
+      .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
+      .join(broadcast(n), Seq("lang"))
+    val sc = joined
+      .withColumn("llr_raw", Llr.llr(col("c1"), col("c2"), col("c12"), col("n")))
+      .filter(!isnan(col("llr_raw")) && !col("llr_raw").isin(Double.PositiveInfinity, Double.NegativeInfinity))
+      .withColumn("llr", round(col("llr_raw"), 6))
+      .select(col("lang"), col("w1"), col("w2"), col("llr"))
+    val (scObs, preTopk) = Metrics.observed(sc, "graft_pre_topk",
+      count(lit(1)).as("records"))
+    val top = TopK.topKPerGroup(scObs, Seq(col("lang")),
+      Seq(col("llr").desc, col("w1").asc, col("w2").asc), k)
+    val outRows = top.count()
+    u.unpersist()
+    (outRows,
+      preAgg.get("records").asInstanceOf[Long],
+      postAgg.get("records").asInstanceOf[Long],
+      preTopk.get("records").asInstanceOf[Long])
+  }
 }

@@ -23,8 +23,17 @@ object CollocationsCli {
 
   case class Args(unigrams: Seq[String], bigrams: Seq[String], out: String, k: Int)
 
+  /** Argument errors fail LOUDLY before any cluster work: a typo'd or
+    * dangling flag on a 100 TB submit must kill the job at parse time,
+    * not silently drop an input or run with a default. */
   def parse(argv: Array[String]): Args = {
+    require(argv.length % 2 == 0,
+      s"dangling argument '${argv.lastOption.getOrElse("")}': every flag takes a value")
     val m = argv.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val known = Set("--unigrams", "--bigrams", "--out", "--k")
+    val unknown = m.keySet -- known
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.toSeq.sorted.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
     def paths(key: String): Seq[String] =
       m.getOrElse(key, sys.error(s"missing $key")).split(",").toSeq
     Args(paths("--unigrams"), paths("--bigrams"),

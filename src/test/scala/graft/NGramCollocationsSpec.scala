@@ -80,6 +80,23 @@ class NGramCollocationsSpec extends SparkSpec {
     assert(langs == Set("en", "he"))
   }
 
+  test("CLI rejects unknown and dangling flags loudly at parse time") {
+    import graft.collocations.CollocationsCli
+    val good = Array("--unigrams", "u.tsv", "--bigrams", "b.tsv", "--out", "/tmp/o")
+    // a typo'd flag must fail, not be silently ignored
+    val e1 = intercept[IllegalArgumentException] {
+      CollocationsCli.parse(good ++ Array("--topk", "50"))
+    }
+    assert(e1.getMessage.contains("--topk"), e1.getMessage)
+    // a trailing odd argument must fail, not be silently dropped
+    val e2 = intercept[IllegalArgumentException] {
+      CollocationsCli.parse(good :+ "--k")
+    }
+    assert(e2.getMessage.contains("--k"), e2.getMessage)
+    // the valid form still parses
+    assert(CollocationsCli.parse(good :+ "--k" :+ "7").k == 7)
+  }
+
   test("lang inferred from file path; malformed and non-positive rows dropped") {
     val langs = uni.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // en: data_NOUN, data, big, big, science, the, (noise) = 7 surviving rows
