@@ -83,6 +83,99 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  // ------------------------------------------------- late / out-of-order
+
+  /** Write one parquet file of events (ts in NANOS, matching the
+    * nanosAsLong convention) into `dir` with a controlled modification
+    * time — the file source processes files oldest-modTime-first, so
+    * ascending mod times force the batch order the late-data tests need. */
+  private def stageEventsFile(dir: java.nio.file.Path, name: String, modTime: Long,
+                              rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evt_stage")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    val target = dir.resolve(name)
+    java.nio.file.Files.copy(part, target)
+    assert(target.toFile.setLastModified(modTime))
+  }
+
+  private def minNs(m: Double): Long = (m * 60e9).toLong
+
+  test("tumbling windows drop data past the 10-minute watermark; divergence from batch is exactly the dropped rows") {
+    val d = java.nio.file.Files.createTempDirectory("events_late")
+    // batch 1: two rows in window [0,5), one row at 32min that pushes the
+    // watermark to 22min after the batch
+    stageEventsFile(d, "a.parquet", 1000000L, Seq(
+      (1L, minNs(2), 10L, "click", 1.0, "{}"),
+      (2L, minNs(3), 10L, "click", 1.0, "{}"),
+      (3L, minNs(32), 10L, "click", 1.0, "{}")))
+    // batch 2: an on-time row; the batch runs with watermark 22min, which
+    // finalizes+emits window [0,5) at batch end AND becomes the
+    // late-record filter for the NEXT batch (Spark filters late rows with
+    // the PREVIOUS batch's watermark, so a row arriving in the same batch
+    // that advances the watermark past it is still accepted)
+    stageEventsFile(d, "b.parquet", 2000000L, Seq(
+      (4L, minNs(36), 10L, "click", 1.0, "{}")))
+    // batch 3: the LATE row for window [0,5) — 2.5min is far past the
+    // 22min filter watermark and the window's state is already emitted
+    // and evicted, so the row is DROPPED
+    stageEventsFile(d, "c.parquet", 3000000L, Seq(
+      (5L, minNs(2.5), 10L, "click", 1.0, "{}")))
+    val q = EventsStream.windowedCounts(EventsStream.readStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("late_win_test").start()
+    q.processAllAvailable(); q.stop()
+    info("batches: " + q.recentProgress.map(p =>
+      s"rows=${p.numInputRows} wm=${p.eventTime.get("watermark")}").mkString(" | "))
+    val emitted = spark.table("late_win_test")
+      .select(unix_micros(col("window.start")).as("w_start"), col("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the finalized [0,5) window counts ONLY the two on-time rows
+    assert(emitted == Map(0L -> 2L), s"emitted=$emitted")
+    // the batch twin over the same files sees the late row too: the
+    // streaming/batch divergence is exactly the one dropped record
+    val batch = spark.read.schema(EventsStream.schema).parquet(d.toString)
+      .groupBy((expr("(ts div 1000) div 300000000") * 300000000L).as("w_start"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch(0L) == 3L, s"batch=$batch")
+    assert(batch(0L) - emitted(0L) == 1L, "divergence must be exactly the dropped late row")
+  }
+
+  test("late event folds into the currently-open session; closed sessions stay immutable") {
+    val d = java.nio.file.Files.createTempDirectory("events_late_sess")
+    // batch 1: session A forming for user 1 (events at 0 and 4 min)
+    stageEventsFile(d, "a.parquet", 1000000L, Seq(
+      (1L, minNs(0), 1L, "click", 1.0, "{}"),
+      (2L, minNs(4), 1L, "click", 1.0, "{}")))
+    // batch 2: a 56-minute gap closes A and opens session B at 60min
+    stageEventsFile(d, "b.parquet", 2000000L, Seq(
+      (3L, minNs(60), 1L, "click", 1.0, "{}")))
+    // batch 3: a LATE event at 30min — older than B's start, newer than
+    // A's close. Documented semantics: it can only extend the CURRENT
+    // session (start moves back via min), never reopen the already-emitted
+    // A — the trade the data-driven close makes for batch-comparability.
+    stageEventsFile(d, "c.parquet", 3000000L, Seq(
+      (4L, minNs(30), 1L, "click", 1.0, "{}")))
+    // batch 4: a 60-minute gap closes B so the test can observe it
+    stageEventsFile(d, "d.parquet", 4000000L, Seq(
+      (5L, minNs(120), 1L, "click", 1.0, "{}")))
+    val q = EventsStream.sessionize(EventsStream.readStream(spark, d.toString))
+      .writeStream.outputMode("append").format("memory").queryName("late_sess_test").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("late_sess_test")
+      .select("start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val us = (m: Double) => (m * 60e6).toLong
+    // A emitted once with its original bounds; B absorbed the late event
+    // (start pulled back to 30min) and closed with 2 events
+    assert(sessions == Set(
+      (us(0), us(4), 2),
+      (us(30), us(60), 2)), s"sessions=$sessions")
+  }
+
   test("stateful streaming sessionization matches batch sessions (closed sessions)") {
     val closed = EventsStream.sessionize(EventsStream.readStream(spark, dir))
     val q = closed.writeStream.outputMode("append").format("memory").queryName("sess_test").start()
