@@ -671,12 +671,26 @@ object OracleSqlExt {
 
   // ------------------------------------------------------------ multimodal
 
-  val decodeSql: String =
-    """SELECT doc_id,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1), i -> unicode(substr(text, i, 1)))), 0) AS BIGINT) AS checksum,
-      |  CAST(CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS head_byte
-      |FROM documents""".stripMargin
+  /** Mirror of [[graft.multimodal.Multimodal.decodePpm]]: the oracle
+    * re-derives the PPM header fields and pixel plane from the GENERATOR's
+    * inputs (dims from doc_id, pixels from the sanitized text) while the
+    * Spark side parses them back out of the actual payload bytes — equal
+    * results prove the encode → binary → parse round trip. Pixels are
+    * ASCII by construction, so `unicode` per char equals the unsigned
+    * byte the parser sums. */
+  val ppmDecodeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 5 + 2 AS INTEGER) AS width,
+      |         CAST(doc_id % 3 + 2 AS INTEGER) AS height,
+      |         rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+      |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3 AS INTEGER), 'x') AS px
+      |  FROM documents
+      |)
+      |SELECT doc_id, TRUE AS valid, width, height, CAST(255 AS INTEGER) AS maxval,
+      |       CAST(width * height AS BIGINT) AS n_pix,
+      |       CAST(list_sum(list_transform(range(1, length(px) + 1), i -> unicode(substr(px, i, 1)))) AS BIGINT) AS pix_sum
+      |FROM b""".stripMargin
 
   /** Rolling-hash fold over a SQL string expression (mirror of
     * [[graft.functions.RollingHashExpr]]). */

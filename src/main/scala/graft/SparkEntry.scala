@@ -934,10 +934,14 @@ object SparkEntry {
       Some(SparkEntry.scalarSubqueryQuery)),
 
     // ========================================================= multimodal
+    // real container decode: payloads are binary PPM (P6) images built
+    // from each doc; the mapPartitions parser extracts header fields +
+    // pixel checksum from the BYTES, and the oracle re-derives them from
+    // the generator's inputs — parity proves the encode→parse round trip
     ("multimodal_decode",
       (s: SparkSession, d: String) =>
-        graft.multimodal.Multimodal.decodeFeatures(Collocations.documents(s, d)).toDF(),
-      Some(OracleSqlExt.decodeSql)),
+        graft.multimodal.Multimodal.decodePpm(Collocations.documents(s, d)).toDF(),
+      Some(OracleSqlExt.ppmDecodeSql)),
 
     ("multimodal_frames",
       (s: SparkSession, d: String) =>

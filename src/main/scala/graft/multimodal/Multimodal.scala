@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extraction running per-partition.
   *
-  * The Spark-side shape is the real deliverable — schema (binary payload +
+  * The Spark-side shape is the deliverable — schema (binary payload +
   * metadata struct), partition-parallel decode via `mapPartitions` over a
   * typed Dataset (one decoder instantiation per partition, the same batch
   * shape a JNI/FFI image decoder needs), and deterministic, testable
-  * feature output. The actual media codec is STUBBED ([[FakeCodec]]) — the
-  * container has no image/audio libraries — with a deterministic
-  * byte-level "decoder" so tests and the oracle can verify the plumbing
-  * end-to-end.
+  * feature output. The codec is a REAL container parse: payloads are
+  * binary PPM (P6) images — a genuine image format whose header is
+  * `P6\n<width> <height>\n<maxval>\n` followed by width*height*3 raw RGB
+  * bytes — and [[parsePpm]] decodes header fields and pixel statistics
+  * from the actual bytes. A production deployment swaps the per-pixel
+  * statistic for the FFI resample/feature call through the identical
+  * plumbing.
   *
   * At 100 TB: payloads stay columnar (never collected), decode is a narrow
   * map (zero shuffle), and feature extraction emits fixed-width columns
@@ -22,7 +25,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class Payload(doc_id: Long, payload: Array[Byte])
-  case class Features(doc_id: Long, n_bytes: Long, checksum: Long, head_byte: Int)
+  case class PpmFeatures(doc_id: Long, valid: Boolean, width: Int, height: Int,
+                         maxval: Int, n_pix: Long, pix_sum: Long)
 
   /** Attach a binary payload + metadata struct to each document. The
     * payload here is the UTF-8 encoding of `text` (a stand-in for image /
@@ -36,37 +40,72 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB codec — deterministic features standing in for a real
-    * image/audio decode; replace `decode` with the FFI call in
-    * production. `n_bytes` is the raw payload size; `checksum`/
-    * `head_byte` are computed over the decoded text's CODEPOINTS, not
-    * UTF-8 bytes — the DuckDB oracle's `unicode(substr(...))` speaks
-    * codepoints, and a byte-level sum would silently diverge on the
-    * first non-ASCII document. */
-  object FakeCodec {
-    def decode(p: Payload): Features = {
-      val s = new String(p.payload, java.nio.charset.StandardCharsets.UTF_8)
-      var sum = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        sum += cp
-        i += Character.charCount(cp)
+  /** Build a REAL binary PPM (P6) payload per document: dimensions derive
+    * from doc_id (width 2-6, height 2-4), pixel bytes are the document's
+    * ASCII-sanitized text right-padded/truncated to exactly
+    * width*height*3 bytes. The sanitization (non-printable/non-ASCII →
+    * '?') keeps byte == codepoint so the DuckDB oracle can re-derive the
+    * pixel plane with string functions. Everything is Column algebra —
+    * array-local, zero shuffle. */
+  def withPpmPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_w", (pmod(col("doc_id"), lit(5L)) + 2).cast("int"))
+      .withColumn("_h", (pmod(col("doc_id"), lit(3L)) + 2).cast("int"))
+      .withColumn("_ascii", regexp_replace(col("text"), "[^\\x20-\\x7e]", "?"))
+      .withColumn("_px", expr("rpad(_ascii, _w * _h * 3, 'x')"))
+      .select(col("doc_id"),
+        encode(concat(lit("P6\n"), col("_w").cast("string"), lit(" "),
+          col("_h").cast("string"), lit("\n255\n"), col("_px")), "UTF-8").as("payload"))
+
+  /** REAL P6 parser over raw bytes — magic check, whitespace-delimited
+    * ascii header ints, single separator byte, exact pixel-plane length,
+    * unsigned byte sum over the pixels. A malformed payload yields a
+    * `valid = false` row (with sentinel fields) rather than poisoning the
+    * batch — the per-record error routing a production decoder needs. */
+  private[graft] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
+    var i = 0
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def fail(msg: String) = throw new IllegalArgumentException(msg)
+    def skipWs(): Unit = while (i < bytes.length && isWs(bytes(i))) i += 1
+    def parseInt(): Int = {
+      var v = 0; var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
       }
-      Features(p.doc_id, p.payload.length.toLong, sum,
-        if (s.nonEmpty) s.codePointAt(0) else -1)
+      if (!any) fail(s"expected integer at byte $i")
+      v
+    }
+    try {
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("not a P6 ppm")
+      i = 2
+      skipWs(); val w = parseInt()
+      skipWs(); val h = parseInt()
+      skipWs(); val maxval = parseInt()
+      if (i >= bytes.length || !isWs(bytes(i))) fail("missing header separator")
+      i += 1
+      if (bytes.length - i != 3 * w * h)
+        fail(s"pixel plane has ${bytes.length - i} bytes, expected ${3 * w * h}")
+      var sum = 0L; var j = i
+      while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
+      PpmFeatures(id, valid = true, w, h, maxval, w.toLong * h, sum)
+    } catch {
+      case _: IllegalArgumentException => PpmFeatures(id, valid = false, -1, -1, -1, 0L, 0L)
     }
   }
 
   /** Partition-parallel decode: one codec per partition, streaming rows —
-    * the batch shape a real decoder (JNI, subprocess) needs. */
-  def decodeFeatures(docs: DataFrame): Dataset[Features] = {
+    * the batch shape a real decoder (JNI, subprocess) needs. The emitted
+    * header fields and pixel checksum come from parsing the payload
+    * BYTES, not from re-deriving the generator's inputs — the oracle
+    * re-derives them independently, so the gate proves the full
+    * encode → binary → parse round trip. */
+  def decodePpm(docs: DataFrame): Dataset[PpmFeatures] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withPayload(docs).select("doc_id", "payload").as[Payload]
+    withPpmPayload(docs).select("doc_id", "payload").as[Payload]
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map(FakeCodec.decode)
+        it.map(p => parsePpm(p.doc_id, p.payload))
       }
   }
 

@@ -173,16 +173,41 @@ class TextAndAnnSpec extends SparkSpec {
     assert(resized.getLong(2) == graft.functions.RollingHash.compute(expected))
   }
 
-  test("multimodal decode produces deterministic byte features") {
+  test("ppm decode parses header fields and pixel checksum from the real bytes") {
     import spark.implicits._
-    val f = Multimodal.decodeFeatures(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
+    // doc_id 7 -> width 7%5+2 = 4, height 7%3+2 = 3 -> 36 pixel bytes;
+    // "AB" pads with 'x' to 36
+    val f = Multimodal.decodePpm(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
       .collect().head
-    assert(f.n_bytes == 2L && f.checksum == (65 + 66) && f.head_byte == 65)
-    // non-ASCII: n_bytes counts UTF-8 bytes, checksum/head speak
-    // codepoints (the oracle's unicode() semantics)
-    val g = Multimodal.decodeFeatures(Seq((8L, "éA", "fr")).toDF("doc_id", "text", "lang"))
+    assert(f.valid && f.width == 4 && f.height == 3 && f.maxval == 255)
+    assert(f.n_pix == 12L)
+    assert(f.pix_sum == 65L + 66L + 34L * 'x'.toLong)
+    // non-ASCII sanitizes to '?' before entering the pixel plane, keeping
+    // byte == codepoint for the oracle's string-function mirror
+    val g = Multimodal.decodePpm(Seq((8L, "éA", "fr")).toDF("doc_id", "text", "lang"))
       .collect().head
-    assert(g.n_bytes == 3L && g.checksum == (0xE9 + 65) && g.head_byte == 0xE9)
+    assert(g.valid && g.width == 5 && g.height == 4)
+    assert(g.pix_sum == '?'.toLong + 65L + (60L - 2L) * 'x'.toLong)
+  }
+
+  test("ppm parser reads the actual payload: tampering bytes changes the result") {
+    import spark.implicits._
+    val payload = Multimodal.withPpmPayload(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val base = Multimodal.parsePpm(7L, payload)
+    assert(base.valid && base.pix_sum == 65L + 66L + 34L * 'x'.toLong)
+    // flip one pixel byte -> checksum moves by exactly the delta
+    val tampered = payload.clone()
+    tampered(tampered.length - 1) = 'y'.toByte
+    val t = Multimodal.parsePpm(7L, tampered)
+    assert(t.valid && t.pix_sum == base.pix_sum + ('y' - 'x'))
+    // corrupt the magic -> routed to a valid=false row, not an exception
+    val bad = payload.clone(); bad(1) = '5'.toByte
+    val b = Multimodal.parsePpm(7L, bad)
+    assert(!b.valid && b.width == -1)
+    // truncate the pixel plane -> length check fails loudly per record
+    val short = java.util.Arrays.copyOf(payload, payload.length - 1)
+    assert(!Multimodal.parsePpm(7L, short).valid)
   }
 
   test("payload schema carries binary column + typed metadata") {
