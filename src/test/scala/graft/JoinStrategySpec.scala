@@ -1,29 +1,56 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
 /** Results must not depend on the physical join strategy: at small SF the
   * vocabulary joins broadcast, at 100 TB they sort-merge — this pins that
   * both plans compute identical bytes (the flagship's correctness is
   * structural, not an artifact of the broadcast path the gate happens to
-  * take locally). */
+  * take locally).
+  *
+  * The flagship builder materializes and caches its joined table
+  * (`Collocations.withN`), so (a) the cache must be cleared between
+  * strategy runs or the second run silently reuses the first run's bytes,
+  * and (b) the join operators live inside `InMemoryRelation.cachedPlan`,
+  * not the top-level executed plan — the assertion descends into cached
+  * subtrees the same way the PlanSpec registry sweep does. */
 class JoinStrategySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def stripAqe(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => stripAqe(a.executedPlan)
+    case other                    => other
+  }
+
+  private def expandCached(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.collect { case s: InMemoryTableScanExec => stripAqe(s.relation.cachedPlan) }
+      .flatMap(expandCached).toSeq
+
   test("flagship results are identical under broadcast and sort-merge strategies") {
-    def run(): Seq[String] =
-      SparkEntry.queries("collocations_e2e")(spark, sf)
-        .collect().map(_.mkString("|")).sorted.toSeq
-    val broadcastPlan = run()
+    def run(): (Seq[String], String) = {
+      spark.sharedState.cacheManager.clearCache()
+      val df = SparkEntry.queries("collocations_e2e")(spark, sf)
+      val plan = expandCached(stripAqe(df.queryExecution.executedPlan))
+        .map(_.toString).mkString("\n")
+      (df.collect().map(_.mkString("|")).sorted.toSeq, plan)
+    }
+    val (broadcastRows, broadcastPlan) = run()
+    assert(broadcastPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast vocabulary joins at small SF:\n$broadcastPlan")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = SparkEntry.queries("collocations_e2e")(spark, sf)
-        .queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin"), s"expected sort-merge under disabled broadcast:\n$p")
-      assert(run() == broadcastPlan, "join strategy changed the result")
+      val (smjRows, smjPlan) = run()
+      assert(smjPlan.contains("SortMergeJoin"),
+        s"expected sort-merge under disabled broadcast:\n$smjPlan")
+      assert(smjRows == broadcastRows, "join strategy changed the result")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sharedState.cacheManager.clearCache()
     }
   }
 }
