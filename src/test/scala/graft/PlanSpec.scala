@@ -94,18 +94,44 @@ class PlanSpec extends SparkSpec {
     // window rides it exchange-free), plus the per-bucket-totals agg and
     // single-partition offsets window that only move ≤ bucket-count
     // metadata rows
-    // dedup_passages: 3 = hash-of-passage window + per-doc aggregation +
-    // the doc-id-list side of the short-doc pass-through join (the agg
-    // output is already hash-partitioned on doc_id, so the stats side of
-    // that join rides exchange-free); the passage explode itself is
-    // array-local (shuffle-free)
+    // dedup_passages: 2 = hash-of-passage window + per-doc aggregation;
+    // at this SF the short-doc pass-through join broadcasts the
+    // doc-count-sized stats table (BroadcastExchange, not counted here —
+    // the sort-merge form is pinned separately below); the passage
+    // explode itself is array-local (shuffle-free)
+    // budgets are EXACT, not upper bounds: `n <= budget` would let the
+    // documented exchange-reuse properties regress silently (e.g. the
+    // dedup_passages stats side growing its own doc_id shuffle would still
+    // land under a loose bound) — fewer exchanges than documented is also
+    // a plan change worth re-auditing, so equality it is
     Seq("events_hourly" -> 1, "sessionize" -> 1, "dedup_exact" -> 1,
         "agg_unigrams" -> 1, "pack_sequences" -> 3,
-        "dedup_passages" -> 3).foreach { case (q, budget) =>
+        "dedup_passages" -> 2).foreach { case (q, budget) =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
         .findAllIn(p).size
-      assert(n <= budget, s"$q: $n exchanges (budget $budget):\n$p")
+      assert(n == budget, s"$q: $n exchanges (documented $budget):\n$p")
+    }
+  }
+
+  test("passage-dedup pass-through join reuses the stats-side doc_id partitioning") {
+    // the 100 TB shape: stats are doc-count-sized, so the pass-through
+    // join sort-merges. The per-doc aggregation already hash-partitions
+    // its output on doc_id, so the stats side of the join must add NO
+    // exchange of its own — exactly 3 total: passage-hash window, per-doc
+    // agg, and the doc-id-list side of the join. A 4th exchange means the
+    // reuse property regressed.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.queries("dedup_passages")(spark, sf))
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge pass-through:\n$p")
+      val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+        .findAllIn(p).size
+      assert(n == 3, s"dedup_passages (no broadcast): $n exchanges (documented 3):\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
 
