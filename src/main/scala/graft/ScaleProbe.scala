@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
   * quadratic join blowup. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    // --lsh-only: run just the LSH dedup family section (the flagship /
+    // clean-corpus / passage / ntile curves were recorded in earlier
+    // rounds and are expensive to repeat)
+    val (flags, nums) = args.partition(_.startsWith("--"))
+    require(flags.forall(_ == "--lsh-only"), s"unknown flags: ${flags.mkString(" ")}")
+    val lshOnly = flags.contains("--lsh-only")
+    val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,6 +27,7 @@ object ScaleProbe {
       val docs = (0 until m).map(i =>
         base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
         .reduce(_ unionByName _)
+      if (!lshOnly) {
       val t0 = System.nanoTime()
       val n = graft.collocations.Collocations.topCollocations(docs).count()
       println(f"SCALE m=$m%2d docs=${5000 * m}%7d rows=$n%5d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
@@ -48,6 +55,48 @@ object ScaleProbe {
           Seq(col("n_chars") -> false, col("doc_id") -> true), "decile")
         .groupBy("decile").count().count()
       println(f"SCALE-NTILE m=$m%2d docs=${5000 * m}%7d tiles=$nt%3d  ${(System.nanoTime() - t3) / 1e9}%6.2f s")
+      spark.sharedState.cacheManager.clearCache()
+      }
+
+      // LSH dedup family over the SALTED corpus (below): candidate counts
+      // and wall-time must both grow ~linearly in m. The exact-clone
+      // corpus above is the wrong input for this probe — m clones of one
+      // text form m^2/2 candidate pairs BY CONSTRUCTION (that quadratic
+      // is the answer, not the machinery), so each replica's tokens are
+      // prefixed with its replica id instead: zero cross-replica shingle
+      // overlap, the base corpus's duplicate structure repeats per block,
+      // and any superlinear growth that remains is the operator's fault.
+      // The salt must contain NO underscore: cleanToken treats `_` as the
+      // reference's POS-suffix separator and truncates at it, which would
+      // collapse every salted token to just the salt (all docs in a block
+      // become ONE shingle -> all-pairs candidates, the quadratic this
+      // probe exists to rule out).
+      val salted = (0 until m).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text",
+            array_join(transform(split(col("text"), "\\s+"),
+              t => concat(lit(s"r${i}x"), t)), " ")))
+        .reduce(_ unionByName _)
+
+      val t4 = System.nanoTime()
+      val lsh = graft.dedup.Dedup.lshCandidates(salted)
+      val nLsh = lsh.count()
+      println(f"SCALE-LSH m=$m%2d docs=${5000 * m}%7d cand=$nLsh%8d  ${(System.nanoTime() - t4) / 1e9}%6.2f s")
+      lsh.unpersist(blocking = true)
+      spark.sharedState.cacheManager.clearCache()
+
+      val t5 = System.nanoTime()
+      val jac = graft.dedup.Dedup.jaccardVerify(salted, threshold = 0.8)
+      val nJac = jac.count()
+      println(f"SCALE-JACCARD m=$m%2d docs=${5000 * m}%7d pairs=$nJac%7d  ${(System.nanoTime() - t5) / 1e9}%6.2f s")
+      jac.unpersist(blocking = true)
+      spark.sharedState.cacheManager.clearCache()
+
+      val t6 = System.nanoTime()
+      val sim = graft.dedup.Dedup.simhashPairs(salted)
+      val nSim = sim.count()
+      println(f"SCALE-SIMHASH m=$m%2d docs=${5000 * m}%7d pairs=$nSim%7d  ${(System.nanoTime() - t6) / 1e9}%6.2f s")
+      sim.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
