@@ -396,6 +396,112 @@ object OracleSqlExt {
       annIvfSql(cents, stride, k, probes)
     }
 
+  /** Sub-dimensional dot for PQ subvectors (the 64-wide [[dotSql]] fold
+    * restricted to `n` elements — same left-to-right order). */
+  def dotSqlN(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Mirror of [[graft.similarity.Pq.pqTopK]] GIVEN the trained
+    * codebooks, injected as literal (sub, cid, cv, half) rows — `half` =
+    * c·c/2 is computed once in Scala and shipped to BOTH engines as the
+    * same literal, so the encode argmax `dot(x_sub, c) − half` is
+    * bit-identical by construction. The ADC sum re-derives each LUT
+    * value as `dot(q_sub, c)` (the same left fold the driver used to
+    * build the Spark-side literal LUTs) and folds the `m` per-subspace
+    * contributions in sub order via array_agg(ORDER BY sub) +
+    * list_reduce — matching Spark's left-assoc `reduce(_ + _)`; a plain
+    * SUM would be scan-order-dependent. */
+  def annPqSql(books: Seq[graft.similarity.Pq.Codebook], subDim: Int,
+               stride: Int, k: Int): String = {
+    val cbRows = books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (cid, arr, half) =>
+        s"SELECT $s AS sub, $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv, CAST($half AS DOUBLE) AS half"
+      }
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |cb AS (
+       |  $cbRows
+       |),
+       |sv AS (
+       |  SELECT n_id, sub, cid, half, cv,
+       |         list_slice(nv, sub * $subDim + 1, sub * $subDim + $subDim) AS svec
+       |  FROM c CROSS JOIN cb
+       |),
+       |enc AS (
+       |  SELECT n_id, sub, cid AS code FROM (
+       |    SELECT n_id, sub, cid,
+       |           row_number() OVER (PARTITION BY n_id, sub
+       |                              ORDER BY (${dotSqlN("svec", "cv", subDim)} - half) DESC, cid ASC) AS rn
+       |    FROM sv
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |      WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |lut AS (
+       |  SELECT q_id, sub, cid,
+       |         ${dotSqlN(s"list_slice(qv, sub * $subDim + 1, sub * $subDim + $subDim)", "cv", subDim)} AS d
+       |  FROM q CROSS JOIN cb
+       |),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |         round(list_reduce(array_agg(d ORDER BY enc.sub), (x, y) -> x + y), 6) AS adc
+       |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.cid
+       |  WHERE n_id != q_id
+       |  GROUP BY q_id, n_id
+       |)
+       |SELECT q_id, n_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+  }
+
+  /** Oracle SQL for the last-trained PQ model (same Verify contract as
+    * [[annIvfSqlFromLastModel]]). */
+  def annPqSqlFromLastModel: Option[String] =
+    graft.similarity.Pq.lastPqModel.map { case (books, subDim, stride, k) =>
+      annPqSql(books, subDim, stride, k)
+    }
+
+  /** Overlapping token-window chunking mirror of
+    * [[graft.pipelines.Chunking.chunkDocuments]]: raw whitespace tokens,
+    * starts 0, stride, … < n (and exactly [0] for an empty doc via
+    * greatest(n, 1)), short trailing chunk kept. */
+  def chunkSql(window: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), s -> length(s) > 0) AS toks
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), $stride)) AS start
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |       CAST(start // $stride AS BIGINT) AS chunk_id,
+       |       CAST(len(toks[start + 1 : start + $window]) AS BIGINT) AS n_tokens,
+       |       array_to_string(toks[start + 1 : start + $window], ' ') AS chunk_text
+       |FROM st""".stripMargin
+
+  /** Temperature (α = 0.5) mixture mirror of
+    * [[graft.text.TextAnalysis.temperatureMix]]: sqrt is correctly
+    * rounded on both engines, and the normalizer folds per-source terms
+    * in source order (list_reduce over array_agg ORDER BY source,
+    * seeded 0.0 to match Spark's aggregate initial value). */
+  val temperatureMixSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source
+      |),
+      |den AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), array_agg(sqrt(sum_chars) ORDER BY source)),
+      |                     (x, y) -> x + y) AS z,
+      |         CAST(sum(sum_chars) AS BIGINT) AS total_chars
+      |  FROM per
+      |)
+      |SELECT source, n_docs, sum_chars,
+      |       round(sum_chars / total_chars, 6) AS share,
+      |       round(sqrt(sum_chars) / z, 6) AS p_alpha,
+      |       round((sqrt(sum_chars) / z) / (sum_chars / total_chars), 6) AS boost
+      |FROM per CROSS JOIN den""".stripMargin
+
   // ------------------------------------------------------------ text
 
   val tokenStatsSql: String =

@@ -765,6 +765,20 @@ object SparkEntry {
         graft.text.TextAnalysis.mixWeights(Collocations.documents(s, d)),
       Some(OracleSqlExt.mixWeightsSql)),
 
+    // α-temperature rebalancing (α=0.5 via correctly-rounded sqrt; the
+    // normalizer is an ordered fold on both engines — see scaladoc)
+    ("temperature_mix",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.temperatureMix(Collocations.documents(s, d)),
+      Some(OracleSqlExt.temperatureMixSql)),
+
+    // overlapping token-window chunking (RAG/embedding prep): array-local
+    // explode, zero shuffles; every doc emits >= 1 chunk (row-preserving)
+    ("chunk_documents",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.Chunking.chunkDocuments(Collocations.documents(s, d), window = 64, stride = 32),
+      Some(OracleSqlExt.chunkSql(64, 32))),
+
     ("pack_sequences",
       (s: SparkSession, d: String) =>
         graft.pipelines.Packing.packSequences(Collocations.documents(s, d), windowSize = 2048),
@@ -909,6 +923,19 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
       Some(OracleSqlExt.annMultiProbeSql(100, 5, 6))),
 
+    // PQ/ADC: codebooks trained on the vec_id % 4 sample, full corpus
+    // encoded to 4 code ids by a shuffle-free map, probes score via
+    // driver-precomputed lookup tables. DYNAMIC oracle like ann_ivf_topk:
+    // encode + ADC given the trained codebooks is SQL-expressible, so
+    // running the query stashes the model and oracleSql injects it
+    // (OracleSqlExt.annPqSql); recall vs brute force pinned in PqSpec.
+    ("ann_pq_topk",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Pq.pqTopK(
+          s.read.parquet(s"$d/embeddings.parquet"),
+          m = 4, codes = 8, iters = 2, stride = 100, k = 5, trainStride = 4),
+      None),
+
     // custom Catalyst Expressions surfaced through SQL: GraftFunctions
     // registers graft_dot / graft_rolling_hash into the session's function
     // registry (GraftExtensions does the same via spark.sql.extensions for
@@ -1039,12 +1066,14 @@ object SparkEntry {
     registry.map { case (n, q, _) => n -> q }.toMap
 
   /** Static oracle SQL from the registry, plus the DYNAMIC ann_ivf_topk
-    * entry: its oracle embeds the trained centroid model, which only
-    * exists after the query has executed. Verify runs every query before
-    * dumping this map, and training is deterministic, so the stashed
-    * model is exactly the one the dumped parquet used; if the query never
-    * ran (or failed) the entry is simply absent → rows-only gate. */
+    * / ann_pq_topk entries: their oracles embed the trained models, which
+    * only exist after the queries have executed. Verify runs every query
+    * before dumping this map, and training is deterministic, so the
+    * stashed model is exactly the one the dumped parquet used; if the
+    * query never ran (or failed) the entry is simply absent → rows-only
+    * gate. */
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
-      OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _)
+      OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
+      OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _)
 }

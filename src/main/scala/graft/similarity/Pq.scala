@@ -1,0 +1,177 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization (PQ) similarity search — the memory-side scale
+  * path the sign/IVF quantizers in [[Ann]] don't cover: instead of
+  * pruning WHICH vectors get scored, PQ compresses HOW each vector is
+  * stored. Vectors are split into `m` subspaces; each subspace gets its
+  * own small k-means codebook; a vector is stored as `m` byte-sized code
+  * ids (here 4 ints vs 64 doubles — the 100 TB move that turns an
+  * embedding corpus into something that fits an executor cache).
+  * Queries stay full-precision and score candidates by ADC (asymmetric
+  * distance computation): per query, the dot of each of its subvectors
+  * with every codebook centroid is precomputed into a lookup table, so
+  * scoring a candidate is `m` array lookups + adds — no float dot at
+  * scan time.
+  *
+  * Spark shapes, per stage:
+  *  - TRAIN: per-subspace Lloyd on the deterministic `vec_id %
+  *    trainStride == 0` sample (content-stable, no rand()), DECIMAL
+  *    means — bit-stable codebooks across runs/retries, the same
+  *    discipline as [[Ann.ivfCentroids]].
+  *  - ENCODE: a narrow shuffle-free map — codes come from literal
+  *    codebook expressions (`argmin ||x-c||² = argmax (x·c − c·c/2)`,
+  *    smallest-cid ties), so vectors never move to be encoded.
+  *  - SCORE: the bounded probe set ships as a literal model WITH its
+  *    per-probe LUTs precomputed driver-side (the serve-a-model shape of
+  *    [[Ann.bruteForceTopK]]); candidates explode the probe array
+  *    locally and rank with the partial+final window top-k.
+  *
+  * Training is not SQL-mirrorable (iterative float means), but encode +
+  * ADC GIVEN the trained codebooks is — the oracle gate injects the
+  * collected model into a generated DuckDB query
+  * ([[graft.OracleSqlExt.annPqSql]]), exactly the IVF pattern. Scores
+  * are approximate inner products (ADC reconstructs `dot(q, x)` from
+  * code centroids); recall vs the exact brute force is pinned in PqSpec.
+  */
+object Pq {
+
+  import graft.functions.VectorFunctions.dot
+
+  /** One subspace's codebook: (cid, centroid, c·c/2). The half-norm is
+    * computed ONCE driver-side and shipped as the same literal to both
+    * engines, so the argmin is bit-identical by construction. */
+  type Codebook = Seq[(Int, Array[Double], Double)]
+
+  /** The most recently trained model: (codebooks, subDim, stride, k).
+    * Verify runs queries before dumping oracle SQL, and training is
+    * deterministic, so the stashed model is exactly the one the dumped
+    * result used (the [[Ann.lastIvfModel]] contract). */
+  @volatile private[graft] var lastPqModel: Option[(Seq[Codebook], Int, Int, Int)] = None
+
+  /** Same fold order as the codegen'd [[graft.functions.DotProduct]]
+    * (s = 0.0; s += a(i)*b(i) left-to-right) — LUT literals computed
+    * here must be bit-identical to what either engine would compute. */
+  private[similarity] def dotScalar(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def halfNormSq(arr: Array[Double]): Double = dotScalar(arr, arr) / 2
+
+  /** Nearest code for a subvector — array-local argmax over literal
+    * centroid scores with deterministic smallest-cid ties (the
+    * `greatest(struct(score, -cid))` pattern from [[Ann.ivfCell]]). */
+  def nearestCode(v: Column, cb: Codebook): Column = {
+    val structs = cb.map { case (cid, arr, half) =>
+      struct((dot(v, array(arr.map(lit(_)): _*)) - lit(half)).as("s"), lit(-cid).as("negcid"))
+    }
+    (-greatest(structs: _*).getField("negcid")).cast("int")
+  }
+
+  /** Deterministic Lloyd for one subspace under L2 assignment: init =
+    * first `k` sample subvectors by vec_id; means through DECIMAL sums
+    * (bit-stable across partitionings); a cell that empties keeps its
+    * previous centroid instead of silently shrinking the codebook. */
+  private def lloydL2(base: DataFrame, k: Int, iters: Int): Codebook = {
+    var cents: Seq[(Int, Array[Double])] = base.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    require(cents.length == k,
+      s"training sample has only ${cents.length} vectors for $k codes: lower trainStride")
+    for (_ <- 0 until iters) {
+      val cb = cents.map { case (cid, arr) => (cid, arr, halfNormSq(arr)) }
+      val updated = base
+        .select(nearestCode(col("v"), cb).as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(28,14)")) / count(lit(1))).cast("double").as("mu"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (cid, rows) =>
+          val arr = new Array[Double](rows.map(_._2).max + 1)
+          rows.foreach { case (_, d, mu) => arr(d) = mu }
+          cid -> arr
+        }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents.map { case (cid, arr) => (cid, arr, halfNormSq(arr)) }
+  }
+
+  /** Train the `m` per-subspace codebooks on the strided sample. Lloyd
+    * aggregates a posexplode of every training subvector per iteration —
+    * at corpus scale, train on the sample and encode the full set (the
+    * [[Ann.ivfCentroids]] trainStride contract). */
+  def codebooks(emb: DataFrame, m: Int, codes: Int, iters: Int,
+                trainStride: Int, subDim: Int): Seq[Codebook] = {
+    val sample = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("fv"))
+      .filter(pmod(col("vec_id"), lit(trainStride.toLong)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { s =>
+        lloydL2(sample.select(col("vec_id"), slice(col("fv"), s * subDim + 1, subDim).as("v")),
+          codes, iters)
+      }
+    } finally sample.unpersist()
+  }
+
+  /** PQ/ADC approximate top-k: every vector is encoded to `m` code ids
+    * by a shuffle-free map against the literal codebooks; the strided
+    * probe set (bounded, loud failure above `maxProbes`) ships with
+    * driver-precomputed LUTs; scoring is `m` lookups + adds per
+    * (probe, candidate); ranks break ties by n_id. Emits
+    * (q_id, n_id, adc) with adc = round(Σ_s lut[s][code_s], 6). */
+  def pqTopK(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
+             stride: Int = 100, k: Int = 5, trainStride: Int = 1,
+             maxProbes: Int = 4096): DataFrame = {
+    val base = emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = base.select(size(col("v")).as("n")).limit(1).collect()
+    if (dims.isEmpty) {
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0L).as("n_id"), lit(0.0).as("adc"))
+        .limit(0)
+    }
+    val dim = dims.head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+
+    val books = codebooks(emb, m, codes, iters, trainStride, subDim)
+    lastPqModel = Some((books, subDim, stride, k))
+
+    val probes = Ann.queries(emb, stride).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(probes.length <= maxProbes,
+      s"${probes.length} probes exceed maxProbes=$maxProbes: raise stride for this corpus")
+    if (probes.isEmpty) {
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0L).as("n_id"), lit(0.0).as("adc"))
+        .limit(0)
+    }
+    // per-probe ADC lookup tables, computed once driver-side: lut(s)(c)
+    // = dot(q_sub_s, centroid_{s,c}) — the literal model each task uses
+    val probeStructs = probes.map { case (qid, qv) =>
+      val lut = (0 until m).map { s =>
+        val qsub = qv.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (_, cent, _) => dotScalar(qsub, cent) }
+      }
+      struct(lit(qid).as("q_id"),
+        array(lut.map(sc => array(sc.map(lit(_)): _*)): _*).as("lut"))
+    }
+    val encoded = base.select(col("n_id"),
+      array((0 until m).map(s => nearestCode(slice(col("v"), s * subDim + 1, subDim), books(s))): _*)
+        .as("codes"))
+    val scored = encoded
+      .select(col("n_id"), col("codes"), explode(array(probeStructs: _*)).as("q"))
+      .filter(col("n_id") =!= col("q.q_id"))
+      .withColumn("adc", round(
+        (0 until m).map(s =>
+          element_at(element_at(col("q.lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _), 6))
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q.q_id").as("q_id"), col("n_id"), col("adc")),
+      Seq(col("q_id")),
+      Seq(col("adc").desc, col("n_id").asc), k)
+  }
+}

@@ -151,6 +151,41 @@ object TextAnalysis {
         round((lit(1.0) / col("n_sources")) / (col("sum_chars") / col("total_chars")), 6).as("weight"))
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-pretraining
+    * α-sampling rule): sampling mass per source ∝ (corpus share)^α, so
+    * α < 1 upweights low-resource sources without flattening to uniform
+    * (α = 1 keeps natural proportions; α = 0 is [[mixWeights]]'s uniform
+    * target). Emits per-source share, normalized sampling probability
+    * `p_alpha`, and `boost = p_alpha / share` (the up/down-sampling
+    * factor a sampler applies).
+    *
+    * Determinism: the default α = 0.5 goes through `sqrt`, which IEEE
+    * requires correctly rounded — bit-identical across engines — while
+    * general `pow` may differ in the last ulp between libms (fine for
+    * production, not for a hash-compared oracle). The normalizer
+    * Σ_d (n_d)^α is an ORDERED left fold over sources sorted by name
+    * (sort_array + aggregate here, array_agg(ORDER BY)+list_reduce in
+    * the oracle) — a plain SUM of doubles would be scan-order-dependent
+    * in both engines. Everything is metadata-sized after one
+    * aggregation on `source`; the single-row normalizer broadcasts. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val w: Column => Column =
+      if (alpha == 0.5) sqrt(_) else c => pow(c, lit(alpha))
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val den = per.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source").as("src"), w(col("sum_chars")).as("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("z"),
+      sum(col("sum_chars")).as("total_chars"))
+    per.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        round(col("sum_chars") / col("total_chars"), 6).as("share"),
+        round(w(col("sum_chars")) / col("z"), 6).as("p_alpha"),
+        round((w(col("sum_chars")) / col("z")) / (col("sum_chars") / col("total_chars")), 6).as("boost"))
+  }
+
   /** PII-style scrubbing: redact email addresses and long digit runs.
     * Pure `Column` regex work (codegen'd, shuffle-free); the character
     * classes used agree between Java regex and RE2, so the DuckDB oracle
