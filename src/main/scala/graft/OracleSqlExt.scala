@@ -480,6 +480,18 @@ object OracleSqlExt {
        |       array_to_string(toks[start + 1 : start + $window], ' ') AS chunk_text
        |FROM st""".stripMargin
 
+  /** Morton/z-value mirror of [[graft.ops.ZOrder.zValue]] over
+    * modulus-quantized (l_partkey, l_suppkey): pure integer bit algebra
+    * — shifts, masks and exact powers of two — so both engines compute
+    * the identical BIGINT. */
+  def zorderSql(bits: Int): String = {
+    val terms = (for {
+      (c, i) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+      j <- 0 until bits
+    } yield s"(((($c % ${1L << bits}) >> $j) & 1) * ${1L << (j * 2 + i)})").mkString(" + ")
+    s"SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zv FROM lineitem"
+  }
+
   /** Temperature (α = 0.5) mixture mirror of
     * [[graft.text.TextAnalysis.temperatureMix]]: sqrt is correctly
     * rounded on both engines, and the normalizer folds per-source terms

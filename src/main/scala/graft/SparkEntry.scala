@@ -784,6 +784,19 @@ object SparkEntry {
         graft.pipelines.Packing.packSequences(Collocations.documents(s, d), windowSize = 2048),
       Some(OracleSqlExt.packSql(2048))),
 
+    // z-order layout clustering: the oracle gates the Morton curve value
+    // (exact integer bit algebra); the pruning-locality property of the
+    // full repartitionByRange layout is pinned in ZOrderSpec
+    ("zorder_layout",
+      (s: SparkSession, d: String) => {
+        import graft.ops.ZOrder
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            ZOrder.zValue(Seq(ZOrder.cell(col("l_partkey"), 10),
+              ZOrder.cell(col("l_suppkey"), 10)), 10).as("zv"))
+      },
+      Some(OracleSqlExt.zorderSql(10))),
+
     ("scrub_pii",
       (s: SparkSession, d: String) => {
         val (ne, nn) = graft.text.TextAnalysis.scrubCounts(col("props"))
@@ -844,6 +857,20 @@ object SparkEntry {
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.jaccardVerify(Collocations.documents(s, d), threshold = 0.3),
+      Some(OracleSqlExt.jaccardVerifySql(0.3))),
+
+    // build-once/serve-many: materialize the minhash/shingle index to
+    // parquet, then verify candidates from the index alone (zero corpus
+    // access in the serve plan — asserted in DedupSpec). Same semantics
+    // as dedup_ngram_jaccard, so the SAME oracle gates both paths.
+    ("dedup_jaccard_indexed",
+      (s: SparkSession, d: String) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+        graft.dedup.Dedup.writeDedupIndex(Collocations.documents(s, d), dir)
+        graft.dedup.Dedup.jaccardVerifyFromIndex(
+          s.read.parquet(s"$dir/minhash_sigs"), s.read.parquet(s"$dir/shingle_sets"),
+          threshold = 0.3)
+      },
       Some(OracleSqlExt.jaccardVerifySql(0.3))),
 
     ("dedup_simhash",

@@ -206,11 +206,10 @@ object Dedup {
     halves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH bucketing: split the signature into `bands` bands of `rowsPerBand`
-    * hashes; band key = md5 of the concatenated band. Emits
-    * (doc_id, band, sig). */
-  def lshBuckets(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, k, bands * rowsPerBand)
+  /** Band/bucket projection over an existing signature table (from
+    * [[minhashSignatures]] or a persisted index): band key = md5 of the
+    * concatenated band. Emits (doc_id, band, sig). */
+  def lshBucketsFromSigs(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("sig"))
@@ -218,6 +217,11 @@ object Dedup {
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** LSH bucketing straight from documents: signature chain + banding.
+    * Emits (doc_id, band, sig). */
+  def lshBuckets(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    lshBucketsFromSigs(minhashSignatures(docs, k, bands * rowsPerBand), bands, rowsPerBand)
 
   /** Same-bucket pairs (a < b) from any (doc_id, band, sig) bucket table:
     * an equi self-join keyed on (band, sig) — only same-bucket docs meet. */
@@ -310,6 +314,49 @@ object Dedup {
     cand.unpersist()
     out
   }
+
+  // ------------------------------------------------------- dedup index
+
+  /** Build-once/serve-many split for the LSH dedup family. At corpus
+    * scale the tokenizer → shingle → md5 → minhash chain is the dominant
+    * cost of EVERY dedup query (the round-5 plan audit put
+    * `dedup_ngram_jaccard`'s wall time almost entirely in recomputing
+    * it), and that chain is a pure function of the corpus — so a
+    * production deployment materializes it ONCE as an index and serves
+    * candidates/verification from the index alone. Two parquet tables:
+    *
+    *   `$dir/minhash_sigs`   (doc_id, h0..h{n-1})  — fixed-width longs
+    *   `$dir/shingle_sets`   (doc_id, sl, nsh)     — array-local sets
+    *
+    * The serve paths below never touch `documents` (asserted in
+    * DedupSpec by scanning the executed plan's file sources) and need
+    * NO caching: both self-join sides re-read the parquet scan, which —
+    * unlike the lambda-bearing direct chain — canonicalizes equal, so
+    * Spark can reuse the exchange instead of recomputing. Incremental
+    * ingest composes: signatures of new docs union onto the table
+    * without re-hashing the old corpus. */
+  def writeDedupIndex(docs: DataFrame, dir: String, k: Int = 3, numHashes: Int = 16): Unit = {
+    minhashSignatures(docs, k, numHashes).write.mode("overwrite").parquet(s"$dir/minhash_sigs")
+    shingleSets(docs, k).write.mode("overwrite").parquet(s"$dir/shingle_sets")
+  }
+
+  /** Candidate pairs served from a persisted signature table — the
+    * [[lshCandidates]] semantics without the signature recompute. */
+  def lshCandidatesFromIndex(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    candidatesFromBuckets(lshBucketsFromSigs(sigs, bands, rowsPerBand))
+
+  /** Jaccard verification served entirely from the index — the
+    * [[jaccardVerify]] semantics with zero corpus access. */
+  def jaccardVerifyFromIndex(sigs: DataFrame, sets: DataFrame,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             threshold: Double = 0.0): DataFrame =
+    lshCandidatesFromIndex(sigs, bands, rowsPerBand)
+      .join(sets.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
 
   /** Exact shingle-Jaccard for ALL pairs sharing >= 1 shingle, via an
     * inverted index self-join (a < b) — the correctness baseline for

@@ -38,6 +38,32 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("persisted index serves identical candidates and jaccard, without the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index-spec").toString
+    Dedup.writeDedupIndex(docs, dir)
+    val sigs = spark.read.parquet(s"$dir/minhash_sigs")
+    val sets = spark.read.parquet(s"$dir/shingle_sets")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val candDirect = Dedup.lshCandidates(docs).collect().map(key).toSet
+    val candIdx = Dedup.lshCandidatesFromIndex(sigs).collect().map(key).toSet
+    assert(candIdx == candDirect)
+    val verDirect = Dedup.jaccardVerify(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    val verIdx = Dedup.jaccardVerifyFromIndex(sigs, sets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    assert(verIdx == verDirect)
+    // the serve plan reads ONLY index parquet — build-once/serve-many
+    // means the corpus (and its tokenizer/minhash chain) never appears.
+    // Inspect a FRESH frame: execution would fold the scans into opaque
+    // AQE query-stage leaves
+    val p = Dedup.jaccardVerifyFromIndex(sigs, sets).queryExecution.executedPlan.toString
+    assert(p.contains("graft-index-spec"), s"serve plan must scan the index:\n$p")
+    // banding still md5s the 16 signature longs (cheap, fixed-width);
+    // what must NOT reappear is the corpus tokenizer/shingle chain
+    assert(!p.contains("split(") && !p.toLowerCase.contains("documents"),
+      s"serve plan must not recompute the tokenizer chain:\n$p")
+  }
+
   test("jaccard pairs compute exact set similarity") {
     val j = Dedup.jaccardPairs(docs, threshold = 0.0).collect()
       .map(r => (r.getLong(1), r.getLong(0)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
