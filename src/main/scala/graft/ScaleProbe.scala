@@ -13,8 +13,10 @@ object ScaleProbe {
     // clean-corpus / passage / ntile curves were recorded in earlier
     // rounds and are expensive to repeat)
     val (flags, nums) = args.partition(_.startsWith("--"))
-    require(flags.forall(_ == "--lsh-only"), s"unknown flags: ${flags.mkString(" ")}")
+    require(flags.forall(f => f == "--lsh-only" || f == "--index-only"),
+      s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
+    val indexOnly = flags.contains("--index-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -78,6 +80,30 @@ object ScaleProbe {
               t => concat(lit(s"r${i}x"), t)), " ")))
         .reduce(_ unionByName _)
 
+      if (indexOnly) {
+        // build-once/serve-many: the index build pays the tokenizer +
+        // minhash chain once; every subsequent candidate/verify query
+        // reads fixed-width parquet. SERVE must beat DIRECT by roughly
+        // the chain's share of the direct runtime, and both must stay
+        // ~linear in m.
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-index-$m").toString
+        val tb = System.nanoTime()
+        graft.dedup.Dedup.writeDedupIndex(salted, dir)
+        val build = (System.nanoTime() - tb) / 1e9
+        val sigs = spark.read.parquet(s"$dir/minhash_sigs")
+        val sets = spark.read.parquet(s"$dir/shingle_sets")
+        val ts = System.nanoTime()
+        val nServe = graft.dedup.Dedup.jaccardVerifyFromIndex(sigs, sets, threshold = 0.8).count()
+        val serve = (System.nanoTime() - ts) / 1e9
+        val td = System.nanoTime()
+        val direct = graft.dedup.Dedup.jaccardVerify(salted, threshold = 0.8)
+        val nDirect = direct.count()
+        val directS = (System.nanoTime() - td) / 1e9
+        direct.unpersist(blocking = true)
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-INDEX m=$m%2d docs=${5000 * m}%7d pairs=$nServe%7d build=$build%6.2f s serve=$serve%6.2f s direct=$directS%6.2f s (pairs match: ${nServe == nDirect})")
+      } else {
+
       val t4 = System.nanoTime()
       val lsh = graft.dedup.Dedup.lshCandidates(salted)
       val nLsh = lsh.count()
@@ -98,6 +124,7 @@ object ScaleProbe {
       println(f"SCALE-SIMHASH m=$m%2d docs=${5000 * m}%7d pairs=$nSim%7d  ${(System.nanoTime() - t6) / 1e9}%6.2f s")
       sim.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }
