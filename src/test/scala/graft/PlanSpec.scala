@@ -160,6 +160,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // chunking and z-order values are array-local scan -> project /
+    // generate pipelines: zero exchanges at any corpus size
+    Seq("chunk_documents", "zorder_layout").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+    }
+    // PQ scores the corpus against LITERAL probe/codebook models — no join
+    // anywhere; the only wide op is the per-query top-k, which must take
+    // the partial+final WindowGroupLimit rewrite
+    val p = plan(SparkEntry.queries("ann_pq_topk")(spark, sf))
+    assert(!p.contains("Join"), s"pq scoring must not join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"pq top-k should group-limit:\n$p")
+  }
+
   test("per-document text operators stay shuffle-free scans") {
     Seq("scrub_pii", "sample_stratified", "text_token_stats").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
