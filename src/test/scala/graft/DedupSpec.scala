@@ -64,6 +64,22 @@ class DedupSpec extends SparkSpec {
       s"serve plan must not recompute the tokenizer chain:\n$p")
   }
 
+  test("index build is incremental: per-doc signatures and shingle sets compose by union") {
+    // the scaladoc contract: new docs' index rows union onto the table
+    // without re-hashing the old corpus — true iff both tables are pure
+    // per-doc functions (no cross-doc state)
+    val half1 = docs.filter(col("doc_id") <= 2)
+    val half2 = docs.filter(col("doc_id") > 2)
+    val fullSig = Dedup.minhashSignatures(docs).collect().map(_.toSeq).toSet
+    val incSig = (Dedup.minhashSignatures(half1).collect() ++
+      Dedup.minhashSignatures(half2).collect()).map(_.toSeq).toSet
+    assert(incSig == fullSig)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[String](1)).map(_.toSet), r.get(2))).toSet
+    assert(sets(Dedup.shingleSets(half1)) ++ sets(Dedup.shingleSets(half2))
+      == sets(Dedup.shingleSets(docs)))
+  }
+
   test("jaccard pairs compute exact set similarity") {
     val j = Dedup.jaccardPairs(docs, threshold = 0.0).collect()
       .map(r => (r.getLong(1), r.getLong(0)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
