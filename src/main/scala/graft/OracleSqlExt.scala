@@ -302,6 +302,41 @@ object OracleSqlExt {
        |) WHERE cos >= $minCos""".stripMargin
   }
 
+  /** Mirror of [[graft.dedup.Dedup.embeddingLshPairsGaussian]]: the seeded
+    * hyperplanes are regenerated HERE with the identical
+    * `scala.util.Random(seed)` draw order the Spark plan used (plane p,
+    * component j = draw p*dim + j) and inlined as double literals — the
+    * same injected-model pattern as the IVF/PQ oracles, except the model
+    * is reproducible from the seed so the SQL needs no runtime stash.
+    * Each sign bit is `v·h >= 0` written as an explicit left-associative
+    * sum, the identical fold order to the codegen'd `graft_dot` loop, so
+    * both engines compute the same double and the same bit. */
+  def embeddingLshGaussianSql(dim: Int, bands: Int, rowsPerBand: Int,
+                              minCos: Double, seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+    def planeDot(v: String, p: Array[Double]): String =
+      (0 until dim).map(j => s"$v[${j + 1}]*(${p(j)})").mkString(" + ")
+    val bandSelects = (0 until bands).map { b =>
+      val bits = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"(CASE WHEN ${planeDot("v", planes(i))} >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"SELECT vec_id, $b AS band, $bits AS bits FROM e"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |bk AS (
+       |  ${bandSelects.mkString("\n  UNION ALL ")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.bits = r.bits AND l.vec_id < r.vec_id
+       |)
+       |SELECT a, b, cos FROM (
+       |  SELECT a, b, round(${cosineSql("ea.v", "eb.v")}, 6) AS cos
+       |  FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id
+       |) WHERE cos >= $minCos""".stripMargin
+  }
+
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),

@@ -13,10 +13,12 @@ object ScaleProbe {
     // clean-corpus / passage / ntile curves were recorded in earlier
     // rounds and are expensive to repeat)
     val (flags, nums) = args.partition(_.startsWith("--"))
-    require(flags.forall(f => f == "--lsh-only" || f == "--index-only"),
-      s"unknown flags: ${flags.mkString(" ")}")
+    val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only")
+    require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
+    val pqOnly = flags.contains("--pq-only")
+    val chunkOnly = flags.contains("--chunk-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -29,7 +31,37 @@ object ScaleProbe {
       val docs = (0 until m).map(i =>
         base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
         .reduce(_ unionByName _)
-      if (!lshOnly) {
+
+      if (pqOnly) {
+        // PQ/ADC over an m-times corpus with the PROBE COUNT HELD CONSTANT
+        // (stride scales with m; the 10^7 id shift is divisible by every
+        // 100*m here, so each replica contributes 20/m probes): the
+        // operator's scale contract is "bounded probes × growing
+        // candidates", so train, encode and score must all stay ~linear
+        // in m. Train is timed separately (codebooks is deterministic) to
+        // split the curve: train grows with the sample, encode+score with
+        // the candidate set.
+        val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val emb = (0 until m).map(i =>
+          embBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val tt = System.nanoTime()
+        graft.similarity.Pq.codebooks(emb, m = 4, codes = 8, iters = 2,
+          trainStride = 1, subDim = 16)
+        val train = (System.nanoTime() - tt) / 1e9
+        val t0 = System.nanoTime()
+        val n = graft.similarity.Pq.pqTopK(emb, stride = 100 * m).count()
+        val total = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-PQ m=$m%2d vecs=${2000 * m}%7d rows=$n%5d train=$train%6.2f s total=$total%6.2f s (encode+score=${total - train}%6.2f s)")
+      } else if (chunkOnly) {
+        val t0 = System.nanoTime()
+        val n = graft.pipelines.Chunking.chunkDocuments(docs).count()
+        println(f"SCALE-CHUNK m=$m%2d docs=${5000 * m}%7d chunks=$n%8d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        spark.sharedState.cacheManager.clearCache()
+      } else {
+
+      if (!lshOnly && !indexOnly) {
       val t0 = System.nanoTime()
       val n = graft.collocations.Collocations.topCollocations(docs).count()
       println(f"SCALE m=$m%2d docs=${5000 * m}%7d rows=$n%5d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
@@ -86,22 +118,32 @@ object ScaleProbe {
         // reads fixed-width parquet. SERVE must beat DIRECT by roughly
         // the chain's share of the direct runtime, and both must stay
         // ~linear in m.
-        val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-index-$m").toString
-        val tb = System.nanoTime()
-        graft.dedup.Dedup.writeDedupIndex(salted, dir)
-        val build = (System.nanoTime() - tb) / 1e9
-        val sigs = spark.read.parquet(s"$dir/minhash_sigs")
-        val sets = spark.read.parquet(s"$dir/shingle_sets")
-        val ts = System.nanoTime()
-        val nServe = graft.dedup.Dedup.jaccardVerifyFromIndex(sigs, sets, threshold = 0.8).count()
-        val serve = (System.nanoTime() - ts) / 1e9
-        val td = System.nanoTime()
-        val direct = graft.dedup.Dedup.jaccardVerify(salted, threshold = 0.8)
-        val nDirect = direct.count()
-        val directS = (System.nanoTime() - td) / 1e9
-        direct.unpersist(blocking = true)
-        spark.sharedState.cacheManager.clearCache()
-        println(f"SCALE-INDEX m=$m%2d docs=${5000 * m}%7d pairs=$nServe%7d build=$build%6.2f s serve=$serve%6.2f s direct=$directS%6.2f s (pairs match: ${nServe == nDirect})")
+        val dirPath = java.nio.file.Files.createTempDirectory(s"graft-probe-index-$m")
+        val dir = dirPath.toString
+        try {
+          val tb = System.nanoTime()
+          graft.dedup.Dedup.writeDedupIndex(salted, dir)
+          val build = (System.nanoTime() - tb) / 1e9
+          val sigs = spark.read.parquet(s"$dir/minhash_sigs")
+          val sets = spark.read.parquet(s"$dir/shingle_sets")
+          val ts = System.nanoTime()
+          val nServe = graft.dedup.Dedup.jaccardVerifyFromIndex(sigs, sets, threshold = 0.8).count()
+          val serve = (System.nanoTime() - ts) / 1e9
+          val td = System.nanoTime()
+          val direct = graft.dedup.Dedup.jaccardVerify(salted, threshold = 0.8)
+          val nDirect = direct.count()
+          val directS = (System.nanoTime() - td) / 1e9
+          direct.unpersist(blocking = true)
+          spark.sharedState.cacheManager.clearCache()
+          // the serve path must be the SAME ANSWER, not just faster — a
+          // divergence is a probe failure, never a log footnote
+          assert(nServe == nDirect, s"index serve diverged: serve=$nServe direct=$nDirect at m=$m")
+          println(f"SCALE-INDEX m=$m%2d docs=${5000 * m}%7d pairs=$nServe%7d build=$build%6.2f s serve=$serve%6.2f s direct=$directS%6.2f s")
+        } finally {
+          import java.nio.file.{Files, Path}
+          Files.walk(dirPath).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        }
       } else {
 
       val t4 = System.nanoTime()
@@ -124,6 +166,7 @@ object ScaleProbe {
       println(f"SCALE-SIMHASH m=$m%2d docs=${5000 * m}%7d pairs=$nSim%7d  ${(System.nanoTime() - t6) / 1e9}%6.2f s")
       sim.unpersist(blocking = true)
       spark.sharedState.cacheManager.clearCache()
+      }
       }
     }
     spark.stop()

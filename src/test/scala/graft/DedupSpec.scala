@@ -263,6 +263,34 @@ class DedupSpec extends SparkSpec {
     assert(g2 == g)
   }
 
+  test("Gaussian planes discriminate where axis-aligned signs collapse") {
+    import spark.implicits._
+    // adversarial corpus for axis-aligned sign-LSH: every component is
+    // strictly positive, so every axis sign bit is 1 and ALL vectors share
+    // ONE bucket per band — recall is trivially perfect but the candidate
+    // set is all-pairs, the quadratic the banding exists to avoid. Random
+    // hyperplanes split mass independently of the data's sign structure:
+    // the planted near-dups still surface while the candidate set shrinks.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => math.abs(math.sin(seed * 64 + j)).toFloat + 0.01f)
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 3).map { i =>
+      val v = vec(i).clone(); v(63) = v(63) + 0.01f; (100L + i, v)
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    // minCos = -1 returns every candidate pair, so the counts compare the
+    // CANDIDATE sets (selectivity), not the cosine-verified survivors
+    val nAxis = Dedup.embeddingLshPairs(emb, bands = 8, rowsPerBand = 8, minCos = -1.0).count()
+    val gauss = Dedup.embeddingLshPairsGaussian(emb, dim = 64, bands = 8, rowsPerBand = 8,
+      minCos = -1.0)
+    val nGauss = gauss.count()
+    assert(nAxis == 33L * 32 / 2, s"expected axis-aligned bucket collapse (all pairs), got $nAxis")
+    assert(nGauss < nAxis, s"gaussian planes should discriminate: $nGauss vs all-pairs $nAxis")
+    val gPairs = gauss.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach(i =>
+      assert(gPairs.contains((i.toLong, 100L + i)), s"planted dup $i lost by gaussian LSH"))
+  }
+
   test("contamination flags the training doc containing a benchmark passage") {
     import spark.implicits._
     val bench = "the quick brown fox jumps over the lazy dog near the river bank today"

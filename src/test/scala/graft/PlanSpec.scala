@@ -124,11 +124,40 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = plan(SparkEntry.queries("dedup_passages")(spark, sf))
+      val df = SparkEntry.queries("dedup_passages")(spark, sf)
+      val p = plan(df)
       assert(p.contains("SortMergeJoin"), s"expected sort-merge pass-through:\n$p")
       val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
         .findAllIn(p).size
       assert(n == 3, s"dedup_passages (no broadcast): $n exchanges (documented 3):\n$p")
+      // the reuse property asserted DIRECTLY, not inferred from the count:
+      // the stats side must feed the join straight from its final
+      // HashAggregate — the agg's own hash output partitioning satisfies
+      // the join's requirement, so ANY shuffle between the join and the
+      // aggregate is the regression this pins out. (It surfaces as
+      // partitioning pass-through, not a ReusedExchange node — the agg's
+      // exchange is below the final agg, shared by construction.)
+      // Executed first so AQE's final stages are what gets walked.
+      df.count()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+      val smj = physicalPlan(df).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected sort-merge join:\n${physicalPlan(df)}")
+      def shuffleAboveAgg(p: SparkPlan): Boolean = p match {
+        case _: BaseAggregateExec    => false
+        case _: ShuffleExchangeLike  => true
+        case _: ShuffleQueryStageExec => true
+        case other => other.children.exists(shuffleAboveAgg)
+      }
+      val aggSides = Seq(smj.head.left, smj.head.right)
+        .filter(s => s.collectFirst { case a: BaseAggregateExec => a }.isDefined)
+      assert(aggSides.nonEmpty, s"no aggregated stats side under the join:\n${smj.head}")
+      aggSides.foreach(s => assert(!shuffleAboveAgg(s),
+        s"stats side grew its own exchange above the per-doc agg:\n$s"))
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
