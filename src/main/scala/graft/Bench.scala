@@ -69,32 +69,57 @@ object Bench {
       System.out.flush()
     }
 
-    var sweep = 1
-    var go = true
-    while (go && sweep <= sweeps) {
-      val sweepStart = elapsedS
-      var i = 0
-      for ((name, fn) <- names) {
-        spark.sharedState.cacheManager.clearCache()
-        // a failed query must surface as -1, never as its (short) elapsed
-        // time — a regression that throws in planning would otherwise read
-        // as a speedup
-        val t0 = System.nanoTime()
-        val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-                catch { case _: Throwable => -1.0 }
-        samples(name) = samples(name) :+ v
-        i += 1
-        // checkpoint every 15 queries: even a kill mid-sweep (sandbox
-        // stall bursts can stretch any sweep past any budget) leaves the
-        // cumulative per-query data up to that point
-        if (i % 15 == 0 && i < names.size) emit(sweep - 1)
+    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      // a failed query must surface as -1, never as its (short) elapsed
+      // time — a regression that throws in planning would otherwise read
+      // as a speedup
+      val t0 = System.nanoTime()
+      val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+      samples(name) = samples(name) :+ v
+    }
+
+    // sweep 1 always completes — it is the minimum useful measurement —
+    // in alphabetical (arbitrary-but-fixed) order
+    var i = 0
+    for ((name, fn) <- names) {
+      sample(name, fn)
+      i += 1
+      // checkpoint every 15 queries: even a kill mid-sweep (sandbox
+      // stall bursts can stretch any sweep past any budget) leaves the
+      // cumulative per-query data up to that point
+      if (i % 15 == 0 && i < names.size) emit(0)
+    }
+    emit(1)
+
+    // Later sweeps re-sample in DESCENDING current-min order with a
+    // per-query budget check, instead of an all-or-nothing whole-sweep
+    // prediction. Rationale: a single sweep has no noise protection — one
+    // sandbox stall burst inflates a run of consecutive queries (measured
+    // r7: dedup_ngram_jaccard 377 s in-sweep vs 11.3 s standalone) and a
+    // min over one sample IS that burst. Revisiting the slowest-looking
+    // queries first means the re-samples land minutes after the burst
+    // (maximum decorrelation) and the minima converge fastest exactly
+    // where the sweep-1 numbers are least trustworthy. Stopping between
+    // queries when the budget is hit keeps the exit clean (rc 0) no
+    // matter how the sweep lengths vary; the cumulative emit reports
+    // honest per-query sample counts via sweeps/sampled.
+    var sweep = 2
+    while (sweep <= sweeps && elapsedS < budgetS) {
+      val byMin = names.sortBy { case (n, _) =>
+        val ok = samples(n).filter(_ >= 0)
+        if (ok.isEmpty) 0.0 else -ok.min
       }
-      emit(sweep)
-      // start the next sweep only if it is PREDICTED to finish inside the
-      // budget, using the sweep just completed as the estimate — "elapsed
-      // < budget" alone can overshoot the driver's gate by a whole sweep,
-      // which is exactly the rc-124 failure mode this exists to prevent
-      go = elapsedS + (elapsedS - sweepStart) < budgetS
+      var j = 0
+      var done = 0
+      for ((name, fn) <- byMin if elapsedS < budgetS) {
+        sample(name, fn)
+        done += 1
+        j += 1
+        if (j % 15 == 0) emit(sweep - 1)
+      }
+      emit(if (done == names.size) sweep else sweep - 1)
       sweep += 1
     }
     spark.stop()

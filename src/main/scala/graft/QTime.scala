@@ -1,0 +1,23 @@
+// scratch: time individual registry queries standalone
+package graft
+import org.apache.spark.sql.SparkSession
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("qtime").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    for (name <- args) {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"QTIME $name rows=$n ${(System.nanoTime()-t0)/1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}
