@@ -199,11 +199,14 @@ object OracleSqlExt {
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
-  /** Connected components of the LSH candidate graph: recursive-CTE
-    * transitive closure + min label (mirrors the iterative min-label
-    * propagation in [[graft.dedup.Dedup.connectedComponents]]). */
-  val componentsSql: String =
-    s"""WITH RECURSIVE $tclCte,
+  /** Shared recursive-CTE chain ending in comp(doc_id, component): the
+    * exact transitive closure + min label of the LSH candidate graph
+    * (mirrors the iterative min-label propagation in
+    * [[graft.dedup.Dedup.connectedComponents]]) — ONE definition so the
+    * report ([[componentsSql]]) and the rewrite ([[keepCanonicalSql]])
+    * gate against the same closure. */
+  private val componentsChain: String =
+    s"""$tclCte,
        |$shCte,
        |$mhCte,
        |$bkCte,
@@ -216,8 +219,25 @@ object OracleSqlExt {
        |  SELECT src, src FROM bidir
        |  UNION
        |  SELECT r.src, bd.dst FROM reach r JOIN bidir bd ON r.dst = bd.src
-       |)
-       |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin
+       |),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
+  /** Connected components of the LSH candidate graph. */
+  val componentsSql: String =
+    s"""WITH RECURSIVE $componentsChain
+       |SELECT doc_id, component FROM comp""".stripMargin
+
+  /** Canonical-keep rewrite (mirrors [[graft.dedup.Dedup.keepCanonical]]):
+    * survivors = corpus minus non-min component members; n_removed counts
+    * the members dropped in each survivor's favor. */
+  val keepCanonicalSql: String =
+    s"""WITH RECURSIVE $componentsChain,
+       |removed AS (SELECT doc_id, component FROM comp WHERE component <> doc_id),
+       |rc AS (SELECT component AS doc_id, CAST(count(*) AS BIGINT) AS n FROM removed GROUP BY component)
+       |SELECT d.doc_id, CAST(COALESCE(rc.n, 0) AS BIGINT) AS n_removed
+       |FROM documents d
+       |LEFT JOIN rc ON rc.doc_id = d.doc_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin
 
   /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
   def simhashPairsSql(maxHamming: Int): String =
@@ -374,6 +394,23 @@ object OracleSqlExt {
   def annMultiProbeSql(stride: Int, k: Int, bits: Int): String = {
     val probes = (bucketSql("qv", bits) +: (1 to bits).map(f => flipBucketSql("qv", bits, f))).mkString(", ")
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+       |qb AS (SELECT q_id, qv, unnest([$probes]) AS bkt FROM q),
+       |cb AS (SELECT n_id, nv, ${bucketSql("nv", bits)} AS bkt FROM c),
+       |scored AS (
+       |  SELECT DISTINCT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM qb JOIN cb USING (bkt) WHERE n_id != q_id
+       |)
+       |SELECT q_id, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+  }
+
+  /** Mirror of [[graft.similarity.Ann.knnJoin]]: [[annMultiProbeSql]]
+    * with the query side widened to the full corpus (no stride). */
+  def knnJoinSql(k: Int, bits: Int): String = {
+    val probes = (bucketSql("qv", bits) +: (1 to bits).map(f => flipBucketSql("qv", bits, f))).mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
        |qb AS (SELECT q_id, qv, unnest([$probes]) AS bkt FROM q),
        |cb AS (SELECT n_id, nv, ${bucketSql("nv", bits)} AS bkt FROM c),

@@ -915,6 +915,16 @@ object SparkEntry {
         graft.dedup.Dedup.lshComponents(Collocations.documents(s, d)),
       Some(OracleSqlExt.componentsSql)),
 
+    // the APPLY step: rewrite the corpus keeping one doc per component
+    // (min doc_id) — label table is duplicates-sized, so the removal
+    // anti-join and the n_removed join broadcast against a single
+    // corpus scan; gated against the same recursive-CTE closure as
+    // dedup_components
+    ("dedup_keep_canonical",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.keepCanonical(Collocations.documents(s, d)),
+      Some(OracleSqlExt.keepCanonicalSql)),
+
     ("dedup_simhash_pairs",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.simhashPairs(Collocations.documents(s, d), maxHamming = 3),
@@ -995,6 +1005,15 @@ object SparkEntry {
         graft.similarity.Ann.multiProbeTopK(
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, bits = 6),
       Some(OracleSqlExt.annMultiProbeSql(100, 5, 6))),
+
+    // all-pairs form: every vector's k nearest — query side is the
+    // corpus itself, so this is the one ANN entry whose join properly
+    // SHUFFLES both sides (bucket-keyed), not a broadcast/literal model
+    ("knn_join",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.knnJoin(
+          s.read.parquet(s"$d/embeddings.parquet"), k = 5, bits = 6),
+      Some(OracleSqlExt.knnJoinSql(5, 6))),
 
     // PQ/ADC: codebooks trained on the vec_id % 4 sample, full corpus
     // encoded to 4 code ids by a shuffle-free map, probes score via

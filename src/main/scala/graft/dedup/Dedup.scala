@@ -281,6 +281,33 @@ object Dedup {
     labels
   }
 
+  /** APPLY the near-dup dedup: keep exactly one document per connected
+    * component of the LSH candidate graph — the component's min doc_id,
+    * the same canonical [[connectedComponents]] already labels — plus
+    * every document outside the pair graph, reporting per survivor how
+    * many near-duplicates were dropped in its favor. This is the
+    * "rewrite the corpus" counterpart of [[lshComponents]]'s report, and
+    * the transitive-closure-correct form of the greedy drop-the-larger
+    * pass in [[graft.pipelines.CleanCorpus]] (greedy over-deletes on
+    * chains: a~b, b~c kills b AND c even when a!~c).
+    *
+    * Scale shape: the label table is duplicates-sized (vertices of the
+    * pair graph only), so both the removal anti-join and the count join
+    * broadcast against the full corpus scan — the corpus itself is
+    * touched once, never shuffled.
+    * Returns (doc_id, n_removed) for every surviving document. */
+  def keepCanonical(docs: DataFrame, k: Int = 3, bands: Int = 4,
+                    rowsPerBand: Int = 4): DataFrame = {
+    val labels = lshComponents(docs, k, bands, rowsPerBand)
+    val removed = labels.filter(col("component") =!= col("doc_id"))
+    val removedPerCanonical = removed
+      .groupBy(col("component").as("doc_id")).agg(count(lit(1)).as("n_removed"))
+    docs.select("doc_id")
+      .join(removed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(removedPerCanonical, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   // ------------------------------------------------------------ jaccard
 
   /** Exact shingle-Jaccard as a VERIFICATION stage over the LSH candidate

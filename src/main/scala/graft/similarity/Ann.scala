@@ -223,6 +223,35 @@ object Ann {
       Seq(col("cos").desc, col("n_id").asc), k)
   }
 
+  /** KNN self-join: EVERY vector gets its k approximate nearest
+    * neighbors — the all-pairs form of [[multiProbeTopK]], the shape a
+    * training pipeline needs for graph-based curation (semantic dedup
+    * clusters, diversity sampling, label propagation).
+    *
+    * The query side IS the corpus, so the broadcast/literal-model tricks
+    * of the serve-path operators do not apply: both sides shuffle once on
+    * the bucket key and the join runs bucket-local. Per-bucket work is
+    * O(N²/2^bits) with multi-probe fan-out (bits+1 probes per vector)
+    * recovering boundary recall — `bits` is the scale knob: size
+    * 2^bits ≫ partitions so buckets stay memory-sized, and a skewed sign
+    * pattern (e.g. all-positive corpora) calls for more bits or salted
+    * sub-bucketing, exactly the AQE-skew/salting note on the other
+    * bucketed joins. */
+  def knnJoin(emb: DataFrame, k: Int = 5, bits: Int = 6): DataFrame = {
+    val cand = candidates(emb).withColumn("bkt", bucket(col("n_vec"), bits))
+    val q = candidates(emb)
+      .select(col("n_id").as("q_id"), col("n_vec").as("q_vec"), col("n_nrm").as("q_nrm"))
+      .withColumn("bkt", explode(probeBuckets(col("q_vec"), bits)))
+    val scored = cand.join(q, Seq("bkt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+    // a neighbor can surface through several probes -> dedup before rank
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
+
   /** Multi-probe approximate top-k: candidates from the query's bucket and
     * all one-bit-flip buckets. */
   def multiProbeTopK(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6): DataFrame = {

@@ -114,6 +114,30 @@ class DedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 8L -> 4L))
   }
 
+  test("keepCanonical keeps one doc per component plus every out-of-graph doc") {
+    import spark.implicits._
+    // chain corpus around a central doc b: a and c are single-token
+    // edits of b at opposite ends (shingle-J(a,b)=J(b,c)=0.9, reliably
+    // band-colliding at 4x4), so the component {a,b,c} forms through b
+    // and the canonical keep must retain exactly min = 10 — where the
+    // greedy drop-the-larger pass in CleanCorpus would delete per-pair
+    val base = "the quick brown fox jumps over the lazy dog tonight while stars shine above the quiet sleepy town and everyone rests"
+    val chain = Seq(
+      (10L, "a " + base.drop(4)),          // first token edited
+      (11L, base),                          // b: bridges a and c
+      (12L, base.dropRight(5) + "sings"),   // last token edited
+      (13L, "entirely unrelated content about distributed query planning today")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val kept = Dedup.keepCanonical(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(10L -> 2L, 13L -> 0L),
+      s"expected canonical 10 absorbing 2 dups + untouched 13, got $kept")
+    // and on the shared fixture: survivors of 1~2~3 collapse to doc 1
+    val fixtureKept = Dedup.keepCanonical(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixtureKept == Map(1L -> 2L, 4L -> 0L, 5L -> 0L), s"got $fixtureKept")
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -104,6 +104,24 @@ class TextAndAnnSpec extends SparkSpec {
     assert(recallM > 0.1, s"multi-probe recall unexpectedly low: $recallM")
   }
 
+  test("knn join gives every probed vector neighbors and agrees with multiProbe on the strided subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val knn = Ann.knnJoin(emb, k = 5, bits = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // all-pairs: (almost) every vector is a query — not just the stride
+    val qids = knn.map(_._1).toSet
+    assert(qids.size > 400, s"expected most of the 500 vectors as queries, got ${qids.size}")
+    assert(knn.groupBy(_._1).values.forall(_.length <= 5))
+    // on the strided queries, knnJoin is EXACTLY multiProbeTopK: same
+    // buckets, same probes, same scoring, same ranking
+    val multi = Ann.multiProbeTopK(emb, stride = 100, k = 5, bits = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val knnStrided = knn.filter(_._1 % 100 == 0).toSet
+    assert(knnStrided == multi, "knnJoin must reduce to multiProbeTopK on the strided subset")
+    // and the self-join must never pair a vector with itself
+    assert(knn.forall { case (q, n, _) => q != n })
+  }
+
   test("ivf recovers brute-force neighbors on clustered data") {
     import spark.implicits._
     // 40 vectors in 4 tight clusters around orthogonal axes, interleaved
