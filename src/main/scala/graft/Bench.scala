@@ -122,6 +122,28 @@ object Bench {
       emit(if (done == names.size) sweep else sweep - 1)
       sweep += 1
     }
+
+    // OVERTIME RESCUE: a stall-burst-stretched sweep 1 can eat the whole
+    // budget (measured r7: a burst turned dedup_components 4-14 s into
+    // 510 s and pushed sweep-1 wall past 1000 s), leaving every query a
+    // SINGLE sample — the slowest of them taken inside the very burst
+    // that stretched the sweep. Publishing those as final minima is the
+    // one way this harness can still lie. So if the budget expired with
+    // no re-sampling, re-sample just the slowest few once each under a
+    // small hard overtime cap, emitting after EVERY sample: each rescue
+    // immediately replaces a burst reading, and a driver kill mid-rescue
+    // still leaves the last emitted line strictly better than sweep 1's.
+    if (sweeps >= 2 && samples.values.forall(_.sizeIs <= 1)) {
+      val overtimeCapS = budgetS + 240
+      val rescue = names.sortBy { case (n, _) =>
+        val ok = samples(n).filter(_ >= 0)
+        if (ok.isEmpty) 0.0 else -ok.min
+      }.take(10)
+      for ((name, fn) <- rescue if elapsedS < overtimeCapS) {
+        sample(name, fn)
+        emit(1)
+      }
+    }
     spark.stop()
   }
 }

@@ -62,6 +62,8 @@ class DedupSpec extends SparkSpec {
     // what must NOT reappear is the corpus tokenizer/shingle chain
     assert(!p.contains("split(") && !p.toLowerCase.contains("documents"),
       s"serve plan must not recompute the tokenizer chain:\n$p")
+    // don't leak a temp index dir per test run
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("index build is incremental: per-doc signatures and shingle sets compose by union") {
