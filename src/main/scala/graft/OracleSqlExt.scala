@@ -122,6 +122,40 @@ object OracleSqlExt {
        |       round(CAST(s.n_dup AS DOUBLE) / s.n_passages, 6) AS dup_ratio
        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.passageContainment]]: same passage
+    * grid, each repeated passage attributed to its hash's first owner
+    * (first_value over the same (doc_id, idx) order), self-attribution
+    * excluded, containment thresholded. */
+  def passageContainmentSql(w: Int, threshold: Double): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), s -> length(s) > 0) AS toks
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id,
+       |         unnest(range(CAST(floor(len(toks)/$w) AS BIGINT))) AS idx,
+       |         unnest(list_transform(range(CAST(floor(len(toks)/$w) AS BIGINT)),
+       |                i -> md5(array_to_string(toks[(i*$w+1):(i*$w+$w)], ' ')))) AS h
+       |  FROM t
+       |),
+       |r AS (
+       |  SELECT doc_id, idx, h,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn,
+       |         first_value(doc_id) OVER (PARTITION BY h ORDER BY doc_id, idx) AS src_doc
+       |  FROM p
+       |),
+       |a AS (
+       |  SELECT doc_id, src_doc, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM r WHERE rn > 1 AND src_doc <> doc_id
+       |  GROUP BY doc_id, src_doc
+       |),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages FROM p GROUP BY doc_id)
+       |SELECT a.doc_id, a.src_doc, a.n_shared, n.n_passages,
+       |       round(CAST(a.n_shared AS DOUBLE) / n.n_passages, 6) AS containment
+       |FROM a JOIN n ON a.doc_id = n.doc_id
+       |WHERE round(CAST(a.n_shared AS DOUBLE) / n.n_passages, 6) >= $threshold""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.removeDupPassages]]: the same passage
     * grid and first-occurrence ranks, reassembling kept passages in idx
     * order (`string_agg` skips the NULLed repeats exactly as Spark's

@@ -874,6 +874,16 @@ object SparkEntry {
         graft.dedup.Dedup.passageDupStats(Collocations.documents(s, d), window = 3),
       Some(OracleSqlExt.passageDupSql(3))),
 
+    // containment attribution: where a doc's repeated passages were
+    // FIRST seen — the asymmetric (short-inside-long) dup case Jaccard
+    // LSH structurally misses; threshold 0.2 so the synthetic corpus
+    // yields verifiable pairs
+    ("dedup_containment",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.passageContainment(Collocations.documents(s, d),
+          window = 3, threshold = 0.2),
+      Some(OracleSqlExt.passageContainmentSql(3, 0.2))),
+
     // the transform the stats measure: rewrite each doc keeping only
     // corpus-wide first-occurrence passages
     ("scrub_dup_passages",

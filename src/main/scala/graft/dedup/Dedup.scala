@@ -87,6 +87,57 @@ object Dedup {
       .select(col("doc_id"), col("n_passages"), col("n_dup"), col("dup_ratio"))
   }
 
+  /** Containment-duplicate report: for each document, WHERE its repeated
+    * passages were first seen — the asymmetric case MinHash/Jaccard dedup
+    * structurally misses (a short doc pasted inside a long one keeps
+    * pairwise Jaccard ≈ |short|/|long|, far below any LSH threshold,
+    * while its containment is ~1.0).
+    *
+    * Each repeated passage attributes to the passage hash's corpus-wide
+    * FIRST owner (min (doc_id, idx) — the same canonical order
+    * [[passageDupStats]] ranks by), so every passage row emits at most
+    * one (doc, src_doc) attribution and the computation stays LINEAR in
+    * total passages — never a passage-hash posting-list self-join, which
+    * a hot boilerplate passage shared by 10k docs would blow up
+    * quadratically. Canonical attribution also means: if a passage lives
+    * in A, B and C (first in A), both B and C attribute to A, not to
+    * each other — the report answers "which doc is the original",
+    * chain-consistently with [[keepCanonical]]'s min-id convention.
+    * Within-doc self-repeats (first owner = the doc itself) are not
+    * containment and are excluded.
+    *
+    * Scale shape: array-local explode, ONE shuffle on the passage hash
+    * for the ranking window, one aggregation shuffle on (doc_id,
+    * src_doc), and a doc_id-keyed join against the per-doc passage
+    * counts. Returns (doc_id, src_doc, n_shared, n_passages,
+    * containment) for pairs with containment >= threshold. */
+  def passageContainment(docs: DataFrame, window: Int = 20,
+                         threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val nPass = floor(size(col("toks")) / window).cast("long")
+    val passages = base
+      .select(col("doc_id"),
+        explode(when(nPass > 0, transform(sequence(lit(0L), nPass - 1),
+            i => struct(i.as("idx"),
+              md5(concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window))))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<idx:bigint,h:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.idx").as("idx"), col("p.h").as("h"))
+    val byH = Window.partitionBy("h").orderBy(col("doc_id"), col("idx"))
+    val attributed = passages
+      .withColumn("rn", row_number().over(byH))
+      .withColumn("src_doc", first(col("doc_id")).over(byH))
+      .filter(col("rn") > 1 && col("src_doc") =!= col("doc_id"))
+      .groupBy("doc_id", "src_doc").agg(count(lit(1)).as("n_shared"))
+    val nTotal = passages.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+    attributed.join(nTotal, Seq("doc_id"))
+      .withColumn("containment", round(col("n_shared") / col("n_passages"), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "src_doc", "n_shared", "n_passages", "containment")
+  }
+
   /** The transform [[passageDupStats]] measures: rebuild each document
     * with only its FIRST-occurrence passages (corpus-wide), dropping every
     * repeat of an earlier (doc_id, idx) — line/paragraph dedup as a

@@ -140,6 +140,26 @@ class DedupSpec extends SparkSpec {
     assert(fixtureKept == Map(1L -> 2L, 4L -> 0L, 5L -> 0L), s"got $fixtureKept")
   }
 
+  test("passageContainment attributes repeats to the first owner and excludes self-repeats") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),     // original: 3 windows of 3
+      (2L, "t1 t2 t3 t4 t5 t6 u1 u2 u3"),     // contains A's first 2 windows -> 2/3
+      (3L, "x1 x2 x3 x1 x2 x3"),              // pure self-repeat: must NOT pair
+      (4L, "y1 y2")                            // sub-window: no passages
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val rows = Dedup.passageContainment(corpus, window = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((2L, 1L, 2L, 3L, 0.666667)),
+      s"expected doc 2 contained-in doc 1 at 2/3, got ${rows.toSeq}")
+    // the symmetric-Jaccard blind spot this operator exists for: the
+    // pair (1,2) shares 6 of 12 distinct tokens — shingle Jaccard ~0.33,
+    // far below any LSH banding threshold — yet containment is 0.67
+    val j = Dedup.jaccardPairs(corpus, threshold = 0.0)
+      .filter(col("a") === 1 && col("b") === 2).collect()
+    assert(j.isEmpty || j.head.getDouble(5) < 0.5)
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
