@@ -347,6 +347,19 @@ object SparkEntry {
              |  FROM documents)
              |WHERE CASE WHEN lang = 'en' THEN bucket < 10 ELSE bucket < 50 END""".stripMargin)),
 
+    // deterministic epoch-0 training order: content-keyed pseudo-random
+    // permutation via the scale-safe content-bucketed global rank (never
+    // a single-partition window, never rand())
+    ("corpus_shuffle",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.CleanCorpus.corpusShuffle(
+          s.read.parquet(s"$d/documents.parquet")),
+      Some("""SELECT doc_id, CAST(row_number() OVER (ORDER BY x, y, doc_id) AS BIGINT) AS pos
+             |FROM (SELECT doc_id,
+             |             CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS x,
+             |             CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) AS y
+             |      FROM documents)""".stripMargin)),
+
     // --------------------------------------- arbitrary GROUPING SETS
     ("grouping_sets",
       (s: SparkSession, d: String) => {

@@ -41,4 +41,29 @@ object CleanCorpus {
       .select("doc_id")
     keepOne.join(dropIds, Seq("doc_id"), "left_anti").select("doc_id", "lang")
   }
+
+  /** Deterministic global training order: every document gets its
+    * position in a content-keyed pseudo-random permutation of the whole
+    * corpus — the "shuffle the dataset before epoch 0" step of a
+    * training pipeline, reproducible across runs, retries and cluster
+    * sizes because the order derives from md5 CONTENT hashes, never from
+    * `rand()` or physical placement.
+    *
+    * The order key is (x, y, doc_id): the two 28-bit halves of
+    * md5(text) — the same nibble-polynomial parse the minhash chain uses
+    * ([[graft.dedup.Dedup.md5Half]]) — with doc_id breaking exact-dup
+    * ties into a total order. Ranking is [[graft.ops.Ranks.globalRank]],
+    * the content-bucketed distributed rewrite: the corpus never funnels
+    * through a single-partition window, every wide stage stays parallel,
+    * and at 1000 executors each range bucket sorts locally against
+    * broadcast offsets. Returns (doc_id, pos), pos in [1, N]. */
+  def corpusShuffle(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .select(col("doc_id"),
+        Dedup.md5Half(col("m"), 1).as("x"), Dedup.md5Half(col("m"), 8).as("y"))
+    graft.ops.Ranks.globalRank(keyed,
+        Seq(col("x") -> true, col("y") -> true, col("doc_id") -> true), "pos")
+      .select(col("doc_id"), col("pos"))
+  }
 }

@@ -140,4 +140,21 @@ class ScaleOpsSpec extends SparkSpec {
     val byText = texts.groupBy(_._2)
     assert(byText.values.forall(_.length == 1), "exact dups survived")
   }
+
+  test("corpus shuffle is a deterministic content-keyed permutation") {
+    import graft.collocations.Collocations
+    val docs = Collocations.documents(spark, sf)
+    val n = docs.count()
+    val pos = graft.pipelines.CleanCorpus.corpusShuffle(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: every doc placed, positions exactly 1..N
+    assert(pos.size == n && pos.values.toSeq.sorted == (1L to n).toSeq)
+    // content-keyed: NOT doc_id order (the permutation actually shuffles)
+    val byId = pos.toSeq.sortBy(_._1).map(_._2)
+    assert(byId != byId.sorted, "positions followed doc_id order — no shuffle happened")
+    // deterministic: a second run reproduces every position bit-for-bit
+    val again = graft.pipelines.CleanCorpus.corpusShuffle(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == pos)
+  }
 }
