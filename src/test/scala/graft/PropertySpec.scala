@@ -115,4 +115,47 @@ class PropertySpec extends SparkSpec {
       assert(d == (y / 10) * 10 && d <= y && y - d < 10)
     }
   }
+
+  // random corpora: texts drawn from a tiny vocabulary so duplicate and
+  // near-duplicate structure actually occurs at every sample size
+  private def corpusGen(maxDocs: Int): Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, maxDocs)
+    texts <- Gen.listOfN(n,
+      Gen.chooseNum(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("keepCanonical partitions any corpus: survivors + removals = corpus, disjointly") {
+    import spark.implicits._
+    Seq(17, 40).foreach { size =>
+      val corpus = corpusGen(size).sample.get
+      val docs = corpus.map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+      val kept = graft.dedup.Dedup.keepCanonical(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every doc is either a survivor or counted removed in exactly one
+      // survivor's favor — nothing lost, nothing double-counted
+      assert(kept.keySet.size + kept.values.sum == corpus.size.toLong,
+        s"partition violated: ${kept.size} survivors + ${kept.values.sum} removed != ${corpus.size}")
+      // canonical choice: no removed doc has an id smaller than its survivor
+      val labels = graft.dedup.Dedup.lshComponents(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      labels.foreach { case (d, c) => assert(c <= d && kept.contains(c) == true) }
+    }
+  }
+
+  test("corpusShuffle is a permutation for arbitrary corpora, stable under row order") {
+    import spark.implicits._
+    val corpus = corpusGen(50).sample.get
+    val docs = corpus.map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val pos = graft.pipelines.CleanCorpus.corpusShuffle(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos.keySet == corpus.map(_._1).toSet)
+    assert(pos.values.toSeq.sorted == (1L to corpus.size).toSeq)
+    // content-keyed order can't depend on input row order or partitioning
+    val shuffled = corpus.reverse.map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang").repartition(7)
+    val pos2 = graft.pipelines.CleanCorpus.corpusShuffle(shuffled).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos2 == pos)
+  }
 }
