@@ -1038,6 +1038,14 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), k = 5, bits = 6),
       Some(OracleSqlExt.knnJoinSql(5, 6))),
 
+    // hot-bucket-safe rewrite, gated against the SAME oracle as
+    // knn_join — the salting must be invisible in the result
+    ("knn_join_salted",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.knnJoinSalted(
+          s.read.parquet(s"$d/embeddings.parquet"), k = 5, bits = 6, salts = 8),
+      Some(OracleSqlExt.knnJoinSql(5, 6))),
+
     // PQ/ADC: codebooks trained on the vec_id % 4 sample, full corpus
     // encoded to 4 code ids by a shuffle-free map, probes score via
     // driver-precomputed lookup tables. DYNAMIC oracle like ann_ivf_topk:

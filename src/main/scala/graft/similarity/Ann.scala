@@ -252,6 +252,39 @@ object Ann {
       Seq(col("cos").desc, col("n_id").asc), k)
   }
 
+  /** Skew-safe [[knnJoin]]: identical pairs, bounded per-task work.
+    *
+    * The plain bucket join's 100 TB hazard is a HOT bucket — a skewed
+    * sign pattern (an all-positive embedding model collapses the whole
+    * corpus into one bucket) turns the bucket-local O(n_b²) into one
+    * task owning the entire join. The standard salted-join rewrite from
+    * [[graft.ops.Salt]] applies cleanly here: the candidate side of each
+    * bucket splits `salts` ways by a content-stable key (`n_id mod
+    * salts` — never partition-dependent), the query side replicates
+    * across all salts, and the join keys on (bkt, salt). Every
+    * same-bucket (query, neighbor) pair still meets exactly once — the
+    * neighbor's salt is a function of its id, and the query visits every
+    * salt — so the result is row-identical to [[knnJoin]] (the registry
+    * gates BOTH against the same oracle SQL, proving the rewrite
+    * invisible), while the hot bucket's work spreads over `salts` tasks
+    * at the cost of replicating the (id, vec, norm) query rows. */
+  def knnJoinSalted(emb: DataFrame, k: Int = 5, bits: Int = 6,
+                    salts: Int = 8): DataFrame = {
+    val cand = candidates(emb).withColumn("bkt", bucket(col("n_vec"), bits))
+      .withColumn("salt", pmod(col("n_id"), lit(salts.toLong)))
+    val q = candidates(emb)
+      .select(col("n_id").as("q_id"), col("n_vec").as("q_vec"), col("n_nrm").as("q_nrm"))
+      .withColumn("bkt", explode(probeBuckets(col("q_vec"), bits)))
+      .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    val scored = cand.join(q, Seq("bkt", "salt"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
+
   /** Multi-probe approximate top-k: candidates from the query's bucket and
     * all one-bit-flip buckets. */
   def multiProbeTopK(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6): DataFrame = {

@@ -122,6 +122,21 @@ class TextAndAnnSpec extends SparkSpec {
     assert(knn.forall { case (q, n, _) => q != n })
   }
 
+  test("salted knn join is row-identical to the plain form, including on a one-bucket corpus") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Ann.knnJoinSalted(emb)) == rows(Ann.knnJoin(emb)))
+    // adversarial skew: all-positive vectors collapse every sign bucket
+    // to "111111" — the exact hot-bucket case the salting exists for
+    val hot = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => 0.1f + 0.01f * ((i + d) % 7))))
+      .toDF("vec_id", "embedding")
+    val plain = rows(Ann.knnJoin(hot, k = 3, bits = 4))
+    assert(plain.nonEmpty && rows(Ann.knnJoinSalted(hot, k = 3, bits = 4, salts = 5)) == plain)
+  }
+
   test("ivf recovers brute-force neighbors on clustered data") {
     import spark.implicits._
     // 40 vectors in 4 tight clusters around orthogonal axes, interleaved
