@@ -691,6 +691,36 @@ object SparkEntry {
              |              sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr_qty_price
              |FROM s""".stripMargin)),
 
+    // per-column ANALYZE profile in ONE scan (nulls / exact distinct /
+    // min / max; Expand-based multi-distinct plan — the approx twin is
+    // the 100 TB form); min/max aggregate natively then cast, so
+    // integer and varchar renderings agree across engines
+    ("table_profile",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.profile(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")),
+      Some("""WITH w AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+             |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+             |         CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+             |         CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+             |         CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd2,
+             |         CAST(min(l_linenumber) AS VARCHAR) AS mn2, CAST(max(l_linenumber) AS VARCHAR) AS mx2,
+             |         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+             |         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd3,
+             |         min(l_returnflag) AS mn3, max(l_returnflag) AS mx3,
+             |         CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+             |         CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd4,
+             |         min(l_linestatus) AS mn4, max(l_linestatus) AS mx4
+             |  FROM lineitem
+             |)
+             |SELECT 'l_orderkey' AS "column", n, nn1 AS n_null, nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM w
+             |UNION ALL SELECT 'l_linenumber', n, nn2, nd2, mn2, mx2 FROM w
+             |UNION ALL SELECT 'l_returnflag', n, nn3, nd3, mn3, mx3 FROM w
+             |UNION ALL SELECT 'l_linestatus', n, nn4, nd4, mn4, mx4 FROM w""".stripMargin)),
+
     // ---------------------------------------------- argmax/argmin per group
     // max_by/min_by on ONE scalar ordering key: acctbal has exactly 2
     // decimals, so round(acctbal*100) is an exact integer (|.| < 1e6) and

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the ANALYZE/data-quality pass a corpus
+  * pipeline runs before trusting a new drop: per column, row count, null
+  * count, exact distinct count, and min/max.
+  *
+  * ONE corpus scan: all per-column aggregates run in a single
+  * aggregation (multiple DISTINCT aggregates make Catalyst insert an
+  * Expand of factor #distinct-columns+1 — the standard exact-distinct
+  * plan; at 100 TB swap `countDistinct` for `approx_count_distinct`,
+  * the same mergeable-sketch trade the `approx_distinct` registry twin
+  * documents), then the 1-row wide result unpivots to one row per
+  * column with `stack` — metadata-sized, no second pass.
+  *
+  * min/max aggregate in the column's native type and cast to string
+  * AFTER (integer and varchar renderings are engine-identical; numeric
+  * min-then-cast, never lexicographic cast-then-min). */
+object TableProfile {
+
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = count(lit(1L)).as("__n") +: columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map(c =>
+      s"'$c', __n, __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${columns.size}, $stackArgs) AS (column, n, n_null, n_distinct, min_val, max_val)")
+  }
+}

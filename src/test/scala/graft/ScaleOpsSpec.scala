@@ -141,6 +141,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(byText.values.forall(_.length == 1), "exact dups survived")
   }
 
+  test("table profile counts nulls, distincts and native-typed min/max in one pass") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (2L, "a"), (null, "a"), (9L, "c")
+    ).toDF("k", "s")
+    val rows = graft.ops.TableProfile.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(rows("k") == ((5L, 1L, 3L, "1", "9")))
+    assert(rows("s") == ((5L, 1L, 3L, "a", "c")))
+    // numeric min-then-cast, never lexicographic: "9" > "10" as strings
+    val wide = Seq[java.lang.Long](9L, 10L).toDF("k")
+    val r2 = graft.ops.TableProfile.profile(wide, Seq("k")).collect().head
+    assert(r2.getString(4) == "9" && r2.getString(5) == "10")
+  }
+
   test("corpus shuffle is a deterministic content-keyed permutation") {
     import graft.collocations.Collocations
     val docs = Collocations.documents(spark, sf)
