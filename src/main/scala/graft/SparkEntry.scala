@@ -721,6 +721,40 @@ object SparkEntry {
              |UNION ALL SELECT 'l_returnflag', n, nn3, nd3, mn3, mx3 FROM w
              |UNION ALL SELECT 'l_linestatus', n, nn4, nd4, mn4, mx4 FROM w""".stripMargin)),
 
+    // warehouse MERGE as one full-outer join: changeset = +100.00 on a
+    // 20% md5 bucket of customers plus synthetic inserts from a 5%
+    // bucket; action column attributes update/insert/keep per row. The
+    // +100.0 is exact in doubles — no rounding-mode parity surface
+    ("merge_upsert",
+      (s: SparkSession, d: String) => {
+        val bucket = conv(substring(md5(col("c_custkey").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100
+        val base = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"), col("c_acctbal"))
+        val changes = base.filter(bucket < 20)
+          .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+          .unionByName(base.filter(bucket >= 95)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"), lit(0.0).as("c_acctbal")))
+        graft.ops.Merge.upsert(base, changes, Seq("c_custkey"))
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+             |bkt AS (SELECT c_custkey,
+             |               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b
+             |        FROM base),
+             |changes AS (
+             |  SELECT base.c_custkey, c_acctbal + 100.0 AS c_acctbal
+             |  FROM base JOIN bkt ON base.c_custkey = bkt.c_custkey WHERE b < 20
+             |  UNION ALL
+             |  SELECT base.c_custkey + 10000000, 0.0
+             |  FROM base JOIN bkt ON base.c_custkey = bkt.c_custkey WHERE b >= 95
+             |)
+             |SELECT COALESCE(base.c_custkey, changes.c_custkey) AS c_custkey,
+             |       CASE WHEN changes.c_custkey IS NOT NULL THEN changes.c_acctbal ELSE base.c_acctbal END AS c_acctbal,
+             |       CASE WHEN changes.c_custkey IS NOT NULL AND base.c_custkey IS NOT NULL THEN 'update'
+             |            WHEN changes.c_custkey IS NOT NULL THEN 'insert'
+             |            ELSE 'keep' END AS action
+             |FROM base FULL OUTER JOIN changes ON base.c_custkey = changes.c_custkey""".stripMargin)),
+
     // ---------------------------------------------- argmax/argmin per group
     // max_by/min_by on ONE scalar ordering key: acctbal has exactly 2
     // decimals, so round(acctbal*100) is an exact integer (|.| < 1e6) and

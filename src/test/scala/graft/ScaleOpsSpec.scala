@@ -141,6 +141,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(byText.values.forall(_.length == 1), "exact dups survived")
   }
 
+  test("merge upsert classifies by side presence, not value nullness") {
+    import spark.implicits._
+    val base = Seq[(Long, java.lang.Double)]((1L, 10.0), (2L, null), (3L, 30.0))
+      .toDF("k", "v")
+    val upd = Seq[(Long, java.lang.Double)]((2L, null), (3L, 33.0), (9L, 90.0))
+      .toDF("k", "v")
+    val out = graft.ops.Merge.upsert(base, upd, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getString(2)))).toMap
+    // k=2: matched with a NULL update value — still an update, value NULL
+    assert(out == Map(
+      1L -> ((Some(10.0), "keep")),
+      2L -> ((None, "update")),
+      3L -> ((Some(33.0), "update")),
+      9L -> ((Some(90.0), "insert"))))
+  }
+
   test("table profile counts nulls, distincts and native-typed min/max in one pass") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](
