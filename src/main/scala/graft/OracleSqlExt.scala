@@ -751,6 +751,18 @@ object OracleSqlExt {
        |SELECT doc_id, w, tf, df, round(tf * ln((n + 1) / (df + 1)), 6) AS tfidf
        |FROM tf JOIN dfreq USING (w) CROSS JOIN ntab""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.vocabCoverage]]: token counts,
+    * top-k with (count desc, token asc) total order, running coverage
+    * share over an explicit ROWS frame. */
+  def vocabCoverageSql(k: Int): String =
+    s"""WITH ${OracleSql.toksCte},
+       |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+       |ntab AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+       |top AS (SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT $k)
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rank, w, c,
+       |       round(CAST(sum(c) OVER (ORDER BY c DESC, w ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n, 6) AS coverage
+       |FROM top CROSS JOIN ntab""".stripMargin
+
   val fingerprintSql: String =
     s"""WITH $tclCte
        |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tl)), ' ')) AS fp FROM tcl""".stripMargin

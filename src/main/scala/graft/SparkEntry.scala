@@ -721,6 +721,14 @@ object SparkEntry {
              |UNION ALL SELECT 'l_returnflag', n, nn3, nd3, mn3, mx3 FROM w
              |UNION ALL SELECT 'l_linestatus', n, nn4, nd4, mn4, mx4 FROM w""".stripMargin)),
 
+    // vocabulary-coverage curve: top-k tokens + cumulative corpus share
+    // — global top-k via TakeOrderedAndProject, then rank/coverage over
+    // the bounded k-row result
+    ("vocab_coverage",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.vocabCoverage(Collocations.documents(s, d), k = 50),
+      Some(OracleSqlExt.vocabCoverageSql(50))),
+
     // warehouse MERGE as one full-outer join: changeset = +100.00 on a
     // 20% md5 bucket of customers plus synthetic inserts from a 5%
     // bucket; action column attributes update/insert/keep per row. The

@@ -79,6 +79,45 @@ object TextAnalysis {
         round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
   }
 
+  /** Vocabulary construction: the top-k tokens by corpus occurrence
+    * count with rank and CUMULATIVE coverage share — the "how big must
+    * the vocab be to cover X% of the corpus" curve a tokenizer-training
+    * (or the reference's n-gram) pipeline starts from.
+    *
+    * Scale shape: tokenize + explode array-locally, ONE count shuffle on
+    * the token (vocabulary-keyed), then a global `orderBy.limit(k)` that
+    * Spark executes as TakeOrderedAndProject (per-partition bounded
+    * heaps, never a full sort). Only then does a single-partition window
+    * compute rank and running coverage — over exactly k rows of
+    * metadata, which is the bounded case where a global window is the
+    * right plan (the registry plan sweep's data-bearing-window rule
+    * exempts post-limit bounded inputs). The grand total attaches by
+    * broadcast cross join, the same shape as [[tfidf]]'s N. Ties break
+    * by token ascending for cross-engine determinism. */
+  def vocabCoverage(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("c")).as("n"))
+    val top = counts.orderBy(col("c").desc, col("w").asc).limit(k)
+    val win = Window.orderBy(col("c").desc, col("w").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
+      .withColumn("cum", sum(col("c")).over(win))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("w"), col("c"),
+        round(col("cum").cast("double") / col("n"), 6).as("coverage"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same lifecycle as the other persisting builders: materialize the
+    // (k-row) result, release the upstream count cache — the caller owns
+    // only the returned result's cache
+    out.count()
+    counts.unpersist()
+    out
+  }
+
   /** Bigram language-model scoring — the LM-perplexity-style quality
     * signal: each document's mean log-probability of its bigrams under
     * the corpus's own add-one-smoothed bigram model,

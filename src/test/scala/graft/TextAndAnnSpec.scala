@@ -63,6 +63,23 @@ class TextAndAnnSpec extends SparkSpec {
     assert(got(3L) == 0L)
   }
 
+  test("vocab coverage is monotone, correctly ranked, and totals 1.0 when k covers the vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa bb bb cc", "en"),
+      (2L, "aa bb dd", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = graft.text.TextAnalysis.vocabCoverage(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // counts: aa=4, bb=3, cc=1, dd=1 (tie broken by token asc)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, "aa", 4L), (2L, "bb", 3L), (3L, "cc", 1L), (4L, "dd", 1L)))
+    val cov = rows.map(_._4)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    assert(cov.last == 1.0, s"k >= vocab must cover everything, got ${cov.last}")
+    assert(cov.head == math.round(4.0 / 9.0 * 1e6) / 1e6)
+  }
+
   test("brute-force ANN returns the true nearest neighbor with ties broken by id") {
     import spark.implicits._
     val emb = Seq(
