@@ -56,7 +56,7 @@ object NGramSource {
 
   /** Shared TSV-line parse: (lang, value) → (lang, ngram, year,
     * occurrences), malformed rows dropped. */
-  private def parse(raw: DataFrame): DataFrame = {
+  private[graft] def parse(raw: DataFrame): DataFrame = {
     val f = split(col("value"), "\t")
     // try_element_at / try_cast, not element_at / cast: Spark 4 ANSI mode
     // makes the plain forms *throw* on ragged rows or malformed numbers;

@@ -195,4 +195,37 @@ class StreamingSpec extends SparkSpec {
 
     assert(streamedSessions == batchClosed)
   }
+
+  test("incremental ngram ingestion matches the batch engine after every shard drop") {
+    import graft.sources.NGramSource
+    import graft.streaming.NGramStream
+    def res(name: String): String = getClass.getResource(s"/ngrams/$name").getPath
+    val d = java.nio.file.Files.createTempDirectory("graft-ngram-stream")
+    def drop(src: String, as: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(res(src)), d.resolve(as))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)) -> r.getLong(3)).toMap
+    def batchCounts(paths: String*) = key(
+      NGramSource.unigrams(NGramSource.read(spark, paths: _*))
+        .withColumn("decade", graft.ops.Normalize.toDecade(col("year")))
+        .groupBy("lang", "decade", "w").agg(sum(col("occurrences")).as("c1"))
+        .select("lang", "decade", "w", "c1"))
+
+    drop("eng-1gram.tsv", "eng-shard1.tsv")
+    val q = NGramStream.unigramCounts(NGramStream.readStream(spark, d.toString))
+      .select("lang", "decade", "w", "c1")
+      .writeStream.outputMode("complete").format("memory").queryName("ngram_inc").start()
+    q.processAllAvailable()
+    assert(key(spark.table("ngram_inc")) == batchCounts(s"$d/eng-shard1.tsv"),
+      "after drop 1: incremental counts must equal the batch engine on shard 1")
+
+    // a second drop in the OTHER language: only new files are read, yet
+    // the running table must equal a batch re-run over everything so far
+    drop("heb-1gram.tsv", "heb-shard2.tsv")
+    q.processAllAvailable(); q.stop()
+    assert(key(spark.table("ngram_inc")) ==
+      batchCounts(s"$d/eng-shard1.tsv", s"$d/heb-shard2.tsv"),
+      "after drop 2: incremental counts must equal the batch engine on both shards")
+    org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+  }
 }
