@@ -928,6 +928,27 @@ object OracleSqlExt {
       |       CAST(list_sum(list_transform(range(1, length(px) + 1), i -> unicode(substr(px, i, 1)))) AS BIGINT) AS pix_sum
       |FROM b""".stripMargin
 
+  /** Mirror of [[graft.multimodal.Multimodal.decodeWav]]: re-derives the
+    * generator's channel count, data length and PCM bytes; the Spark side
+    * parses them back out of the RIFF binary, so parity proves the
+    * encode → binary → parse round trip (same pattern as
+    * [[ppmDecodeSql]]). Data length is even by construction, so
+    * n_samples = data/align is exact. */
+  val wavDecodeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |         CAST((doc_id % 41 + 4) * 2 AS INTEGER) AS dl,
+      |         rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+      |              CAST((doc_id % 41 + 4) * 2 AS INTEGER), 'x') AS pcm
+      |  FROM documents
+      |)
+      |SELECT doc_id, TRUE AS valid, channels,
+      |       CAST(11025 AS INTEGER) AS sample_rate, CAST(8 AS INTEGER) AS bits,
+      |       CAST(dl // channels AS BIGINT) AS n_samples,
+      |       CAST(list_sum(list_transform(range(1, length(pcm) + 1), i -> unicode(substr(pcm, i, 1)))) AS BIGINT) AS pcm_sum
+      |FROM b""".stripMargin
+
   /** Rolling-hash fold over a SQL string expression (mirror of
     * [[graft.functions.RollingHashExpr]]). */
   private def rollSql(s: String): String =

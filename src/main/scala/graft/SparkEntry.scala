@@ -1165,6 +1165,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.decodePpm(Collocations.documents(s, d)).toDF(),
       Some(OracleSqlExt.ppmDecodeSql)),
 
+    // second real container format through the same mapPartitions batch
+    // shape: canonical RIFF/WAVE header (little-endian fields) + 8-bit
+    // PCM, parsed back from the BYTES
+    ("multimodal_wav",
+      (s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.decodeWav(Collocations.documents(s, d)).toDF(),
+      Some(OracleSqlExt.wavDecodeSql)),
+
     ("multimodal_frames",
       (s: SparkSession, d: String) =>
         graft.multimodal.Multimodal.sampleFrames(Collocations.documents(s, d), nFrames = 8, frameLen = 16),

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
@@ -107,6 +107,89 @@ object Multimodal {
         // per-partition codec init would go here
         it.map(p => parsePpm(p.doc_id, p.payload))
       }
+  }
+
+  // ------------------------------------------------------------- audio/WAV
+
+  case class WavFeatures(doc_id: Long, valid: Boolean, channels: Int,
+                         sample_rate: Int, bits: Int, n_samples: Long, pcm_sum: Long)
+
+  /** Build a REAL canonical 44-byte RIFF/WAVE header + 8-bit PCM payload
+    * per document: channels = doc_id%2+1, sample rate 11025 Hz, bits 8,
+    * an even data length 2*((doc_id%41)+4) ∈ [8, 90], PCM bytes from the
+    * ASCII-sanitized text. All multi-byte header fields are little-endian
+    * as the format requires; every variable byte value stays < 0x80 by
+    * construction (11025 = 0x2B11, 22050 = 0x5622, chunk ≤ 126) so the
+    * chr()-built string encodes byte-per-byte in UTF-8. Column algebra
+    * only — array-local, zero shuffle. */
+  def withWavPayload(docs: DataFrame): DataFrame = {
+    def le16(lo: Column, hi: Column) = concat(expr_chr(lo), expr_chr(hi))
+    def le32(lo: Column, hi: Column) =
+      concat(expr_chr(lo), expr_chr(hi), expr_chr(lit(0)), expr_chr(lit(0)))
+    docs
+      .withColumn("_ch", (pmod(col("doc_id"), lit(2L)) + 1).cast("int"))
+      .withColumn("_dl", ((pmod(col("doc_id"), lit(41L)) + 4) * 2).cast("int"))
+      .withColumn("_br", col("_ch") * 11025)
+      .withColumn("_ascii", regexp_replace(col("text"), "[^\\x20-\\x7e]", "?"))
+      .withColumn("_pcm", expr("rpad(_ascii, _dl, 'x')"))
+      .select(col("doc_id"), encode(concat(
+        lit("RIFF"), le32(col("_dl") + 36, lit(0)),
+        lit("WAVE"), lit("fmt "), le32(lit(16), lit(0)),
+        le16(lit(1), lit(0)),                                   // PCM format
+        le16(col("_ch"), lit(0)),
+        le32(lit(0x11), lit(0x2B)),                             // 11025 Hz
+        le32(pmod(col("_br"), lit(256)), floor(col("_br") / 256).cast("int")),
+        le16(col("_ch"), lit(0)),                               // block align
+        le16(lit(8), lit(0)),                                   // bits
+        lit("data"), le32(col("_dl"), lit(0)),
+        col("_pcm")), "UTF-8").as("payload"))
+  }
+
+  private def expr_chr(c: Column): Column = {
+    // char() builds the single-byte codepoint; all generated values < 0x80
+    org.apache.spark.sql.functions.chr(c)
+  }
+
+  /** REAL RIFF/WAVE parser over raw bytes — magic checks, little-endian
+    * header fields, canonical fmt chunk (PCM, 16-byte), exact data-chunk
+    * length, unsigned PCM byte sum. Malformed payloads route to
+    * `valid = false` rows, same error contract as [[parsePpm]]. */
+  private[graft] def parseWav(id: Long, bytes: Array[Byte]): WavFeatures = {
+    def fail(msg: String) = throw new IllegalArgumentException(msg)
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String): Boolean = new String(bytes, i, 4, "US-ASCII") == s
+    try {
+      if (bytes.length < 44) fail("shorter than a canonical WAV header")
+      if (!tag(0, "RIFF") || !tag(8, "WAVE")) fail("not RIFF/WAVE")
+      if (le32(4) != bytes.length - 8) fail("chunk size != file size - 8")
+      if (!tag(12, "fmt ") || le32(16) != 16) fail("missing canonical fmt chunk")
+      if (le16(20) != 1) fail("not PCM")
+      val ch = le16(22); val rate = le32(24); val bits = le16(34)
+      if (le32(28) != rate * ch * (bits / 8)) fail("inconsistent byte rate")
+      val align = le16(32)
+      if (align != ch * (bits / 8)) fail("inconsistent block align")
+      if (!tag(36, "data")) fail("missing data chunk")
+      val dataLen = le32(40)
+      if (bytes.length - 44 != dataLen) fail(s"data chunk has ${bytes.length - 44} bytes, declared $dataLen")
+      var sum = 0L; var j = 44
+      while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
+      WavFeatures(id, valid = true, ch, rate, bits, dataLen.toLong / align, sum)
+    } catch {
+      case _: IllegalArgumentException => WavFeatures(id, valid = false, -1, -1, -1, 0L, 0L)
+    }
+  }
+
+  /** Partition-parallel audio decode — same batch shape as [[decodePpm]],
+    * second container format: the features come from parsing the BYTES
+    * (magic, endianness, chunk lengths), the oracle re-derives them from
+    * the generator's inputs, and parity proves the round trip. */
+  def decodeWav(docs: DataFrame): Dataset[WavFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withWavPayload(docs).select("doc_id", "payload").as[Payload]
+      .mapPartitions(it => it.map(p => parseWav(p.doc_id, p.payload)))
   }
 
   // -------------------------------------------------- frame sample / resize

@@ -260,6 +260,29 @@ class TextAndAnnSpec extends SparkSpec {
     assert(!Multimodal.parsePpm(7L, short).valid)
   }
 
+  test("wav decode parses the RIFF header and PCM checksum from the real bytes") {
+    import spark.implicits._
+    // doc_id 7 -> channels 2, data length 2*((7%41)+4) = 22; "AB" pads to 22
+    val payload = Multimodal.withWavPayload(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    assert(payload.length == 44 + 22, s"canonical header + data, got ${payload.length}")
+    val f = Multimodal.parseWav(7L, payload)
+    assert(f.valid && f.channels == 2 && f.sample_rate == 11025 && f.bits == 8)
+    assert(f.n_samples == 11L && f.pcm_sum == 65L + 66L + 20L * 'x'.toLong)
+    // tamper one PCM byte -> checksum moves by exactly the delta
+    val tampered = payload.clone(); tampered(tampered.length - 1) = 'y'.toByte
+    assert(Multimodal.parseWav(7L, tampered).pcm_sum == f.pcm_sum + ('y' - 'x'))
+    // corrupt the declared data length -> loud per-record invalidation
+    val badLen = payload.clone(); badLen(40) = (badLen(40) + 1).toByte
+    assert(!Multimodal.parseWav(7L, badLen).valid)
+    // corrupt the RIFF magic -> valid=false, not an exception
+    val badMagic = payload.clone(); badMagic(0) = 'X'.toByte
+    assert(!Multimodal.parseWav(7L, badMagic).valid)
+    // inconsistent byte rate (real headers carry redundancy) -> invalid
+    val badRate = payload.clone(); badRate(28) = (badRate(28) + 1).toByte
+    assert(!Multimodal.parseWav(7L, badRate).valid)
+  }
+
   test("payload schema carries binary column + typed metadata") {
     import spark.implicits._
     val df = Multimodal.withPayload(Seq((7L, "xy", "en")).toDF("doc_id", "text", "lang"))
