@@ -13,12 +13,15 @@ object ScaleProbe {
     // clean-corpus / passage / ntile curves were recorded in earlier
     // rounds and are expensive to repeat)
     val (flags, nums) = args.partition(_.startsWith("--"))
-    val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only")
+    val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
+      "--knn-only", "--contain-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
     val pqOnly = flags.contains("--pq-only")
     val chunkOnly = flags.contains("--chunk-only")
+    val knnOnly = flags.contains("--knn-only")
+    val containOnly = flags.contains("--contain-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -58,6 +61,35 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val n = graft.pipelines.Chunking.chunkDocuments(docs).count()
         println(f"SCALE-CHUNK m=$m%2d docs=${5000 * m}%7d chunks=$n%8d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        spark.sharedState.cacheManager.clearCache()
+      } else if (knnOnly) {
+        // all-pairs KNN: candidate volume is N^2 * (bits+1) / 2^bits, so
+        // doubling the corpus QUADRUPLES the pair work — the probe checks
+        // wall grows no worse than that bound, and that the salted
+        // rewrite returns the identical row count at every size (its
+        // correctness is oracle/spec-gated; here it must also not slow
+        // the plain path's growth)
+        val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val emb = (0 until m).map(i =>
+          embBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val nPlain = graft.similarity.Ann.knnJoin(emb).count()
+        val tPlain = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        val t1 = System.nanoTime()
+        val nSalted = graft.similarity.Ann.knnJoinSalted(emb).count()
+        val tSalted = (System.nanoTime() - t1) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        assert(nPlain == nSalted, s"salted knn must match plain: $nSalted != $nPlain")
+        println(f"SCALE-KNN m=$m%2d vecs=${2000 * m}%7d rows=$nPlain%8d plain=$tPlain%6.2f s salted=$tSalted%6.2f s")
+      } else if (containOnly) {
+        // containment attribution is linear in total passages (each
+        // passage emits at most one attribution row) — the probe's pair
+        // counts scale with the clone structure, but wall must stay ~m
+        val t0 = System.nanoTime()
+        val n = graft.dedup.Dedup.passageContainment(docs, window = 3, threshold = 0.2).count()
+        println(f"SCALE-CONTAIN m=$m%2d docs=${5000 * m}%7d pairs=$n%8d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         spark.sharedState.cacheManager.clearCache()
       } else {
 
