@@ -44,11 +44,24 @@ object SparkEntry {
       dir
     })
 
+  /** Index over the even-doc_id half only — the PRE-EXISTING corpus of
+    * the incremental-ingest query, which unions fresh odd-half
+    * signatures on top without re-hashing it. */
+  private def dedupIndexDirHalf(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#even", {
+      val dir = dedupIndexRoot.resolve(java.lang.Integer.toHexString((d + "#even").hashCode)).toString
+      graft.dedup.Dedup.writeDedupIndex(
+        Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
+      dir
+    })
+
   /** One-time per-process setup a measurement harness runs during warmup
-    * (currently: the dedup index build), so even a single-sweep bench
+    * (currently: the dedup index builds), so even a single-sweep bench
     * sample measures the serve path, never build+serve. */
-  def prepare(spark: SparkSession, sfDir: String): Unit =
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
     dedupIndexDir(spark, sfDir)
+    dedupIndexDirHalf(spark, sfDir)
+  }
 
   /** One dialect-neutral SQL text executed verbatim by BOTH engines
     * (spark.sql over temp views; DuckDB over the same tables). */
@@ -997,6 +1010,25 @@ object SparkEntry {
         graft.dedup.Dedup.jaccardVerifyFromIndex(
           s.read.parquet(s"$dir/minhash_sigs"), s.read.parquet(s"$dir/shingle_sets"),
           threshold = 0.3)
+      },
+      Some(OracleSqlExt.jaccardVerifySql(0.3))),
+
+    // INCREMENTAL ingest, gated end to end: the persisted index covers
+    // only the even-doc_id half (the "pre-existing corpus"); the odd
+    // half arrives as a fresh delta whose per-doc signatures and shingle
+    // sets UNION onto the index tables without re-hashing the old half
+    // (both tables are pure per-doc functions — the contract DedupSpec
+    // pins). The result must equal a from-scratch run over everything,
+    // so the SAME full-corpus oracle gates it.
+    ("dedup_jaccard_incremental",
+      (s: SparkSession, d: String) => {
+        val dir = dedupIndexDirHalf(s, d)
+        val delta = Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1)
+        val sigs = s.read.parquet(s"$dir/minhash_sigs")
+          .unionByName(graft.dedup.Dedup.minhashSignatures(delta))
+        val sets = s.read.parquet(s"$dir/shingle_sets")
+          .unionByName(graft.dedup.Dedup.shingleSets(delta))
+        graft.dedup.Dedup.jaccardVerifyFromIndex(sigs, sets, threshold = 0.3)
       },
       Some(OracleSqlExt.jaccardVerifySql(0.3))),
 
