@@ -983,6 +983,24 @@ object OracleSqlExt {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[graft.events.Events.hourlyGapFill]]: the sparse hourly
+    * counts densified onto each type's [lo, hi] hour grid. */
+  val hourlyGapFillSql: String =
+    """WITH sparse AS (
+      |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type,
+      |         CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT event_type, unnest(range(lo, hi + 1)) AS hour
+      |  FROM (SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM sparse GROUP BY event_type)
+      |)
+      |SELECT grid.hour, grid.event_type,
+      |       COALESCE(sparse.cnt, 0) AS cnt,
+      |       COALESCE(sparse.sum_value, 0.0) AS sum_value
+      |FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type AND grid.hour = sparse.hour""".stripMargin
+
   def sessionizeSql(gapMinutes: Int): String = {
     val gapUs = gapMinutes * 60L * 1000 * 1000
     s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -1280,6 +1280,14 @@ object SparkEntry {
         graft.events.Events.hourlyByType(graft.events.Events.events(s, d)),
       Some(OracleSqlExt.hourlySql)),
 
+    // resampling: the sparse hourly series densified onto each type's
+    // full hour grid, zeros for missing buckets — grid generation is
+    // per-type metadata (bounds of the already-aggregated table)
+    ("events_gapfill",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.hourlyGapFill(graft.events.Events.events(s, d)),
+      Some(OracleSqlExt.hourlyGapFillSql)),
+
     ("sessionize",
       (s: SparkSession, d: String) =>
         graft.events.Events.sessionize(graft.events.Events.events(s, d), gapMinutes = 30),

@@ -34,6 +34,36 @@ object Events {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Gap-filled hourly series: [[hourlyByType]] densified onto each
+    * event type's full [min hour, max hour] grid, missing buckets
+    * emitted as (cnt = 0, sum_value = 0.0) — the resampling step every
+    * time-series consumer (charting, anomaly detection, windowed ML
+    * features) needs before treating the series as regular.
+    *
+    * Scale shape: the grid generates from the per-type (lo, hi) BOUNDS —
+    * an aggregate of the already-aggregated hourly table, so the
+    * `sequence` explode is per-type metadata (hours-per-type rows, never
+    * per-event), and the left join back to the sparse counts is keyed on
+    * the same (event_type, hour) the aggregation already produced. A
+    * pathological type spanning decades would make hours-per-type large;
+    * that is data-shape, not machinery — the explode stays linear in the
+    * OUTPUT grid. */
+  def hourlyGapFill(ev: DataFrame): DataFrame = {
+    val sparse = hourlyByType(ev)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = sparse.groupBy("event_type")
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val out = grid.join(sparse, Seq("event_type", "hour"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sparse.unpersist()
+    out
+  }
+
   /** Sliding-window per-type aggregate: window length `lenUs`, slide
     * `slideUs` (len must be a multiple of slide). Each event belongs to
     * len/slide windows; the assignment is an array-local explode of the

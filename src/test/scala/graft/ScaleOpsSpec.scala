@@ -141,6 +141,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(byText.values.forall(_.length == 1), "exact dups survived")
   }
 
+  test("hourly gap fill densifies each type's grid with zero rows, preserving real buckets") {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    // type A: hours 10 and 13 (gap at 11, 12); type B: hour 20 only
+    val ev = Seq(
+      (1L, 10 * hourUs * 1000, 1L, "A", 5.0, "{}"),
+      (2L, 13 * hourUs * 1000, 1L, "A", 7.0, "{}"),
+      (3L, 20 * hourUs * 1000, 2L, "B", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = graft.events.Events.hourlyGapFill(ev).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(("A", 10L), ("A", 11L), ("A", 12L), ("A", 13L), ("B", 20L)),
+      s"grid must span each type's own bounds only, got ${rows.keySet}")
+    assert(rows(("A", 10L)) == ((1L, 5.0)) && rows(("A", 13L)) == ((1L, 7.0)))
+    assert(rows(("A", 11L)) == ((0L, 0.0)) && rows(("A", 12L)) == ((0L, 0.0)))
+    assert(rows(("B", 20L)) == ((1L, 1.0)))
+  }
+
   test("merge upsert classifies by side presence, not value nullness") {
     import spark.implicits._
     val base = Seq[(Long, java.lang.Double)]((1L, 10.0), (2L, null), (3L, 30.0))
