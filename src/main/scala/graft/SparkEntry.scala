@@ -742,6 +742,21 @@ object SparkEntry {
         graft.text.TextAnalysis.vocabCoverage(Collocations.documents(s, d), k = 50),
       Some(OracleSqlExt.vocabCoverageSql(50))),
 
+    // distribution companion to table_profile: fixed-width bins over a
+    // numeric column, one bounded-cardinality aggregation. The bin
+    // arithmetic is identical IEEE double ops on both engines
+    ("histogram_prices",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.histogram(
+          s.read.parquet(s"$d/lineitem.parquet"), "l_extendedprice", lo = 0.0, width = 10000.0),
+      Some("""SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 10000.0) AS BIGINT) AS bin,
+             |       CAST(0.0 AS DOUBLE) + CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 10000.0) AS BIGINT) * CAST(10000.0 AS DOUBLE) AS bin_lo,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       min(CAST(l_extendedprice AS DOUBLE)) AS lo_val,
+             |       max(CAST(l_extendedprice AS DOUBLE)) AS hi_val
+             |FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
     // warehouse MERGE as one full-outer join: changeset = +100.00 on a
     // 20% md5 bucket of customers plus synthetic inserts from a 5%
     // bucket; action column attributes update/insert/keep per row. The

@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   * min-then-cast, never lexicographic cast-then-min). */
 object TableProfile {
 
+  /** Fixed-width histogram of a numeric column: bin = floor((x - lo)/w),
+    * with per-bin count and exact value bounds. One partial+final
+    * aggregation keyed on the bin id (bounded cardinality), the
+    * distribution companion to [[profile]]'s scalar stats. Rows below
+    * `lo` land in negative bins rather than being silently dropped —
+    * out-of-range data should be visible in a profiling tool. */
+  def histogram(df: DataFrame, column: String, lo: Double, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    val x = col(column).cast("double")
+    df.filter(x.isNotNull)
+      .groupBy(floor((x - lo) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min(x).as("lo_val"), max(x).as("hi_val"))
+      .select(col("bin"), (lit(lo) + col("bin") * width).as("bin_lo"), col("n"),
+        col("lo_val"), col("hi_val"))
+  }
+
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     val aggs = count(lit(1L)).as("__n") +: columns.flatMap { c =>
       Seq(
