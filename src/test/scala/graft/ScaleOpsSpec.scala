@@ -141,6 +141,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(byText.values.forall(_.length == 1), "exact dups survived")
   }
 
+  test("histogram bins fixed-width with exact bounds; below-range lands in negative bins") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 3.0, 9.99, 10.0, 25.0).toDF("x")
+    val bins = graft.ops.TableProfile.histogram(df, "x", lo = 0.0, width = 10.0).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(bins(-1L) == ((-10.0, 1L, -5.0, -5.0)), "below-range must surface, not drop")
+    assert(bins(0L) == ((0.0, 3L, 0.0, 9.99)))
+    assert(bins(1L) == ((10.0, 1L, 10.0, 10.0)), "bin edges are [lo, hi)")
+    assert(bins(2L) == ((20.0, 1L, 25.0, 25.0)))
+  }
+
   test("hourly gap fill densifies each type's grid with zero rows, preserving real buckets") {
     import spark.implicits._
     val hourUs = 3600000000L
