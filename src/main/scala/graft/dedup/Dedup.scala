@@ -346,6 +346,10 @@ object Dedup {
     * pair graph only), so both the removal anti-join and the count join
     * broadcast against the full corpus scan — the corpus itself is
     * touched once, never shuffled.
+    *
+    * PRECONDITION: `doc_id` is a key of `docs` (same contract as
+    * [[passageDupStats]]) — duplicate ids would both distort the min-id
+    * canonical choice and fan out through the count join.
     * Returns (doc_id, n_removed) for every surviving document. */
   def keepCanonical(docs: DataFrame, k: Int = 3, bands: Int = 4,
                     rowsPerBand: Int = 4): DataFrame = {

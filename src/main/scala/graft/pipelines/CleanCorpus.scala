@@ -56,7 +56,13 @@ object CleanCorpus {
     * the content-bucketed distributed rewrite: the corpus never funnels
     * through a single-partition window, every wide stage stays parallel,
     * and at 1000 executors each range bucket sorts locally against
-    * broadcast offsets. Returns (doc_id, pos), pos in [1, N]. */
+    * broadcast offsets.
+    *
+    * PRECONDITION: `doc_id` is a key of `docs` — the rank demands a
+    * TOTAL order, and doc_id is its tiebreak of last resort; duplicate
+    * ids with identical text would make two rows order-equal and their
+    * relative positions placement-dependent.
+    * Returns (doc_id, pos), pos in [1, N]. */
   def corpusShuffle(docs: DataFrame): DataFrame = {
     val keyed = docs
       .select(col("doc_id"), md5(col("text")).as("m"))
