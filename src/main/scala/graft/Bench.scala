@@ -54,9 +54,14 @@ object Bench {
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def emit(sweepsDone: Int): Unit = {
       val sampled = names.filter { case (n, _) => samples(n).nonEmpty }
+      // min over SUCCESSFUL samples; -1 only when every sample failed. A
+      // transient throw during re-sampling must not poison a query that
+      // already has a valid reading (noise is strictly additive, and so
+      // is flakiness) — and a sweep-1 failure stays visible as -1 unless
+      // a later sweep actually clears it.
       val results = sampled.map { case (name, _) =>
-        val ts = samples(name)
-        name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+        val ok = samples(name).filter(_ >= 0)
+        name -> (if (ok.isEmpty) -1.0 else ok.min)
       }
       val spreads = sampled.map { case (name, _) =>
         val ts = samples(name).filter(_ >= 0)

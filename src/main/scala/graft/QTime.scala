@@ -12,6 +12,10 @@ object QTime {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // same warmup contract as Bench: index builds are one-time setup, so
+    // index-serving queries time the serve path here too — otherwise a
+    // "standalone" reading would include the build the bench amortizes
+    SparkEntry.prepare(spark, sfDir)
     for (name <- args) {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()

@@ -58,25 +58,38 @@ object Dedup {
     * doc_id, so duplicate input ids would fan out into duplicate output
     * rows rather than collapse — dedup ids upstream (exactGroups) first if
     * the source can't guarantee uniqueness. */
-  def passageDupStats(docs: DataFrame, window: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The ONE definition of the fixed-window passage grid shared by all
+    * three passage operators (stats, containment, rewrite): per doc,
+    * `floor(tokens/window)` windows of exactly `window` tokens, exploded
+    * to (doc_id, idx, out-column). `value` maps each window's joined
+    * text to what the operator needs to carry through the shuffle — the
+    * md5 HASH for stats/containment (fixed-width shuffle payload), the
+    * RAW passage text for the rewrite (it must reassemble documents).
+    * Docs shorter than one window emit nothing here and rejoin on
+    * doc_id downstream (see the NULL-routing note in [[shingleSets]]). */
+  private def passageGrid(docs: DataFrame, window: Int, outCol: String,
+                          value: Column => Column): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val base = docs.select(col("doc_id"), toks.as("toks"))
     val nPass = floor(size(col("toks")) / window).cast("long")
-    val passages = base
+    docs.select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         explode(when(nPass > 0, transform(sequence(lit(0L), nPass - 1),
             i => struct(i.as("idx"),
-              md5(concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window))))
-                .as("h"))))
-          .otherwise(array().cast("array<struct<idx:bigint,h:string>>"))).as("p"))
-      .select(col("doc_id"), col("p.idx").as("idx"), col("p.h").as("h"))
+              value(concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window))))
+                .as(outCol))))
+          .otherwise(array().cast(s"array<struct<idx:bigint,$outCol:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.idx").as("idx"), col(s"p.$outCol").as(outCol))
+  }
+
+  def passageDupStats(docs: DataFrame, window: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val passages = passageGrid(docs, window, "h", md5)
     val rn = row_number().over(Window.partitionBy("h").orderBy(col("doc_id"), col("idx")))
     val stats = passages.withColumn("rn", rn)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
-    base.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         // ratio first, off the PRE-coalesce columns: NULL/NULL stays NULL
@@ -114,17 +127,7 @@ object Dedup {
   def passageContainment(docs: DataFrame, window: Int = 20,
                          threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val base = docs.select(col("doc_id"), toks.as("toks"))
-    val nPass = floor(size(col("toks")) / window).cast("long")
-    val passages = base
-      .select(col("doc_id"),
-        explode(when(nPass > 0, transform(sequence(lit(0L), nPass - 1),
-            i => struct(i.as("idx"),
-              md5(concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window))))
-                .as("h"))))
-          .otherwise(array().cast("array<struct<idx:bigint,h:string>>"))).as("p"))
-      .select(col("doc_id"), col("p.idx").as("idx"), col("p.h").as("h"))
+    val passages = passageGrid(docs, window, "h", md5)
     val byH = Window.partitionBy("h").orderBy(col("doc_id"), col("idx"))
     val attributed = passages
       .withColumn("rn", row_number().over(byH))
@@ -150,17 +153,9 @@ object Dedup {
     * Same doc_id-uniqueness PRECONDITION as [[passageDupStats]]. */
   def removeDupPassages(docs: DataFrame, window: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val base = docs.select(col("doc_id"), toks.as("toks"))
-    val nPass = floor(size(col("toks")) / window).cast("long")
-    val passages = base
-      .select(col("doc_id"),
-        explode(when(nPass > 0, transform(sequence(lit(0L), nPass - 1),
-            i => struct(i.as("idx"),
-              concat_ws(" ", slice(col("toks"), (i * window + 1).cast("int"), lit(window)))
-                .as("p"))))
-          .otherwise(array().cast("array<struct<idx:bigint,p:string>>"))).as("w"))
-      .select(col("doc_id"), col("w.idx").as("idx"), col("w.p").as("p"))
+    // carries the RAW passage text (the rewrite must reassemble docs),
+    // unlike the hash-carrying stats/containment grids
+    val passages = passageGrid(docs, window, "p", identity)
     val rn = row_number().over(Window.partitionBy(md5(col("p"))).orderBy(col("doc_id"), col("idx")))
     val rebuilt = passages.withColumn("rn", rn)
       .groupBy("doc_id")
@@ -170,7 +165,7 @@ object Dedup {
             x => x.getField("p")), " ").as("clean_text"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
-    base.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -167,6 +167,11 @@ object Multimodal {
       if (!tag(12, "fmt ") || le32(16) != 16) fail("missing canonical fmt chunk")
       if (le16(20) != 1) fail("not PCM")
       val ch = le16(22); val rate = le32(24); val bits = le16(34)
+      // all-zero fields satisfy every consistency identity below (0 == 0)
+      // and would reach the n_samples division — reject them explicitly
+      // so a degenerate header routes to valid=false, never a task-killing
+      // ArithmeticException
+      if (ch <= 0 || rate <= 0 || bits <= 0 || bits % 8 != 0) fail("degenerate fmt fields")
       if (le32(28) != rate * ch * (bits / 8)) fail("inconsistent byte rate")
       val align = le16(32)
       if (align != ch * (bits / 8)) fail("inconsistent block align")

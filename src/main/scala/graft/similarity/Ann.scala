@@ -242,7 +242,15 @@ object Ann {
     val q = candidates(emb)
       .select(col("n_id").as("q_id"), col("n_vec").as("q_vec"), col("n_nrm").as("q_nrm"))
       .withColumn("bkt", explode(probeBuckets(col("q_vec"), bits)))
-    val scored = cand.join(q, Seq("bkt"))
+    knnScoreRank(cand, q, Seq("bkt"), k)
+  }
+
+  /** Shared tail of the KNN self-joins: bucket join, self-pair filter,
+    * cosine, probe-dedup, partial+final top-k — ONE definition so the
+    * plain and salted variants can never diverge in scoring/ranking. */
+  private def knnScoreRank(cand: DataFrame, q: DataFrame,
+                           joinKeys: Seq[String], k: Int): DataFrame = {
+    val scored = cand.join(q, joinKeys)
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
     // a neighbor can surface through several probes -> dedup before rank
@@ -276,13 +284,7 @@ object Ann {
       .select(col("n_id").as("q_id"), col("n_vec").as("q_vec"), col("n_nrm").as("q_nrm"))
       .withColumn("bkt", explode(probeBuckets(col("q_vec"), bits)))
       .withColumn("salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    val scored = cand.join(q, Seq("bkt", "salt"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
-    graft.ops.TopK.topKPerGroup(
-      scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
-      Seq(col("q_id")),
-      Seq(col("cos").desc, col("n_id").asc), k)
+    knnScoreRank(cand, q, Seq("bkt", "salt"), k)
   }
 
   /** Multi-probe approximate top-k: candidates from the query's bucket and

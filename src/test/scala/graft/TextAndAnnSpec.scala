@@ -281,6 +281,20 @@ class TextAndAnnSpec extends SparkSpec {
     // inconsistent byte rate (real headers carry redundancy) -> invalid
     val badRate = payload.clone(); badRate(28) = (badRate(28) + 1).toByte
     assert(!Multimodal.parseWav(7L, badRate).valid)
+    // all-zero fmt fields satisfy every 0==0 consistency identity
+    // (byte rate 0==0, block align 0==0, data length 0==0) and would
+    // reach the n_samples division — must route to valid=false, never
+    // an ArithmeticException. Build the degenerate header exactly: all
+    // magics and sizes valid, channels/rate/bits/align all zero.
+    val z = new Array[Byte](44)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, z, 0, 4)
+    z(4) = 36 // chunk size = file size - 8
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, z, 8, 4)
+    System.arraycopy("fmt ".getBytes("US-ASCII"), 0, z, 12, 4)
+    z(16) = 16 // canonical fmt chunk size
+    z(20) = 1  // PCM
+    System.arraycopy("data".getBytes("US-ASCII"), 0, z, 36, 4)
+    assert(!Multimodal.parseWav(7L, z).valid)
   }
 
   test("payload schema carries binary column + typed metadata") {
