@@ -17,6 +17,11 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC — the other columnar format Spark ships natively; same predicate
+    * pushdown / column pruning contract as parquet (asserted in tests). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Partitioned parquet: directory layout carries the partition column
     * (the scalable replacement for lang-from-path conventions). */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =

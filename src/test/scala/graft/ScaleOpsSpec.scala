@@ -76,6 +76,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("orc sink round-trips with predicate pushdown at the scan") {
+    import graft.collocations.Collocations
+    val out = java.nio.file.Files.createTempDirectory("orc_test").toString
+    val docs = Collocations.documents(spark, sf)
+    Sinks.writeOrc(docs, out)
+    val back = spark.read.orc(out)
+    // row-identical round trip
+    assert(back.count() == docs.count())
+    val a = docs.select("doc_id", "text", "lang").collect().map(_.toSeq).toSet
+    val b = back.select("doc_id", "text", "lang").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // the pushdown contract: the doc_id filter must reach the ORC scan
+    val q = back.filter(col("doc_id") < 10).select("doc_id")
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(doc_id,10)"),
+      s"ORC scan must carry the pushed filter:\n$scan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("tsv sink round-trips the reference intermediate format") {
     import graft.collocations.Collocations
     val out = java.nio.file.Files.createTempDirectory("sink_test").toString
