@@ -628,8 +628,12 @@ object OracleSqlExt {
        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}', 0)) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
-  val qualitySql: String =
-    s"""WITH $tclCte,
+  /** Shared CTE chain ending in r(doc_id, n_tokens, n_chars, pr, sr) —
+    * one definition of the quality ratios, used by both the per-doc
+    * report ([[qualitySql]]) and the quantile gate
+    * ([[qualityGateSql]]). */
+  private val qualityChain: String =
+    s"""$tclCte,
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(tl) AS BIGINT) AS n_tokens,
@@ -643,10 +647,27 @@ object OracleSqlExt {
        |    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
        |    CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS sr
        |  FROM m
-       |)
+       |)""".stripMargin
+
+  val qualitySql: String =
+    s"""WITH $qualityChain
        |SELECT doc_id, n_tokens, n_chars, round(pr, 6) AS punct_ratio, round(sr, 6) AS stop_ratio,
        |       round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS quality
        |FROM r""".stripMargin
+
+  /** Mirror of the quantile quality gate: keep documents at or above the
+    * corpus's own `p`-quantile of the (6-digit-rounded) quality score.
+    * Both the scores and the threshold round to 6 digits BEFORE the
+    * comparison — the 1-ulp interpolation drift between `percentile` and
+    * `quantile_cont` dies in the rounding, so the boundary set is
+    * engine-identical. */
+  def qualityGateSql(p: Double): String =
+    s"""WITH $qualityChain,
+       |qv AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS q FROM r),
+       |t AS (SELECT round(quantile_cont(q, $p), 6) AS thr FROM qv)
+       |SELECT qv.doc_id, d.lang, qv.q
+       |FROM qv JOIN documents d ON qv.doc_id = d.doc_id CROSS JOIN t
+       |WHERE qv.q >= t.thr""".stripMargin
 
   val langIdSql: String = {
     def occ(sig: String): String = {

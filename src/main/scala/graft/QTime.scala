@@ -19,8 +19,11 @@ object QTime {
     for (name <- args) {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
       println(f"QTIME $name rows=$n ${(System.nanoTime()-t0)/1e9}%8.2f s")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        println(df.queryExecution.executedPlan.toString.take(6000))
     }
     spark.stop()
   }

@@ -874,6 +874,14 @@ object SparkEntry {
             col("q.punct_ratio"), col("q.stop_ratio"), col("q.quality")),
       Some(OracleSqlExt.qualitySql)),
 
+    // dynamic-threshold curation: keep docs at/above the corpus's own
+    // p75 quality — scores and threshold both rounded before comparing,
+    // so the exact-percentile boundary set is engine-identical
+    ("quality_gate_quantile",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.qualityGate(Collocations.documents(s, d), p = 0.75),
+      Some(OracleSqlExt.qualityGateSql(0.75))),
+
     ("text_langid",
       (s: SparkSession, d: String) => {
         val docs = Collocations.documents(s, d)

@@ -52,6 +52,25 @@ object TextAnalysis {
       round(lit(1.0) / (lit(1.0) + exp(-(lit(1.5) - lit(4.0) * punctRatio - lit(1.0) * stopRatio))), 6).as("quality"))
   }
 
+  /** Quantile quality gate: keep documents at or above the corpus's OWN
+    * `p`-quantile of the quality score — "top 25%" instead of a magic
+    * absolute threshold, the form a curation pipeline actually wants
+    * when corpora shift. The threshold is a single-row grouping-free
+    * aggregate broadcast against the scored scan (the same bounded
+    * cross-join shape as [[tfidf]]'s N), so the corpus streams once.
+    * Both the scores and the threshold are rounded to 6 digits BEFORE
+    * comparing, which kills the 1-ulp interpolation drift between
+    * Spark's `percentile` and DuckDB's `quantile_cont` — the boundary
+    * set is engine-identical. At 100 TB swap the exact percentile for
+    * `approx_percentile` (the documented sketch-twin trade). */
+  def qualityGate(docs: DataFrame, p: Double = 0.75): DataFrame = {
+    val q = docs.select(col("doc_id"), col("lang"),
+      quality(col("text")).getField("quality").as("q"))
+    val thr = q.agg(round(expr(s"percentile(q, $p)"), 6).as("thr"))
+    q.crossJoin(broadcast(thr)).filter(col("q") >= col("thr"))
+      .select("doc_id", "lang", "q")
+  }
+
   /** TF-IDF over the cleaned token stream: tf = in-document term count,
     * df = number of documents containing the term, idf = ln((N+1)/(df+1))
     * — the smoothed form, so terms in every document stay finite. The

@@ -22,6 +22,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == (("ids <NUM> 45 <NUM> and <EMAIL>", 1L, 2L)))
   }
 
+  test("quantile quality gate keeps exactly the top tail, never splitting equal scores inconsistently") {
+    import graft.collocations.Collocations
+    val docs = Collocations.documents(spark, "/root/testdata/sf0.001")
+    val kept = graft.text.TextAnalysis.qualityGate(docs, p = 0.75).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val all = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.TextAnalysis.quality(org.apache.spark.sql.functions.col("text"))
+          .getField("quality").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.nonEmpty && kept.size < all.size)
+    // the gate is a clean cut: every kept score >= every dropped score
+    val dropped = all.keySet -- kept.keySet
+    val minKept = kept.values.min
+    assert(dropped.forall(d => all(d) <= minKept))
+    // and equal scores never straddle the cut (ties all land one side)
+    assert(dropped.forall(d => all(d) < minKept || !kept.values.exists(_ == all(d))))
+    // roughly the top quarter (ties can widen it)
+    assert(kept.size >= all.size / 5 && kept.size <= all.size / 2)
+  }
+
   test("repetition metrics: fully repeated doc scores low distinct ratio") {
     import spark.implicits._
     val docs = Seq(

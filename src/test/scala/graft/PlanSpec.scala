@@ -238,6 +238,10 @@ class PlanSpec extends SparkSpec {
       case r: AQEShuffleReadExec    => singleRowRoot(r.child)
       case s: QueryStageExec        => singleRowRoot(s.plan)
       case pr: ProjectExec          => singleRowRoot(pr.child)
+      // a filter can only REDUCE rows, so ≤1 in implies ≤1 out — Catalyst
+      // inserts inferred isnotnull(thr) filters above single-row
+      // threshold aggregates (quality_gate_quantile)
+      case f: org.apache.spark.sql.execution.FilterExec => singleRowRoot(f.child)
       case a: BaseAggregateExec     => a.groupingExpressions.isEmpty
       case _                        => false
     }
