@@ -417,6 +417,23 @@ object Dedup {
     shingleSets(docs, k).write.mode("overwrite").parquet(s"$dir/shingle_sets")
   }
 
+  /** Choose the (bands, rowsPerBand) factorization of `perms` whose LSH
+    * S-curve inflection sits closest to the target Jaccard `threshold`:
+    * a pair with similarity s collides in ≥1 band with probability
+    * 1 - (1 - s^r)^b, whose steep section centers near (1/b)^(1/r) —
+    * the standard banding-selection rule. More rows per band → a higher,
+    * sharper threshold (fewer false positives); more bands → a lower one
+    * (fewer false negatives). The engine's 4×4 default is exactly
+    * `tuneBands(0.7, 16)`; a pipeline targeting a different threshold
+    * calls this instead of guessing. Pure driver-side model selection —
+    * the same serve-a-model shape as the IVF/PQ training. */
+  def tuneBands(threshold: Double, perms: Int = 16): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1): $threshold")
+    require(perms > 0, s"perms must be positive: $perms")
+    (1 to perms).filter(perms % _ == 0).map(b => (b, perms / b))
+      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+  }
+
   /** Candidate pairs served from a persisted signature table — the
     * [[lshCandidates]] semantics without the signature recompute. */
   def lshCandidatesFromIndex(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =

@@ -160,6 +160,18 @@ class DedupSpec extends SparkSpec {
     assert(j.isEmpty || j.head.getDouble(5) < 0.5)
   }
 
+  test("band tuning picks the factorization whose S-curve inflection is nearest the target") {
+    // 16 perms: inflections are (b,r)=(1,16)->1.0^... , (2,8)->0.917,
+    // (4,4)->0.707, (8,2)->0.354, (16,1)->0.0625
+    assert(Dedup.tuneBands(0.7, 16) == ((4, 4)), "the engine's own default")
+    assert(Dedup.tuneBands(0.9, 16) == ((2, 8)))
+    assert(Dedup.tuneBands(0.35, 16) == ((8, 2)))
+    // monotone: a higher target threshold never picks fewer rows per band
+    val picks = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(t => Dedup.tuneBands(t, 16)._2)
+    assert(picks == picks.sorted, s"rows-per-band must grow with the threshold: $picks")
+    intercept[IllegalArgumentException](Dedup.tuneBands(1.5, 16))
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
