@@ -67,11 +67,14 @@ object OracleSqlExt {
 
   val mhCte: String = mhCteFrom("", "sh")
 
-  /** bk(doc_id, band, sig): 4 bands x 4 rows; longs render identically as
-    * strings on both engines. */
-  def bkCteFrom(suffix: String, mhRel: String): String = {
-    val bandSelects = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
+  /** bk(doc_id, band, sig) for an arbitrary band geometry (mirror of
+    * [[graft.dedup.Dedup.lshBucketsFromSigs]]: band b hashes rows
+    * h(b·r)..h(b·r+r−1)); longs render identically as strings on both
+    * engines. */
+  def bkCteFrom(suffix: String, mhRel: String, bands: Int = 4, rowsPerBand: Int = 4): String = {
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until b * rowsPerBand + rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM $mhRel"
     }
     s"""bk$suffix AS (
@@ -81,13 +84,18 @@ object OracleSqlExt {
 
   val bkCte: String = bkCteFrom("", "mh")
 
-  val lshCandidatesSql: String =
+  /** LSH candidate pairs at an arbitrary band geometry — the oracle for
+    * the [[graft.dedup.Dedup.tuneBands]]-driven entries, exercising
+    * non-default band shapes end to end. */
+  def lshCandidatesBandedSql(bands: Int, rowsPerBand: Int): String =
     s"""WITH $tclCte,
        |$shCte,
        |$mhCte,
-       |$bkCte
+       |${bkCteFrom("", "mh", bands, rowsPerBand)}
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
+
+  val lshCandidatesSql: String = lshCandidatesBandedSql(4, 4)
 
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
@@ -984,6 +992,40 @@ object OracleSqlExt {
        |)
        |SELECT doc_id, off, CAST(length(frame) AS BIGINT) AS f_len, ${rollSql("frame")} AS f_hash
        |FROM f""".stripMargin
+
+  /** The generator's ASCII-sanitization class, kept in a RAW string so it
+    * can interpolate into s-strings (whose literal parts would reject the
+    * \x escape). */
+  private val nonAsciiClass = """[^\x20-\x7e]"""
+
+  /** Mirror of [[graft.multimodal.Multimodal.resizePpm]]: re-derives the
+    * PPM dims and pixel plane from the GENERATOR's inputs (the Spark side
+    * parses them from the payload bytes), then applies the identical
+    * nearest-neighbor index map — target pixel q ∈ [0, th·tw·3) reads
+    * source byte (⌊y'·h/th⌋·w + ⌊x'·w/tw⌋)·3 + c with y' = (q÷3)÷tw,
+    * x' = (q÷3) mod tw, c = q mod 3 — and folds the same byte sum and
+    * rolling hash. Integer `//` matches Scala's Int division on the
+    * non-negative operands here. */
+  def resizePpmSql(tw: Int, th: Int): String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 5 + 2 AS INTEGER) AS w,
+       |         CAST(doc_id % 3 + 2 AS INTEGER) AS h,
+       |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
+       |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3 AS INTEGER), 'x') AS px
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(range(0, ${th * tw * 3}),
+       |           q -> substr(px, CAST((((q//3)//$tw * h // $th) * w + ((q//3)%$tw * w // $tw)) * 3 + (q%3) + 1 AS INT), 1)), '') AS rs
+       |  FROM b
+       |)
+       |SELECT doc_id, TRUE AS valid,
+       |       CAST($tw AS INTEGER) AS r_w, CAST($th AS INTEGER) AS r_h,
+       |       CAST(list_sum(list_transform(range(1, length(rs) + 1), i -> unicode(substr(rs, i, 1)))) AS BIGINT) AS r_sum,
+       |       ${rollSql("rs")} AS r_hash
+       |FROM r""".stripMargin
 
   /** Byte-resize mirror of [[graft.multimodal.Multimodal.resize]]. */
   def resizeSql(target: Int): String =

@@ -14,13 +14,14 @@ object ScaleProbe {
     // rounds and are expensive to repeat)
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
-      "--knn-only", "--contain-only")
+      "--knn-only", "--knn-salted-only", "--contain-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
     val pqOnly = flags.contains("--pq-only")
     val chunkOnly = flags.contains("--chunk-only")
     val knnOnly = flags.contains("--knn-only")
+    val knnSaltedOnly = flags.contains("--knn-salted-only")
     val containOnly = flags.contains("--contain-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
@@ -36,6 +37,11 @@ object ScaleProbe {
         .reduce(_ unionByName _)
 
       if (pqOnly) {
+        // the constant-probe-count invariant below only holds when 100*m
+        // divides the 10^7 id shift — reject other m up front instead of
+        // silently skewing the per-replica probe counts the curve relies on
+        require(10000000L % (100L * m) == 0,
+          s"--pq-only requires 10^7 %% (100*m) == 0; m=$m violates the constant-probe invariant")
         // PQ/ADC over an m-times corpus with the PROBE COUNT HELD CONSTANT
         // (stride scales with m; the 10^7 id shift is divisible by every
         // 100*m here, so each replica contributes 20/m probes): the
@@ -83,6 +89,22 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         assert(nPlain == nSalted, s"salted knn must match plain: $nSalted != $nPlain")
         println(f"SCALE-KNN m=$m%2d vecs=${2000 * m}%7d rows=$nPlain%8d plain=$tPlain%6.2f s salted=$tSalted%6.2f s")
+      } else if (knnSaltedOnly) {
+        // the salted path alone, for sizes where the plain twin has
+        // already degenerated (its hot sign-bucket makes 100k vectors a
+        // multi-hundred-second run that measures only the known hazard):
+        // candidate volume is N² · (bits+1) / 2^bits, so wall must track
+        // that bound with the per-task work spread `salts` ways — this
+        // extends the curve past where --knn-only's plain/salted A-B stops
+        val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val emb = (0 until m).map(i =>
+          embBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val n = graft.similarity.Ann.knnJoinSalted(emb).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-KNN-SALTED m=$m%2d vecs=${2000 * m}%7d rows=$n%8d salted=$t%6.2f s")
       } else if (containOnly) {
         // containment attribution is linear in total passages (each
         // passage emits at most one attribution row) — the probe's pair

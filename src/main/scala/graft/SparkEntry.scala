@@ -37,9 +37,16 @@ object SparkEntry {
     }
     p
   }
+  // subdirectory names are the md5 of the full cache key, not its 32-bit
+  // hashCode: a String.hashCode collision between two dataset keys would
+  // silently overwrite one index's parquet while the TrieMap still served
+  // the stale entry for the other
+  private def keyDirName(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
   private def dedupIndexDir(s: SparkSession, d: String): String =
     dedupIndexDirs.getOrElseUpdate(d, {
-      val dir = dedupIndexRoot.resolve(java.lang.Integer.toHexString(d.hashCode)).toString
+      val dir = dedupIndexRoot.resolve(keyDirName(d)).toString
       graft.dedup.Dedup.writeDedupIndex(Collocations.documents(s, d), dir)
       dir
     })
@@ -49,7 +56,7 @@ object SparkEntry {
     * signatures on top without re-hashing it. */
   private def dedupIndexDirHalf(s: SparkSession, d: String): String =
     dedupIndexDirs.getOrElseUpdate(d + "#even", {
-      val dir = dedupIndexRoot.resolve(java.lang.Integer.toHexString((d + "#even").hashCode)).toString
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#even")).toString
       graft.dedup.Dedup.writeDedupIndex(
         Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
       dir
@@ -71,6 +78,18 @@ object SparkEntry {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** Second dialect-neutral SQL text, widening the SQL-surface proof from
+    * join+agg to a ranking WINDOW — executed verbatim by both engines.
+    * row_number() is INT on Spark and BIGINT on DuckDB, so the CAST pins
+    * the schema; the tie-break on c_custkey makes the top-5 deterministic. */
+  val sqlInterfaceWindowQuery: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |             CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |                                     ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+      |      FROM customer) ranked
+      |WHERE rnk <= 5""".stripMargin
 
   /** Correlated scalar subquery, same text on both engines (Catalyst
     * decorrelates it into an outer join). */
@@ -426,16 +445,34 @@ object SparkEntry {
 
     // HLL-sketch twin of the exact distinct count: count-distinct at
     // 100 TB is a full shuffle of the distinct keys; the sketch is a
-    // fixed-size mergeable partial. Engine-specific sketch -> no oracle
-    // row (rows-only check); accuracy asserted vs the exact form in
-    // PercentileSpec.
+    // fixed-size mergeable partial. The HLL estimate itself is
+    // engine-specific (DuckDB's sketch produces different numbers), so
+    // the GATE is an error-bound check computed engine-side: the row
+    // carries the exact counts (cross-engine-mirrorable) plus booleans
+    // asserting |estimate − exact| ≤ 4·rsd·exact — 4σ of the configured
+    // rsd=0.01, deterministic on fixed data. The oracle emits the same
+    // exact counts and literal TRUEs, so a sketch regression past the
+    // bound flips a boolean and fails the driver's hash compare.
     ("approx_distinct",
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        val rsd = 0.01
         s.read.parquet(s"$d/lineitem.parquet")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
-            approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps")),
-      None),
+          .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
+            countDistinct(col("l_suppkey")).as("n_supps_exact"),
+            approx_count_distinct(col("l_partkey"), rsd).as("_ap"),
+            approx_count_distinct(col("l_suppkey"), rsd).as("_as"))
+          .select(col("l_returnflag"), col("n_parts_exact"), col("n_supps_exact"),
+            (abs(col("_ap") - col("n_parts_exact"))
+              <= lit(4 * rsd) * col("n_parts_exact")).as("parts_within_rsd"),
+            (abs(col("_as") - col("n_supps_exact"))
+              <= lit(4 * rsd) * col("n_supps_exact")).as("supps_within_rsd"))
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+             |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps_exact,
+             |       TRUE AS parts_within_rsd, TRUE AS supps_within_rsd
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ----------------------------------------------- global ORDER BY LIMIT
     ("sort_limit",
@@ -845,18 +882,38 @@ object SparkEntry {
 
     // sketch twin of the exact form above: at 100 TB exact percentile is a
     // sort-heavy global op; approx_percentile is a mergeable sketch
-    // (partial+final, one shuffle of sketch bytes). Not SQL-expressible in
-    // a cross-engine-exact way -> no oracle row (driver records rows-only);
-    // accuracy vs the exact form is asserted in PercentileSpec.
+    // (partial+final, one shuffle of sketch bytes). The sketch VALUE is
+    // engine-specific, so — like approx_distinct — the gate is an
+    // error-bound check: the row carries the exact percentiles
+    // (cross-engine-mirrorable, same algebra as `percentiles` above) plus
+    // booleans asserting each sketch estimate lies inside the exact
+    // [p−0.01, p+0.01] quantile envelope. At accuracy=10000 the sketch's
+    // rank error is ≤ N/10000 ≈ a 10⁻⁴ quantile offset — two orders under
+    // the 0.01 envelope — so only a genuine sketch regression can flip a
+    // boolean and fail the driver's hash compare. Accuracy vs the exact
+    // form is additionally asserted in PercentileSpec.
     ("percentiles_approx",
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        def within(approx: String, colName: String, p: Double) =
+          expr(s"approx_percentile($colName, $p, 10000)")
+            .between(expr(s"percentile($colName, ${p - 0.01})"),
+              expr(s"percentile($colName, ${p + 0.01})")).as(approx)
         s.read.parquet(s"$d/lineitem.parquet")
           .groupBy("l_returnflag")
           .agg(
-            expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
-            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"),
-            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price")),
-      None),
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+            within("median_ok", "l_quantity", 0.5),
+            within("p25_ok", "l_extendedprice", 0.25),
+            within("p90_ok", "l_extendedprice", 0.9))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+             |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+             |  TRUE AS median_ok, TRUE AS p25_ok, TRUE AS p90_ok
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ======================================================== text analysis
     ("text_token_stats",
@@ -980,6 +1037,13 @@ object SparkEntry {
       },
       Some(SparkEntry.sqlInterfaceQuery)),
 
+    ("sql_interface_window",
+      (s: SparkSession, d: String) => {
+        s.read.parquet(s"$d/customer.parquet").createOrReplaceTempView("customer")
+        s.sql(SparkEntry.sqlInterfaceWindowQuery)
+      },
+      Some(SparkEntry.sqlInterfaceWindowQuery)),
+
     // ========================================================== dedup
     ("dedup_exact",
       (s: SparkSession, d: String) =>
@@ -1016,6 +1080,20 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.lshCandidates(Collocations.documents(s, d)),
       Some(OracleSqlExt.lshCandidatesSql)),
+
+    // threshold-TUNED band geometry, end to end: tuneBands(0.35, 16)
+    // selects 8 bands × 2 rows (s-curve midpoint (1/8)^(1/2) ≈ 0.354 —
+    // spec-pinned in DedupSpec), and the oracle mirrors the same
+    // non-default shape — proving the band-geometry parameter actually
+    // feeds lshBucketsFromSigs in a driver-visible row, not just in unit
+    // tests. Lower threshold → more bands of fewer rows → more candidates
+    // surfacing looser pairs (recall ordering also spec-pinned).
+    { val (tb, tr) = graft.dedup.Dedup.tuneBands(0.35, 16)
+      ("dedup_minhash_lsh_tuned",
+        (s: SparkSession, d: String) =>
+          graft.dedup.Dedup.lshCandidates(Collocations.documents(s, d),
+            bands = tb, rowsPerBand = tr),
+        Some(OracleSqlExt.lshCandidatesBandedSql(tb, tr))) },
 
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) =>
@@ -1158,19 +1236,24 @@ object SparkEntry {
 
     // all-pairs form: every vector's k nearest — query side is the
     // corpus itself, so this is the one ANN entry whose join properly
-    // SHUFFLES both sides (bucket-keyed), not a broadcast/literal model
+    // SHUFFLES both sides (bucket-keyed), not a broadcast/literal model.
+    // The DEFAULT is the salted rewrite: the plain bucket join's hot-bucket
+    // hazard is measured (ScaleProbe m=20: plain 72.3 s vs salted 24.4 s on
+    // skew-concentrated sign buckets) and unbounded in skew, so the entry a
+    // user reaches for by name must be the skew-safe one.
     ("knn_join",
-      (s: SparkSession, d: String) =>
-        graft.similarity.Ann.knnJoin(
-          s.read.parquet(s"$d/embeddings.parquet"), k = 5, bits = 6),
-      Some(OracleSqlExt.knnJoinSql(5, 6))),
-
-    // hot-bucket-safe rewrite, gated against the SAME oracle as
-    // knn_join — the salting must be invisible in the result
-    ("knn_join_salted",
       (s: SparkSession, d: String) =>
         graft.similarity.Ann.knnJoinSalted(
           s.read.parquet(s"$d/embeddings.parquet"), k = 5, bits = 6, salts = 8),
+      Some(OracleSqlExt.knnJoinSql(5, 6))),
+
+    // the unsalted pedagogical baseline twin (same role ann_cosine_topk
+    // plays for the bucketed ANN forms), gated against the SAME oracle —
+    // the salting above must be invisible in the result
+    ("knn_join_plain",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.knnJoin(
+          s.read.parquet(s"$d/embeddings.parquet"), k = 5, bits = 6),
       Some(OracleSqlExt.knnJoinSql(5, 6))),
 
     // PQ/ADC: codebooks trained on the vec_id % 4 sample, full corpus
@@ -1237,6 +1320,16 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.multimodal.Multimodal.resize(Collocations.documents(s, d), target = 32),
       Some(OracleSqlExt.resizeSql(32))),
+
+    // the REAL pixel form: decode the P6 payload bytes, nearest-neighbor
+    // resample the pixel plane to 3x2, emit byte-sum + rolling-hash of
+    // the resized plane — the oracle re-derives everything from the
+    // generator's inputs, proving encode -> binary -> parse -> resample
+    ("multimodal_resize_px",
+      (s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.resizePpm(Collocations.documents(s, d),
+          targetW = 3, targetH = 2).toDF(),
+      Some(OracleSqlExt.resizePpmSql(3, 2))),
 
     // --------------------------------- as-of join (operator Spark lacks)
     ("asof_join",

@@ -57,12 +57,16 @@ object Multimodal {
         encode(concat(lit("P6\n"), col("_w").cast("string"), lit(" "),
           col("_h").cast("string"), lit("\n255\n"), col("_px")), "UTF-8").as("payload"))
 
-  /** REAL P6 parser over raw bytes — magic check, whitespace-delimited
-    * ascii header ints, single separator byte, exact pixel-plane length,
-    * unsigned byte sum over the pixels. A malformed payload yields a
-    * `valid = false` row (with sentinel fields) rather than poisoning the
-    * batch — the per-record error routing a production decoder needs. */
-  private[graft] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
+  /** Parsed P6 header: dimensions, maxval, and the byte offset where the
+    * pixel plane starts (validated to be exactly 3·w·h bytes long). */
+  private[graft] case class PpmHeader(w: Int, h: Int, maxval: Int, pixOff: Int)
+
+  /** REAL P6 header parse over raw bytes — magic check, whitespace-
+    * delimited ascii header ints, single separator byte, exact pixel-plane
+    * length. Throws IllegalArgumentException on malformed input; callers
+    * route that to a `valid = false` row rather than poisoning the batch —
+    * the per-record error routing a production decoder needs. */
+  private def parsePpmHeader(bytes: Array[Byte]): PpmHeader = {
     var i = 0
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
     def fail(msg: String) = throw new IllegalArgumentException(msg)
@@ -75,23 +79,27 @@ object Multimodal {
       if (!any) fail(s"expected integer at byte $i")
       v
     }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("not a P6 ppm")
+    i = 2
+    skipWs(); val w = parseInt()
+    skipWs(); val h = parseInt()
+    skipWs(); val maxval = parseInt()
+    if (i >= bytes.length || !isWs(bytes(i))) fail("missing header separator")
+    i += 1
+    if (bytes.length - i != 3 * w * h)
+      fail(s"pixel plane has ${bytes.length - i} bytes, expected ${3 * w * h}")
+    PpmHeader(w, h, maxval, i)
+  }
+
+  private[graft] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures =
     try {
-      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("not a P6 ppm")
-      i = 2
-      skipWs(); val w = parseInt()
-      skipWs(); val h = parseInt()
-      skipWs(); val maxval = parseInt()
-      if (i >= bytes.length || !isWs(bytes(i))) fail("missing header separator")
-      i += 1
-      if (bytes.length - i != 3 * w * h)
-        fail(s"pixel plane has ${bytes.length - i} bytes, expected ${3 * w * h}")
-      var sum = 0L; var j = i
+      val hd = parsePpmHeader(bytes)
+      var sum = 0L; var j = hd.pixOff
       while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
-      PpmFeatures(id, valid = true, w, h, maxval, w.toLong * h, sum)
+      PpmFeatures(id, valid = true, hd.w, hd.h, hd.maxval, hd.w.toLong * hd.h, sum)
     } catch {
       case _: IllegalArgumentException => PpmFeatures(id, valid = false, -1, -1, -1, 0L, 0L)
     }
-  }
 
   /** Partition-parallel decode: one codec per partition, streaming rows —
     * the batch shape a real decoder (JNI, subprocess) needs. The emitted
@@ -222,6 +230,60 @@ object Multimodal {
     frames.select(col("doc_id"), col("off"),
       length(col("frame")).cast("long").as("f_len"),
       graft.functions.RollingHash.rollingHash(col("frame")).as("f_hash"))
+  }
+
+  // ------------------------------------------------- real pixel resample
+
+  case class PpmResized(doc_id: Long, valid: Boolean, r_w: Int, r_h: Int,
+                        r_sum: Long, r_hash: Long)
+
+  /** REAL nearest-neighbor pixel resample over the DECODED P6 plane: the
+    * payload bytes are parsed ([[parsePpmHeader]] — magic, dims, exact
+    * plane length), then each target pixel (x', y') reads source pixel
+    * (⌊x'·w/tw⌋, ⌊y'·h/th⌋) — the standard nearest-neighbor index map —
+    * accumulating the resized plane's unsigned byte sum and its order-
+    * sensitive rolling hash ((a·31+byte) mod 1e9+7, row-major RGB order).
+    * Malformed payloads route to `valid = false`, same contract as
+    * [[parsePpm]]. */
+  private[graft] def resamplePpm(id: Long, bytes: Array[Byte],
+                                 tw: Int, th: Int): PpmResized =
+    try {
+      val hd = parsePpmHeader(bytes)
+      var sum = 0L; var hash = 0L
+      var y = 0
+      while (y < th) {
+        val sy = y * hd.h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * hd.w / tw
+          val base = hd.pixOff + (sy * hd.w + sx) * 3
+          var c = 0
+          while (c < 3) {
+            val b = bytes(base + c) & 0xff
+            sum += b
+            hash = (hash * 31 + b) % 1000000007L
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      PpmResized(id, valid = true, tw, th, sum, hash)
+    } catch {
+      case _: IllegalArgumentException => PpmResized(id, valid = false, -1, -1, 0L, 0L)
+    }
+
+  /** Partition-parallel decode + resample — the full image pipeline stage
+    * (parse container → pixel op → fixed-width features) in one narrow
+    * map, zero shuffle. The oracle re-derives the resampled plane from the
+    * GENERATOR's inputs while this side works from the payload BYTES, so
+    * parity proves encode → binary → parse → resample end to end. */
+  def resizePpm(docs: DataFrame, targetW: Int = 3, targetH: Int = 2): Dataset[PpmResized] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
+    withPpmPayload(docs).select("doc_id", "payload").as[Payload]
+      .mapPartitions(it => it.map(p => resamplePpm(p.doc_id, p.payload, targetW, targetH)))
   }
 
   /** Nearest-neighbor byte "resize" to `target` samples: keep every

@@ -23,6 +23,13 @@ object Merge {
     val valueCols = base.columns.filterNot(keys.contains)
     require(updates.columns.toSet == base.columns.toSet,
       s"changeset schema ${updates.columns.toSeq} must match base ${base.columns.toSeq}")
+    // the operator claims 'action' and the '__b_/__u_' namespace for its
+    // markers/renames — an input that already uses them would yield a
+    // duplicate/ambiguous column, so refuse loudly up front
+    val reserved = base.columns.filter(c =>
+      c == "action" || c == "__b_present" || c == "__u_present" || c.startsWith("__b_") || c.startsWith("__u_"))
+    require(reserved.isEmpty,
+      s"input columns ${reserved.toSeq} collide with upsert's reserved names ('action', '__b_*', '__u_*')")
     val b = valueCols.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
       .withColumn("__b_present", lit(1))
     val u = valueCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))

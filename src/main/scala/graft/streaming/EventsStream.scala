@@ -35,6 +35,21 @@ object EventsStream {
       .parquet(dir)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Running hourly (hour, event_type) counts — the reference-shaped
+    * INCREMENTAL ingestion twin of [[graft.events.Events.hourlyByType]],
+    * same contract as [[NGramStream.unigramCounts]]: event files drop into
+    * a directory, only new files are read per micro-batch, and the running
+    * table must equal the batch engine re-run on everything so far
+    * (StreamingSpec pins this after every drop). Same hour-bucket and
+    * decimal-sum algebra as the batch path, so the twin is bit-comparable.
+    * No watermark: the key domain is (bounded hours × event types), so
+    * state is domain-bounded like the ngram vocabulary, not time-unbounded. */
+  def hourlyCounts(stream: DataFrame): DataFrame =
+    stream
+      .groupBy(graft.events.Events.hourBucket(expr("ts div 1000")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Watermarked tumbling 5-minute window per event type. */
   def windowedCounts(stream: DataFrame): DataFrame =
     stream

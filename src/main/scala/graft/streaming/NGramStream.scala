@@ -33,9 +33,12 @@ object NGramStream {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     NGramSource.parse(
       spark.readStream.option("maxFilesPerTrigger", "1").text(dir)
+        // language rides on the file's BASENAME (the reference's shard
+        // naming) — matching on the whole path would classify every shard
+        // as Hebrew whenever the watch DIRECTORY's path contains 'heb'
         .withColumn("lang",
-          when(lower(input_file_name()).contains("heb"), lit(NGramSource.HE))
-            .otherwise(lit(NGramSource.EN))))
+          when(lower(element_at(split(input_file_name(), "/"), -1)).contains("heb"),
+            lit(NGramSource.HE)).otherwise(lit(NGramSource.EN))))
 
   /** Running occurrence-weighted unigram counts per (lang, decade, w) —
     * the incremental form of the batch A2 aggregation. */

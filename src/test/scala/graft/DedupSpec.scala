@@ -172,6 +172,40 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.tuneBands(1.5, 16))
   }
 
+  test("tuned 8x2 banding dominates the default 4x4 on loose pairs (recall ordering end to end)") {
+    import spark.implicits._
+    // pairs across the similarity range: shared token prefixes of varying
+    // length against distinct suffixes put true Jaccard between ~0.2 and
+    // ~0.9 — the range where band geometry decides recall
+    def doc(prefix: Int, tag: String): String =
+      ((1 to prefix).map(i => s"w$i") ++ (1 to (20 - prefix)).map(i => s"$tag$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, doc(20, "a")), (2L, doc(18, "b")),   // j high
+      (3L, doc(14, "c")), (4L, doc(12, "d")),   // j mid
+      (5L, doc(8, "e")), (6L, doc(6, "f")),     // j low-mid
+      (7L, doc(3, "g")), (8L, doc(2, "h"))      // j low
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val (tb, tr) = Dedup.tuneBands(0.35, 16)
+    assert((tb, tr) == ((8, 2)))
+    val truth = Dedup.jaccardPairs(corpus, threshold = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candDefault = Dedup.lshCandidates(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candTuned = Dedup.lshCandidates(corpus, bands = tb, rowsPerBand = tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // structural: an 8x2 band is HALF a 4x4 band (band b hashes h2b,h2b+1),
+    // so any 4-row collision implies a 2-row collision — tuned candidates
+    // can only add pairs, never lose them
+    assert(candDefault.subsetOf(candTuned),
+      s"4x4 pairs must survive the 8x2 split: ${candDefault -- candTuned}")
+    // the tuning's point: recall of true j>=0.35 pairs improves strictly
+    // on this corpus (the s-curve at j~0.4: 4x4 collides ~23%, 8x2 ~90%)
+    val recallD = truth.count(candDefault).toDouble / truth.size
+    val recallT = truth.count(candTuned).toDouble / truth.size
+    assert(recallT > recallD,
+      s"8x2 must beat 4x4 on loose pairs: tuned=$recallT default=$recallD over ${truth.size} true pairs")
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -205,6 +205,17 @@ class ScaleOpsSpec extends SparkSpec {
       9L -> ((Some(90.0), "insert"))))
   }
 
+  test("merge upsert refuses inputs colliding with its reserved action/marker names") {
+    import spark.implicits._
+    // an input 'action' column would silently duplicate the output's
+    // attribution column; '__b_*'/'__u_*' would collide with the renames
+    for (reserved <- Seq("action", "__b_present", "__u_present", "__b_v", "__u_x")) {
+      val df = Seq((1L, "a")).toDF("k", reserved)
+      val e = intercept[IllegalArgumentException](graft.ops.Merge.upsert(df, df, Seq("k")))
+      assert(e.getMessage.contains(reserved), s"error must name the offender: ${e.getMessage}")
+    }
+  }
+
   test("table profile counts nulls, distincts and native-typed min/max in one pass") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](

@@ -196,6 +196,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamedSessions == batchClosed)
   }
 
+  test("incremental events ingestion matches the batch hourly aggregation after every file drop") {
+    // the NGramStream contract applied to the events stream: files drop
+    // into a directory, only new files are read, and the running hourly
+    // table must equal the BATCH engine re-run on the union of all files
+    // so far — pinned after EVERY drop, not just at the end
+    val d = java.nio.file.Files.createTempDirectory("events_inc")
+    val all = Events.events(spark, "/root/testdata/sf0.001")
+    def stage(name: String, modTime: Long, parityKeep: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("events_inc_stage")
+      spark.read.schema(EventsStream.schema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(pmod(col("event_id"), lit(2L)) === parityKeep)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      val target = d.resolve(name)
+      java.nio.file.Files.copy(part, target)
+      assert(target.toFile.setLastModified(modTime))
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def batchHourly(parities: Long*) = key(
+      Events.hourlyByType(all.filter(pmod(col("event_id"), lit(2L)).isin(parities: _*)))
+        .select("hour", "event_type", "cnt", "sum_value"))
+
+    stage("a.parquet", 1000000L, parityKeep = 0L)
+    val q = EventsStream.hourlyCounts(EventsStream.readStream(spark, d.toString))
+      .writeStream.outputMode("complete").format("memory").queryName("events_inc").start()
+    q.processAllAvailable()
+    assert(key(spark.table("events_inc")) == batchHourly(0L),
+      "after drop 1: incremental hourly counts must equal the batch engine on file 1")
+
+    stage("b.parquet", 2000000L, parityKeep = 1L)
+    q.processAllAvailable(); q.stop()
+    assert(key(spark.table("events_inc")) == batchHourly(0L, 1L),
+      "after drop 2: incremental hourly counts must equal the batch engine on both files")
+    org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+  }
+
   test("incremental ngram ingestion matches the batch engine after every shard drop") {
     import graft.sources.NGramSource
     import graft.streaming.NGramStream
@@ -226,6 +265,24 @@ class StreamingSpec extends SparkSpec {
     assert(key(spark.table("ngram_inc")) ==
       batchCounts(s"$d/eng-shard1.tsv", s"$d/heb-shard2.tsv"),
       "after drop 2: incremental counts must equal the batch engine on both shards")
+    org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+  }
+
+  test("ngram stream language rides on the file's basename, not the watch directory's path") {
+    import graft.streaming.NGramStream
+    // an English shard inside a directory whose PATH contains 'heb' must
+    // still classify as English — the regression the basename match fixes
+    val d = java.nio.file.Files.createTempDirectory("hebrew-watch")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(getClass.getResource("/ngrams/eng-1gram.tsv").getPath),
+      d.resolve("eng-shard.tsv"))
+    val q = NGramStream.unigramCounts(NGramStream.readStream(spark, d.toString))
+      .writeStream.outputMode("complete").format("memory").queryName("ngram_basename").start()
+    q.processAllAvailable(); q.stop()
+    val langs = spark.table("ngram_basename").select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == Set(graft.sources.NGramSource.EN),
+      s"shard in a 'heb'-pathed directory must classify by basename: $langs")
     org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
   }
 }

@@ -260,6 +260,37 @@ class TextAndAnnSpec extends SparkSpec {
     assert(!Multimodal.parsePpm(7L, short).valid)
   }
 
+  test("ppm pixel resample applies the nearest-neighbor index map over the decoded plane") {
+    import spark.implicits._
+    // doc_id 7 -> 4x3 source; "AB" pads with 'x' to 36 pixel bytes. Target
+    // 3x2: y'∈{0,1} -> sy∈{0,1}; x'∈{0,1,2} -> sx∈{0,1,2} — so the sample
+    // reads pixels (0,0),(0,1),(0,2),(1,0),(1,1),(1,2); only (0,0) holds
+    // non-pad bytes [65,66,120]
+    val r = Multimodal.resizePpm(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"),
+      targetW = 3, targetH = 2).collect().head
+    assert(r.valid && r.r_w == 3 && r.r_h == 2)
+    assert(r.r_sum == 65L + 66L + 120L + 5L * 3L * 120L)
+    // the hash is the order-sensitive fold over exactly those bytes
+    val expectBytes = Seq(65, 66, 120) ++ Seq.fill(15)(120)
+    val expectHash = expectBytes.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    assert(r.r_hash == expectHash, s"hash ${r.r_hash} != folded $expectHash")
+
+    // the resample reads the BYTES: tampering a sampled pixel moves the sum
+    val payload = Multimodal.withPpmPayload(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"))
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val tampered = payload.clone()
+    tampered(payload.length - 36) = 'y'.toByte // pixel (0,0) red byte: 'A' -> 'y'
+    val t = Multimodal.resamplePpm(7L, tampered, 3, 2)
+    assert(t.r_sum == r.r_sum + ('y' - 'A'))
+    // a tampered NON-sampled pixel is invisible — the map reads 6 of 12 pixels
+    val skipped = payload.clone()
+    skipped(payload.length - 1) = 'z'.toByte // pixel (2,3): sy never reaches row 2
+    assert(Multimodal.resamplePpm(7L, skipped, 3, 2).r_sum == r.r_sum)
+    // malformed payloads route to valid=false, same contract as parsePpm
+    val bad = payload.clone(); bad(1) = '5'.toByte
+    assert(!Multimodal.resamplePpm(7L, bad, 3, 2).valid)
+  }
+
   test("wav decode parses the RIFF header and PCM checksum from the real bytes") {
     import spark.implicits._
     // doc_id 7 -> channels 2, data length 2*((7%41)+4) = 22; "AB" pads to 22
