@@ -201,9 +201,9 @@ object OracleSqlExt {
 
   /** Candidate-restricted exact Jaccard (mirrors
     * [[graft.dedup.Dedup.jaccardVerify]]): LSH candidates from the banded
-    * minhash, exact intersection via `list_intersect` of the two docs'
-    * shingle lists. */
-  def jaccardVerifySql(threshold: Double): String =
+    * minhash — at an arbitrary band geometry — exact intersection via
+    * `list_intersect` of the two docs' shingle lists. */
+  def jaccardVerifyBandedSql(threshold: Double, bands: Int = 4, rowsPerBand: Int = 4): String =
     s"""WITH $tclCte,
        |slt AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
@@ -211,7 +211,7 @@ object OracleSqlExt {
        |),
        |sh AS (SELECT doc_id, unnest(sl) AS shingle FROM slt),
        |$mhCte,
-       |$bkCte,
+       |${bkCteFrom("", "mh", bands, rowsPerBand)},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
@@ -222,6 +222,8 @@ object OracleSqlExt {
        |         round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
        |  FROM cand JOIN slt la ON cand.a = la.doc_id JOIN slt lb ON cand.b = lb.doc_id
        |) WHERE jaccard >= $threshold""".stripMargin
+
+  def jaccardVerifySql(threshold: Double): String = jaccardVerifyBandedSql(threshold)
 
   /** 60-bit simhash; bit b of md5 hex char j votes +-1 per token occurrence. */
   val simhashSql: String = {
@@ -1026,6 +1028,30 @@ object OracleSqlExt {
        |       CAST(list_sum(list_transform(range(1, length(rs) + 1), i -> unicode(substr(rs, i, 1)))) AS BIGINT) AS r_sum,
        |       ${rollSql("rs")} AS r_hash
        |FROM r""".stripMargin
+
+  /** Mirror of [[graft.multimodal.Multimodal.sampleFramesPpm]]: frame i
+    * samples pixel row ⌊i·h/n⌋; the row's w·3 bytes fold into the same
+    * sum and rolling hash. */
+  def framesPpmSql(nFrames: Int): String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 5 + 2 AS INTEGER) AS w,
+       |         CAST(doc_id % 3 + 2 AS INTEGER) AS h,
+       |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
+       |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3 AS INTEGER), 'x') AS px
+       |  FROM documents
+       |),
+       |f AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |         CAST(i * h // $nFrames AS INTEGER) AS src_row,
+       |         substr(px, CAST((i * h // $nFrames) * w * 3 + 1 AS INT), w * 3) AS rs
+       |  FROM b, (SELECT unnest(range(0, $nFrames)) AS i)
+       |)
+       |SELECT doc_id, frame_idx, src_row,
+       |       CAST(list_sum(list_transform(range(1, length(rs) + 1), i -> unicode(substr(rs, i, 1)))) AS BIGINT) AS row_sum,
+       |       ${rollSql("rs")} AS row_hash,
+       |       TRUE AS valid
+       |FROM f""".stripMargin
 
   /** Byte-resize mirror of [[graft.multimodal.Multimodal.resize]]. */
   def resizeSql(target: Int): String =

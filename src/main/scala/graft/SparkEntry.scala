@@ -1095,6 +1095,17 @@ object SparkEntry {
             bands = tb, rowsPerBand = tr),
         Some(OracleSqlExt.lshCandidatesBandedSql(tb, tr))) },
 
+    // the full threshold-parameterized dedup: tuned candidate geometry +
+    // exact Jaccard verification at the SAME 0.35 threshold the bands
+    // were tuned for — the one-call form a pipeline uses when the
+    // dedup threshold is a config knob rather than the engine default
+    { val (tb, tr) = graft.dedup.Dedup.tuneBands(0.35, 16)
+      ("dedup_jaccard_tuned",
+        (s: SparkSession, d: String) =>
+          graft.dedup.Dedup.jaccardVerify(Collocations.documents(s, d),
+            bands = tb, rowsPerBand = tr, threshold = 0.35),
+        Some(OracleSqlExt.jaccardVerifyBandedSql(0.35, tb, tr))) },
+
     ("dedup_ngram_jaccard",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.jaccardVerify(Collocations.documents(s, d), threshold = 0.3),
@@ -1330,6 +1341,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.resizePpm(Collocations.documents(s, d),
           targetW = 3, targetH = 2).toDF(),
       Some(OracleSqlExt.resizePpmSql(3, 2))),
+
+    // real frame sampling over the decoded plane: evenly-spaced pixel
+    // ROWS (the video-frame analog), one row per (doc, frame)
+    ("multimodal_frames_px",
+      (s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.sampleFramesPpm(Collocations.documents(s, d),
+          nFrames = 2).toDF(),
+      Some(OracleSqlExt.framesPpmSql(2))),
 
     // --------------------------------- as-of join (operator Spark lacks)
     ("asof_join",

@@ -286,6 +286,47 @@ object Multimodal {
       .mapPartitions(it => it.map(p => resamplePpm(p.doc_id, p.payload, targetW, targetH)))
   }
 
+  case class PpmFrame(doc_id: Long, frame_idx: Int, src_row: Int,
+                      row_sum: Long, row_hash: Long, valid: Boolean)
+
+  /** REAL frame sampling over the DECODED plane: `nFrames` evenly-spaced
+    * PIXEL ROWS (row ⌊i·h/n⌋ — the video-frame analog of [[resamplePpm]]'s
+    * nearest-neighbor map), each emitting its unsigned byte sum and
+    * order-sensitive rolling hash. One row per (doc, frame); a malformed
+    * payload emits a single sentinel `valid = false` row instead of
+    * killing the batch. */
+  private[graft] def framesPpm(id: Long, bytes: Array[Byte], nFrames: Int): Iterator[PpmFrame] =
+    try {
+      val hd = parsePpmHeader(bytes)
+      (0 until nFrames).iterator.map { i =>
+        val sy = i * hd.h / nFrames
+        val base = hd.pixOff + sy * hd.w * 3
+        var sum = 0L; var hash = 0L
+        var j = 0
+        while (j < hd.w * 3) {
+          val b = bytes(base + j) & 0xff
+          sum += b
+          hash = (hash * 31 + b) % 1000000007L
+          j += 1
+        }
+        PpmFrame(id, i, sy, sum, hash, valid = true)
+      }
+    } catch {
+      case _: IllegalArgumentException =>
+        Iterator.single(PpmFrame(id, -1, -1, 0L, 0L, valid = false))
+    }
+
+  /** Partition-parallel decode + frame-sample — same narrow-map batch
+    * shape as [[resizePpm]]; the oracle re-derives the sampled rows from
+    * the generator's inputs, parity proving the full byte round trip. */
+  def sampleFramesPpm(docs: DataFrame, nFrames: Int = 2): Dataset[PpmFrame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nFrames > 0, s"nFrames must be positive: $nFrames")
+    withPpmPayload(docs).select("doc_id", "payload").as[Payload]
+      .flatMap(p => framesPpm(p.doc_id, p.payload, nFrames))
+  }
+
   /** Nearest-neighbor byte "resize" to `target` samples: keep every
     * (len div target)-th byte. Emits the resized length + rolling-hash
     * feature (the real pixel resample replaces the char picks). */

@@ -291,6 +291,24 @@ class TextAndAnnSpec extends SparkSpec {
     assert(!Multimodal.resamplePpm(7L, bad, 3, 2).valid)
   }
 
+  test("ppm frame sampling reads evenly-spaced pixel rows from the decoded plane") {
+    import spark.implicits._
+    // doc_id 7 -> 4x3; nFrames=2 samples rows ⌊0·3/2⌋=0 and ⌊1·3/2⌋=1;
+    // row 0 carries [65,66,x*10], row 1 is all pad
+    val frames = Multimodal.sampleFramesPpm(Seq((7L, "AB", "en")).toDF("doc_id", "text", "lang"),
+      nFrames = 2).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2 && frames.forall(_.valid))
+    assert(frames.map(_.src_row).toSeq == Seq(0, 1))
+    val row0 = Seq(65, 66) ++ Seq.fill(10)(120)
+    assert(frames(0).row_sum == row0.map(_.toLong).sum)
+    assert(frames(0).row_hash == row0.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L))
+    assert(frames(1).row_sum == 12L * 120L)
+    // malformed payload -> single sentinel row, not an exception
+    val bad = "P5garbage".getBytes("US-ASCII")
+    val sentinel = Multimodal.framesPpm(9L, bad, 2).toSeq
+    assert(sentinel == Seq(Multimodal.PpmFrame(9L, -1, -1, 0L, 0L, valid = false)))
+  }
+
   test("wav decode parses the RIFF header and PCM checksum from the real bytes") {
     import spark.implicits._
     // doc_id 7 -> channels 2, data length 2*((7%41)+4) = 22; "AB" pads to 22
