@@ -1233,6 +1233,19 @@ object SparkEntry {
           isBench = col("source") === "src0", minContainment = 0.3),
       Some(OracleSqlExt.decontaminateSql("source = 'src0'", 0.3))),
 
+    // the 100 TB form of the same check: a compact benchmark-shingle bloom
+    // broadcasts into a narrow prefilter scan, so only plausible-overlap
+    // docs pay for signatures + LSH + verification. Blooms have no false
+    // negatives and exact containment removes false positives, so the
+    // result is row-identical to `decontaminate` — gated by the SAME
+    // exact oracle, which is the proof the prefilter is invisible.
+    ("decontaminate_bloom",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.contaminationBloom(Collocations.documents(s, d),
+          isBench = col("source") === "src0", minContainment = 0.3,
+          mBits = 1 << 17),
+      Some(OracleSqlExt.decontaminateSql("source = 'src0'", 0.3))),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>

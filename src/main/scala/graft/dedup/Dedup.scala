@@ -609,9 +609,15 @@ object Dedup {
     * Returns (doc_id, bench_id, inter, nsh, containment >= min). */
   def contamination(docs: DataFrame, isBench: Column, k: Int = 3,
                     bands: Int = 4, rowsPerBand: Int = 4,
-                    minContainment: Double = 0.3): DataFrame = {
-    val bench = docs.filter(isBench)
-    val train = docs.filter(!isBench)
+                    minContainment: Double = 0.3): DataFrame =
+    contaminationOf(docs.filter(!isBench), docs.filter(isBench),
+      k, bands, rowsPerBand, minContainment)
+
+  /** LSH + exact-containment core over explicit train/bench sides —
+    * shared by [[contamination]] and [[contaminationBloom]]. */
+  private def contaminationOf(train: DataFrame, bench: DataFrame, k: Int,
+                              bands: Int, rowsPerBand: Int,
+                              minContainment: Double): DataFrame = {
     val candidates = lshBuckets(train, k, bands, rowsPerBand)
       .select(col("band"), col("sig"), col("doc_id"))
       .join(lshBuckets(bench, k, bands, rowsPerBand)
@@ -624,6 +630,67 @@ object Dedup {
       .withColumn("containment", round(col("inter") / col("nsh"), 6))
       .filter(col("containment") >= minContainment)
       .select("doc_id", "bench_id", "inter", "nsh", "containment")
+  }
+
+  /** [[contamination]] with a bloom-filter prefilter on the training side —
+    * the shape a 100 TB corpus wants when contamination is rare (it is):
+    * the benchmark's distinct shingles are folded into a compact bit-string
+    * bloom (built once, driver-side — the same bounded serve-a-model
+    * collect as ANN centroid training; size is `mBits`, independent of
+    * corpus size), which then rides a broadcast into a NARROW corpus scan
+    * that keeps only training docs with >= 1 might-contain shingle. Only
+    * that usually-tiny candidate slice pays for minhash signatures, LSH
+    * bucketing, and exact verification; the rest of the corpus never
+    * shuffles at all.
+    *
+    * Provably exact, not approximate: blooms have no false negatives, so
+    * every doc the prefilter drops shares ZERO shingles with every
+    * benchmark doc — containment 0, below any positive `minContainment`
+    * (hence the loud require). False positives only cost work downstream,
+    * where exact containment removes them; so the output is row-identical
+    * to [[contamination]] and gates against the same exact oracle.
+    *
+    * The lazy plan inlines the candidate-id subtree under both the LSH and
+    * verification branches (same double-scan-of-train shape the plain form
+    * has); a long-lived 100 TB deployment would persist `candIds` once per
+    * release the way the dedup index does. */
+  def contaminationBloom(docs: DataFrame, isBench: Column, k: Int = 3,
+                         bands: Int = 4, rowsPerBand: Int = 4,
+                         minContainment: Double = 0.3,
+                         mBits: Int = 1 << 20, kHashes: Int = 3): DataFrame = {
+    require(minContainment > 0,
+      s"contaminationBloom needs minContainment > 0 (got $minContainment): " +
+        "the prefilter only drops zero-overlap docs, which a zero threshold would keep")
+    require(mBits >= 64 && mBits <= (1 << 24),
+      s"mBits out of range [64, 2^24]: $mBits")
+    require(kHashes >= 1 && kHashes <= 8, s"kHashes out of range [1, 8]: $kHashes")
+    val spark = docs.sparkSession
+    val bench = docs.filter(isBench)
+    val train = docs.filter(!isBench)
+    // k bit positions per shingle: xxhash64 salted by the hash index,
+    // reduced mod mBits — the identical expression hashes both sides
+    def bitPositions(shingle: Column): Seq[Column] =
+      (0 until kHashes).map(h => pmod(xxhash64(shingle, lit(h)), lit(mBits.toLong)))
+    // build: distinct bench shingles -> distinct set bit positions ->
+    // driver bit string ('0'/'1' chars; mBits-bounded, corpus-independent)
+    val setBits = shingles(bench, k).select(col("shingle")).distinct()
+      .select(explode(array(bitPositions(col("shingle")): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = Array.fill(mBits)('0')
+    setBits.foreach(p => bits(p.toInt) = '1')
+    import spark.implicits._
+    val bloomDf = Seq(Tuple1(new String(bits))).toDF("bloom")
+    // serve: explode train shingles, test all k bits against the broadcast
+    // bit string (Column.substr is 1-based), keep docs with any hit. The
+    // candidate id set is contamination-candidates-sized, so it broadcasts
+    // back as a semi-join against ONE more corpus scan.
+    val hit = bitPositions(col("shingle"))
+      .map(p => col("bloom").substr((p + 1).cast("int"), lit(1)) === "1")
+      .reduce(_ && _)
+    val candIds = shingles(train, k).crossJoin(broadcast(bloomDf))
+      .filter(hit).select("doc_id").distinct()
+    contaminationOf(train.join(broadcast(candIds), Seq("doc_id"), "left_semi"),
+      bench, k, bands, rowsPerBand, minContainment)
   }
 
   // --------------------------------------------------- embedding near-dup

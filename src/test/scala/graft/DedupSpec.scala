@@ -401,6 +401,33 @@ class DedupSpec extends SparkSpec {
     assert(hits.head._3 > 0.5, "verbatim inclusion must score high containment")
   }
 
+  test("bloom-prefiltered contamination is row-identical to the plain form") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = (Seq(
+      (1L, bench, "bench"),
+      (2L, s"prefix words here $bench and some trailing words", "train"),
+      (3L, "a completely unrelated training document about query engines", "train")
+    ) ++ (10 until 40).map(i =>
+      (i.toLong, s"filler document number $i about nothing shared with evaluation sets at all", "train")
+    )).map { case (i, t, s) => (i, t, "en", s) }.toDF("doc_id", "text", "lang", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val plain = rows(Dedup.contamination(corpus, isBench = col("source") === "bench",
+      bands = 8, rowsPerBand = 2, minContainment = 0.3))
+    // a roomy filter AND a saturating 64-bit one (wall-to-wall false
+    // positives) must both reproduce the exact result — fp only costs work
+    for (m <- Seq(1 << 14, 64)) {
+      val bloom = rows(Dedup.contaminationBloom(corpus, isBench = col("source") === "bench",
+        bands = 8, rowsPerBand = 2, minContainment = 0.3, mBits = m))
+      assert(bloom == plain, s"mBits=$m diverged: $bloom vs $plain")
+    }
+    // the prefilter-correctness precondition is loud, not silent
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationBloom(corpus, isBench = col("source") === "bench", minContainment = 0.0)
+    }
+  }
+
   test("closest embedding pairs ranks the planted near-duplicate first") {
     import spark.implicits._
     val emb = Seq(
