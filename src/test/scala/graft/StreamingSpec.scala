@@ -268,6 +268,53 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
   }
 
+  test("streaming dedup-index ingest serves results identical to a full rebuild after every drop") {
+    import graft.streaming.DedupStream
+    import graft.dedup.Dedup
+    val watch = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    val index = java.nio.file.Files.createTempDirectory("graft-dedup-stream-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-stream-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    def drop(name: String, parityKeep: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stage")
+      all.filter(pmod(col("doc_id"), lit(3L)) === parityKeep)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    def served() = DedupStream.sigs(spark, index.toString) // serve path: index only
+      .transform(s => Dedup.jaccardVerifyFromIndex(s, DedupStream.sets(spark, index.toString), threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    def rebuilt(parities: Long*) =
+      Dedup.jaccardVerify(all.filter(pmod(col("doc_id"), lit(3L)).isin(parities: _*)), threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+
+    drop("a.parquet", 0L)
+    val q = DedupStream.ingest(DedupStream.readStream(spark, watch.toString),
+      index.toString, ckpt.toString)
+    q.processAllAvailable()
+    assert(served() == rebuilt(0L),
+      "after drop 1: serving from the streamed index must equal a rebuild on shard 1")
+
+    drop("b.parquet", 1L); drop("c.parquet", 2L)
+    q.processAllAvailable(); q.stop()
+    assert(served() == rebuilt(0L, 1L, 2L),
+      "after drops 2+3: serving from the streamed index must equal a full-corpus rebuild")
+    assert(served().nonEmpty, "the sf0.001 corpus has known near-dup pairs; empty means a broken join")
+
+    // replay idempotence: re-running an already-committed micro-batch (the
+    // failure-between-writes restart case) must replace its partition, not
+    // append duplicates — serve results unchanged
+    val before = served()
+    DedupStream.appendBatch(all.filter(pmod(col("doc_id"), lit(3L)) === 0L), index.toString, 0L)
+    assert(DedupStream.sigs(spark, index.toString).groupBy("doc_id").count()
+      .filter(col("count") > 1).isEmpty, "replaying batch 0 must not duplicate signatures")
+    assert(served() == before, "replaying batch 0 must leave serve results unchanged")
+    Seq(watch, index, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("ngram stream language rides on the file's basename, not the watch directory's path") {
     import graft.streaming.NGramStream
     // an English shard inside a directory whose PATH contains 'heb' must
