@@ -782,6 +782,33 @@ object OracleSqlExt {
        |SELECT doc_id, w, tf, df, round(tf * ln((n + 1) / (df + 1)), 6) AS tfidf
        |FROM tf JOIN dfreq USING (w) CROSS JOIN ntab""".stripMargin
 
+  /** BM25 mirror of [[graft.text.TextAnalysis.bm25TopK]]. Every fractional
+    * constant CASTs to DOUBLE (bare decimals are DECIMAL in DuckDB and
+    * would infect the score arithmetic); scores round to 6 digits BEFORE
+    * the (score desc, doc_id) ranking so the top-k boundary is
+    * engine-identical. */
+  def bm25Sql(query: Seq[String], k1: Double, b: Double, k: Int): String = {
+    val terms = query.map(t => s"'$t'").mkString(", ")
+    s"""WITH $tclCte,
+       |d AS (SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS dl FROM tcl),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tl) AS w FROM d)
+       |  WHERE w IN ($terms) GROUP BY doc_id, dl, w
+       |),
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w)
+       |SELECT doc_id,
+       |       round(sum(
+       |         ln(CAST(1.0 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+       |         * (tf * CAST(${k1 + 1.0} AS DOUBLE))
+       |         / (tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) * dl / avgdl))
+       |       ), 6) AS score
+       |FROM tf JOIN dfq USING (w) CROSS JOIN st
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Mirror of [[graft.text.TextAnalysis.vocabCoverage]]: token counts,
     * top-k with (count desc, token asc) total order, running coverage
     * share over an explicit ROWS frame. */

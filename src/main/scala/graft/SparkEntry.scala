@@ -960,6 +960,15 @@ object SparkEntry {
         graft.text.TextAnalysis.tfidf(Collocations.documents(s, d)),
       Some(OracleSqlExt.tfidfSql)),
 
+    // BM25 ranked retrieval against a literal query — the corpus-slicing
+    // primitive (classifier seeds, topic extraction) built on the tfidf
+    // stats but with length normalization and a bounded top-k plan
+    ("text_bm25_topk",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.bm25TopK(Collocations.documents(s, d),
+          query = Seq("spark", "merge", "window"), k = 15),
+      Some(OracleSqlExt.bm25Sql(Seq("spark", "merge", "window"), 1.2, 0.75, 15))),
+
     ("text_lm_score",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.lmScore(Collocations.documents(s, d)),

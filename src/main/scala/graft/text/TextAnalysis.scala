@@ -98,6 +98,40 @@ object TextAnalysis {
         round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
   }
 
+  /** BM25 ranked retrieval for a LITERAL query — the retrieval primitive a
+    * curation pipeline runs against a web corpus to pull topic slices or
+    * classifier seed sets: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), idf(t) = ln(1 + (N − df + ½)/(df + ½))
+    * (the Robertson/Sparck-Jones smoothed form, non-negative by
+    * construction).
+    *
+    * Scale shape: the exploded token stream filters to the query's terms
+    * BEFORE any shuffle, so the (doc, term) aggregation is |query|-bounded
+    * per document — never vocabulary-sized; term df (|query| rows) and the
+    * single-row (N, avgdl) stats attach by broadcast; the final top-k is
+    * `orderBy.limit` = TakeOrderedAndProject (per-partition bounded heaps,
+    * no full sort). Scores round to 6 digits before ranking so the
+    * k-boundary is engine-identical under the (score desc, doc_id) order. */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(query.nonEmpty, "bm25TopK needs at least one query term")
+    val lens = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = lens.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("part",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Vocabulary construction: the top-k tokens by corpus occurrence
     * count with rank and CUMULATIVE coverage share — the "how big must
     * the vocab be to cover X% of the corpus" curve a tokenizer-training

@@ -80,6 +80,34 @@ class TextAndAnnSpec extends SparkSpec {
     assert(cov.head == math.round(4.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("bm25 ranks by tf with length normalization and rewards rarer terms") {
+    import graft.text.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark", "en"),            // high tf, short doc
+      (2L, "spark " + Seq.fill(50)("filler").mkString(" "), "en"), // one hit, long doc
+      (3L, "merge merge", "en"),                  // rare term (df=1)
+      (4L, "nothing relevant here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val top = TextAnalysis.bm25TopK(docs, query = Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSet == Set(1L, 2L, 3L), "no-hit docs must not appear")
+    val score = top.toMap
+    assert(score(1L) > score(2L), "same term: higher tf in a shorter doc must score higher")
+    // doc 3's term is rarer (df=1 vs df=2) AND doc 3 is short: it must
+    // beat the long single-hit doc 2
+    assert(score(3L) > score(2L))
+    // BM25 saturates: tripling tf must score below 3x the single-hit part
+    // of an equal-length doc; check via the closed form at k1=1.2, b=0.75
+    val n = 4.0; val avgdl = (3 + 51 + 2 + 3) / 4.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def part(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(score(1L) - math.round(part(3, 3, 2) * 1e6) / 1e6) < 1e-9,
+      s"doc 1 must match the closed form: ${score(1L)} vs ${part(3, 3, 2)}")
+    assert(math.abs(score(3L) - math.round(part(2, 2, 1) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("brute-force ANN returns the true nearest neighbor with ties broken by id") {
     import spark.implicits._
     val emb = Seq(
