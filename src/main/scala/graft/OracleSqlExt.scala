@@ -782,6 +782,24 @@ object OracleSqlExt {
        |SELECT doc_id, w, tf, df, round(tf * ln((n + 1) / (df + 1)), 6) AS tfidf
        |FROM tf JOIN dfreq USING (w) CROSS JOIN ntab""".stripMargin
 
+  /** Mirror of [[graft.pipelines.Sampling.batchByLength]]: the oracle runs
+    * the global window the scale-safe rank is bit-identical to. */
+  def batchByLengthSql(batchSize: Int): String =
+    s"""WITH $tclCte
+       |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+       |       CAST((row_number() OVER (ORDER BY len(tl), doc_id) - 1) // $batchSize AS BIGINT) AS batch
+       |FROM tcl""".stripMargin
+
+  /** Mirror of [[graft.pipelines.Sampling.weightedSample]] over the
+    * documents table with weight = n_chars. 2^28 + 1 = 268435457. */
+  def weightedSampleSql(k: Int): String =
+    s"""SELECT doc_id, w, priority FROM (
+       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+       |         round(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) + CAST(1.0 AS DOUBLE))
+       |                   / CAST(268435457.0 AS DOUBLE)) / CAST(n_chars AS DOUBLE), 9) AS priority
+       |  FROM documents WHERE n_chars > 0)
+       |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
   /** BM25 mirror of [[graft.text.TextAnalysis.bm25TopK]]. Every fractional
     * constant CASTs to DOUBLE (bare decimals are DECIMAL in DuckDB and
     * would infect the score arithmetic); scores round to 6 digits BEFORE

@@ -379,6 +379,22 @@ object SparkEntry {
              |  FROM documents)
              |WHERE CASE WHEN lang = 'en' THEN bucket < 10 ELSE bucket < 50 END""".stripMargin)),
 
+    // weight-proportional sampling without replacement (priority / A-ES):
+    // content-hash u, priority -ln(u)/w, global k-smallest via
+    // TakeOrderedAndProject — "1M docs sampled by quality weight" at 100 TB
+    ("sample_weighted",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.Sampling.weightedSample(
+          s.read.parquet(s"$d/documents.parquet"), weight = col("n_chars"), k = 40),
+      Some(OracleSqlExt.weightedSampleSql(40))),
+
+    // padding-minimizing length-bucketed batching via the scale-safe
+    // content-bucketed global rank (no single-partition window over data)
+    ("batch_by_length",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.Sampling.batchByLength(Collocations.documents(s, d), batchSize = 32),
+      Some(OracleSqlExt.batchByLengthSql(32))),
+
     // deterministic epoch-0 training order: content-keyed pseudo-random
     // permutation via the scale-safe content-bucketed global rank (never
     // a single-partition window, never rand())

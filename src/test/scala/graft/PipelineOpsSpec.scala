@@ -79,6 +79,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bins3 == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("weighted sampling matches the A-ES closed form and favors heavy weights") {
+    import graft.pipelines.Sampling
+    import spark.implicits._
+    // 200 light (w=1) + 200 heavy (w=10) docs: the k smallest Exp(w)
+    // priorities must be dominated by the heavy group (P[Exp(10)<Exp(1)]
+    // = 10/11 pairwise)
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, if (i < 200) 1L else 10L)).toDF("doc_id", "n_chars")
+    val top = Sampling.weightedSample(docs, weight = col("n_chars"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(top.length == 100)
+    val heavy = top.count(_._1 >= 200)
+    assert(heavy >= 80, s"heavy-weight docs must dominate the sample: $heavy/100")
+    // closed form for one row: u from the 28-bit md5 prefix of the id
+    val (id, w, p) = top.head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 7)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / ((1L << 28) + 1.0)
+    assert(math.abs(p - math.round(-math.log(u) / w * 1e9) / 1e9) < 1e-12,
+      s"priority must match the md5 closed form for doc $id")
+    // zero/negative weights carry no sampling mass
+    val withZero = docs.withColumn("n_chars", when(col("doc_id") === 0L, 0L).otherwise(col("n_chars")))
+    assert(!Sampling.weightedSample(withZero, col("n_chars"), k = 400)
+      .collect().map(_.getLong(0)).contains(0L))
+  }
+
+  test("length-bucketed batching groups similar lengths and bounds padding waste") {
+    import graft.pipelines.Sampling
+    import spark.implicits._
+    // lengths 1..12 in scrambled id order; batchSize 4 must yield batches
+    // {1..4},{5..8},{9..12} regardless of ids
+    val docs = Seq.tabulate(12) { i =>
+      val len = 12 - i
+      (i.toLong, Seq.fill(len)("tok").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val rows = Sampling.batchByLength(docs, batchSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 12)
+    val byBatch = rows.groupBy(_._3).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byBatch == Map(0L -> Seq(1L, 2L, 3L, 4L), 1L -> Seq(5L, 6L, 7L, 8L),
+      2L -> Seq(9L, 10L, 11L, 12L)), s"got $byBatch")
+    // every batch's spread is tighter than the corpus spread — the point
+    // of length bucketing (padding waste per batch <= 3 tokens/doc here)
+    byBatch.values.foreach(ls => assert(ls.max - ls.min <= 3))
+  }
+
   test("mix weights move an imbalanced corpus toward uniform") {
     import spark.implicits._
     val docs = Seq.tabulate(30)(i =>
