@@ -14,7 +14,7 @@ object ScaleProbe {
     // rounds and are expensive to repeat)
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
-      "--knn-only", "--knn-salted-only", "--contain-only")
+      "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -23,6 +23,7 @@ object ScaleProbe {
     val knnOnly = flags.contains("--knn-only")
     val knnSaltedOnly = flags.contains("--knn-salted-only")
     val containOnly = flags.contains("--contain-only")
+    val deconOnly = flags.contains("--decon-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -105,6 +106,23 @@ object ScaleProbe {
         val t = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         println(f"SCALE-KNN-SALTED m=$m%2d vecs=${2000 * m}%7d rows=$n%8d salted=$t%6.2f s")
+      } else if (deconOnly) {
+        // plain vs bloom decontamination on the identical multiplied
+        // corpus: both must return the same row count (exactness), and
+        // the bloom's prefilter should cut the signature/LSH work to the
+        // (rare) plausible-overlap slice — the A/B is the measured win
+        val t0 = System.nanoTime()
+        val nPlain = graft.dedup.Dedup.contamination(docs,
+          isBench = col("source") === "src0", minContainment = 0.3).count()
+        val tPlain = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        val t1 = System.nanoTime()
+        val nBloom = graft.dedup.Dedup.contaminationBloom(docs,
+          isBench = col("source") === "src0", minContainment = 0.3).count()
+        val tBloom = (System.nanoTime() - t1) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        assert(nPlain == nBloom, s"bloom decon must match plain: $nBloom != $nPlain")
+        println(f"SCALE-DECON m=$m%2d docs=${5000 * m}%7d rows=$nPlain%5d plain=$tPlain%6.2f s bloom=$tBloom%6.2f s")
       } else if (containOnly) {
         // containment attribution is linear in total passages (each
         // passage emits at most one attribution row) — the probe's pair

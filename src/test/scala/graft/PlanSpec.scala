@@ -243,6 +243,11 @@ class PlanSpec extends SparkSpec {
       // threshold aggregates (quality_gate_quantile)
       case f: org.apache.spark.sql.execution.FilterExec => singleRowRoot(f.child)
       case a: BaseAggregateExec     => a.groupingExpressions.isEmpty
+      // a local (driver-materialized) relation with ≤ 1 row is bounded by
+      // construction — the broadcast-a-model idiom (decontaminate_bloom's
+      // bit-string row); the row count is known at plan time, which is an
+      // even stronger proof than the grouping-free aggregate case
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.length <= 1
       case _                        => false
     }
     // `collect` does not descend into InMemoryRelation.cachedPlan (cached
