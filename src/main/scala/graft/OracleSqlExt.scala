@@ -225,6 +225,19 @@ object OracleSqlExt {
 
   def jaccardVerifySql(threshold: Double): String = jaccardVerifyBandedSql(threshold)
 
+  /** Mirror of [[graft.dedup.Dedup.crossSourceDupMatrix]]: the verified
+    * pair stream (nested as a CTE subquery) rolled up per unordered
+    * source pair. */
+  def crossSourceDupSql(threshold: Double): String =
+    s"""SELECT least(da.source, db.source) AS source_a,
+       |       greatest(da.source, db.source) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       round(avg(jaccard), 6) AS avg_jaccard
+       |FROM (${jaccardVerifySql(threshold)}) jv
+       |JOIN documents da ON jv.a = da.doc_id
+       |JOIN documents db ON jv.b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** 60-bit simhash; bit b of md5 hex char j votes +-1 per token occurrence. */
   val simhashSql: String = {
     val votes = (0 until 60).map { bit =>

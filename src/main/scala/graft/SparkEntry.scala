@@ -810,6 +810,22 @@ object SparkEntry {
              |FROM lineitem WHERE l_extendedprice IS NOT NULL
              |GROUP BY 1""".stripMargin)),
 
+    // robust (median/MAD) outlier flags on doc length — the heavy-tail-
+    // safe z-score; the synthetic table is short-tailed, so the registry
+    // uses z=1.2 to exercise a non-empty flag set (default stays 3.0)
+    ("profile_mad_outliers",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.madOutliers(
+          s.read.parquet(s"$d/documents.parquet"), "n_chars", z = 1.2),
+      Some("""WITH b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+             |m AS (SELECT round(median(x), 6) AS med FROM b),
+             |d AS (SELECT doc_id, x, abs(x - med) AS dev FROM b, m),
+             |md AS (SELECT round(median(dev), 6) AS mad FROM d)
+             |SELECT doc_id, x, round(dev, 6) AS dev,
+             |       CASE WHEN mad > 0 THEN round(dev / (CAST(1.4826 AS DOUBLE) * mad), 6) END AS z_score
+             |FROM d, md
+             |WHERE round(dev, 6) > round(CAST(1.2 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad, 6)""".stripMargin)),
+
     // warehouse MERGE as one full-outer join: changeset = +100.00 on a
     // 20% md5 bucket of customers plus synthetic inserts from a 5%
     // bucket; action column attributes update/insert/keep per row. The
@@ -1135,6 +1151,14 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.jaccardVerify(Collocations.documents(s, d), threshold = 0.3),
       Some(OracleSqlExt.jaccardVerifySql(0.3))),
+
+    // curation analytics: near-dup pair counts + mean similarity per
+    // unordered source pair — "how much does feed A overlap feed B",
+    // one bounded rollup over the verified pair stream
+    ("dedup_cross_source",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.crossSourceDupMatrix(Collocations.documents(s, d), threshold = 0.3),
+      Some(OracleSqlExt.crossSourceDupSql(0.3))),
 
     // build-once/serve-many: materialize the minhash/shingle index to
     // parquet ONCE per (process, dataset) — see [[dedupIndexDir]] — then

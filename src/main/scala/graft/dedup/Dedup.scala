@@ -452,6 +452,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
 
+  /** Near-duplication rates BETWEEN sources — the curation analytics view
+    * ("how much does src A overlap src B?") that decides which feeds to
+    * drop or down-weight. One extra bounded aggregation over the LSH +
+    * exact-verify pair stream: pairs join their docs' sources (the pair
+    * set is candidates-sized, so AQE broadcasts it against the two narrow
+    * id→source projections) and roll up per unordered source pair. */
+  def crossSourceDupMatrix(docs: DataFrame, k: Int = 3, bands: Int = 4,
+                           rowsPerBand: Int = 4, threshold: Double = 0.0): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    jaccardVerify(docs, k, bands, rowsPerBand, threshold)
+      .join(srcs.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(srcs.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("jaccard")), 6).as("avg_jaccard"))
+  }
+
   /** Exact shingle-Jaccard for ALL pairs sharing >= 1 shingle, via an
     * inverted index self-join (a < b) — the correctness baseline for
     * [[jaccardVerify]]. Unbounded posting lists make this quadratic in the

@@ -36,6 +36,32 @@ object TableProfile {
         col("lo_val"), col("hi_val"))
   }
 
+  /** Robust (median/MAD) outlier detection on a numeric column — the
+    * quality-control filter that survives the heavy tails a mean/stddev
+    * z-score is wrecked by: flag rows whose |x − median| exceeds
+    * `z` × 1.4826 × MAD (1.4826 scales the MAD to σ under normality).
+    *
+    * Scale shape: two grouping-free exact-percentile aggregates (median,
+    * then the median of deviations), each a single-row broadcast attached
+    * by cross join — the corpus streams twice, shuffles never; at 100 TB
+    * swap `percentile` for `approx_percentile` (the documented sketch-twin
+    * trade). Medians and the threshold round to 6 digits before comparing
+    * so the flag boundary is engine-identical. A zero MAD (over half the
+    * mass on one value) degrades correctly: any nonzero deviation flags,
+    * and `z_score` goes null rather than dividing by zero. */
+  def madOutliers(df: DataFrame, column: String, z: Double = 3.0): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val x = col(column).cast("double")
+    val base = df.filter(x.isNotNull).select(col("doc_id"), x.as("x"))
+    val med = base.agg(round(expr("percentile(x, 0.5)"), 6).as("med"))
+    val dev = base.crossJoin(broadcast(med)).withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(round(col("dev"), 6) > round(lit(z) * 1.4826 * col("mad"), 6))
+      .select(col("doc_id"), col("x"), round(col("dev"), 6).as("dev"),
+        when(col("mad") > 0, round(col("dev") / (lit(1.4826) * col("mad")), 6)).as("z_score"))
+  }
+
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     val aggs = count(lit(1L)).as("__n") +: columns.flatMap { c =>
       Seq(
