@@ -819,7 +819,9 @@ object OracleSqlExt {
     * the (score desc, doc_id) ranking so the top-k boundary is
     * engine-identical. */
   def bm25Sql(query: Seq[String], k1: Double, b: Double, k: Int): String = {
-    val terms = query.map(t => s"'$t'").mkString(", ")
+    // SQL-escape each term (' -> '') — a quote in a query term must not
+    // break out of (or inject into) the generated literal list
+    val terms = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH $tclCte,
        |d AS (SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS dl FROM tcl),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d),

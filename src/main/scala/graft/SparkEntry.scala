@@ -757,10 +757,11 @@ object SparkEntry {
              |              sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr_qty_price
              |FROM s""".stripMargin)),
 
-    // per-column ANALYZE profile in ONE scan (nulls / exact distinct /
-    // min / max; Expand-based multi-distinct plan — the approx twin is
-    // the 100 TB form); min/max aggregate natively then cast, so
-    // integer and varchar renderings agree across engines
+    // per-column ANALYZE profile: one narrow single-distinct aggregate
+    // per column attached by broadcast cross join (no Expand — the wide
+    // multi-distinct form replicated every row #cols+1 times, measured
+    // 3x slower); min/max aggregate natively then cast, so integer and
+    // varchar renderings agree across engines
     ("table_profile",
       (s: SparkSession, d: String) =>
         graft.ops.TableProfile.profile(
@@ -787,6 +788,37 @@ object SparkEntry {
              |UNION ALL SELECT 'l_returnflag', n, nn3, nd3, mn3, mx3 FROM w
              |UNION ALL SELECT 'l_linestatus', n, nn4, nd4, mn4, mx4 FROM w""".stripMargin)),
 
+    // sketch twin of table_profile: each row adds an HLL-estimate
+    // error-bound boolean (|approx − exact| ≤ 4·rsd·exact, rsd=0.01 —
+    // the approx_distinct gate shape). At 100 TB the sketch replaces the
+    // exact count entirely (fixed-size mergeable partial, no shuffle of
+    // distinct keys); here exact rides along to prove the sketch in-bound
+    ("table_profile_approx",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.profileApprox(
+          s.read.parquet(s"$d/lineitem.parquet"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")),
+      Some("""WITH w AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+             |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+             |         CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+             |         CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+             |         CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd2,
+             |         CAST(min(l_linenumber) AS VARCHAR) AS mn2, CAST(max(l_linenumber) AS VARCHAR) AS mx2,
+             |         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+             |         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd3,
+             |         min(l_returnflag) AS mn3, max(l_returnflag) AS mx3,
+             |         CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+             |         CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd4,
+             |         min(l_linestatus) AS mn4, max(l_linestatus) AS mx4
+             |  FROM lineitem
+             |)
+             |SELECT 'l_orderkey' AS "column", n, nn1 AS n_null, nd1 AS n_distinct, TRUE AS nd_within_rsd, mn1 AS min_val, mx1 AS max_val FROM w
+             |UNION ALL SELECT 'l_linenumber', n, nn2, nd2, TRUE, mn2, mx2 FROM w
+             |UNION ALL SELECT 'l_returnflag', n, nn3, nd3, TRUE, mn3, mx3 FROM w
+             |UNION ALL SELECT 'l_linestatus', n, nn4, nd4, TRUE, mn4, mx4 FROM w""".stripMargin)),
+
     // vocabulary-coverage curve: top-k tokens + cumulative corpus share
     // — global top-k via TakeOrderedAndProject, then rank/coverage over
     // the bounded k-row result
@@ -812,17 +844,38 @@ object SparkEntry {
 
     // robust (median/MAD) outlier flags on doc length — the heavy-tail-
     // safe z-score; the synthetic table is short-tailed, so the registry
-    // uses z=1.2 to exercise a non-empty flag set (default stays 3.0)
+    // uses z=1.2 to exercise a non-empty flag set (default stays 3.0).
+    // exact=true is the oracle-parity opt-in; the LIBRARY default is the
+    // approx_percentile sketch (the 100 TB form), proven in-envelope by
+    // the _approx twin below
     ("profile_mad_outliers",
       (s: SparkSession, d: String) =>
         graft.ops.TableProfile.madOutliers(
-          s.read.parquet(s"$d/documents.parquet"), "n_chars", z = 1.2),
+          s.read.parquet(s"$d/documents.parquet"), "n_chars", z = 1.2, exact = true),
       Some("""WITH b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
              |m AS (SELECT round(median(x), 6) AS med FROM b),
              |d AS (SELECT doc_id, x, abs(x - med) AS dev FROM b, m),
              |md AS (SELECT round(median(dev), 6) AS mad FROM d)
              |SELECT doc_id, x, round(dev, 6) AS dev,
              |       CASE WHEN mad > 0 THEN round(dev / (CAST(1.4826 AS DOUBLE) * mad), 6) END AS z_score
+             |FROM d, md
+             |WHERE round(dev, 6) > round(CAST(1.2 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad, 6)""".stripMargin)),
+
+    // sketch twin of profile_mad_outliers: the same exact-boundary rows
+    // plus med_ok/mad_ok booleans asserting each approx_percentile
+    // estimate sits inside the exact [0.49, 0.51] quantile envelope —
+    // the percentiles_approx gate shape
+    ("profile_mad_outliers_approx",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.madOutliersChecked(
+          s.read.parquet(s"$d/documents.parquet"), "n_chars", z = 1.2),
+      Some("""WITH b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+             |m AS (SELECT round(median(x), 6) AS med FROM b),
+             |d AS (SELECT doc_id, x, abs(x - med) AS dev FROM b, m),
+             |md AS (SELECT round(median(dev), 6) AS mad FROM d)
+             |SELECT doc_id, x, round(dev, 6) AS dev,
+             |       CASE WHEN mad > 0 THEN round(dev / (CAST(1.4826 AS DOUBLE) * mad), 6) END AS z_score,
+             |       TRUE AS med_ok, TRUE AS mad_ok
              |FROM d, md
              |WHERE round(dev, 6) > round(CAST(1.2 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad, 6)""".stripMargin)),
 

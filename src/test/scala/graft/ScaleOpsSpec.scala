@@ -232,6 +232,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r2.getString(4) == "9" && r2.getString(5) == "10")
   }
 
+  test("profile sketch twin matches exact columns and proves the HLL in-bound") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (2L, "a"), (null, "a"), (9L, "c")
+    ).toDF("k", "s")
+    val rows = graft.ops.TableProfile.profileApprox(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5), r.getString(6))))
+      .toMap
+    // exact columns identical to profile(); nd_within_rsd true (HLL is
+    // exact at this cardinality, and 4·rsd is the documented bound)
+    assert(rows("k") == ((5L, 1L, 3L, true, "1", "9")))
+    assert(rows("s") == ((5L, 1L, 3L, true, "a", "c")))
+  }
+
+  test("mad outliers: approx default tracks the exact boundary within sketch wobble") {
+    import graft.collocations.Collocations
+    val docs = Collocations.documents(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.ops.TableProfile.madOutliers(docs, "n_chars", z = 1.2, exact = true))
+    // library default (approx_percentile sketch): rank error is < 1 at
+    // n << accuracy, but the sketch returns an ACTUAL data value where
+    // exact percentile interpolates between order stats — the boundary
+    // can wobble by the interpolation gap, flipping only rows sitting on
+    // it. The flag sets must agree except for a small boundary fringe.
+    val approx = ids(graft.ops.TableProfile.madOutliers(docs, "n_chars", z = 1.2))
+    val symdiff = (exact diff approx) ++ (approx diff exact)
+    assert(exact.nonEmpty && approx.nonEmpty)
+    assert(symdiff.size <= math.max(2, exact.size / 10),
+      s"approx boundary drifted: ${symdiff.size} of ${exact.size} flags differ")
+    // checked twin: exactly the exact-boundary rows, envelope booleans true
+    val checked = graft.ops.TableProfile.madOutliersChecked(docs, "n_chars", z = 1.2)
+    assert(ids(checked) == exact)
+    assert(checked.select("med_ok", "mad_ok").collect()
+      .forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   test("corpus shuffle is a deterministic content-keyed permutation") {
     import graft.collocations.Collocations
     val docs = Collocations.documents(spark, sf)
