@@ -1468,8 +1468,8 @@ object SparkEntry {
     // --------------------------------- as-of join (operator Spark lacks)
     ("asof_join",
       (s: SparkSession, d: String) => {
-        val ev = graft.events.Events.events(s, d)
-          .withColumn("ts_us", graft.events.Events.tsMicros)
+        val ev0 = graft.events.Events.events(s, d)
+        val ev = ev0.withColumn("ts_us", graft.events.Events.tsMicros(ev0))
         val errors = ev.filter(col("event_type") === "error")
           .select("event_id", "user_id", "ts_us")
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -1494,8 +1494,8 @@ object SparkEntry {
     // never becomes a cross product; the equi key carries the shuffle).
     ("interval_join",
       (s: SparkSession, d: String) => {
-        val ev = graft.events.Events.events(s, d)
-          .withColumn("ts_us", graft.events.Events.tsMicros)
+        val ev0 = graft.events.Events.events(s, d)
+        val ev = ev0.withColumn("ts_us", graft.events.Events.tsMicros(ev0))
         // both sides derive from the same `ev` plan, the classic self-join
         // ambiguity trap (`errors("user_id") === purchases("user_id")` can
         // resolve trivially-true under refactoring) — explicit aliases make

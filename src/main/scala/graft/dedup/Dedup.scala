@@ -269,11 +269,45 @@ object Dedup {
   def lshBuckets(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
     lshBucketsFromSigs(minhashSignatures(docs, k, bands * rowsPerBand), bands, rowsPerBand)
 
+  /** Degenerate-bucket guard for the LSH self-join: any (band, sig)
+    * bucket holding more than this many docs is dropped before pair
+    * generation. A hot bucket emits O(size²) pairs, so one degenerate
+    * signature (empty/boilerplate documents all minhashing identically)
+    * turns the candidate join quadratic at corpus scale; the self-join is
+    * only scale-safe with this bound in place.
+    *
+    * Recall contract: dropping an oversized bucket only loses pairs whose
+    * SOLE shared band is the hot one. Genuine near-duplicates agree on
+    * most minhashes and therefore collide in several independent bands —
+    * they still meet in a non-degenerate bucket — while a bucket that
+    * attracts 64+ distinct docs is (on real corpora) boilerplate that
+    * exact dedup ([[exactGroups]], the documented prefilter) should have
+    * collapsed first. Mirrors the salting rationale on
+    * [[graft.similarity.Ann.knnJoin]]'s hot query buckets. */
+  val MaxLshBucketSize: Int = 64
+
+  /** Bucket table with oversized (band, sig) buckets removed — one
+    * count-over-window on the same (band, sig) key the downstream
+    * self-join shuffles on, so the partitioning is computed once and
+    * reused. `maxBucketSize <= 0` disables the cap. */
+  private[graft] def capBuckets(buckets: DataFrame,
+                                maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    if (maxBucketSize <= 0) buckets
+    else buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
   /** Same-bucket pairs (a < b) from any (doc_id, band, sig) bucket table:
-    * an equi self-join keyed on (band, sig) — only same-bucket docs meet. */
-  private def candidatesFromBuckets(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = buckets.select(col("band"), col("sig"), col("doc_id").as("b"))
+    * an equi self-join keyed on (band, sig) — only same-bucket docs meet.
+    * Buckets beyond [[MaxLshBucketSize]] are dropped first (see the recall
+    * contract there); pass `maxBucketSize = 0` to disable. */
+  private def candidatesFromBuckets(buckets: DataFrame,
+                                    maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val capped = capBuckets(buckets, maxBucketSize)
+    val l = capped.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = capped.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
@@ -316,12 +350,15 @@ object Dedup {
     * clique seeds from it, and runs seeded label propagation — the
     * convergence loop that took diameter-many rounds from identity labels
     * finishes in ~1 round from clique seeds. The bucket table is released
-    * once the (tiny) label table is materialized. */
+    * once the (tiny) label table is materialized. The [[MaxLshBucketSize]]
+    * cap is applied to the bucket table ONCE, before BOTH derivations, so
+    * the clique seeds can never link docs whose only shared bucket was a
+    * dropped hot one — seeds and edges always describe the same graph. */
   def lshComponents(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                     maxIters: Int = 20): DataFrame = {
-    val buckets = lshBuckets(docs, k, bands, rowsPerBand)
+    val buckets = capBuckets(lshBuckets(docs, k, bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = connectedComponents(candidatesFromBuckets(buckets), maxIters,
+    val labels = connectedComponents(candidatesFromBuckets(buckets, maxBucketSize = 0), maxIters,
       seeds = Some(seedsFromBuckets(buckets)))
     buckets.unpersist()
     labels

@@ -3,22 +3,34 @@ package graft.events
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-table operators: time bucketing, sessionization, and windowed
-  * analytics. The `events` parquet carries TIMESTAMP(NANOS): Spark reads it
-  * as epoch-nanos BIGINT (`spark.sql.legacy.parquet.nanosAsLong`) while
-  * DuckDB truncates to a microsecond TIMESTAMP — so every derivation here
-  * first truncates to epoch-micros with *integer* division (`div`), making
-  * both engines operate on identical integers.
+  * analytics. Every derivation here first normalizes `ts` to epoch-micros
+  * BIGINT (`ts_us`) so both engines operate on identical integers — DuckDB's
+  * side is always `epoch_us(ts)`. The parquet `ts` physical type has shipped
+  * as both TIMESTAMP(NANOS) (read as epoch-nanos BIGINT under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS) (read as
+  * TIMESTAMP / TIMESTAMP_NTZ), so the micros derivation dispatches on the
+  * actual column dtype instead of assuming one unit.
   */
 object Events {
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 
-  /** Epoch-micros from the nanos BIGINT — integer division, exact, and
-    * identical to DuckDB's ns->us timestamp truncation. */
-  val tsMicros: Column = expr("ts div 1000")
+  /** Epoch-micros from whatever unit `ts` arrived in: nanos BIGINT gets
+    * exact integer division (identical to DuckDB's ns->us truncation);
+    * timestamp types go through `unix_micros` (session TZ is UTC
+    * everywhere in this library, so the NTZ->TZ cast is the identity on
+    * the epoch value). */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampType    => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts must be epoch-nanos BIGINT or a timestamp type, got $other")
+  }
 
   /** Tumbling-hour bucket as epoch hours — exact integer floor division on
     * micros (`floor` on the double quotient is exact here: epoch-micros
@@ -29,7 +41,7 @@ object Events {
   /** Hourly per-type aggregate — the batch twin of the Structured
     * Streaming query in [[graft.streaming.EventsStream]]. */
   def hourlyByType(ev: DataFrame): DataFrame =
-    ev.withColumn("ts_us", tsMicros)
+    ev.withColumn("ts_us", tsMicros(ev))
       .groupBy(hourBucket(col("ts_us")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -75,7 +87,7 @@ object Events {
         "a non-multiple would silently truncate to windows of the wrong effective length")
     val k = (lenUs / slideUs).toInt
     val slideBucket = floor(col("ts_us").cast("double") / slideUs).cast("long")
-    ev.withColumn("ts_us", tsMicros)
+    ev.withColumn("ts_us", tsMicros(ev))
       .withColumn("w_start",
         explode(transform(sequence(lit(0), lit(k - 1)),
           i => (slideBucket - i) * slideUs)))
@@ -92,7 +104,7 @@ object Events {
   def sessionize(ev: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000 * 1000
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
-    ev.withColumn("ts_us", tsMicros)
+    ev.withColumn("ts_us", tsMicros(ev))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, lit(1L)).otherwise(lit(0L)))

@@ -18,22 +18,33 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Event schema as read with nanosAsLong (ts = epoch nanos BIGINT). */
+  /** Event schema as the current testdata ships it: `ts` is
+    * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    * TIMESTAMP_NTZ. (Earlier testdata generations shipped TIMESTAMP(NANOS)
+    * read as BIGINT under `nanosAsLong`; the BATCH side —
+    * [[graft.events.Events.tsMicros]] — stays unit-adaptive, but the
+    * streaming file source needs one concrete schema, so it pins the
+    * current one.) */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Streaming source over a parquet directory (one file = one batch in
-    * tests via `maxFilesPerTrigger`). */
+    * tests via `maxFilesPerTrigger`). Normalizes to the two derived
+    * columns every downstream streaming operator keys on: `ts_us`
+    * (epoch-micros BIGINT, the batch twins' unit — session TZ is UTC so
+    * the NTZ cast is the identity on the epoch value) and `event_ts`
+    * (TIMESTAMP, what watermarks/window() require). */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
 
   /** Running hourly (hour, event_type) counts — the reference-shaped
     * INCREMENTAL ingestion twin of [[graft.events.Events.hourlyByType]],
@@ -46,7 +57,7 @@ object EventsStream {
     * state is domain-bounded like the ngram vocabulary, not time-unbounded. */
   def hourlyCounts(stream: DataFrame): DataFrame =
     stream
-      .groupBy(graft.events.Events.hourBucket(expr("ts div 1000")).as("hour"), col("event_type"))
+      .groupBy(graft.events.Events.hourBucket(col("ts_us")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
@@ -87,7 +98,7 @@ object EventsStream {
     val spark = stream.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000 * 1000
-    stream.select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
+    stream.select(col("user_id"), col("ts_us")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -206,6 +206,36 @@ class DedupSpec extends SparkSpec {
       s"8x2 must beat 4x4 on loose pairs: tuned=$recallT default=$recallD over ${truth.size} true pairs")
   }
 
+  test("hot LSH buckets are capped: a 1000-doc degenerate bucket emits no quadratic pair blowup") {
+    import spark.implicits._
+    // 1,000 byte-identical boilerplate docs: every one produces the same
+    // minhash signature, so all of them land in the SAME (band, sig)
+    // bucket in every band — the degenerate corpus that would emit
+    // ~499,500 clone-clone pairs (O(b²)) from the uncapped self-join
+    val clones = (1000L until 2000L)
+      .map(i => (i, "spam boilerplate body repeated verbatim on every mirror page", "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = docs.union(clones)
+    // precondition: the clones really do form oversized buckets
+    val rawMax = Dedup.lshBuckets(corpus).groupBy("band", "sig").count()
+      .agg(max("count")).first().getLong(0)
+    assert(rawMax >= 1000L, s"fixture must create a hot bucket, max size was $rawMax")
+    // the cap drops them before the join: bounded output, no clone pairs
+    val cand = Dedup.lshCandidates(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cand.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "clone-clone pairs must be dropped with their hot bucket (exact dedup owns them)")
+    assert(cand.size < 100, s"candidate count must stay bounded, got ${cand.size}")
+    // the genuine small-bucket pairs are untouched by the cap
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+    // and the capped bucket table honors the documented bound
+    val cappedMax = Dedup.capBuckets(Dedup.lshBuckets(corpus))
+      .groupBy("band", "sig").count().agg(max("count")).first().getLong(0)
+    assert(cappedMax <= Dedup.MaxLshBucketSize,
+      s"capBuckets must bound every bucket at ${Dedup.MaxLshBucketSize}, got $cappedMax")
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

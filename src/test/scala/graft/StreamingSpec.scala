@@ -23,8 +23,9 @@ class StreamingSpec extends SparkSpec {
       .select(unix_micros(col("window.start")).as("w_start"), col("event_type"), col("cnt"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
 
-    val batch = Events.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", Events.tsMicros)
+    val ev0 = Events.events(spark, "/root/testdata/sf0.001")
+    val batch = ev0
+      .withColumn("ts_us", Events.tsMicros(ev0))
       .groupBy((expr("ts_us div 300000000") * 300000000L).as("w_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -69,7 +70,8 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("ssj_test")
       .select("err_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val ev = Events.events(spark, "/root/testdata/sf0.001").withColumn("ts_us", Events.tsMicros)
+    val ev0 = Events.events(spark, "/root/testdata/sf0.001")
+    val ev = ev0.withColumn("ts_us", Events.tsMicros(ev0))
     val err = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts_us").as("err_ts"), col("event_id").as("err_id"))
     val pur = ev.filter(col("event_type") === "purchase")
@@ -85,15 +87,18 @@ class StreamingSpec extends SparkSpec {
 
   // ------------------------------------------------- late / out-of-order
 
-  /** Write one parquet file of events (ts in NANOS, matching the
-    * nanosAsLong convention) into `dir` with a controlled modification
-    * time — the file source processes files oldest-modTime-first, so
-    * ascending mod times force the batch order the late-data tests need. */
+  /** Write one parquet file of events into `dir` with a controlled
+    * modification time — the file source processes files
+    * oldest-modTime-first, so ascending mod times force the batch order
+    * the late-data tests need. Call sites pass ts in NANOS (the `minNs`
+    * helper); the stage converts to the TIMESTAMP_NTZ(micros) the current
+    * testdata (and [[EventsStream.schema]]) carries. */
   private def stageEventsFile(dir: java.nio.file.Path, name: String, modTime: Long,
                               rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("evt_stage")
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp)
       .filter(p => p.toString.endsWith(".parquet")).findFirst().get
@@ -136,8 +141,9 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Map(0L -> 2L), s"emitted=$emitted")
     // the batch twin over the same files sees the late row too: the
     // streaming/batch divergence is exactly the one dropped record
-    val batch = spark.read.schema(EventsStream.schema).parquet(d.toString)
-      .groupBy((expr("(ts div 1000) div 300000000") * 300000000L).as("w_start"))
+    val raw = spark.read.schema(EventsStream.schema).parquet(d.toString)
+    val batch = raw.withColumn("ts_us", Events.tsMicros(raw))
+      .groupBy((expr("ts_us div 300000000") * 300000000L).as("w_start"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batch(0L) == 3L, s"batch=$batch")
