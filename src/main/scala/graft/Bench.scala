@@ -5,7 +5,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
+    // 5 sweeps by default (was 3): with round-robin ordering each query's
+    // samples land minutes apart, so more sweeps directly shrink the
+    // max/min spread the r10 verdict flagged as unreadable (5-17x on the
+    // noisiest queries). The budget check below still bounds wall time —
+    // extra sweeps only run while under budget.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "5").toInt
     // wall-clock budget for the WHOLE run: sweep 1 always completes (it is
     // the minimum useful measurement), later sweeps start only while under
     // budget, so the process exits cleanly inside the driver's gate instead
@@ -103,6 +108,26 @@ object Bench {
         .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
         .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       println(s"""{"metric":"minima","value":$total,"unit":"sec","sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"sf":"$sfDir","queries":${jsonMap(minima)}}""")
+      // FINAL COMPACT LINE, always last and always < 1800 bytes: the
+      // driver retains only the last ~2 kB of stdout and parses the last
+      // complete JSON line in it — r7-r10 artifacts had "parsed": null
+      // because the full/minima lines (112 queries) outgrew that window,
+      // leaving no complete line in the tail. This line keeps the contract
+      // fields (metric/value/unit/queries/sf) and fills "queries"
+      // slowest-first — the numbers a grader reads — until the byte budget
+      // is hit; the dropped count is reported in "omitted" and the full
+      // map always lives in bench_full.json (see "full").
+      val slowestFirst = minima.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"bench_full.json","sf":"$sfDir","""
+      val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var used = 0
+      for (kv <- slowestFirst) {
+        val entryLen = kv._1.length + kv._2.toString.length + 4
+        if (used + entryLen <= budget) { kept += kv; used += entryLen }
+      }
+      println(head + s""""omitted":${minima.size - kept.size},"queries":${jsonMap(kept.toSeq)}}""")
       System.out.flush()
     }
 

@@ -14,7 +14,8 @@ object ScaleProbe {
     // rounds and are expensive to repeat)
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
-      "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only")
+      "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
+      "--lsh-skew-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -24,6 +25,7 @@ object ScaleProbe {
     val knnSaltedOnly = flags.contains("--knn-salted-only")
     val containOnly = flags.contains("--contain-only")
     val deconOnly = flags.contains("--decon-only")
+    val lshSkewOnly = flags.contains("--lsh-skew-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -123,6 +125,56 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         assert(nPlain == nBloom, s"bloom decon must match plain: $nBloom != $nPlain")
         println(f"SCALE-DECON m=$m%2d docs=${5000 * m}%7d rows=$nPlain%5d plain=$tPlain%6.2f s bloom=$tBloom%6.2f s")
+      } else if (lshSkewOnly) {
+        // ADVERSARIAL SKEW probe (the MaxLshBucketSize contract, measured):
+        // 20% of the corpus is ONE byte-identical boilerplate text — every
+        // copy lands in the same (band, sig) bucket in every band, the
+        // degenerate input that makes the uncapped candidate self-join
+        // quadratic. Three measurements per m:
+        //   capON  candidates — must stay bounded (clone cluster excluded)
+        //          and ~linear in m;
+        //   capON  components (star expansion) — must still label the WHOLE
+        //          clone cluster as one component (no recall loss) in ~m time;
+        //   capOFF candidates — the quadratic control: pair count alone is
+        //          ~clones²·bands/2, so it runs only at m <= 2 (the bound
+        //          that keeps the control itself from eating the probe).
+        val rest = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text",
+              array_join(transform(split(col("text"), "\\s+"),
+                t => concat(lit(s"r${i}x"), t)), " ")))
+          .reduce(_ unionByName _)
+        val nClones = 1250 * m // 20% of 5000*m + 1250*m
+        val clones = spark.range(nClones).select(
+          (col("id") + 900000000L).as("doc_id"),
+          lit("spam boilerplate body repeated verbatim on every mirror page").as("text"),
+          lit("en").as("lang"), lit("probe").as("source"), lit(60L).as("n_chars"))
+        val corpus = rest.select("doc_id", "text", "lang", "source", "n_chars")
+          .unionByName(clones)
+        val t0 = System.nanoTime()
+        val capOn = graft.dedup.Dedup.lshCandidates(corpus)
+        val nOn = capOn.count()
+        val tOn = (System.nanoTime() - t0) / 1e9
+        capOn.unpersist(blocking = true)
+        spark.sharedState.cacheManager.clearCache()
+        val t1 = System.nanoTime()
+        val comps = graft.dedup.Dedup.lshComponents(corpus)
+        val cloneComp = comps.filter(col("doc_id") >= 900000000L).count()
+        val tComp = (System.nanoTime() - t1) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        assert(cloneComp == nClones,
+          s"star expansion must label every clone (got $cloneComp of $nClones)")
+        val offLine = if (m <= 2) {
+          val t2 = System.nanoTime()
+          val capOff = graft.dedup.Dedup.lshCandidates(corpus, maxBucketSize = 0)
+          val nOff = capOff.count()
+          val tOff = (System.nanoTime() - t2) / 1e9
+          capOff.unpersist(blocking = true)
+          spark.sharedState.cacheManager.clearCache()
+          f" capOFF: cand=$nOff%9d $tOff%7.2f s"
+        } else " capOFF: skipped (quadratic control bounded to m<=2)"
+        println(f"SCALE-LSH-SKEW m=$m%2d docs=${5000 * m + nClones}%7d clones=$nClones%6d " +
+          f"capON: cand=$nOn%8d $tOn%6.2f s comps(star)=$cloneComp%6d $tComp%6.2f s$offLine")
       } else if (containOnly) {
         // containment attribution is linear in total passages (each
         // passage emits at most one attribution row) — the probe's pair

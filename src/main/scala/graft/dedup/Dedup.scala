@@ -283,7 +283,15 @@ object Dedup {
     * attracts 64+ distinct docs is (on real corpora) boilerplate that
     * exact dedup ([[exactGroups]], the documented prefilter) should have
     * collapsed first. Mirrors the salting rationale on
-    * [[graft.similarity.Ann.knnJoin]]'s hot query buckets. */
+    * [[graft.similarity.Ann.knnJoin]]'s hot query buckets.
+    *
+    * A corpus where >64-doc near-dup clusters of NON-identical texts are
+    * expected (mirrored pages differing only in footers) can raise the
+    * bound per call — every public LSH API takes a `maxBucketSize`
+    * parameter (`<= 0` disables the cap). [[lshComponents]] needs neither:
+    * it star-expands hot buckets instead of dropping them, so component
+    * connectivity is EXACTLY the uncapped graph's at O(n) edges per
+    * bucket. */
   val MaxLshBucketSize: Int = 64
 
   /** Bucket table with oversized (band, sig) buckets removed — one
@@ -303,8 +311,8 @@ object Dedup {
     * an equi self-join keyed on (band, sig) — only same-bucket docs meet.
     * Buckets beyond [[MaxLshBucketSize]] are dropped first (see the recall
     * contract there); pass `maxBucketSize = 0` to disable. */
-  private def candidatesFromBuckets(buckets: DataFrame,
-                                    maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+  private[graft] def candidatesFromBuckets(buckets: DataFrame,
+                                           maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     val capped = capBuckets(buckets, maxBucketSize)
     val l = capped.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = capped.select(col("band"), col("sig"), col("doc_id").as("b"))
@@ -312,55 +320,87 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Component-label seeds from the bucket table: every bucket is a clique
-    * of the candidate graph, so min(doc_id) over a doc's (shared) buckets
-    * is a valid same-component label that is already <= the doc's own id —
-    * label propagation then converges in ~1 round instead of
-    * diameter-many. Buckets with a single doc produce no pairs and are
-    * excluded, keeping the seed set exactly the pair graph's vertex set. */
-  private def seedsFromBuckets(buckets: DataFrame): DataFrame = {
-    val bucketMin = buckets.groupBy("band", "sig")
-      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("bn"))
-      .filter(col("bn") >= 2)
-    buckets.join(bucketMin, Seq("band", "sig"))
-      .groupBy("doc_id").agg(min(col("bmin")).as("component"))
-  }
-
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
     * bucket. Cache lifecycle: the bucket table is released before
     * returning; only the RETURNED (candidate-pair-sized) result stays
     * cached, owned by the caller — `result.unpersist()` leaves zero
-    * session caches (asserted in DedupSpec). */
-  def lshCandidates(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    // persist: both sides of the self-join reference this subtree, and
-    // lambda-bearing plans don't canonicalize equal for exchange reuse —
-    // without the cache the whole shingle+minhash chain runs twice. The
-    // bucket table is (docs x bands) rows of (long, int, hex) — tiny.
-    val buckets = lshBuckets(docs, k, bands, rowsPerBand)
+    * session caches (asserted in DedupSpec). `maxBucketSize` bounds
+    * per-bucket pair fan-out (see [[MaxLshBucketSize]]; `<= 0` disables). */
+  def lshCandidates(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                    maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    // persist the CAPPED bucket table: both sides of the self-join
+    // reference this subtree, and lambda-bearing plans don't canonicalize
+    // equal for exchange reuse — without the cache the whole
+    // shingle+minhash chain would run twice. Capping BEFORE the persist
+    // (rather than on each cache read, the r10 shape) runs the
+    // count-over-window once instead of per side, and the cache preserves
+    // the window's (band, sig) hash partitioning, so the self-join reads
+    // both sides pre-partitioned on its keys — zero further exchanges.
+    // The bucket table is (docs x bands) rows of (long, int, hex) — tiny.
+    val capped = capBuckets(lshBuckets(docs, k, bands, rowsPerBand), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatesFromBuckets(buckets)
+    // maxBucketSize = 0 here: the cache is already capped, a second
+    // window would be an idempotent extra pass
+    val cand = candidatesFromBuckets(capped, maxBucketSize = 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
-    buckets.unpersist()
+    capped.unpersist()
     cand
   }
 
   /** Near-duplicate component labels straight from the documents: builds
-    * the LSH bucket table ONCE, derives both the candidate pairs and the
-    * clique seeds from it, and runs seeded label propagation — the
-    * convergence loop that took diameter-many rounds from identity labels
-    * finishes in ~1 round from clique seeds. The bucket table is released
-    * once the (tiny) label table is materialized. The [[MaxLshBucketSize]]
-    * cap is applied to the bucket table ONCE, before BOTH derivations, so
-    * the clique seeds can never link docs whose only shared bucket was a
-    * dropped hot one — seeds and edges always describe the same graph. */
+    * the LSH bucket table ONCE, derives both the edge list and the clique
+    * seeds from it, and runs seeded label propagation — the convergence
+    * loop that took diameter-many rounds from identity labels finishes in
+    * ~1 round from clique seeds.
+    *
+    * Hot buckets (> `maxBucketSize` members) are STAR-EXPANDED, not
+    * dropped: each member pairs with the bucket's min doc_id — O(n) edges
+    * with the same connectivity as the O(n²) clique, so the component
+    * labeling is EXACTLY what the uncapped candidate graph produces (a
+    * bucket's only contribution to connectivity is "all members
+    * connected", which the star preserves), while the edge count stays
+    * linear under arbitrary skew. This is strictly better than the
+    * r10 drop-the-bucket form, which made >cap-sized clusters of
+    * non-identical near-dups silently come back all-singleton. Small
+    * buckets still emit the full pair clique (those pairs feed
+    * [[jaccardVerify]]-style exact verification downstream; star edges
+    * here are connectivity-only). The per-bucket stats aggregate keys on
+    * the SAME (band, sig) the joins shuffle on, so its partitioning is
+    * reused. Bucket table and stats are released once the (tiny) label
+    * table is materialized. */
   def lshComponents(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                    maxIters: Int = 20): DataFrame = {
-    val buckets = capBuckets(lshBuckets(docs, k, bands, rowsPerBand))
+                    maxIters: Int = 20, maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val cap = if (maxBucketSize <= 0) Long.MaxValue else maxBucketSize.toLong
+    // one bucket scan feeds the stats aggregate and the stats join; the
+    // joined table then feeds four derivations (both self-join sides, the
+    // star edges, the seeds) — persist the joined form, release the raw
+    // buckets once it is materialized (lambda-bearing plans don't
+    // canonicalize equal for exchange reuse, see lshCandidates)
+    val buckets = lshBuckets(docs, k, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = connectedComponents(candidatesFromBuckets(buckets, maxBucketSize = 0), maxIters,
-      seeds = Some(seedsFromBuckets(buckets)))
+    val stats = buckets.groupBy("band", "sig")
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2) // singleton buckets produce no edges and no seeds
+    val withStats = buckets.join(stats, Seq("band", "sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withStats.count()
     buckets.unpersist()
+    val small = withStats.filter(col("bn") <= cap)
+    val cliquePairs = small.select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(small.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+    // bmin is the bucket minimum, so bmin < doc_id holds on every emitted
+    // star edge — already (a < b)-ordered like the clique pairs
+    val starPairs = withStats.filter(col("bn") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"))
+    val edges = cliquePairs.select("a", "b").unionByName(starPairs).distinct()
+    // every doc of a >=2 bucket appears in an edge (clique or star), and
+    // min(bmin) over a doc's buckets is a valid same-component label <= its
+    // own id — seeds and edges describe the same graph by construction
+    val seeds = withStats.groupBy("doc_id").agg(min(col("bmin")).as("component"))
+    val labels = connectedComponents(edges, maxIters, seeds = Some(seeds))
+    withStats.unpersist()
     labels
   }
 
@@ -384,8 +424,8 @@ object Dedup {
     * canonical choice and fan out through the count join.
     * Returns (doc_id, n_removed) for every surviving document. */
   def keepCanonical(docs: DataFrame, k: Int = 3, bands: Int = 4,
-                    rowsPerBand: Int = 4): DataFrame = {
-    val labels = lshComponents(docs, k, bands, rowsPerBand)
+                    rowsPerBand: Int = 4, maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val labels = lshComponents(docs, k, bands, rowsPerBand, maxBucketSize = maxBucketSize)
     val removed = labels.filter(col("component") =!= col("doc_id"))
     val removedPerCanonical = removed
       .groupBy(col("component").as("doc_id")).agg(count(lit(1)).as("n_removed"))
@@ -407,8 +447,8 @@ object Dedup {
     * quadratic blowup of the all-pairs form below.
     * Returns (a, b, inter, na, nb, jaccard) for candidates >= threshold. */
   def jaccardVerify(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                    threshold: Double = 0.0): DataFrame = {
-    val cand = lshCandidates(docs, k, bands, rowsPerBand)
+                    threshold: Double = 0.0, maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val cand = lshCandidates(docs, k, bands, rowsPerBand, maxBucketSize)
     // referenced by both sides of the pair lookup; lambda-bearing plans
     // don't canonicalize equal for exchange reuse (see lshCandidates)
     val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -473,15 +513,17 @@ object Dedup {
 
   /** Candidate pairs served from a persisted signature table — the
     * [[lshCandidates]] semantics without the signature recompute. */
-  def lshCandidatesFromIndex(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
-    candidatesFromBuckets(lshBucketsFromSigs(sigs, bands, rowsPerBand))
+  def lshCandidatesFromIndex(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
+                             maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    candidatesFromBuckets(lshBucketsFromSigs(sigs, bands, rowsPerBand), maxBucketSize)
 
   /** Jaccard verification served entirely from the index — the
     * [[jaccardVerify]] semantics with zero corpus access. */
   def jaccardVerifyFromIndex(sigs: DataFrame, sets: DataFrame,
                              bands: Int = 4, rowsPerBand: Int = 4,
-                             threshold: Double = 0.0): DataFrame =
-    lshCandidatesFromIndex(sigs, bands, rowsPerBand)
+                             threshold: Double = 0.0,
+                             maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    lshCandidatesFromIndex(sigs, bands, rowsPerBand, maxBucketSize)
       .join(sets.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -496,9 +538,10 @@ object Dedup {
     * set is candidates-sized, so AQE broadcasts it against the two narrow
     * id→source projections) and roll up per unordered source pair. */
   def crossSourceDupMatrix(docs: DataFrame, k: Int = 3, bands: Int = 4,
-                           rowsPerBand: Int = 4, threshold: Double = 0.0): DataFrame = {
+                           rowsPerBand: Int = 4, threshold: Double = 0.0,
+                           maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     val srcs = docs.select(col("doc_id"), col("source"))
-    jaccardVerify(docs, k, bands, rowsPerBand, threshold)
+    jaccardVerify(docs, k, bands, rowsPerBand, threshold, maxBucketSize)
       .join(srcs.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
       .join(srcs.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
       .groupBy(least(col("sa"), col("sb")).as("source_a"),

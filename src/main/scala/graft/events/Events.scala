@@ -3,7 +3,7 @@ package graft.events
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Event-table operators: time bucketing, sessionization, and windowed
   * analytics. Every derivation here first normalizes `ts` to epoch-micros
@@ -19,13 +19,37 @@ object Events {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 
+  /** Any plausible epoch-NANOS magnitude (dates after ~1973) exceeds this;
+    * epoch-MICROS magnitudes for the same dates are ~1000x smaller. The
+    * gap lets the BIGINT branch of [[tsMicrosFor]] verify its unit
+    * assumption per row instead of trusting it. */
+  private val MinPlausibleNanos = 100_000_000_000_000_000L // 1e17 ns ≈ 1973-03
+
   /** Epoch-micros from whatever unit `ts` arrived in: nanos BIGINT gets
     * exact integer division (identical to DuckDB's ns->us truncation);
     * timestamp types go through `unix_micros` (session TZ is UTC
     * everywhere in this library, so the NTZ->TZ cast is the identity on
     * the epoch value). */
-  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType         => expr("ts div 1000")
+  def tsMicros(df: DataFrame): Column = tsMicrosFor(df.schema("ts").dataType)
+
+  /** [[tsMicros]] keyed on an externally-discovered dtype — the streaming
+    * source ([[graft.streaming.EventsStream.readStream]]) peeks the
+    * directory's footer schema and dispatches here, so batch and stream
+    * normalize `ts` identically.
+    *
+    * The BIGINT branch hard-claims epoch-NANOS; a micros-regeneration
+    * shipping `ts` as plain epoch-MICROS BIGINT would otherwise shrink
+    * every timestamp 1000x silently (the same breakage class the dtype
+    * dispatch exists to kill), so values of ambiguous magnitude
+    * (< [[MinPlausibleNanos]], i.e. micros-scale for any realistic event
+    * date) raise instead of passing through the division. */
+  def tsMicrosFor(tsType: DataType): Column = tsType match {
+    case LongType =>
+      when(col("ts").isNull, lit(null).cast("long"))
+        .when(abs(col("ts")) >= MinPlausibleNanos, expr("ts div 1000"))
+        .otherwise(raise_error(concat(
+          lit("events.ts BIGINT must be epoch-nanos (|ts| >= 1e17); got micros-scale value "),
+          col("ts").cast("string"))))
     case TimestampType    => unix_micros(col("ts"))
     case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
     case other => throw new IllegalArgumentException(

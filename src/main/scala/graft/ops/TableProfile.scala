@@ -136,13 +136,15 @@ object TableProfile {
     * partial-agg-keyed-on-the-distinct-column, so a sketch placed there
     * is materialized and merged once PER DISTINCT KEY (measured 5.1 s vs
     * 1.2 s at sf0.1); standalone, each partition contributes exactly one
-    * partial sketch. */
+    * partial sketch. The row count rides in the SAME distinct-free
+    * aggregate (count is as mergeable as the sketches), saving the
+    * dedicated count(*) scan the exact [[profile]] still pays. */
   def profileApprox(df: DataFrame, columns: Seq[String], rsd: Double = 0.01): DataFrame = {
-    val apAggs = columns.map(c => approx_count_distinct(col(c), rsd).as(s"__ad_$c"))
+    val apAggs = count(lit(1L)).as("__n") +:
+      columns.map(c => approx_count_distinct(col(c), rsd).as(s"__ad_$c"))
     val approx = df.agg(apAggs.head, apAggs.tail: _*)
-    val wide = columns.foldLeft(df.agg(count(lit(1L)).as("__n")))(
+    val wide = columns.foldLeft(approx)(
       (acc, c) => acc.crossJoin(broadcast(colAgg(df, c))))
-      .crossJoin(broadcast(approx))
     val stackArgs = columns.map(c =>
       s"'$c', __n, __nn_$c, __nd_$c, " +
         s"abs(__ad_$c - __nd_$c) <= ${4 * rsd} * __nd_$c, __mn_$c, __mx_$c").mkString(", ")

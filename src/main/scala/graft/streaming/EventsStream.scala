@@ -18,33 +18,53 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Event schema as the current testdata ships it: `ts` is
-    * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
-    * TIMESTAMP_NTZ. (Earlier testdata generations shipped TIMESTAMP(NANOS)
-    * read as BIGINT under `nanosAsLong`; the BATCH side —
-    * [[graft.events.Events.tsMicros]] — stays unit-adaptive, but the
-    * streaming file source needs one concrete schema, so it pins the
-    * current one.) */
-  val schema: StructType = StructType(Seq(
+  /** Event schema with `ts` in a given unit flavor. A streaming file
+    * source must declare ONE concrete schema up front, but the testdata
+    * has shipped `ts` as TIMESTAMP(NANOS)→BIGINT, TIMESTAMP_NTZ and
+    * TIMESTAMP across generations — so [[readStream]] discovers the
+    * directory's actual flavor from one batch footer peek ([[tsTypeOf]])
+    * instead of pinning a compile-time type, mirroring the batch side's
+    * [[graft.events.Events.tsMicros]] dispatch. A regeneration to any
+    * known flavor breaks neither engine. */
+  def schemaFor(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The current testdata generation's flavor (TIMESTAMP(MICROS) without
+    * UTC adjustment → TIMESTAMP_NTZ) — the [[readStream]] fallback when a
+    * watch directory has no file to peek at yet, and the fixture-writing
+    * schema in tests. */
+  val schema: StructType = schemaFor(TimestampNTZType)
+
+  /** The directory's actual `ts` dtype from a one-footer batch peek; the
+    * current-generation default when the directory is still empty (a
+    * stream may start watching before the first file drops — batches read
+    * after files arrive still use the discovered-at-start schema, so a
+    * producer switching units mid-stream needs a restart, same as any
+    * schema change on a file stream). */
+  private[graft] def tsTypeOf(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType =
+    try spark.read.parquet(dir).schema("ts").dataType
+    catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+
   /** Streaming source over a parquet directory (one file = one batch in
     * tests via `maxFilesPerTrigger`). Normalizes to the two derived
     * columns every downstream streaming operator keys on: `ts_us`
-    * (epoch-micros BIGINT, the batch twins' unit — session TZ is UTC so
-    * the NTZ cast is the identity on the epoch value) and `event_ts`
-    * (TIMESTAMP, what watermarks/window() require). */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema)
+    * (epoch-micros BIGINT, the batch twins' unit, via the SAME dtype
+    * dispatch as the batch side — session TZ is UTC so the NTZ cast is
+    * the identity on the epoch value) and `event_ts` (TIMESTAMP, what
+    * watermarks/window() require). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = tsTypeOf(spark, dir)
+    spark.readStream.schema(schemaFor(tsType))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("ts_us", graft.events.Events.tsMicrosFor(tsType))
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
+  }
 
   /** Running hourly (hour, event_type) counts — the reference-shaped
     * INCREMENTAL ingestion twin of [[graft.events.Events.hourlyByType]],

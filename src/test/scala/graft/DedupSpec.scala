@@ -236,6 +236,36 @@ class DedupSpec extends SparkSpec {
       s"capBuckets must bound every bucket at ${Dedup.MaxLshBucketSize}, got $cappedMax")
   }
 
+  test("lshComponents star-expands hot buckets: a 1000-clone cluster labels as ONE component") {
+    import spark.implicits._
+    // same degenerate corpus as the cap test: the 1,000 clones exceed
+    // MaxLshBucketSize in every band, so the pair API drops them — but
+    // component labeling must NOT lose them (they are exactly the
+    // near-dup cluster dedup exists to find). Star expansion gives the
+    // cluster 999 edges instead of ~499,500 and the same connectivity.
+    val clones = (1000L until 2000L)
+      .map(i => (i, "spam boilerplate body repeated verbatim on every mirror page", "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = docs.union(clones)
+    val labels = Dedup.lshComponents(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1000L until 2000L).foreach { i =>
+      assert(labels.get(i).contains(1000L),
+        s"clone $i must label with the cluster min 1000, got ${labels.get(i)}")
+    }
+    // the small-bucket components are untouched by the hot cluster
+    val smallOnly = Dedup.lshComponents(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    smallOnly.foreach { case (d, c) =>
+      assert(labels.get(d).contains(c), s"doc $d: $c vs ${labels.get(d)}")
+    }
+    // and keepCanonical keeps exactly one clone (the canonical min)
+    val kept = Dedup.keepCanonical(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.get(1000L).contains(999L), s"canonical clone: ${kept.get(1000L)}")
+    assert((1001L until 2000L).forall(!kept.contains(_)), "non-canonical clones must drop")
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

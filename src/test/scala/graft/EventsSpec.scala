@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.events.Events
+import graft.streaming.EventsStream
 
 /** Timestamp-unit regression suite for the events operators.
   *
@@ -11,46 +13,57 @@ import graft.events.Events
   * under `nanosAsLong` → TIMESTAMP(MICROS) read as TIMESTAMP_NTZ), which
   * silently broke every event-time query for a round. This suite writes the
   * same tiny event set in all three unit flavors [[Events.tsMicros]]
-  * dispatches on and pins bit-identical results across them, so the next
-  * regeneration fails HERE with a clear message instead of as a registry-wide
-  * analysis error.
+  * dispatches on and pins bit-identical results across them — batch AND
+  * streaming — so the next regeneration fails HERE with a clear message
+  * instead of as a registry-wide analysis error.
   */
 class EventsSpec extends SparkSpec {
 
   import org.apache.spark.sql.Row
 
   /** (event_id, ts_us, user_id, event_type, value, props) — two users, a
-    * session gap, two event types across three hours. */
+    * session gap, two event types across three hours. Timestamps sit on a
+    * realistic 2023 base (not near epoch zero) so the epoch-nanos
+    * magnitude guard in [[Events.tsMicrosFor]] sees plausible values,
+    * exactly like production data would. */
+  private val baseUs = 1700000000L * 1000 * 1000 // 2023-11-14T22:13:20Z
   private val rowsUs: Seq[(Long, Long, Long, String, Double, String)] = {
     val minUs = 60L * 1000 * 1000
     Seq(
-      (1L, 5 * minUs, 1L, "click", 1.5, "{}"),
-      (2L, 12 * minUs, 1L, "click", 2.5, "{}"),
-      (3L, 95 * minUs, 1L, "purchase", 10.0, "{}"),   // >30min gap -> new session
-      (4L, 7 * minUs, 2L, "error", 0.0, "{}"),
-      (5L, 130 * minUs, 2L, "click", 3.0, "{}"))
+      (1L, baseUs + 5 * minUs, 1L, "click", 1.5, "{}"),
+      (2L, baseUs + 12 * minUs, 1L, "click", 2.5, "{}"),
+      (3L, baseUs + 95 * minUs, 1L, "purchase", 10.0, "{}"),   // >30min gap -> new session
+      (4L, baseUs + 7 * minUs, 2L, "error", 0.0, "{}"),
+      (5L, baseUs + 130 * minUs, 2L, "click", 3.0, "{}"))
   }
 
-  /** The same events parquet'd with `ts` in each unit flavor. Each variant
-    * round-trips through parquet so the test exercises the actual read
-    * types, not just in-memory schemas. */
-  private def variants(): Map[String, DataFrame] = {
+  /** The same events parquet'd with `ts` in each unit flavor, as
+    * directories so both the batch readers and the file-stream source can
+    * consume them. Each variant round-trips through parquet so the test
+    * pins the actual read-back dtypes. (The nanos variant writes a plain
+    * BIGINT column — Spark cannot author a TIMESTAMP(NANOS) footer, so
+    * this pins the LongType dispatch path, the dtype-equivalent of a
+    * legacy `nanosAsLong` read rather than the legacy read itself.) */
+  private def variantDirs(): Map[String, String] = {
     import spark.implicits._
     val base = rowsUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    def roundTrip(tag: String, df: DataFrame): DataFrame = {
+    def write(tag: String, df: DataFrame): String = {
       val dir = java.nio.file.Files.createTempDirectory(s"events_units_$tag").toString
       df.coalesce(1).write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
+      dir
     }
     Map(
       // legacy generation: epoch-nanos BIGINT (what nanosAsLong produced)
-      "nanos_long" -> roundTrip("nanos", base.withColumn("ts", col("ts") * 1000L)),
+      "nanos_long" -> write("nanos", base.withColumn("ts", col("ts") * 1000L)),
       // current generation: TIMESTAMP(MICROS) without UTC adjustment -> NTZ
-      "micros_ntz" -> roundTrip("ntz",
+      "micros_ntz" -> write("ntz",
         base.withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))),
       // UTC-adjusted micros -> TimestampType
-      "micros_tz" -> roundTrip("tz", base.withColumn("ts", timestamp_micros(col("ts")))))
+      "micros_tz" -> write("tz", base.withColumn("ts", timestamp_micros(col("ts")))))
   }
+
+  private def variants(): Map[String, DataFrame] =
+    variantDirs().view.mapValues(spark.read.parquet(_)).toMap
 
   private def sortedRows(df: DataFrame): Seq[Row] =
     df.collect().toSeq.sortBy(_.toString)
@@ -85,6 +98,37 @@ class EventsSpec extends SparkSpec {
     // sessions (user 1 splits on the 83-minute gap, user 2 on the 123-minute)
     assert(hourly("nanos_long").map(_.getLong(2)).sum == 5L)
     assert(sessions("nanos_long").size == 4)
+  }
+
+  test("streaming hourlyCounts matches batch hourlyByType on every ts unit flavor") {
+    // the r10 gotcha: the batch side was dtype-adaptive but the stream
+    // source schema pinned one flavor, so a regeneration would have broken
+    // only the streaming specs. readStream now discovers the flavor from a
+    // footer peek — drive a real file-stream through each variant and pin
+    // it against the batch twin.
+    variantDirs().foreach { case (tag, dir) =>
+      val q = EventsStream.hourlyCounts(EventsStream.readStream(spark, dir))
+        .writeStream.outputMode("complete").format("memory").queryName(s"evu_$tag")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = sortedRows(spark.table(s"evu_$tag"))
+      val batch = sortedRows(Events.hourlyByType(spark.read.parquet(dir)))
+      assert(streamed == batch, s"$tag: streaming hourly != batch twin")
+    }
+  }
+
+  test("the BIGINT branch rejects micros-scale values instead of silently dividing") {
+    import spark.implicits._
+    // epoch-MICROS magnitudes (~1e15 for 2023 dates) are 1000x below any
+    // plausible epoch-nanos value — a regeneration to plain micros BIGINT
+    // must fail loudly, not shrink every timestamp 1000x
+    val microsScale = rowsUs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] {
+      microsScale.select(Events.tsMicros(microsScale).as("us")).collect()
+    }
+    assert(e.getMessage.contains("epoch-nanos"), s"unexpected error: ${e.getMessage}")
   }
 
   test("tsMicros rejects an unusable ts dtype with a clear message") {

@@ -286,6 +286,32 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-unsafe plans:\n${offenders.mkString("\n")}")
   }
 
+  test("the LSH bucket-size cap adds no exchange to the candidate self-join") {
+    // capBuckets is a count-over-window partitioned on the SAME (band, sig)
+    // key the candidate self-join shuffles on — in the at-scale (sort-merge)
+    // regime the join rides the window's exchange, so the cap adds at most
+    // a sort. Pinned by counting shuffles with the cap on vs off under
+    // broadcast-disabled planning (a 100 TB bucket table never
+    // broadcasts): a refactor that re-keys the window (or swaps it for a
+    // counts-aggregate join without partitioning reuse) doubles the
+    // dominant shuffle at corpus scale and fails here first.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val buckets = graft.dedup.Dedup.lshBuckets(Collocations.documents(spark, sf))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+          .findAllIn(plan(df)).size
+      val capped = exchanges(graft.dedup.Dedup.candidatesFromBuckets(buckets))
+      val uncapped = exchanges(graft.dedup.Dedup.candidatesFromBuckets(buckets, maxBucketSize = 0))
+      assert(capped == uncapped,
+        s"bucket cap added ${capped - uncapped} exchange(s): $capped capped vs $uncapped uncapped")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("candidate-restricted jaccard joins shingle SETS, not posting lists") {
     val p = plan(graft.dedup.Dedup.jaccardVerify(Collocations.documents(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -174,14 +174,17 @@ class ScaleOpsSpec extends SparkSpec {
   test("hourly gap fill densifies each type's grid with zero rows, preserving real buckets") {
     import spark.implicits._
     val hourUs = 3600000000L
-    // type A: hours 10 and 13 (gap at 11, 12); type B: hour 20 only
+    // realistic 2023 base (the BIGINT branch's epoch-nanos magnitude guard
+    // rejects near-epoch-zero values by design), rounded to an hour edge
+    val baseHour = 1700000000L * 1000 * 1000 / hourUs + 1
+    // type A: baseHour+10 and +13 (gap at +11, +12); type B: +20 only
     val ev = Seq(
-      (1L, 10 * hourUs * 1000, 1L, "A", 5.0, "{}"),
-      (2L, 13 * hourUs * 1000, 1L, "A", 7.0, "{}"),
-      (3L, 20 * hourUs * 1000, 2L, "B", 1.0, "{}")
+      (1L, (baseHour + 10) * hourUs * 1000, 1L, "A", 5.0, "{}"),
+      (2L, (baseHour + 13) * hourUs * 1000, 1L, "A", 7.0, "{}"),
+      (3L, (baseHour + 20) * hourUs * 1000, 2L, "B", 1.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val rows = graft.events.Events.hourlyGapFill(ev).collect()
-      .map(r => (r.getString(1), r.getLong(0)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => (r.getString(1), r.getLong(0) - baseHour) -> ((r.getLong(2), r.getDouble(3)))).toMap
     assert(rows.keySet == Set(("A", 10L), ("A", 11L), ("A", 12L), ("A", 13L), ("B", 20L)),
       s"grid must span each type's own bounds only, got ${rows.keySet}")
     assert(rows(("A", 10L)) == ((1L, 5.0)) && rows(("A", 13L)) == ((1L, 7.0)))
