@@ -733,6 +733,28 @@ object OracleSqlExt {
        |       CASE WHEN n_tokens > 1 THEN round(COALESCE(top_bigram, 0) / (n_tokens - 1), 6) ELSE 0.0 END AS top_bigram_frac
        |FROM base LEFT JOIN bm ON base.doc_id = bm.doc_id""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.tokenEntropy]]: per-token counts,
+    * Σ c·ln c accumulated in DECIMAL(28,18) (same exact-associative
+    * discipline as [[lmScoreSql]]), entropy rounded to 6 digits. */
+  val tokenEntropySql: String =
+    s"""WITH $tclCte,
+       |tok AS (SELECT doc_id, unnest(tl) AS w FROM tcl),
+       |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) AS BIGINT) AS n_distinct,
+       |         CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,18))) AS DOUBLE) AS sclnc
+       |  FROM tc GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(agg.n_tokens, 0) AS n_tokens,
+       |       COALESCE(agg.n_distinct, 0) AS n_distinct,
+       |       CASE WHEN agg.n_tokens > 0
+       |            THEN round(ln(CAST(agg.n_tokens AS DOUBLE)) - sclnc / agg.n_tokens, 6)
+       |            ELSE 0.0 END AS entropy
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+
   /** Mixture-weight mirror of [[graft.text.TextAnalysis.mixWeights]]. */
   val mixWeightsSql: String =
     """WITH per AS (

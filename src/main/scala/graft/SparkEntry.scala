@@ -1064,6 +1064,11 @@ object SparkEntry {
         graft.text.TextAnalysis.repetition(Collocations.documents(s, d)),
       Some(OracleSqlExt.repetitionSql)),
 
+    ("text_entropy",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.tokenEntropy(Collocations.documents(s, d)),
+      Some(OracleSqlExt.tokenEntropySql)),
+
     ("mix_weights",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.mixWeights(Collocations.documents(s, d)),

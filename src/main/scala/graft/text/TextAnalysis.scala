@@ -228,6 +228,39 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Shannon entropy of each document's token distribution — the quality
+    * signal that separates natural prose (high entropy) from keyword
+    * stuffing, boilerplate and generative loops (low entropy relative to
+    * length); complements [[repetition]], which only sees the single
+    * worst bigram. H = ln(n) − (Σ c·ln c)/n over per-token counts c.
+    *
+    * Scale shape: one (doc_id, token) count — the same well-spread,
+    * vocabulary-bounded shuffle as [[repetition]]'s bigram mode — then a
+    * per-doc rollup; docs with no tokens come back via the left join with
+    * entropy 0. Parity: the Σ c·ln c partial accumulates in
+    * DECIMAL(28,18) (exactly associative, so partition order can't wiggle
+    * the double sum — the [[lmScore]]/[[tfidf]] discipline) and the final
+    * entropy rounds to 6 digits on both engines. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum((col("c").cast("double") * log(col("c").cast("double")))
+        .cast("decimal(28,18)")).as("sclnc"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_tokens") > 0,
+          round(log(col("n_tokens").cast("double")) -
+            col("sclnc").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("entropy"))
+  }
+
   /** Domain-mixture reweighting: per-source corpus share and the sampling
     * weight that moves the mix to a uniform target — the knob a
     * pretraining pipeline turns to rebalance sources. One aggregation on

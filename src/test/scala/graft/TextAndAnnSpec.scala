@@ -80,6 +80,28 @@ class TextAndAnnSpec extends SparkSpec {
     assert(cov.head == math.round(4.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("token entropy: uniform maxes at ln(distinct), constant is 0, empty docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa bb", "en"),        // two tokens, uniform -> ln 2
+      (2L, "aa aa aa aa", "en"),        // one token -> 0
+      (3L, "aa bb cc dd", "en"),        // four tokens, uniform -> ln 4
+      (4L, "aa aa aa bb", "en"),        // skewed: ln 4 - (3 ln 3)/4
+      (5L, "?!", "en")                  // cleans to zero tokens -> 0, row kept
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.text.TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    assert(got(1L) == ((4L, 2L, r6(math.log(2)))))
+    assert(got(2L) == ((4L, 1L, 0.0)))
+    assert(got(3L) == ((4L, 4L, r6(math.log(4)))))
+    assert(got(4L) == ((4L, 2L, r6(math.log(4) - 3 * math.log(3) / 4))))
+    assert(got(5L) == ((0L, 0L, 0.0)))
+    // the quality ordering the signal exists for: skewed < uniform at
+    // equal length, and wider uniform vocab > narrower
+    assert(got(4L)._3 < got(1L)._3 && got(1L)._3 < got(3L)._3)
+  }
+
   test("bm25 ranks by tf with length normalization and rewards rarer terms") {
     import graft.text.TextAnalysis
     import spark.implicits._
