@@ -266,6 +266,21 @@ class DedupSpec extends SparkSpec {
     assert((1001L until 2000L).forall(!kept.contains(_)), "non-canonical clones must drop")
   }
 
+  test("lshComponents labeling is invariant to the bucket cap") {
+    // the star-expansion guarantee stated as a property: a bucket's only
+    // contribution to connectivity is "all members connected", which the
+    // star preserves — so labels must not depend on WHERE the cap sits.
+    // cap=2 forces the star path for every multi-doc bucket; cap=0
+    // disables capping (pure cliques); both must equal the default.
+    val base = Dedup.lshComponents(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(2, 0).foreach { cap =>
+      val got = Dedup.lshComponents(docs, maxBucketSize = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == base, s"cap=$cap changed component labels")
+    }
+  }
+
   test("jaccardVerify equals the exact baseline on every LSH candidate pair") {
     val cand = Dedup.lshCandidates(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
