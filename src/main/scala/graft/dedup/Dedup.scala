@@ -242,8 +242,22 @@ object Dedup {
       when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - j)))
     }.reduce(_ + _)
 
-  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val halves = shingles(docs, k)
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame =
+    signaturesFromShingleRows(shingles(docs, k), numHashes)
+
+  /** [[minhashSignatures]] over an already-computed [[shingleSets]] table:
+    * `sl` is the same distinct-shingle array the direct path explodes, so
+    * the signatures are identical — but a caller that needs BOTH sets and
+    * signatures (the verify pipeline, the index build) pays the
+    * tokenizer + shingle pass once and derives both from the one cached
+    * table. `explode` drops the NULL `sl` of <k-token docs, exactly like
+    * the direct path's missing shingle rows. */
+  def minhashSignaturesFromSets(sets: DataFrame, numHashes: Int = 16): DataFrame =
+    signaturesFromShingleRows(
+      sets.select(col("doc_id"), explode(col("sl")).as("shingle")), numHashes)
+
+  private def signaturesFromShingleRows(rows: DataFrame, numHashes: Int): DataFrame = {
+    val halves = rows
       .select(col("doc_id"), md5(col("shingle")).as("m"))
       .select(col("doc_id"), md5Half(col("m"), 1).as("x"), md5Half(col("m"), 8).as("y"))
     val aggs = (0 until numHashes).map { i =>
@@ -448,10 +462,19 @@ object Dedup {
     * Returns (a, b, inter, na, nb, jaccard) for candidates >= threshold. */
   def jaccardVerify(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                     threshold: Double = 0.0, maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
-    val cand = lshCandidates(docs, k, bands, rowsPerBand, maxBucketSize)
-    // referenced by both sides of the pair lookup; lambda-bearing plans
-    // don't canonicalize equal for exchange reuse (see lshCandidates)
+    // ONE tokenizer + shingle pass for the whole verify pipeline: the
+    // shingle sets are persisted for the exact-intersection stage, and
+    // the minhash signatures derive from the SAME cache
+    // ([[minhashSignaturesFromSets]]) instead of re-shingling the corpus
+    // — the r11 rewrite that removed the second corpus pass. The capped
+    // bucket table persists like in [[lshCandidates]] so the candidate
+    // self-join reads both sides pre-partitioned on (band, sig).
     val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(
+        lshBucketsFromSigs(minhashSignaturesFromSets(ss, bands * rowsPerBand), bands, rowsPerBand),
+        maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesFromBuckets(capped, maxBucketSize = 0) // cache already capped
     val out = cand
       .join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
       .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
@@ -464,8 +487,8 @@ object Dedup {
     // pair table, release every upstream cache — the caller owns only the
     // returned result's cache
     out.count()
+    capped.unpersist()
     ss.unpersist()
-    cand.unpersist()
     out
   }
 
@@ -490,8 +513,14 @@ object Dedup {
     * ingest composes: signatures of new docs union onto the table
     * without re-hashing the old corpus. */
   def writeDedupIndex(docs: DataFrame, dir: String, k: Int = 3, numHashes: Int = 16): Unit = {
-    minhashSignatures(docs, k, numHashes).write.mode("overwrite").parquet(s"$dir/minhash_sigs")
-    shingleSets(docs, k).write.mode("overwrite").parquet(s"$dir/shingle_sets")
+    // one tokenizer + shingle pass feeds both tables (see
+    // [[minhashSignaturesFromSets]]); the sets table is written first so
+    // its cache is warm when the signature job explodes it
+    val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ss.write.mode("overwrite").parquet(s"$dir/shingle_sets")
+      minhashSignaturesFromSets(ss, numHashes).write.mode("overwrite").parquet(s"$dir/minhash_sigs")
+    } finally ss.unpersist()
   }
 
   /** Choose the (bands, rowsPerBand) factorization of `perms` whose LSH

@@ -295,6 +295,12 @@ class PlanSpec extends SparkSpec {
     // broadcasts): a refactor that re-keys the window (or swaps it for a
     // counts-aggregate join without partitioning reuse) doubles the
     // dominant shuffle at corpus scale and fails here first.
+    // clean slate: earlier tests' registry executions leave caller-owned
+    // caches (e.g. lshCandidates' capped bucket table) whose logical plans
+    // MATCH the subtrees built here — cache substitution would splice an
+    // InMemoryRelation whose display string carries its own exchanges and
+    // skew the counts; this test is about the RAW plan shape
+    spark.sharedState.cacheManager.clearCache()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
