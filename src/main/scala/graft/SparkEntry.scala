@@ -237,17 +237,15 @@ object SparkEntry {
               |FROM scored WHERE NOT isnan(llr_raw)""".stripMargin)),
 
     // PMI over the same contingency table — the classic association-measure
-    // companion to the reference's LLR (extension; the reference computes
-    // LLR only). ln((c12·N)/(c1·c2)) with the identical operation order on
-    // both engines; every count is >= 1 after the inner count joins, so no
-    // guards are needed.
+    // companion to the reference's LLR (see Collocations.pmiScored)
     ("pmi_score",
       (s: SparkSession, d: String) =>
-        Collocations.withN(Collocations.documents(s, d))
-          .select(col("lang"), col("w1"), col("w2"), col("c1"), col("c2"), col("c12"), col("n"),
-            round(log(col("c12").cast("double") * col("n") /
-              (col("c1").cast("double") * col("c2"))), 6).as("pmi")),
-      Some(s"""${OracleSql.collocationCtes}
+        Collocations.pmiScored(Collocations.documents(s, d)),
+      Some(s"""WITH ${OracleSql.toksCte},
+              |${OracleSql.uniCte},
+              |${OracleSql.nCte},
+              |${OracleSql.bgCte},
+              |${OracleSql.joinedCte}
               |SELECT lang, w1, w2, c1, c2, c12, n,
               |       round(ln((CAST(c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
               |FROM joined""".stripMargin)),

@@ -119,6 +119,17 @@ object Collocations {
       .filter(!isnan(col("llr_raw")) && !col("llr_raw").isin(Double.PositiveInfinity, Double.NegativeInfinity))
       .withColumn("llr", round(col("llr_raw"), 6))
 
+  /** PMI companion to [[scored]] (extension — the reference computes LLR
+    * only): ln((c12·N)/(c1·c2)) over the same contingency table. Every
+    * count is >= 1 after the inner count joins, so no guards are needed;
+    * the operation order is mirrored exactly by the DuckDB oracle and the
+    * result rounds to 6 digits for hash parity. */
+  def pmiScored(docs: DataFrame): DataFrame =
+    withN(docs)
+      .select(col("lang"), col("w1"), col("w2"), col("c1"), col("c2"), col("c12"), col("n"),
+        round(log(col("c12").cast("double") * col("n") /
+          (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+
   /** A5/A6/O2: Top-K per language with deterministic tie-breaks.
     *
     * Unlike the step-by-step builders above (kept 1:1 with the operator

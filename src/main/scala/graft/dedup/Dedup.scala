@@ -513,14 +513,16 @@ object Dedup {
     * ingest composes: signatures of new docs union onto the table
     * without re-hashing the old corpus. */
   def writeDedupIndex(docs: DataFrame, dir: String, k: Int = 3, numHashes: Int = 16): Unit = {
-    // one tokenizer + shingle pass feeds both tables (see
-    // [[minhashSignaturesFromSets]]); the sets table is written first so
-    // its cache is warm when the signature job explodes it
-    val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      ss.write.mode("overwrite").parquet(s"$dir/shingle_sets")
-      minhashSignaturesFromSets(ss, numHashes).write.mode("overwrite").parquet(s"$dir/minhash_sigs")
-    } finally ss.unpersist()
+    // one tokenizer + shingle pass feeds both tables: the sets table is
+    // written first and the signature job derives from the WRITTEN
+    // parquet ([[minhashSignaturesFromSets]]) — re-reading what was just
+    // materialized gives the single-pass property through canonicalizing
+    // scans with zero cache footprint, where a MEMORY_AND_DISK persist of
+    // the corpus-sized sets would spill it to executor disk a second time
+    val spark = docs.sparkSession
+    shingleSets(docs, k).write.mode("overwrite").parquet(s"$dir/shingle_sets")
+    minhashSignaturesFromSets(spark.read.parquet(s"$dir/shingle_sets"), numHashes)
+      .write.mode("overwrite").parquet(s"$dir/minhash_sigs")
   }
 
   /** Choose the (bands, rowsPerBand) factorization of `perms` whose LSH

@@ -61,10 +61,10 @@ class CollocationsSpec extends SparkSpec {
   }
 
   test("pmi recomputes from each row's own counts; big-data tops the en pairs") {
-    val rows = Collocations.withN(docs)
-      .select(col("lang"), col("w1"), col("w2"), col("c1"), col("c2"), col("c12"), col("n"),
-        round(log(col("c12").cast("double") * col("n") /
-          (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
+    // exercises the SAME builder the pmi_score registry entry ships, so a
+    // column mix-up in the production select fails here, not only at the
+    // oracle gate
+    val rows = Collocations.pmiScored(docs)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
         ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))))
