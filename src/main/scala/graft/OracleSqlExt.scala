@@ -414,6 +414,52 @@ object OracleSqlExt {
        |) WHERE cos >= $minCos""".stripMargin
   }
 
+  /** Mirror of [[graft.dedup.Dedup.semanticDedup]] GIVEN the trained
+    * centroids (injected as literal DOUBLE[] rows, the [[annIvfSql]]
+    * pattern): argmax-dot assignment with smallest-cid ties, the
+    * within-cluster cosine pair graph at `minCos`, and the exact
+    * transitive closure + min label that the iterative
+    * [[graft.dedup.Dedup.connectedComponents]] converges to. */
+  def semanticDedupSql(cents: Seq[(Int, Array[Double])], minCos: Double): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, v, cid, ${dotSql("v", "cv")} AS d FROM e CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |cand AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+       |  WHERE round(${cosineSql("l.v", "r.v")}, 6) >= $minCos
+       |),
+       |bidir AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b, a FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM bidir
+       |  UNION
+       |  SELECT r.src, bd.dst FROM reach r JOIN bidir bd ON r.dst = bd.src
+       |),
+       |comp AS (SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src)
+       |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
+       |       COALESCE(comp.component, asg.vec_id) AS component,
+       |       CAST(CASE WHEN COALESCE(comp.component, asg.vec_id) = asg.vec_id THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM asg LEFT JOIN comp ON asg.vec_id = comp.vec_id""".stripMargin
+  }
+
+  /** Oracle SQL for the last-trained semantic-dedup model, if the query
+    * has run (Verify's run-before-dump contract, as with the IVF/PQ
+    * oracles). */
+  def semanticDedupSqlFromLastModel: Option[String] =
+    graft.dedup.Dedup.lastSemanticModel.map { case (cents, minCos) =>
+      semanticDedupSql(cents, minCos)
+    }
+
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),

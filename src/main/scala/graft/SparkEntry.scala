@@ -1319,6 +1319,21 @@ object SparkEntry {
           bands = 8, rowsPerBand = 4, minCos = 0.4, seed = 42L),
       Some(OracleSqlExt.embeddingLshGaussianSql(64, 8, 4, 0.4, 42L))),
 
+    // SemDeDup (cluster-scoped embedding dedup): deterministic k-means
+    // assigns every vector to a cell (narrow map against the literal
+    // centroid model), duplicates are searched only within a cell, and
+    // each connected duplicate group keeps its min-id representative.
+    // nClusters=8 fits this 500-2000-vector corpus; at 100 TB the knob
+    // grows with the corpus so cells stay memory-sized. DYNAMIC oracle
+    // like ann_ivf_topk: running the query stashes the trained centroids
+    // and oracleSql injects them (OracleSqlExt.semanticDedupSql).
+    ("dedup_semantic",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.semanticDedup(
+          s.read.parquet(s"$d/embeddings.parquet"),
+          nClusters = 8, iters = 2, minCos = 0.4),
+      None),
+
     // ==================================================== similarity search
     ("ann_cosine_topk",
       (s: SparkSession, d: String) =>
@@ -1593,5 +1608,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
-      OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _)
+      OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
+      OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _)
 }

@@ -927,6 +927,64 @@ object Dedup {
     out
   }
 
+  /** The most recently trained semantic-dedup model: (centroids, minCos).
+    * Same stash contract as [[graft.similarity.Ann.lastIvfModel]] — Lloyd
+    * training is not SQL-mirrorable but everything after it is, so Verify
+    * runs the query first and the oracle gate injects the collected
+    * centroids as literals ([[graft.OracleSqlExt.semanticDedupSqlFromLastModel]]). */
+  @volatile private[graft] var lastSemanticModel: Option[(Seq[(Int, Array[Double])], Double)] = None
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus embeddings with deterministic k-means, then look
+    * for semantic duplicates ONLY within each cluster — pairwise cosine
+    * >= `minCos` — and collapse each connected duplicate group to its
+    * min-id representative. This is the dedup the token-level family
+    * cannot do: paraphrases and re-renderings share no shingles but sit
+    * together in embedding space.
+    *
+    * Scale shape: the cluster pass bounds the quadratic term — candidate
+    * pairs are O(Σ n_c²) instead of O(N²), and `nClusters` is the knob
+    * that keeps clusters memory-sized (SemDeDup used 50k clusters for
+    * LAION-440M; grow it with the corpus). Centroid training samples via
+    * `trainStride` ([[graft.similarity.Ann.ivfCentroids]]), assignment is
+    * a narrow shuffle-free map against the literal centroid model
+    * ([[graft.similarity.Ann.ivfCell]]), and the only wide stages are the
+    * cid-keyed self-join plus the (duplicate-graph-sized, tiny) label
+    * propagation of [[connectedComponents]].
+    *
+    * Returns one row per non-zero-norm vector:
+    * (vec_id, cid, component, keep) — component = min vec_id of its
+    * duplicate group (its own id if unique), keep = (component == vec_id),
+    * i.e. the SemDeDup "keep one per semantic-duplicate set" rewrite. */
+  def semanticDedup(emb: DataFrame, nClusters: Int = 8, iters: Int = 2,
+                    minCos: Double = 0.4, trainStride: Int = 1): DataFrame = {
+    import graft.similarity.Ann
+    val cents = Ann.ivfCentroids(emb, nClusters, iters, trainStride)
+    lastSemanticModel = Some((cents, minCos))
+    // referenced twice by the self-join — persist the assigned table, the
+    // staged "write the cluster index" shape a pipeline would checkpoint
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Ann.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0) // zero-norm: cosine undefined (NaN vs oracle NULL)
+      .withColumn("cid", Ann.ivfCell(col("v"), cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = base.select(col("cid"), col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val r = base.select(col("cid"), col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = l.join(r, Seq("cid")).filter(col("a") < col("b"))
+      .withColumn("cos", round(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("a", "b")
+    val comps = connectedComponents(pairs).withColumnRenamed("doc_id", "vec_id")
+    val out = base.join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("keep", (col("component") === col("vec_id")).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
+
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
     * the correctness baseline for [[embeddingLshPairs]] — do not run at
     * corpus scale). */

@@ -372,6 +372,39 @@ class DedupSpec extends SparkSpec {
     assert(lsh == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("semanticDedup collapses each within-cluster duplicate group to its min id") {
+    import spark.implicits._
+    // 3 mutually-orthogonal groups (disjoint support): bases 0/1/2 seed the
+    // k-means (lowest vec_ids), each group adds near-identical members that
+    // must share the base's cell and collapse into one component
+    def groupVec(g: Int, eps: Float): Array[Float] = {
+      val v = new Array[Float](64)
+      (g * 10 until g * 10 + 10).foreach(j => v(j) = 1f)
+      v(g * 10) += eps
+      v
+    }
+    val rows =
+      (0 until 3).map(g => (g.toLong, groupVec(g, 0f))) ++           // bases
+      (0 until 3).map(g => (100L + g, groupVec(g, 0.01f))) ++        // near-dups
+      (0 until 3).map(g => (200L + g, groupVec(g, 0.02f))) :+        // near-dups
+      (999L, Array.tabulate(64)(j => if (j >= 30 && j < 40) 1f else 0f)) // singleton
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, nClusters = 3, iters = 2, minCos = 0.9)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(byId.size == 10)
+    for (g <- 0 until 3) {
+      val members = Seq(g.toLong, 100L + g, 200L + g)
+      // one shared cell per group, component = min id, only the min kept
+      assert(members.map(byId(_)._1).distinct.size == 1, s"group $g split across cells")
+      members.foreach(m => assert(byId(m)._2 == g.toLong, s"member $m component"))
+      assert(members.map(m => byId(m)._3) == Seq(1, 0, 0))
+    }
+    // the far-away singleton survives as its own component
+    assert(byId(999L)._2 == 999L && byId(999L)._3 == 1)
+    out.unpersist()
+  }
+
   test("passage dedup flags repeated token windows, first occurrence exempt") {
     import spark.implicits._
     val docs = Seq(
