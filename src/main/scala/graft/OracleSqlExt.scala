@@ -296,6 +296,31 @@ object OracleSqlExt {
        |LEFT JOIN rc ON rc.doc_id = d.doc_id
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin
 
+  /** Mirror of [[graft.pipelines.CleanCorpus.leakSafeSplit]]: the md5
+    * doc_id bucket assignment, the shared exact transitive closure
+    * ([[componentsSql]]'s chain), and the demote-spanning-components-to-
+    * train rewrite. The leak aggregation here runs over the full corpus
+    * (singleton components included) — equivalent to the Spark side's
+    * graph-only aggregation because a singleton holdout component never
+    * has a train member. */
+  def leakSafeSplitSql(holdoutPct: Int): String =
+    s"""WITH RECURSIVE $componentsChain,
+       |asg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < $holdoutPct
+       |              THEN 'holdout' ELSE 'train' END AS assigned
+       |  FROM documents
+       |),
+       |f AS (
+       |  SELECT a.doc_id, a.assigned, COALESCE(c.component, a.doc_id) AS component
+       |  FROM asg a LEFT JOIN comp c ON a.doc_id = c.doc_id
+       |),
+       |ht AS (SELECT component, max(CASE WHEN assigned = 'train' THEN 1 ELSE 0 END) AS has_train
+       |       FROM f GROUP BY component)
+       |SELECT f.doc_id, f.component, f.assigned,
+       |       CASE WHEN f.assigned = 'holdout' AND ht.has_train = 1 THEN 'train' ELSE f.assigned END AS split
+       |FROM f JOIN ht ON f.component = ht.component""".stripMargin
+
   /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
   def simhashPairsSql(maxHamming: Int): String =
     s"""WITH base AS ($simhashSql),

@@ -1275,6 +1275,16 @@ object SparkEntry {
         graft.dedup.Dedup.lshComponents(Collocations.documents(s, d)),
       Some(OracleSqlExt.componentsSql)),
 
+    // dedup-aware train/holdout split: md5-bucket assignment, then any
+    // near-dup component spanning the split is demoted wholesale to train
+    // — the within-corpus analogue of decontamination, gated against the
+    // same recursive-CTE closure as dedup_components
+    ("split_leak_safe",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.CleanCorpus.leakSafeSplit(
+          Collocations.documents(s, d), holdoutPct = 10),
+      Some(OracleSqlExt.leakSafeSplitSql(10))),
+
     // the APPLY step: rewrite the corpus keeping one doc per component
     // (min doc_id) — label table is duplicates-sized, so the removal
     // anti-join and the n_removed join broadcast against a single

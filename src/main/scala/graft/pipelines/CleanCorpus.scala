@@ -42,6 +42,42 @@ object CleanCorpus {
     keepOne.join(dropIds, Seq("doc_id"), "left_anti").select("doc_id", "lang")
   }
 
+  /** Dedup-aware train/holdout split — the within-corpus analogue of
+    * benchmark decontamination: a held-out eval slice is worthless if a
+    * near-duplicate of one of its documents stays in training, so any
+    * near-dup component that SPANS the split is demoted wholesale to
+    * train (eval purity over eval size; a component entirely inside
+    * holdout is fine — it leaks nothing).
+    *
+    * Assignment is a content-stable md5 bucket of doc_id (reruns, the
+    * oracle, and every cluster size agree row for row — never rand());
+    * spanning detection reuses [[Dedup.lshComponents]], and the leak
+    * aggregation runs over the duplicate-graph-sized component table,
+    * never the corpus: singleton components cannot span by construction,
+    * so the only corpus-wide stages are the bucket map and the final
+    * left join of graph labels onto the assignment.
+    *
+    * Returns (doc_id, component, assigned, split): `assigned` is the raw
+    * bucket split, `split` the leak-safe one (they differ exactly on
+    * demoted docs). */
+  def leakSafeSplit(docs: DataFrame, holdoutPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") % 100
+    val assigned = docs.select(col("doc_id"),
+      when(bucket < holdoutPct, lit("holdout")).otherwise(lit("train")).as("assigned"))
+    val memberSplit = Dedup.lshComponents(docs).join(assigned, Seq("doc_id"))
+    val hasTrain = memberSplit.groupBy("component")
+      .agg(max(when(col("assigned") === "train", 1).otherwise(0)).as("has_train"))
+    val graphFixed = memberSplit.join(hasTrain, Seq("component"))
+      .select(col("doc_id"), col("component"), col("has_train"))
+    assigned.join(graphFixed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("assigned"),
+        when(col("assigned") === "holdout" && col("has_train") === 1, lit("train"))
+          .otherwise(col("assigned")).as("split"))
+  }
+
   /** Deterministic global training order: every document gets its
     * position in a content-keyed pseudo-random permutation of the whole
     * corpus — the "shuffle the dataset before epoch 0" step of a

@@ -22,6 +22,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == (("ids <NUM> 45 <NUM> and <EMAIL>", 1L, 2L)))
   }
 
+  test("leakSafeSplit demotes split-spanning dup clusters to train, leaves clean docs alone") {
+    import spark.implicits._
+    import graft.pipelines.CleanCorpus
+    // md5(doc_id) buckets: 4, 5, 12, 13 -> holdout (<10); 1, 2 -> train.
+    // {1,4} is a dup cluster spanning the split; {12,13} sits entirely in
+    // holdout; 2 and 5 are unique docs.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "colorless green ideas sleep furiously tonight again"),
+      (13L, "colorless green ideas sleep furiously tonight again"),
+      (2L, "entirely unrelated prose about distributed query engines"),
+      (5L, "another standalone document concerning parquet file layouts")
+    ).toDF("doc_id", "text")
+    val out = CleanCorpus.leakSafeSplit(docs, holdoutPct = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(out.size == 6)
+    assert(out(1L) == ((1L, "train", "train")))
+    assert(out(4L) == ((1L, "holdout", "train"))) // demoted: cluster has a train member
+    assert(out(12L) == ((12L, "holdout", "holdout"))) // all-holdout cluster leaks nothing
+    assert(out(13L) == ((12L, "holdout", "holdout")))
+    assert(out(2L) == ((2L, "train", "train")))
+    assert(out(5L) == ((5L, "holdout", "holdout")))
+    // the invariant the operator exists for: no final-holdout doc shares a
+    // component with a final-train doc
+    val byComp = out.values.groupBy(_._1).values
+    assert(byComp.forall(g => g.map(_._3).toSet.size == 1 || !g.exists(_._3 == "holdout")))
+  }
+
   test("quantile quality gate keeps exactly the top tail, never splitting equal scores inconsistently") {
     import graft.collocations.Collocations
     val docs = Collocations.documents(spark, "/root/testdata/sf0.001")
