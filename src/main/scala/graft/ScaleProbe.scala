@@ -15,7 +15,7 @@ object ScaleProbe {
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
-      "--lsh-skew-only")
+      "--lsh-skew-only", "--semantic-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -26,6 +26,7 @@ object ScaleProbe {
     val containOnly = flags.contains("--contain-only")
     val deconOnly = flags.contains("--decon-only")
     val lshSkewOnly = flags.contains("--lsh-skew-only")
+    val semanticOnly = flags.contains("--semantic-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -125,6 +126,36 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         assert(nPlain == nBloom, s"bloom decon must match plain: $nBloom != $nPlain")
         println(f"SCALE-DECON m=$m%2d docs=${5000 * m}%7d rows=$nPlain%5d plain=$tPlain%6.2f s bloom=$tBloom%6.2f s")
+      } else if (semanticOnly) {
+        // semantic-dedup growth: the scale contract is "nClusters grows
+        // with the corpus so cells stay memory-sized" — the A/B is the
+        // FIXED cluster count (per-cell population grows with m, pair
+        // work grows ~m² within cells) vs the SCALED count (8*m cells,
+        // per-cell population ~constant, pair work ~linear). Replicas
+        // are dimension-ROTATED, not cloned: the permutation preserves
+        // each replica's internal geometry (same dup structure per
+        // block) without making replicas near-dups of each other —
+        // exact clones would inject m-cliques and measure the input,
+        // not the machinery.
+        val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val emb = (0 until m).map { i =>
+          embBase.select(
+            (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), slice(embedding, 1, $i))")
+              .as("embedding"))
+        }.reduce(_ unionByName _)
+        def run(k: Int): (Long, Long, Double) = {
+          val t0 = System.nanoTime()
+          val out = graft.dedup.Dedup.semanticDedup(emb, nClusters = k, iters = 2, minCos = 0.4)
+          val rows = out.count()
+          val dups = out.filter(col("keep") === 0).count()
+          out.unpersist()
+          spark.sharedState.cacheManager.clearCache()
+          (rows, dups, (System.nanoTime() - t0) / 1e9)
+        }
+        val (nF, dF, tF) = run(8)
+        val (nS, dS, tS) = run(8 * m)
+        println(f"SCALE-SEMANTIC m=$m%2d vecs=${2000 * m}%7d fixedK=8: rows=$nF%7d dups=$dF%5d $tF%6.2f s   scaledK=${8 * m}%3d: rows=$nS%7d dups=$dS%5d $tS%6.2f s")
       } else if (lshSkewOnly) {
         // ADVERSARIAL SKEW probe (the MaxLshBucketSize contract, measured):
         // 20% of the corpus is ONE byte-identical boilerplate text — every
