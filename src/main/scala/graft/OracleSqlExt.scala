@@ -763,27 +763,124 @@ object OracleSqlExt {
        |FROM qv JOIN documents d ON qv.doc_id = d.doc_id CROSS JOIN t
        |WHERE qv.q >= t.thr""".stripMargin
 
-  val langIdSql: String = {
+  /** ONE definition of the lang-ID score selects and the argmax chain,
+    * shared by [[langIdSql]] and [[langConfusionSql]] (a drifted copy
+    * would break one query's parity while the other still passes). */
+  private val langScoreSelects: String = {
     def occ(sig: String): String = {
       val esc = sig.replace("'", "''")
       s"((length(text) - length(replace(text, '$esc', ''))) // ${sig.length})"
     }
-    val scores = TextAnalysis.profiles.map { case (l, sigs) =>
+    TextAnalysis.profiles.map { case (l, sigs) =>
       s"CAST(${sigs.map(occ).mkString(" + ")} AS BIGINT) AS s_$l"
     }.mkString(",\n    ")
+  }
+  private val langPredChain: String = {
     val langs = TextAnalysis.profiles.map(_._1)
-    val chain = langs.zipWithIndex.init.foldRight(s"'${langs.last}'") {
+    langs.zipWithIndex.init.foldRight(s"'${langs.last}'") {
       case ((l, i), rest) =>
         val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
         s"CASE WHEN $conds THEN '$l' ELSE $rest END"
     }
+  }
+
+  val langIdSql: String = {
+    val langs = TextAnalysis.profiles.map(_._1)
     s"""WITH s AS (
        |  SELECT doc_id,
-       |    $scores
+       |    $langScoreSelects
        |  FROM documents
        |)
-       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $chain AS lang_pred FROM s""".stripMargin
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $langPredChain AS lang_pred FROM s""".stripMargin
   }
+
+  /** Mirror of [[graft.text.TextAnalysis.langConfusion]]: the labeled ×
+    * predicted language contingency table. */
+  val langConfusionSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    $langScoreSelects
+       |  FROM documents
+       |),
+       |p AS (SELECT lang, $langPredChain AS lang_pred FROM s)
+       |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY lang, lang_pred""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.clusterSizeHistogram]]: component
+    * sizes from the shared exact transitive closure, plus the singleton
+    * row (corpus minus graph vertices). */
+  val clusterSizeHistogramSql: String =
+    s"""WITH RECURSIVE $componentsChain,
+       |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component),
+       |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY cluster_size),
+       |singleton AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |         CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters
+       |),
+       |uni AS (SELECT * FROM hist UNION ALL SELECT * FROM singleton WHERE n_clusters > 0)
+       |SELECT cluster_size, n_clusters, CAST(cluster_size * n_clusters AS BIGINT) AS n_docs FROM uni""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.gopherRules]] at its default
+    * thresholds (50/100000 words, mean len 3-10, symbol ratio 0.1,
+    * bullet 0.9 / ellipsis 0.3 line shares, alpha 0.8, 2 required
+    * stopwords). Signals round to 6 digits BEFORE the threshold
+    * comparison on both engines, so the pass boolean is boundary-safe. */
+  val gopherRulesSql: String = {
+    val stops = TextAnalysis.gopherReqStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CASE WHEN len(w) > 0 THEN round(list_sum(list_transform(w, x -> length(x))) / len(w), 6) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(w) > 0 THEN round(((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) // 3) / len(w), 6) ELSE 0.0 END AS symbol_ratio,
+       |    round(len(list_filter(l, x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•'))) / len(l), 6) AS bullet_frac,
+       |    round(len(list_filter(l, x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…'))) / len(l), 6) AS ellipsis_frac,
+       |    CASE WHEN len(w) > 0 THEN round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w), 6) ELSE 0.0 END AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(string_split_regex(lower(text), '[^a-z]+')), $stops)) AS BIGINT) AS n_req_stops
+       |  FROM (
+       |    SELECT doc_id, text,
+       |           list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w,
+       |           string_split(text, chr(10)) AS l
+       |    FROM documents
+       |  )
+       |)
+       |SELECT *,
+       |       (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+       |        AND alpha_frac >= 0.8 AND n_req_stops >= 2) AS pass_gopher
+       |FROM sig""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with
+    * `lang = 'en'` as the target slice and 1024 hash buckets: the same
+    * md5-prefix bucket, smoothed per-bucket log-ratio, and
+    * DECIMAL(28,18) per-doc accumulation. */
+  val dsirSql: String =
+    s"""WITH $tclCte,
+       |tok AS (
+       |  SELECT doc_id, (lang = 'en') AS is_t,
+       |         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024 AS b
+       |  FROM (SELECT doc_id, lang, unnest(tl) AS w FROM tcl)
+       |),
+       |model AS (
+       |  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(count(*) AS BIGINT) AS cr
+       |  FROM tok GROUP BY b
+       |),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM model),
+       |lrt AS (
+       |  SELECT b, ln((ct + 1) / (nt + 1024)) - ln((cr + 1) / (nr + 1024)) AS lr
+       |  FROM model CROSS JOIN tot
+       |),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         round(CAST(sum(CAST(lr AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6) AS avg_logratio
+       |  FROM tok JOIN lrt USING (b) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(pd.n_tokens, 0) AS n_tokens,
+       |       COALESCE(pd.avg_logratio, 0.0) AS avg_logratio,
+       |       COALESCE(pd.avg_logratio, 0.0) > 0.0 AS selected
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
 
   /** Repetition metrics mirror of [[graft.text.TextAnalysis.repetition]]. */
   val repetitionSql: String =

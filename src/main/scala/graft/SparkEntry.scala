@@ -1038,6 +1038,14 @@ object SparkEntry {
         graft.text.TextAnalysis.qualityGate(Collocations.documents(s, d), p = 0.75),
       Some(OracleSqlExt.qualityGateSql(0.75))),
 
+    // labeled × predicted lang-ID contingency table — the eval report /
+    // drift monitor for the lang-ID stage; shuffle-free argmax, one
+    // metadata-sized aggregation
+    ("text_langid_confusion",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.langConfusion(Collocations.documents(s, d)),
+      Some(OracleSqlExt.langConfusionSql)),
+
     ("text_langid",
       (s: SparkSession, d: String) => {
         val docs = Collocations.documents(s, d)
@@ -1082,6 +1090,24 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.tokenEntropy(Collocations.documents(s, d)),
       Some(OracleSqlExt.tokenEntropySql)),
+
+    // Gopher document-format rules (Rae et al. 2021 A1.1): the published
+    // pre-model web-filter battery — per-doc signals + the conjunction,
+    // pure array/regex Column algebra (zero shuffles)
+    ("quality_gopher_rules",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.gopherRules(Collocations.documents(s, d)),
+      Some(OracleSqlExt.gopherRulesSql)),
+
+    // DSIR-style hashed-unigram importance weights (Xie et al. 2023):
+    // target = the lang='en' slice, model = 1024 hash buckets (fixed-size
+    // regardless of vocabulary — the 100 TB property), broadcast-joined
+    // scoring pass
+    ("select_dsir",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.Dsir.importanceWeights(Collocations.documents(s, d),
+          org.apache.spark.sql.functions.col("lang") === "en"),
+      Some(OracleSqlExt.dsirSql)),
 
     ("mix_weights",
       (s: SparkSession, d: String) =>
@@ -1274,6 +1300,15 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.lshComponents(Collocations.documents(s, d)),
       Some(OracleSqlExt.componentsSql)),
+
+    // the REPORT run before committing to a dedup pass: cluster-size ->
+    // (n_clusters, n_docs) including the singleton row; metadata-sized
+    // aggregations over the cached duplicates-sized label table, gated
+    // against the same recursive-CTE closure as dedup_components
+    ("dedup_cluster_sizes",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.clusterSizeHistogram(Collocations.documents(s, d)),
+      Some(OracleSqlExt.clusterSizeHistogramSql)),
 
     // dedup-aware train/holdout split: md5-bucket assignment, then any
     // near-dup component spanning the split is demoted wholesale to train

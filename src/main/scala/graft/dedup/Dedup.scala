@@ -449,6 +449,32 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Duplicate-cluster size distribution — the standard "how duplicated
+    * is this corpus" report run before committing to a dedup pass:
+    * `cluster_size -> (n_clusters, n_docs)`, including the size-1 row
+    * for documents outside the candidate graph (every graph component
+    * has >= 2 members by construction, so the singleton count is just
+    * corpus minus graph vertices — no corpus-wide join needed).
+    *
+    * Scale shape: both aggregations run over the (duplicates-sized,
+    * already-cached) label table from [[lshComponents]]; the corpus
+    * itself is scanned once for its count. The result is at most
+    * max-cluster-size rows of metadata. */
+  def clusterSizeHistogram(docs: DataFrame, k: Int = 3, bands: Int = 4,
+                           rowsPerBand: Int = 4,
+                           maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val labels = lshComponents(docs, k, bands, rowsPerBand, maxBucketSize = maxBucketSize)
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singleton = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_graph"))))
+      .select(lit(1L).as("cluster_size"), (col("n_total") - col("n_graph")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singleton)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
   // ------------------------------------------------------------ jaccard
 
   /** Exact shingle-Jaccard as a VERIFICATION stage over the LSH candidate

@@ -228,6 +228,62 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Gopher-style document-format rules (Rae et al. 2021, "Scaling
+    * Language Models: ...", Appendix A1.1) — the published rule set a
+    * web-scale curation pipeline applies before any model-based scoring:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (`#` / `...`), bullet-line and ellipsis-line shares, the fraction of
+    * words containing a letter, and containment of at least
+    * `minReqStops` of the 8 required stopwords. Emits every signal plus
+    * the conjunction `pass_gopher`, so a pipeline can loosen one rule
+    * without recomputing the rest.
+    *
+    * Scale shape: pure per-document `Column` algebra — regex/array-local,
+    * zero shuffles, codegen'd end to end; the ideal 100 TB map. All
+    * ratios round to 6 digits (the corpus-wide parity discipline). */
+  val gopherReqStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minReqStops: Int = 2): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = when(nWords > 0, round(sumLen / nWords, 6)).otherwise(lit(0.0))
+    val nSymbols = occurrences(col("text"), "#") + occurrences(col("text"), "...")
+    val symbolRatio = when(nWords > 0, round(nSymbols / nWords, 6)).otherwise(lit(0.0))
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = round(
+      size(filter(lines, l => ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast("long") / nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast("long") / nLines, 6)
+    val alphaFrac = when(nWords > 0,
+      round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long") / nWords, 6))
+      .otherwise(lit(0.0))
+    val nReqStops = size(array_intersect(
+      array_distinct(split(lower(col("text")), "[^a-z]+")),
+      array(gopherReqStops.map(lit): _*))).cast("long")
+    docs.select(col("doc_id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nReqStops.as("n_req_stops"))
+      .withColumn("pass_gopher",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_req_stops") >= minReqStops)
+  }
+
   /** Shannon entropy of each document's token distribution — the quality
     * signal that separates natural prose (high entropy) from keyword
     * stuffing, boilerplate and generative loops (low entropy relative to
@@ -353,6 +409,15 @@ object TextAnalysis {
     }
     chain
   }
+
+  /** Language-ID confusion matrix: the labeled × predicted contingency
+    * table — the standard eval report for a lang-ID stage (and, run on a
+    * production corpus, the drift monitor: a new crawl shifting mass off
+    * the diagonal is the signal to retrain profiles). One metadata-sized
+    * aggregation over the shuffle-free per-doc argmax. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), predictedLang(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
 
   /** Document fingerprint: md5 of the sorted distinct cleaned tokens —
     * a canonical bag-of-words signature, stable under token reordering. */

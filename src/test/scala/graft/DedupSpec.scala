@@ -140,6 +140,24 @@ class DedupSpec extends SparkSpec {
     assert(fixtureKept == Map(1L -> 2L, 4L -> 0L, 5L -> 0L), s"got $fixtureKept")
   }
 
+  test("cluster size histogram: one row per size, singletons counted, doc totals conserved") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight while stars shine above the quiet sleepy town and everyone rests"
+    val corpus = Seq(
+      (10L, "a " + base.drop(4)),           // }
+      (11L, base),                           // } one 3-cluster through 11
+      (12L, base.dropRight(5) + "sings"),    // }
+      (20L, "completely different text about distributed query planning and shuffle exchange reuse in modern engines"),
+      (21L, "completely different text about distributed query planning and shuffle exchange reuse in modern engines"), // exact clone of 20
+      (30L, "a singleton document speaking of nothing that any other document here ever mentions at all today")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val hist = Dedup.clusterSizeHistogram(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist == Map(3L -> (1L, 3L), 2L -> (1L, 2L), 1L -> (1L, 1L)), s"got $hist")
+    // conservation: every corpus doc lands in exactly one cluster
+    assert(hist.values.map(_._2).sum == 6L)
+  }
+
   test("passageContainment attributes repeats to the first owner and excludes self-repeats") {
     import spark.implicits._
     val corpus = Seq(

@@ -65,6 +65,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
   }
 
+  test("capped LSH bucket cache feeds the self-join pre-partitioned — one exchange total") {
+    // The scale contract on Dedup.lshCandidates: capBuckets' count-over-
+    // window partitions on the SAME (band, sig) key the candidate
+    // self-join shuffles on, and the persist between them preserves that
+    // hash partitioning — so the join consumes both cached sides with NO
+    // exchange of its own. The only shuffle in the whole candidate plan is
+    // the trailing distinct on (a, b). A refactor that caps on the cache
+    // READ side (the r10 shape), or re-keys the window, silently doubles
+    // the shuffle at 100 TB; this pins it to exactly one.
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    // force the sort-merge form: at test SF the capped table is broadcast-
+    // small, which would skip the partitioning-reuse path this test pins
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // drop caches left by other suites: a previously-cached lshCandidates
+    // result canonicalizes equal to the plan built here and would swallow
+    // the whole subtree into one InMemoryTableScan leaf
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Collocations.documents(spark, sf)
+    val capped = Dedup.capBuckets(Dedup.lshBuckets(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      capped.count() // materialize: fixes the cache's output partitioning
+      val cand = Dedup.candidatesFromBuckets(capped, maxBucketSize = 0)
+      cand.count()   // let AQE finalize before walking the plan
+      // node-level walk, NOT a plan-string regex: InMemoryRelation prints
+      // its (already-paid) build plan inline, which would double-count
+      val shuffles = physicalPlan(cand).collect {
+        case s: ShuffleQueryStageExec => s
+        case e: ShuffleExchangeLike   => e
+      }
+      assert(shuffles.size == 1,
+        s"candidate plan should shuffle once (the distinct), saw ${shuffles.size}:\n${physicalPlan(cand)}")
+    } finally {
+      capped.unpersist()
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("sketch twins aggregate partial then final (mergeable partials)") {
     Seq("percentiles_approx", "approx_distinct").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))

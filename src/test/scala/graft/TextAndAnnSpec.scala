@@ -80,6 +80,66 @@ class TextAndAnnSpec extends SparkSpec {
     assert(cov.head == math.round(4.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("lang confusion table conserves doc counts and agrees with the per-doc argmax") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the thing that sang this morning", "en"),
+      (2L, "le chou et le loup sous les nuages", "fr"),
+      (3L, "der reiche eichenwald bei der kirche", "de"),
+      (4L, "los osos en la colina del este", "es")
+    ).toDF("doc_id", "text", "lang")
+    val conf = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf.values.sum == 4L, s"counts must conserve docs: $conf")
+    // cross-check each cell against the per-doc argmax
+    val perDoc = docs.select(col("lang"), TextAnalysis.predictedLang(col("text")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(conf == perDoc, s"confusion cells must equal grouped argmax: $conf vs $perDoc")
+  }
+
+  test("gopher rules: each signal fires on its adversarial doc, clean prose passes") {
+    import spark.implicits._
+    val prose = (("the quick brown fox jumps over that lazy dog and friends " * 5) +
+      "be to of have with great energy every single morning run").trim
+    val docs = Seq(
+      (1L, prose),                                       // passes everything
+      (2L, "short text"),                                // word-count floor
+      (3L, "- one\n- two\n- three\n- four"),             // bullet lines
+      (4L, "a b...\nc d...\ne f..."),                    // ellipsis line ends
+      (5L, "# # # # the of and")                         // symbol ratio
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("pass_gopher"), s"prose should pass: ${r(1L)}")
+    assert(r(1L).getAs[Long]("n_req_stops") >= 2)
+    assert(!r(2L).getAs[Boolean]("pass_gopher") && r(2L).getAs[Long]("n_words") == 2)
+    assert(r(3L).getAs[Double]("bullet_frac") == 1.0)
+    assert(r(4L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(r(5L).getAs[Double]("symbol_ratio") > 0.1 && !r(5L).getAs[Boolean]("pass_gopher"))
+    // mean word length is the length-weighted mean of whitespace words
+    assert(r(2L).getAs[Double]("mean_word_len") == 4.5) // "short"(5) "text"(4)
+  }
+
+  test("dsir importance weights separate target-like from raw-like docs") {
+    import spark.implicits._
+    // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
+    // A raw doc written in target vocabulary must score positive; one in
+    // background vocabulary must score negative.
+    val target = (1L to 20L).map(i => (i, "alpha beta alpha beta gamma", "en"))
+    val raw = (21L to 40L).map(i => (i, "zeta eta zeta eta theta", "de"))
+    val probes = Seq((100L, "alpha beta gamma alpha", "de"), (101L, "zeta eta theta zeta", "de"))
+    val docs = (target ++ raw ++ probes).toDF("doc_id", "text", "lang")
+    val w = graft.pipelines.Dsir.importanceWeights(docs, col("lang") === "en")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(w(100L).getAs[Double]("avg_logratio") > 0 && w(100L).getAs[Boolean]("selected"),
+      s"target-vocab probe should be selected: ${w(100L)}")
+    assert(w(101L).getAs[Double]("avg_logratio") < 0 && !w(101L).getAs[Boolean]("selected"),
+      s"background-vocab probe should be rejected: ${w(101L)}")
+    // row-preserving: every corpus doc comes back exactly once
+    assert(w.size == docs.count())
+  }
+
   test("token entropy: uniform maxes at ln(distinct), constant is 0, empty docs survive") {
     import spark.implicits._
     val docs = Seq(
