@@ -794,6 +794,23 @@ object OracleSqlExt {
        |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $langPredChain AS lang_pred FROM s""".stripMargin
   }
 
+  /** Mirror of [[graft.text.TextAnalysis.bpePairCounts]]: word-frequency
+    * table, pair explode over distinct words (DuckDB `range(1, len)` is
+    * half-open = Spark's inclusive `sequence(1, len - 1)`), weighted pair
+    * counts, deterministic top-k. */
+  def bpePairCountsSql(k: Int): String =
+    s"""WITH $tclCte,
+       |wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(tl) AS w FROM tcl) GROUP BY w
+       |),
+       |pr AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+       |  FROM (SELECT w, wc, unnest(range(1, length(w))) AS i FROM wf WHERE length(w) >= 2)
+       |),
+       |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM pr GROUP BY pair)
+       |SELECT pair, c FROM pc ORDER BY c DESC, pair LIMIT $k""".stripMargin
+
   /** Mirror of [[graft.text.TextAnalysis.langConfusion]]: the labeled ×
     * predicted language contingency table. */
   val langConfusionSql: String =

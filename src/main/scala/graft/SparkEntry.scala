@@ -841,6 +841,15 @@ object SparkEntry {
         graft.text.TextAnalysis.vocabCoverage(Collocations.documents(s, d), k = 50),
       Some(OracleSqlExt.vocabCoverageSql(50))),
 
+    // first-iteration BPE merge statistics: corpus-weighted adjacent
+    // char-pair counts computed over the word-FREQUENCY table (the
+    // Sennrich form — the pair explode runs over the vocabulary, never
+    // the corpus), deterministic top-k
+    ("bpe_pair_counts",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.bpePairCounts(Collocations.documents(s, d), k = 20),
+      Some(OracleSqlExt.bpePairCountsSql(20))),
+
     // distribution companion to table_profile: fixed-width bins over a
     // numeric column, one bounded-cardinality aggregation. The bin
     // arithmetic is identical IEEE double ops on both engines

@@ -64,8 +64,13 @@ object TextAnalysis {
     * set is engine-identical. At 100 TB swap the exact percentile for
     * `approx_percentile` (the documented sketch-twin trade). */
   def qualityGate(docs: DataFrame, p: Double = 0.75): DataFrame = {
+    // persist the scored table: the threshold aggregate and the gate both
+    // reference it, and without the cache the corpus would be scanned and
+    // tokenized twice (same caller-owned-cache trade as [[tfidf]]; the
+    // broadcast threshold job materializes it before the main stage runs)
     val q = docs.select(col("doc_id"), col("lang"),
-      quality(col("text")).getField("quality").as("q"))
+        quality(col("text")).getField("quality").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = q.agg(round(expr(s"percentile(q, $p)"), 6).as("thr"))
     q.crossJoin(broadcast(thr)).filter(col("q") >= col("thr"))
       .select("doc_id", "lang", "q")
@@ -169,6 +174,28 @@ object TextAnalysis {
     out.count()
     counts.unpersist()
     out
+  }
+
+  /** First-iteration BPE merge statistics: corpus-weighted counts of
+    * adjacent character pairs — exactly the table a byte-pair-encoding
+    * tokenizer trainer builds to choose its first merge (Sennrich et al.
+    * 2016 operate on the word-frequency table, not the raw stream, so the
+    * pair explode runs over the VOCABULARY — tiny next to the corpus).
+    *
+    * Scale shape: one vocabulary-keyed count shuffle (the same as
+    * [[vocabCoverage]]), an array-local pair explode over the distinct
+    * words, one pair-keyed aggregation, then a global top-k that Spark
+    * executes as TakeOrderedAndProject (bounded per-partition heaps).
+    * Ties break by pair ascending for cross-engine determinism. */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("c"))
+      .orderBy(col("c").desc, col("pair").asc).limit(k)
   }
 
   /** Bigram language-model scoring — the LM-perplexity-style quality

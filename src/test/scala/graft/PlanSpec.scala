@@ -232,9 +232,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-6 operators keep their scale shapes") {
-    // chunking and z-order values are array-local scan -> project /
-    // generate pipelines: zero exchanges at any corpus size
-    Seq("chunk_documents", "zorder_layout").foreach { q =>
+    // chunking, z-order values, and the Gopher rule battery are
+    // array-local scan -> project / generate pipelines: zero exchanges at
+    // any corpus size
+    Seq("chunk_documents", "zorder_layout", "quality_gopher_rules").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
     }

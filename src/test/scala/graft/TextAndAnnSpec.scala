@@ -80,6 +80,20 @@ class TextAndAnnSpec extends SparkSpec {
     assert(cov.head == math.round(4.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("bpe pair counts weight by word frequency and count within-word repeats") {
+    import spark.implicits._
+    // vocab: abab (wc 2 across docs), ab (wc 3), cd (wc 1)
+    val docs = Seq(
+      (1L, "abab ab ab"),
+      (2L, "abab ab cd")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.bpePairCounts(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ab: 2 per "abab" occurrence (positions 1,3) x2 + 1 per "ab" x3 = 7
+    // ba: 1 per "abab" x2 = 2; cd: 1
+    assert(pairs == Map("ab" -> 7L, "ba" -> 2L, "cd" -> 1L), s"got $pairs")
+  }
+
   test("lang confusion table conserves doc counts and agrees with the per-doc argmax") {
     import spark.implicits._
     val docs = Seq(
