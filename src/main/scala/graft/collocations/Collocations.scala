@@ -47,7 +47,14 @@ object Collocations {
 
   /** c1 per (lang, w) — A2. Partial aggregation is automatic. */
   def unigramCounts(docs: DataFrame): DataFrame =
-    unigrams(docs).groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    unigramCountsFromToks(tokenized(docs))
+
+  /** [[unigramCounts]] from an already-tokenized (lang, toks) table —
+    * lets [[joinedC2]]/[[withN]] share ONE cached tokenizer pass across
+    * the unigram and bigram aggregations. */
+  private[graft] def unigramCountsFromToks(t: DataFrame): DataFrame =
+    Stopwords.anti(t.select(col("lang"), explode(col("toks")).as("w")), "w")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
 
   /** Grand total N per lang — A4, as a *global* sum (fixes the reference's
     * one-reducer assumption). */
@@ -58,8 +65,11 @@ object Collocations {
     * (pairs are formed over the cleaned token sequence *including*
     * stopwords, then filtered — matching the reference, where Google's
     * bigrams were formed from raw text and stopword bigrams dropped after). */
-  def bigramPairs(docs: DataFrame): DataFrame = {
-    val pairs = tokenized(docs)
+  def bigramPairs(docs: DataFrame): DataFrame =
+    bigramPairsFromToks(tokenized(docs))
+
+  private[graft] def bigramPairsFromToks(t: DataFrame): DataFrame = {
+    val pairs = t
       .select(col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
       .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     Stopwords.anti(Stopwords.anti(pairs, "w1"), "w2")
@@ -67,7 +77,10 @@ object Collocations {
 
   /** c12 per (lang, w1, w2) — A3, with real summation. */
   def bigramCounts(docs: DataFrame): DataFrame =
-    bigramPairs(docs).groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+    bigramCountsFromToks(tokenized(docs))
+
+  private[graft] def bigramCountsFromToks(t: DataFrame): DataFrame =
+    bigramPairsFromToks(t).groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
 
   /** J1: attach c1 on (lang, w1). */
   def joinedC1(docs: DataFrame): DataFrame = {
@@ -82,14 +95,19 @@ object Collocations {
     * stays cached, and the caller owns it — `result.unpersist()` leaves
     * zero session caches behind (asserted in DedupSpec). */
   def joinedC2(docs: DataFrame): DataFrame = {
-    val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bigramCounts(docs)
+    // cache the TOKENIZED corpus, not just the count table: the unigram
+    // and bigram aggregations each explode it, and without the cache the
+    // regex-heavy tokenizer (the expensive part of the scan) runs twice
+    val t = tokenized(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = unigramCountsFromToks(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bigramCountsFromToks(t)
       .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
       .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
       .select("lang", "w2", "w1", "c12", "c1", "c2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     u.unpersist()
+    t.unpersist()
     out
   }
 
@@ -99,15 +117,18 @@ object Collocations {
     * materialized — the cached return value is the single-DAG equivalent
     * of the reference writing Job2's joined output to a table. */
   def withN(docs: DataFrame): DataFrame = {
-    val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same single-tokenize discipline as [[joinedC2]]
+    val t = tokenized(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = unigramCountsFromToks(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = u.groupBy("lang").agg(sum("c").as("n"))
-    val out = bigramCounts(docs)
+    val out = bigramCountsFromToks(t)
       .join(u.select(col("lang"), col("w").as("w1"), col("c").as("c1")), Seq("lang", "w1"))
       .join(u.select(col("lang"), col("w").as("w2"), col("c").as("c2")), Seq("lang", "w2"))
       .join(broadcast(n), Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     u.unpersist()
+    t.unpersist()
     out
   }
 

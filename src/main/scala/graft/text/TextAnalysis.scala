@@ -216,9 +216,14 @@ object TextAnalysis {
       .groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+    // the bigram stream feeds both the count model and the scoring join;
+    // persist it so the corpus is scanned+tokenized once — the staged
+    // "write the doc-bigram table" shape of a production LM-scoring job
+    // (same caller-owned-cache trade as [[tfidf]]'s tf)
     val bg = toks
       .select(col("doc_id"), col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
       .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
     bg.join(bgc, Seq("lang", "w1", "w2"))
       .join(uni, Seq("lang", "w1"))
