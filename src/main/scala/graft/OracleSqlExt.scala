@@ -811,6 +811,28 @@ object OracleSqlExt {
        |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM pr GROUP BY pair)
        |SELECT pair, c FROM pc ORDER BY c DESC, pair LIMIT $k""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.noveltyScores]] with even doc_ids as
+    * the reference corpus: distinct reference shingles, a shingle-keyed
+    * membership probe, round-6 novelty. */
+  val noveltySql: String =
+    s"""WITH $tclCte,
+       |$shCte,
+       |ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+       |agg AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+       |  FROM sh s LEFT JOIN ref r ON s.shingle = r.shingle
+       |  WHERE s.doc_id % 2 = 1 GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(agg.n_shingles, 0) AS n_shingles,
+       |       COALESCE(agg.n_seen, 0) AS n_seen,
+       |       CASE WHEN COALESCE(agg.n_shingles, 0) > 0
+       |            THEN round(1.0 - CAST(agg.n_seen AS DOUBLE) / agg.n_shingles, 6)
+       |            ELSE 0.0 END AS novelty
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |WHERE d.doc_id % 2 = 1""".stripMargin
+
   /** Mirror of [[graft.text.TextAnalysis.langConfusion]]: the labeled ×
     * predicted language contingency table. */
   val langConfusionSql: String =

@@ -1310,6 +1310,15 @@ object SparkEntry {
         graft.dedup.Dedup.lshComponents(Collocations.documents(s, d)),
       Some(OracleSqlExt.componentsSql)),
 
+    // n-gram novelty triage of an incoming batch (odd doc_ids) against a
+    // reference corpus (even doc_ids): distinct-shingle membership probe
+    // via one shingle-keyed join, never a posting-list self-join
+    ("novelty_scores",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.noveltyScores(Collocations.documents(s, d),
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      Some(OracleSqlExt.noveltySql)),
+
     // the REPORT run before committing to a dedup pass: cluster-size ->
     // (n_clusters, n_docs) including the singleton row; metadata-sized
     // aggregations over the cached duplicates-sized label table, gated

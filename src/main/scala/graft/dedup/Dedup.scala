@@ -894,6 +894,39 @@ object Dedup {
     out
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the data-
+    * valuation triage an incoming crawl batch gets before it earns
+    * training slots: `novelty = 1 − |shingles ∩ reference| / |shingles|`,
+    * so boilerplate re-crawls score ~0 and genuinely new text ~1. The
+    * complement of decontamination ([[contamination]] asks "is this eval
+    * text leaking in", novelty asks "does this add anything at all").
+    *
+    * Scale shape: the reference's distinct shingle set is vocabulary-
+    * spread (one distinct shuffle), the membership probe is a shingle-
+    * keyed left join — never a posting-list self-join — and the per-doc
+    * rollup is the only other shuffle. Incoming docs with < k tokens
+    * (no shingles) come back with novelty 0.0 (nothing to assess).
+    * Returns every incoming doc: (doc_id, n_shingles, n_seen, novelty). */
+  def noveltyScores(docs: DataFrame, isRef: Column, k: Int = 3): DataFrame = {
+    val flagged = docs.withColumn("is_ref", isRef)
+    val refSh = shingles(flagged.filter(col("is_ref")), k)
+      .select("shingle").distinct().withColumn("seen", lit(1L))
+    val incoming = flagged.filter(!col("is_ref"))
+    val agg = shingles(incoming, k)
+      .join(refSh, Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    incoming.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicate pairs via banded sign-LSH — the 100 TB

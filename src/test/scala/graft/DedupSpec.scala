@@ -158,6 +158,25 @@ class DedupSpec extends SparkSpec {
     assert(hist.values.map(_._2).sum == 6L)
   }
 
+  test("novelty: clones score 0, new text 1, partial overlap in between, short docs 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),          // reference (even)
+      (2L, "eta theta iota kappa lambda mu"),               // reference (even)
+      (1L, "alpha beta gamma delta epsilon zeta"),          // clone of ref 0
+      (3L, "totally novel words nobody else ever wrote"),   // all-new
+      (5L, "alpha beta gamma delta brand new ending"),      // 2 of 5 shingles seen
+      (7L, "too short")                                     // < 3 tokens
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val r = Dedup.noveltyScores(corpus, col("doc_id") % 2 === 0).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet == Set(1L, 3L, 5L, 7L), s"one row per incoming doc: $r")
+    assert(r(1L)._3 == 0.0 && r(1L)._1 == r(1L)._2, s"clone must score 0: ${r(1L)}")
+    assert(r(3L)._3 == 1.0 && r(3L)._2 == 0, s"all-new must score 1: ${r(3L)}")
+    assert(r(5L) == (5L, 2L, 0.6), s"partial overlap 1 - 2/5: ${r(5L)}")
+    assert(r(7L) == (0L, 0L, 0.0), s"shingle-less doc scores 0: ${r(7L)}")
+  }
+
   test("passageContainment attributes repeats to the first owner and excludes self-repeats") {
     import spark.implicits._
     val corpus = Seq(
