@@ -909,11 +909,23 @@ object Dedup {
     * Returns every incoming doc: (doc_id, n_shingles, n_seen, novelty). */
   def noveltyScores(docs: DataFrame, isRef: Column, k: Int = 3): DataFrame = {
     val flagged = docs.withColumn("is_ref", isRef)
-    val refSh = shingles(flagged.filter(col("is_ref")), k)
-      .select("shingle").distinct().withColumn("seen", lit(1L))
-    val incoming = flagged.filter(!col("is_ref"))
+    noveltyAgainst(flagged.filter(!col("is_ref")),
+      referenceShingles(flagged.filter(col("is_ref")), k), k)
+  }
+
+  /** The reference side of [[noveltyScores]] as a standalone table —
+    * build once, persist as parquet, serve many batches (the
+    * [[writeDedupIndex]] discipline; [[graft.streaming.NoveltyStream]]
+    * joins it against every incoming micro-batch). */
+  def referenceShingles(ref: DataFrame, k: Int = 3): DataFrame =
+    shingles(ref, k).select("shingle").distinct()
+
+  /** Score `incoming` docs against an existing reference shingle table —
+    * the exact scoring algebra of [[noveltyScores]], factored out so the
+    * batch query and the streaming triage cannot drift. */
+  def noveltyAgainst(incoming: DataFrame, refShingles: DataFrame, k: Int = 3): DataFrame = {
     val agg = shingles(incoming, k)
-      .join(refSh, Seq("shingle"), "left")
+      .join(refShingles.select("shingle").withColumn("seen", lit(1L)), Seq("shingle"), "left")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_shingles"),
         sum(coalesce(col("seen"), lit(0L))).as("n_seen"))

@@ -321,6 +321,59 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming novelty triage scores each shard exactly like the batch query") {
+    import graft.streaming.{DedupStream, NoveltyStream}
+    import graft.dedup.Dedup
+    val watch = java.nio.file.Files.createTempDirectory("graft-novelty-stream")
+    val refDir = java.nio.file.Files.createTempDirectory("graft-novelty-ref")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-novelty-out").resolve("scores")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-novelty-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    // reference = even docs, built ONCE and persisted (the build-once/
+    // serve-many contract); incoming = odd docs in two shard drops
+    Dedup.referenceShingles(all.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(refDir.toString)
+    val refSh = spark.read.parquet(refDir.toString)
+    def drop(name: String, mod4: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-novelty-stage")
+      all.filter(col("doc_id") % 4 === mod4)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    drop("a.parquet", 1L)
+    val q = NoveltyStream.triage(DedupStream.readStream(spark, watch.toString),
+      refSh, outDir.toString, ckpt.toString)
+    q.processAllAvailable()          // batch 0 = shard a (doc_id % 4 == 1)
+    drop("b.parquet", 3L)
+    q.processAllAvailable(); q.stop() // batch 1 = shard b
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = NoveltyStream.scores(spark, outDir.toString)
+      .select("doc_id", "n_shingles", "n_seen", "novelty").collect().map(key).toSet
+    // incoming = all odd docs = exactly the two streamed shards; the
+    // reference side is the same all-evens table the stream served from
+    val batch = Dedup.noveltyScores(all, col("doc_id") % 2 === 0)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream scores must equal the batch query on the same docs (${streamed.size} vs ${batch.size})")
+    assert(streamed.nonEmpty && streamed.exists(_._4 < 1.0),
+      "the synthetic corpus shares shingles across parity classes; all-1.0 means a dead join")
+    // replay idempotence: re-scoring an already-committed batch replaces
+    // its partition instead of appending duplicate rows
+    NoveltyStream.scoreBatch(all.filter(col("doc_id") % 4 === 1), refSh)
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outDir.toString)
+    val after = NoveltyStream.scores(spark, outDir.toString)
+      .select("doc_id", "n_shingles", "n_seen", "novelty").collect().map(key)
+    assert(after.length == after.toSet.size && after.toSet == streamed,
+      "replaying batch 0 must leave the score table unchanged")
+    Seq(watch, refDir, outDir.getParent, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("ngram stream language rides on the file's basename, not the watch directory's path") {
     import graft.streaming.NGramStream
     // an English shard inside a directory whose PATH contains 'heb' must
