@@ -143,6 +143,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cluster size histogram conserves the corpus for arbitrary inputs") {
+    import spark.implicits._
+    Seq(17, 40).foreach { size =>
+      val corpus = corpusGen(size).sample.get
+      val docs = corpus.map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+      val hist = graft.dedup.Dedup.clusterSizeHistogram(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every doc lands in exactly one cluster; n_docs is size * count
+      assert(hist.map(_._3).sum == corpus.size.toLong,
+        s"doc totals not conserved: $hist vs ${corpus.size}")
+      hist.foreach { case (cs, nc, nd) =>
+        assert(cs >= 1 && nc >= 1 && nd == cs * nc, s"inconsistent row: ($cs, $nc, $nd)")
+      }
+      assert(hist.map(_._1).distinct.length == hist.length, s"duplicate size rows: $hist")
+    }
+  }
+
+  test("novelty is bounded in [0,1], zero for clones, and conserves incoming docs") {
+    import spark.implicits._
+    val corpus = corpusGen(40).sample.get
+    val docs = corpus.map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val scores = graft.dedup.Dedup.noveltyScores(docs, col("doc_id") % 2 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val incoming = corpus.filter(_._1 % 2 == 1)
+    assert(scores.map(_._1).toSet == incoming.map(_._1).toSet,
+      "one score row per incoming doc")
+    scores.foreach { case (id, nsh, nseen, nov) =>
+      assert(nov >= 0.0 && nov <= 1.0 && nseen <= nsh, s"out-of-bounds row: ($id, $nsh, $nseen, $nov)")
+    }
+    // a doc whose text equals some reference doc's text must score 0
+    val refTexts = corpus.filter(_._1 % 2 == 0).map(_._2).toSet
+    val cloneIds = incoming.filter(d => refTexts.contains(d._2)).map(_._1).toSet
+    scores.filter(s => cloneIds.contains(s._1) && s._2 > 0)
+      .foreach(s => assert(s._4 == 0.0, s"reference clone must have novelty 0: $s"))
+  }
+
   test("corpusShuffle is a permutation for arbitrary corpora, stable under row order") {
     import spark.implicits._
     val corpus = corpusGen(50).sample.get
