@@ -784,6 +784,36 @@ object OracleSqlExt {
     }
   }
 
+  /** Mirror of [[graft.pipelines.CorpusReport.report]]: the one-row
+    * corpus summary; quality quartiles ride the shared quality chain and
+    * round to 6 digits on both engines (the [[qualityGateSql]]
+    * discipline). */
+  val corpusReportSql: String =
+    s"""WITH $qualityChain,
+       |qv AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS q FROM r),
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+       |  FROM documents
+       |),
+       |cards AS (
+       |  SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents
+       |),
+       |quart AS (
+       |  SELECT round(quantile_cont(q, 0.25), 6) AS p25_quality,
+       |         round(quantile_cont(q, 0.5), 6) AS p50_quality,
+       |         round(quantile_cont(q, 0.75), 6) AS p75_quality
+       |  FROM qv
+       |)
+       |SELECT n_docs, n_sources, n_langs, total_chars,
+       |       round(total_chars / n_docs, 6) AS mean_chars,
+       |       n_docs - n_distinct_texts AS n_dup_docs,
+       |       p25_quality, p50_quality, p75_quality
+       |FROM base CROSS JOIN cards CROSS JOIN quart""".stripMargin
+
   val langIdSql: String = {
     val langs = TextAnalysis.profiles.map(_._1)
     s"""WITH s AS (

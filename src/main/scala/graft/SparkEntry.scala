@@ -776,6 +776,15 @@ object SparkEntry {
     // multi-distinct form replicated every row #cols+1 times, measured
     // 3x slower); min/max aggregate natively then cast, so integer and
     // varchar renderings agree across engines
+    // the one-row "ANALYZE corpus" report: size, source/lang
+    // cardinalities, exact-dup mass, quality quartiles — three scans,
+    // each the cheapest plan for its signals (single-distinct rewrite,
+    // metadata-sized Expand, tokenizing percentile pass)
+    ("corpus_report",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.CorpusReport.report(Collocations.documents(s, d)),
+      Some(OracleSqlExt.corpusReportSql)),
+
     ("table_profile",
       (s: SparkSession, d: String) =>
         graft.ops.TableProfile.profile(

@@ -51,6 +51,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byComp.forall(g => g.map(_._3).toSet.size == 1 || !g.exists(_._3 == "holdout")))
   }
 
+  test("corpus report counts docs, cardinalities, and exact-dup mass on planted facts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "web"),
+      (2L, "the quick brown fox", "en", "web"),   // exact dup of 1
+      (3L, "the quick brown fox", "de", "web"),   // exact dup of 1 (lang differs, text equal)
+      (4L, "something else entirely here", "en", "books"),
+      (5L, "yet another unique document text", "fr", "web")
+    ).map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.pipelines.CorpusReport.report(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_sources") == 2L && r.getAs[Long]("n_langs") == 3L)
+    assert(r.getAs[Long]("n_dup_docs") == 2L, s"3 copies of one text = 2 dup docs: $r")
+    assert(r.getAs[Long]("total_chars") == docs.collect().map(_.getAs[Long]("n_chars")).sum)
+    val (p25, p50, p75) = (r.getAs[Double]("p25_quality"),
+      r.getAs[Double]("p50_quality"), r.getAs[Double]("p75_quality"))
+    assert(p25 <= p50 && p50 <= p75 && p25 > 0 && p75 < 1, s"quartiles out of order: $r")
+  }
+
   test("quantile quality gate keeps exactly the top tail, never splitting equal scores inconsistently") {
     import graft.collocations.Collocations
     val docs = Collocations.documents(spark, "/root/testdata/sf0.001")
