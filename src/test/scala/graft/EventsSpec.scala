@@ -119,6 +119,25 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("a REAL TIMESTAMP(NANOS) footer takes the legacy nanosAsLong read path end to end") {
+    // the checked-in fixture carries an actual parquet TIMESTAMP(NANOS)
+    // logical type (authored with pyarrow — Spark cannot write one), so
+    // this exercises the legacy `nanosAsLong` read itself, not just its
+    // dtype-equivalent plain-BIGINT twin: dropping the flag from a
+    // session builder, or a Spark upgrade changing the legacy read, fails
+    // HERE and nowhere else
+    val dir = getClass.getResource("/events").getPath
+    val df = spark.read.parquet(s"$dir/events_nanos.parquet")
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+      s"nanosAsLong read must surface TIMESTAMP(NANOS) as BIGINT, got ${df.schema("ts").dataType}")
+    val us = df.select(Events.tsMicros(df).as("us")).orderBy("us")
+      .collect().map(_.getLong(0)).toSeq
+    assert(us == rowsUs.map(_._2).sorted, "ts_us mismatch on the real NANOS footer")
+    // and the operators agree with the dtype-equivalent BIGINT variant
+    assert(sortedRows(Events.hourlyByType(df)) ==
+      sortedRows(Events.hourlyByType(variants()("nanos_long"))))
+  }
+
   test("the BIGINT branch rejects micros-scale values instead of silently dividing") {
     import spark.implicits._
     // epoch-MICROS magnitudes (~1e15 for 2023 dates) are 1000x below any
