@@ -386,20 +386,20 @@ object Dedup {
   def lshComponents(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                     maxIters: Int = 20, maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     val cap = if (maxBucketSize <= 0) Long.MaxValue else maxBucketSize.toLong
-    // one bucket scan feeds the stats aggregate and the stats join; the
-    // joined table then feeds four derivations (both self-join sides, the
-    // star edges, the seeds) — persist the joined form, release the raw
-    // buckets once it is materialized (lambda-bearing plans don't
-    // canonicalize equal for exchange reuse, see lshCandidates)
-    val buckets = lshBuckets(docs, k, bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = buckets.groupBy("band", "sig")
-      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("bn"))
+    // per-bucket stats (bmin, bn) ride a WINDOW over the same (band, sig)
+    // key everything downstream shuffles on — ONE exchange computes both,
+    // vs the r11.0 groupBy+join shape that shuffled the bucket table
+    // twice; the persist preserves that partitioning, so the four
+    // derivations below (both self-join sides, the star edges, the
+    // seeds) read the cache pre-partitioned (the capBuckets exchange-
+    // parity property, pinned in PlanSpec)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val withStats = lshBuckets(docs, k, bands, rowsPerBand)
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") >= 2) // singleton buckets produce no edges and no seeds
-    val withStats = buckets.join(stats, Seq("band", "sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withStats.count()
-    buckets.unpersist()
     val small = withStats.filter(col("bn") <= cap)
     val cliquePairs = small.select(col("band"), col("sig"), col("doc_id").as("a"))
       .join(small.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
