@@ -15,7 +15,7 @@ object ScaleProbe {
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
-      "--lsh-skew-only", "--semantic-only")
+      "--lsh-skew-only", "--semantic-only", "--novelty-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -27,6 +27,7 @@ object ScaleProbe {
     val deconOnly = flags.contains("--decon-only")
     val lshSkewOnly = flags.contains("--lsh-skew-only")
     val semanticOnly = flags.contains("--semantic-only")
+    val noveltyOnly = flags.contains("--novelty-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -126,6 +127,21 @@ object ScaleProbe {
         spark.sharedState.cacheManager.clearCache()
         assert(nPlain == nBloom, s"bloom decon must match plain: $nBloom != $nPlain")
         println(f"SCALE-DECON m=$m%2d docs=${5000 * m}%7d rows=$nPlain%5d plain=$tPlain%6.2f s bloom=$tBloom%6.2f s")
+      } else if (noveltyOnly) {
+        // novelty growth: reference = even ids, incoming = odd ids of the
+        // multiplied corpus. Both sides grow with m, so the probe pins
+        // the two scale claims at once: wall time grows ~linearly (the
+        // membership probe is one shingle-keyed join, no posting-list
+        // blowup even though every shingle's posting list grows with m),
+        // and the score DISTRIBUTION is m-invariant (replicas carry the
+        // same texts, so the mean novelty must not drift as the corpus
+        // multiplies — drift would mean the join semantics leak m).
+        val t0 = System.nanoTime()
+        val scored = graft.dedup.Dedup.noveltyScores(docs, col("doc_id") % 2 === 0)
+        val agg = scored.agg(count(lit(1)), avg(col("novelty"))).collect().head
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-NOVELTY m=$m%2d docs=${5000 * m}%7d scored=${agg.getLong(0)}%7d mean=${agg.getDouble(1)}%.4f t=$t%6.2f s")
       } else if (semanticOnly) {
         // semantic-dedup growth: the scale contract is "nClusters grows
         // with the corpus so cells stay memory-sized" — the A/B is the
