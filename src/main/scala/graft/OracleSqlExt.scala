@@ -889,6 +889,27 @@ object OracleSqlExt {
        |uni AS (SELECT * FROM hist UNION ALL SELECT * FROM singleton WHERE n_clusters > 0)
        |SELECT cluster_size, n_clusters, CAST(cluster_size * n_clusters AS BIGINT) AS n_docs FROM uni""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.perplexityBuckets]]: the full
+    * LM-score query as a nested CTE, tercile thresholds via
+    * `quantile_cont` rounded to 6 digits before comparing (the
+    * [[qualityGateSql]] boundary discipline). */
+  // lazy: textually precedes the lmScoreSql val it embeds — a strict val
+  // would interpolate null during object init
+  lazy val perplexityBucketsSql: String =
+    s"""WITH ls AS (
+       |$lmScoreSql
+       |),
+       |thr AS (
+       |  SELECT round(quantile_cont(avg_logprob, CAST(1.0/3.0 AS DOUBLE)), 6) AS t1,
+       |         round(quantile_cont(avg_logprob, CAST(2.0/3.0 AS DOUBLE)), 6) AS t2
+       |  FROM ls
+       |)
+       |SELECT doc_id, avg_logprob,
+       |       CASE WHEN avg_logprob >= t2 THEN 'head'
+       |            WHEN avg_logprob >= t1 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM ls CROSS JOIN thr""".stripMargin
+
   /** Mirror of [[graft.text.TextAnalysis.gopherRules]] at its default
     * thresholds (50/100000 words, mean len 3-10, symbol ratio 0.1,
     * bullet 0.9 / ellipsis 0.3 line shares, alpha 0.8, 2 required

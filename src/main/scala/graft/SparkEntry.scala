@@ -1099,6 +1099,14 @@ object SparkEntry {
         graft.text.TextAnalysis.lmScore(Collocations.documents(s, d)),
       Some(OracleSqlExt.lmScoreSql)),
 
+    // CCNet-style head/middle/tail perplexity terciles over the LM score
+    // — dynamic corpus-own thresholds, single-row broadcast, round-6
+    // boundary discipline
+    ("perplexity_buckets",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.perplexityBuckets(Collocations.documents(s, d)),
+      Some(OracleSqlExt.perplexityBucketsSql)),
+
     ("text_repetition",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.repetition(Collocations.documents(s, d)),

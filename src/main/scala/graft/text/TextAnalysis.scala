@@ -236,6 +236,32 @@ object TextAnalysis {
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing: split the corpus into head /
+    * middle / tail terciles of the language-model score ([[lmScore]]'s
+    * mean bigram log-prob — higher = more fluent = lower perplexity),
+    * the standard pre-filter that keeps "head" for pretraining and
+    * routes "tail" to heavier cleaning. Thresholds are the corpus's OWN
+    * tercile boundaries (the [[qualityGate]] dynamic-threshold
+    * discipline): a single-row broadcast aggregate, with scores and
+    * thresholds both rounded to 6 digits before comparing so the bucket
+    * boundaries are engine-identical. Docs with no bigrams are excluded
+    * (same domain as [[lmScore]]). */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    // the scored table feeds the threshold aggregate AND the bucket
+    // assignment — persist it (doc-count-sized; same caller-owned-cache
+    // trade as tfidf) so the two-pass LM scoring runs once
+    val scored = lmScore(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = scored.agg(
+      round(expr("percentile(avg_logprob, cast(1.0/3.0 as double))"), 6).as("t1"),
+      round(expr("percentile(avg_logprob, cast(2.0/3.0 as double))"), 6).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("t2"), lit("head"))
+          .when(col("avg_logprob") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Gopher-style repetition metrics — the standard training-data quality
     * signals for boilerplate/spam: per-doc distinct-token ratio and the
     * share of bigram slots taken by the single most frequent bigram. The

@@ -80,6 +80,28 @@ class TextAndAnnSpec extends SparkSpec {
     assert(cov.head == math.round(4.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("perplexity buckets split on the corpus's own terciles, head above tail") {
+    import spark.implicits._
+    // 9 docs over a shared bigram model; repeated common phrases score
+    // higher (more probable bigrams) than one-off word salads
+    val docs = (1L to 6L).map(i => (i, "the cat sat on the mat and the cat ran", "en")) ++
+      Seq((7L, "zeta quark lattice morphism groupoid sheaf", "en"),
+          (8L, "banana piano thunder velvet crayon orbit", "en"),
+          (9L, "the cat sat on the mat and the cat ran", "en"))
+    val b = graft.text.TextAnalysis.perplexityBuckets(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(b.size == 9, "every doc with bigrams gets a bucket")
+    val byBucket = b.values.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // ordering: every head score >= every middle score >= every tail score
+    for (h <- byBucket.getOrElse("head", Nil); m <- byBucket.getOrElse("middle", Nil))
+      assert(h >= m, s"head $h < middle $m")
+    for (m <- byBucket.getOrElse("middle", Nil); t <- byBucket.getOrElse("tail", Nil))
+      assert(m >= t, s"middle $m < tail $t")
+    // the common-phrase clones sit in head, the word salads in tail
+    assert(b(1L)._2 == "head" && b(7L)._2 != "head" && b(8L)._2 != "head", s"got $b")
+  }
+
   test("bpe pair counts weight by word frequency and count within-word repeats") {
     import spark.implicits._
     // vocab: abab (wc 2 across docs), ab (wc 3), cd (wc 1)
