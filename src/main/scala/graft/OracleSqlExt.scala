@@ -1447,4 +1447,75 @@ object OracleSqlExt {
        |       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
        |FROM sid GROUP BY user_id, session_id""".stripMargin
   }
+
+  // ------------------------------------------------------ count-min sketch
+
+  /** Row-i CMS bucket over md5 halves x/y — the single definition all CMS
+    * oracles share, mirroring [[graft.ops.CountMin]]'s affine family. */
+  private def cmsBucket(i: Int, width: Int): String = {
+    import graft.ops.CountMin.{cmsA, cmsB, cmsC, CmsP}
+    s"((${cmsA(i)} * x + ${cmsB(i)} * y + ${cmsC(i)}) % $CmsP) % $width"
+  }
+
+  /** Bigram-occurrence relation `bg(item)` + its md5 halves `bghx(item, x,
+    * y)` (one row PER OCCURRENCE — CMS counts occurrences, not distincts). */
+  private val cmsBgCtes: String =
+    s"""$tclCte,
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1])) AS item
+       |  FROM tcl WHERE len(tl) >= 2
+       |),
+       |bghx AS (
+       |  SELECT item,
+       |         CAST('0x' || substr(m, 1, 7) AS BIGINT) AS x,
+       |         CAST('0x' || substr(m, 8, 7) AS BIGINT) AS y
+       |  FROM (SELECT item, md5(item) AS m FROM bg)
+       |)""".stripMargin
+
+  /** Probe relation `pr(rw, bkt)`: one row per (hash row, bucket) per
+    * occurrence, from which the sketch is a plain GROUP BY count. */
+  private def cmsProbeCte(depth: Int, width: Int): String = {
+    val rows = (0 until depth).map(i =>
+      s"SELECT $i AS rw, ${cmsBucket(i, width)} AS bkt FROM bghx")
+    s"""pr AS (
+       |  ${rows.mkString("\n  UNION ALL ")}
+       |)""".stripMargin
+  }
+
+  /** Flat single-pass sketch build — the oracle for BOTH
+    * `cms_sketch_bigrams` (direct build) and `cms_sketch_merged` (two
+    * split sketches summed cell-wise): merge-exactness means both Spark
+    * forms must hash-match this one relation. */
+  def cmsSketchSql(depth: Int, width: Int): String =
+    s"""WITH $cmsBgCtes,
+       |${cmsProbeCte(depth, width)}
+       |SELECT rw, bkt, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY rw, bkt""".stripMargin
+
+  /** Heavy hitters with CMS point estimates: exact counts >= minCount,
+    * est = min over the depth rows of the item's cell (CMS never
+    * undercounts, so overcount >= 0 — the spec pins that; here the values
+    * themselves are hash-compared). */
+  def cmsHeavyHittersSql(depth: Int, width: Int, minCount: Long): String = {
+    val qprobes = (0 until depth).map(i =>
+      s"SELECT item, $i AS rw, ${cmsBucket(i, width)} AS bkt FROM exhx")
+    s"""WITH $cmsBgCtes,
+       |${cmsProbeCte(depth, width)},
+       |cells AS (SELECT rw, bkt, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY rw, bkt),
+       |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM bg GROUP BY item HAVING count(*) >= $minCount),
+       |exhx AS (
+       |  SELECT item,
+       |         CAST('0x' || substr(m, 1, 7) AS BIGINT) AS x,
+       |         CAST('0x' || substr(m, 8, 7) AS BIGINT) AS y
+       |  FROM (SELECT item, md5(item) AS m FROM ex)
+       |),
+       |qp AS (
+       |  ${qprobes.mkString("\n  UNION ALL ")}
+       |),
+       |est AS (
+       |  SELECT item, min(COALESCE(cnt, 0)) AS est
+       |  FROM qp LEFT JOIN cells USING (rw, bkt) GROUP BY item
+       |)
+       |SELECT item, exact_n, est AS est_n, est - exact_n AS overcount
+       |FROM est JOIN ex USING (item)""".stripMargin
+  }
 }

@@ -100,6 +100,15 @@ object SparkEntry {
 
   /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
     * two implementations stay visibly in lockstep. */
+  /** One row per bigram OCCURRENCE of the cleaned token stream, as the
+    * space-joined string the CMS entries sketch ("w1 w2" — mirror of the
+    * oracle's `tl[i] || ' ' || tl[i+1]`). Array-local pair formation
+    * ([[graft.ops.Normalize.bigramsCol]]) — zero shuffle to form pairs. */
+  private def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs.select(graft.ops.Normalize.tokensCol(col("text")).as("toks"))
+      .select(explode(graft.ops.Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(concat_ws(" ", col("p.w1"), col("p.w2")).as("item"))
+
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
 
     // ---------------------------------------------------------------- S1/P1
@@ -858,6 +867,55 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.bpePairCounts(Collocations.documents(s, d), k = 20),
       Some(OracleSqlExt.bpePairCountsSql(20))),
+
+    // ------------------------------------------------- count-min sketch
+    // Fixed-size (depth x width) frequency sketch over bigram
+    // occurrences — the frequency pass for item spaces too wide to
+    // groupBy exactly at 100 TB. The sketch build is the whole plan: one
+    // partial+final aggregation over <= 4*256 cells regardless of corpus
+    // size (map-side combine collapses per task before the tiny shuffle).
+    ("cms_sketch_bigrams",
+      (s: SparkSession, d: String) =>
+        graft.ops.CountMin.sketch(
+          bigramOccurrences(Collocations.documents(s, d)), col("item"),
+          depth = 4, width = 256),
+      Some(OracleSqlExt.cmsSketchSql(4, 256))),
+
+    // mergeability, driver-gated: TWO sketches built over disjoint
+    // corpus splits (doc_id parity), summed cell-wise — against the SAME
+    // flat single-pass oracle as cms_sketch_bigrams. A hash match here
+    // proves split-build-then-merge is cell-identical to the direct
+    // build, i.e. the incremental "sketch each new drop, add to the
+    // stored grid" shape is exact
+    ("cms_sketch_merged",
+      (s: SparkSession, d: String) => {
+        val docs = Collocations.documents(s, d)
+        graft.ops.CountMin.merge(
+          graft.ops.CountMin.sketch(
+            bigramOccurrences(docs.filter(col("doc_id") % 2 === 0)), col("item"), 4, 256),
+          graft.ops.CountMin.sketch(
+            bigramOccurrences(docs.filter(col("doc_id") % 2 =!= 0)), col("item"), 4, 256))
+      },
+      Some(OracleSqlExt.cmsSketchSql(4, 256))),
+
+    // point estimates vs ground truth for the frequent bigrams: est =
+    // min over the 4 hash rows (broadcast of the bounded sketch — the
+    // query side never shuffles). The exact side exists to VERIFY the
+    // estimates; a production pass at 100 TB keeps only the sketch.
+    // width 256 < 916 distinct bigrams, so collisions are real and some
+    // overcounts are positive — CountMinSpec pins overcount >= 0 always
+    ("cms_heavy_hitters",
+      (s: SparkSession, d: String) => {
+        val bg = bigramOccurrences(Collocations.documents(s, d))
+        val cms = graft.ops.CountMin.sketch(bg, col("item"), depth = 4, width = 256)
+        val exact = bg.groupBy("item").agg(count(lit(1L)).as("exact_n"))
+          .filter(col("exact_n") >= 40)
+        graft.ops.CountMin.estimate(cms, exact, col("item"), depth = 4, width = 256)
+          .join(exact, Seq("item"))
+          .select(col("item"), col("exact_n"), col("est").as("est_n"),
+            (col("est") - col("exact_n")).as("overcount"))
+      },
+      Some(OracleSqlExt.cmsHeavyHittersSql(4, 256, 40))),
 
     // distribution companion to table_profile: fixed-width bins over a
     // numeric column, one bounded-cardinality aggregation. The bin
