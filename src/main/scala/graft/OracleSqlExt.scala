@@ -1448,6 +1448,25 @@ object OracleSqlExt {
        |FROM sid GROUP BY user_id, session_id""".stripMargin
   }
 
+  /** Mirror of the `profile_incremental` entry: exact per-source stats +
+    * a literal TRUE for the engine-side sketch bound (|merged HLL
+    * estimate − exact| <= 4·rsd·exact — the approx_distinct gate shape). */
+  val profileIncrementalSql: String =
+    s"""WITH $tclCte,
+       |$shCte,
+       |ds AS (
+       |  SELECT d.source, CAST(count(DISTINCT s.shingle) AS BIGINT) AS exact_shingles
+       |  FROM sh s JOIN documents d USING (doc_id) GROUP BY d.source
+       |),
+       |st AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT source, n_docs, total_chars, exact_shingles,
+       |       TRUE AS within_rsd
+       |FROM st JOIN ds USING (source)""".stripMargin
+
   // ------------------------------------------------------ count-min sketch
 
   /** Row-i CMS bucket over md5 halves x/y — the single definition all CMS

@@ -904,6 +904,32 @@ object SparkEntry {
     // estimates; a production pass at 100 TB keeps only the sketch.
     // width 256 < 916 distinct bigrams, so collisions are real and some
     // overcounts are positive — CountMinSpec pins overcount >= 0 always
+    // incremental profiling from mergeable partials: per-source doc/char
+    // counters + DataSketches HLL shingle sketches built over TWO
+    // disjoint corpus splits and combined by re-aggregation (sums add,
+    // sketches hll_union_agg). The counters are exactly mergeable
+    // (hash-compared against the oracle's whole-corpus values); the
+    // merged sketch's estimate is gated against the EXACT distinct count
+    // via the 4·rsd bound boolean. Estimate equality with a direct build
+    // is deliberately not asserted — see incrementalShingleProfile's
+    // HIP-vs-composite-estimator note. The exact count exists here only
+    // to verify; a 100 TB pass stores just the bounded partials
+    ("profile_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val inc = graft.ops.TableProfile.incrementalShingleProfile(Seq(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0)))
+        val exact = docs
+          .select(col("source"), graft.ops.Normalize.tokensCol(col("text")).as("toks"))
+          .select(col("source"), explode(graft.dedup.Dedup.shingleCol(col("toks"), 3)).as("shingle"))
+          .groupBy("source").agg(countDistinct(col("shingle")).as("exact_shingles"))
+        inc.join(exact, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_chars"), col("exact_shingles"),
+            (abs(hll_sketch_estimate(col("hll")) - col("exact_shingles"))
+              <= lit(0.065) * col("exact_shingles")).as("within_rsd"))
+      },
+      Some(OracleSqlExt.profileIncrementalSql)),
+
     ("cms_heavy_hitters",
       (s: SparkSession, d: String) => {
         val bg = bigramOccurrences(Collocations.documents(s, d))

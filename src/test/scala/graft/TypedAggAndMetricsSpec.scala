@@ -39,4 +39,43 @@ class TypedAggAndMetricsSpec extends SparkSpec {
     assert(row("rows") == total)
     assert(row("approx_vocab").asInstanceOf[Long] > 0)
   }
+
+  test("incremental shingle profile: counters merge exactly; estimates stay in the rsd envelope") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val threeWay = graft.ops.TableProfile.incrementalShingleProfile(Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        hll_sketch_estimate(col("hll")).as("est3"))
+    val twoWay = graft.ops.TableProfile.incrementalShingleProfile(Seq(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0)))
+      .select(col("source"), col("n_docs").as("n_docs_2"), col("total_chars").as("tc_2"),
+        hll_sketch_estimate(col("hll")).as("est2"))
+    val exact = docs
+      .select(col("source"), graft.ops.Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("source"), explode(graft.dedup.Dedup.shingleCol(col("toks"), 3)).as("shingle"))
+      .groupBy("source").agg(countDistinct(col("shingle")).as("nd"),
+        count(lit(1L)).as("occurrences"))
+    val whole = docs.groupBy("source")
+      .agg(count(lit(1L)).as("n_docs_w"), sum("n_chars").as("tc_w"))
+    val rows = threeWay.join(twoWay, "source").join(exact, "source").join(whole, "source").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // counters: both split layouts must reproduce the whole-corpus values exactly
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_docs_w") &&
+        r.getAs[Long]("n_docs_2") == r.getAs[Long]("n_docs_w"), s"$src doc counters must add exactly")
+      assert(r.getAs[Long]("total_chars") == r.getAs[Long]("tc_w") &&
+        r.getAs[Long]("tc_2") == r.getAs[Long]("tc_w"), s"$src char counters must add exactly")
+      // estimates: NOT asserted identical across layouts (HIP vs composite
+      // estimator — see incrementalShingleProfile's scaladoc), but both
+      // must sit inside the 4*rsd envelope around the exact distinct count
+      val nd = r.getAs[Long]("nd").toDouble
+      Seq(r.getAs[Long]("est2"), r.getAs[Long]("est3")).foreach(est =>
+        assert(math.abs(est - nd) <= 0.065 * nd, s"$src estimate $est out of envelope around $nd"))
+    }
+  }
 }
