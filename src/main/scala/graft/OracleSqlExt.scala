@@ -1467,6 +1467,29 @@ object OracleSqlExt {
        |       TRUE AS within_rsd
        |FROM st JOIN ds USING (source)""".stripMargin
 
+  /** Mirror of [[graft.ops.TableProfile.driftPsi]] over documents.n_chars
+    * grouped by source. Same DECIMAL(28,18) per-term accumulation as the
+    * LM score so the float sum is exactly associative on both engines. */
+  def driftPsiSql(column: String, lo: Double, width: Double, eps: Double): String =
+    s"""WITH b AS (
+       |  SELECT source, CAST(floor((CAST($column AS DOUBLE) - $lo) / $width) AS BIGINT) AS bin
+       |  FROM documents WHERE $column IS NOT NULL
+       |),
+       |ref AS (SELECT bin, count(*) AS rn FROM b GROUP BY bin),
+       |rt AS (SELECT CAST(sum(rn) AS DOUBLE) AS rt FROM ref),
+       |refp AS (SELECT bin, rn / rt AS pr FROM ref, rt),
+       |cur AS (SELECT source, bin, count(*) AS cn FROM b GROUP BY source, bin),
+       |ct AS (SELECT source, CAST(sum(cn) AS DOUBLE) AS ct FROM cur GROUP BY source),
+       |grid AS (SELECT source, ct, bin, pr FROM ct, refp),
+       |terms AS (
+       |  SELECT source, pr, greatest(COALESCE(cn, 0) / ct, CAST($eps AS DOUBLE)) AS pc
+       |  FROM grid LEFT JOIN cur USING (source, bin)
+       |)
+       |SELECT source,
+       |       round(CAST(sum(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(28,18))) AS DOUBLE), 6) AS psi,
+       |       CAST(count(*) AS BIGINT) AS n_bins
+       |FROM terms GROUP BY source""".stripMargin
+
   // ------------------------------------------------------ count-min sketch
 
   /** Row-i CMS bucket over md5 halves x/y — the single definition all CMS

@@ -930,6 +930,17 @@ object SparkEntry {
       },
       Some(OracleSqlExt.profileIncrementalSql)),
 
+    // per-source distribution drift vs the whole corpus as reference
+    // (PSI over fixed-width doc-length bins) — the "did this delivery's
+    // length distribution move" monitor. Bounded aggregations off one
+    // scan; the grid never exceeds |sources| x |bins| rows
+    ("drift_psi",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.driftPsi(
+          s.read.parquet(s"$d/documents.parquet"), "n_chars", "source",
+          lo = 0.0, width = 50.0),
+      Some(OracleSqlExt.driftPsiSql("n_chars", 0.0, 50.0, 1e-4))),
+
     ("cms_heavy_hitters",
       (s: SparkSession, d: String) => {
         val bg = bigramOccurrences(Collocations.documents(s, d))

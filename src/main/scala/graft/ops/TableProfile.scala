@@ -198,4 +198,46 @@ object TableProfile {
       .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"),
         hll_union_agg(col("hll")).as("hll"))
   }
+
+  /** Distribution drift per group — Population Stability Index of each
+    * group's distribution of `column` against the whole relation as the
+    * reference: PSI = Σ_bins (p_group − p_ref)·ln(p_group / p_ref) over
+    * fixed-width bins, the standard "did this source's length/score
+    * distribution move" monitor a corpus pipeline runs on every new
+    * delivery (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 major shift).
+    *
+    * Group proportions for bins the group never hit clamp to `eps`
+    * (the grid is every group × every REFERENCE bin, so missing bins
+    * contribute a penalty instead of silently dropping); reference
+    * proportions are never zero by construction (groups partition the
+    * reference). Terms accumulate in DECIMAL(28,18) before the final
+    * round(·, 6) — the same exact-associative-sum contract as the LM
+    * score, so the result is engine-identical regardless of add order.
+    *
+    * Scale shape: two bounded aggregations (bins, group × bins) off one
+    * corpus scan, then arithmetic over the bin-count-sized grid with the
+    * reference riding a broadcast — the corpus never shuffles twice and
+    * nothing downstream exceeds |groups| × |bins| rows. */
+  def driftPsi(df: DataFrame, column: String, groupCol: String,
+               lo: Double = 0.0, width: Double = 50.0, eps: Double = 1e-4): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val x = col(column).cast("double")
+    val binned = df.filter(x.isNotNull)
+      .select(col(groupCol), floor((x - lo) / width).cast("long").as("bin"))
+    val ref = binned.groupBy("bin").agg(count(lit(1L)).as("rn"))
+    val refP = ref.crossJoin(broadcast(ref.agg(sum("rn").as("rt"))))
+      .select(col("bin"), (col("rn") / col("rt")).as("pr"))
+    val cur = binned.groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn"))
+    val curTot = cur.groupBy(groupCol).agg(sum("cn").as("ct"))
+    curTot.crossJoin(broadcast(refP))
+      .join(cur, Seq(groupCol, "bin"), "left")
+      .select(col(groupCol), col("pr"),
+        greatest(coalesce(col("cn"), lit(0L)) / col("ct"), lit(eps)).as("pc"))
+      .withColumn("term",
+        ((col("pc") - col("pr")) * log(col("pc") / col("pr"))).cast("decimal(28,18)"))
+      .groupBy(groupCol)
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
+        count(lit(1L)).as("n_bins"))
+  }
 }

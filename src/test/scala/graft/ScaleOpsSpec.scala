@@ -289,4 +289,25 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == pos)
   }
+
+  test("drift PSI: an in-distribution group scores near zero, a shifted group scores high") {
+    import spark.implicits._
+    // "flat" mirrors the pooled reference; "shifted" concentrates all its
+    // mass in the top bin the others barely touch
+    val rows =
+      (0 until 100).map(i => ("flat_a", (i % 10) * 50.0 + 10)) ++
+      (0 until 100).map(i => ("flat_b", (i % 10) * 50.0 + 10)) ++
+      (0 until 100).map(_ => ("shifted", 480.0))
+    val df = rows.toDF("source", "n_chars")
+    val psi = graft.ops.TableProfile.driftPsi(df, "n_chars", "source", lo = 0.0, width = 50.0)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+    assert(psi.keySet == Set("flat_a", "flat_b", "shifted"))
+    // the two flat sources differ from the pooled reference only through
+    // the shifted source's contribution to it
+    assert(psi("flat_a") == psi("flat_b"), "identical distributions must score identically")
+    assert(psi("shifted") > 1.0, s"concentrated shift must dominate: ${psi("shifted")}")
+    assert(psi("flat_a") < psi("shifted") / 4, s"flat ${psi("flat_a")} should be far below shifted")
+    // PSI is non-negative by construction (it is a symmetrized KL form)
+    psi.values.foreach(v => assert(v >= 0.0, s"PSI must be non-negative: $v"))
+  }
 }
