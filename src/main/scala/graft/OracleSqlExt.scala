@@ -596,6 +596,39 @@ object OracleSqlExt {
       annIvfSql(cents, stride, k, probes)
     }
 
+  /** Mirror of [[graft.similarity.Ann.semanticSort]] GIVEN the trained
+    * centroids: literal (cid, cv, cn) rows — `cn` is the Scala-computed
+    * centroid norm shipped to both engines as the same literal —
+    * assignment by max-dot (smallest-cid ties, as ivfCell), cosine to the
+    * own centroid, global position by row_number over (cid, cos DESC,
+    * vec_id). */
+  def semanticSortSql(cents: Seq[(Int, Array[Double], Double)]): String = {
+    val centRows = cents.map { case (cid, arr, cn) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv, CAST($cn AS DOUBLE) AS cn"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |ca AS (
+       |  SELECT vec_id, nv, cid FROM (
+       |    SELECT vec_id, nv, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, nv, cid, ${dotSql("nv", "cv")} AS d FROM c CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |scored AS (
+       |  SELECT vec_id, cid,
+       |         round(${dotSql("nv", "cv")} / (sqrt(${dotSql("nv", "nv")}) * cn), 6) AS cos
+       |  FROM ca JOIN cents USING (cid)
+       |)
+       |SELECT vec_id, cid, cos,
+       |       CAST(row_number() OVER (ORDER BY cid ASC, cos DESC, vec_id ASC) AS BIGINT) AS pos
+       |FROM scored""".stripMargin
+  }
+
+  def semanticSortSqlFromLastModel: Option[String] =
+    graft.similarity.Ann.lastSortModel.map(semanticSortSql)
+
   /** Sub-dimensional dot for PQ subvectors (the 64-wide [[dotSql]] fold
     * restricted to `n` elements — same left-to-right order). */
   def dotSqlN(a: String, b: String, n: Int): String =

@@ -1536,6 +1536,18 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, trainStride = 8),
       None),
 
+    // semantic curriculum ordering (in-context-pretraining layout):
+    // cluster by trained IVF centroid, most-central-first within each
+    // cluster, global contiguous position via the two-pass rank (no
+    // single-partition window). DYNAMIC oracle like ann_ivf_topk: the
+    // run stashes the centroid model (with driver-computed norms) and
+    // oracleSql injects it as literals
+    ("semantic_sort",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.semanticSort(
+          s.read.parquet(s"$d/embeddings.parquet"), trainStride = 8),
+      None),
+
     // benchmark decontamination: training docs whose shingles are
     // contained in an eval-set doc (src0 plays the benchmark here)
     ("decontaminate",
@@ -1784,5 +1796,6 @@ object SparkEntry {
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
-      OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _)
+      OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
+      OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _)
 }

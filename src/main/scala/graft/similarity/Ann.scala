@@ -223,6 +223,52 @@ object Ann {
       Seq(col("cos").desc, col("n_id").asc), k)
   }
 
+  /** The most recently trained semantic-sort centroid model, with each
+    * centroid's norm precomputed driver-side — the norm ships as the SAME
+    * literal to both engines (the PQ `half` trick), so the cosine
+    * division is bit-identical by construction. */
+  @volatile private[graft] var lastSortModel: Option[Seq[(Int, Array[Double], Double)]] = None
+
+  /** Semantic curriculum ordering — the in-context-pretraining layout:
+    * cluster the corpus by trained IVF centroid, order each cluster by
+    * similarity to its own centroid (most-central first), and assign a
+    * GLOBAL contiguous 1-based position, so reading the output in `pos`
+    * order visits semantically adjacent documents adjacently instead of
+    * in random ingest order.
+    *
+    * Scale shape: training is the bounded-sample Lloyd of
+    * [[ivfCentroids]]; assignment and own-centroid cosine are NARROW maps
+    * against the literal model (no join, no shuffle to assign — the
+    * [[ivfCell]] property); the global position comes from
+    * [[graft.ops.Ranks.globalRank]] over (cid, cos desc, vec_id) — a
+    * sketch-partitioned two-pass rank, never a single-partition window
+    * over data. Zero-norm vectors have no cosine and are dropped, same
+    * contract as every ANN path.
+    *
+    * Returns (vec_id, cid, cos, pos). */
+  def semanticSort(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                   trainStride: Int = 1): DataFrame = {
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    val withNorm = cents.map { case (cid, arr) =>
+      (cid, arr, math.sqrt(arr.map(x => x * x).sum))
+    }
+    lastSortModel = Some(withNorm)
+    val assigned = candidates(emb).withColumn("cid", ivfCell(col("n_vec"), cents))
+    // cosine to the row's OWN centroid: a when-chain over the literal
+    // model keyed on the already-computed cid (16 branches, one 64-dim
+    // literal dot each — same plan-size class as ivfCell itself)
+    val cosOwn = withNorm.foldRight(lit(null).cast("double")) {
+      case ((cid, arr, cn), acc) =>
+        when(col("cid") === cid,
+          dot(col("n_vec"), array(arr.map(lit(_)): _*)) / (col("n_nrm") * lit(cn)))
+          .otherwise(acc)
+    }
+    graft.ops.Ranks.globalRank(
+      assigned.select(col("n_id").as("vec_id"), col("cid"), round(cosOwn, 6).as("cos")),
+      Seq((col("cid"), true), (col("cos"), false), (col("vec_id"), true)), out = "pos")
+      .drop("_n_total")
+  }
+
   /** KNN self-join: EVERY vector gets its k approximate nearest
     * neighbors — the all-pairs form of [[multiProbeTopK]], the shape a
     * training pipeline needs for graph-based curation (semantic dedup

@@ -498,4 +498,29 @@ class TextAndAnnSpec extends SparkSpec {
     assert(df.schema("payload").dataType.typeName == "binary")
     assert(df.select("meta.n_bytes").collect().head.getLong(0) == 2L)
   }
+
+  test("semantic sort: contiguous global positions, clusters contiguous, most-central first") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = graft.similarity.Ann.semanticSort(emb, trainStride = 4)
+      .orderBy("pos").collect()
+    assert(rows.nonEmpty)
+    // pos is a contiguous 1..n permutation
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == (1L to rows.length).toSeq)
+    // reading in pos order: cid never decreases (each cluster is one
+    // contiguous block), and within a cluster cos never increases
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ca, cb) = (a.getAs[Int]("cid"), b.getAs[Int]("cid"))
+      assert(ca <= cb, s"cluster blocks must be contiguous: cid $ca then $cb")
+      if (ca == cb)
+        assert(a.getAs[Double]("cos") >= b.getAs[Double]("cos"),
+          s"within cluster $ca, similarity must be non-increasing")
+    }
+    // every vector appears exactly once (no drops beyond zero-norm, none here)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    assert(rows.length == emb.count())
+    // determinism: a second run (fresh training) reproduces the layout
+    val again = graft.similarity.Ann.semanticSort(emb, trainStride = 4)
+      .orderBy("pos").collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")))
+    assert(again.toSeq == rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos"))).toSeq)
+  }
 }
