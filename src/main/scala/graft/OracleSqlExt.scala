@@ -1523,6 +1523,28 @@ object OracleSqlExt {
        |       CAST(count(*) AS BIGINT) AS n_bins
        |FROM terms GROUP BY source""".stripMargin
 
+  /** Mirror of [[graft.ops.TableProfile.keySkewProfile]] over a lineitem
+    * key column. */
+  def keySkewSql(keyCol: String, topK: Int): String =
+    s"""WITH c AS (
+       |  SELECT $keyCol AS key, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem WHERE $keyCol IS NOT NULL GROUP BY 1
+       |),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+       |t AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT $topK),
+       |r AS (
+       |  SELECT key, cnt,
+       |         CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank,
+       |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, key ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT rank, key, cnt,
+       |       round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+       |       round(CAST(cum AS DOUBLE) / n_rows, 6) AS cum_share,
+       |       round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS hot_ratio,
+       |       n_keys, n_rows
+       |FROM r, s""".stripMargin
+
   // ------------------------------------------------------ count-min sketch
 
   /** Row-i CMS bucket over md5 halves x/y — the single definition all CMS

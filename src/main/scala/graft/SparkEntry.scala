@@ -930,6 +930,17 @@ object SparkEntry {
       },
       Some(OracleSqlExt.profileIncrementalSql)),
 
+    // shuffle-key skew pre-flight: hottest key values with share and
+    // hot_ratio (count over the uniform per-key average) — the
+    // measurement that decides salting/AQE before a big join. One count
+    // aggregation (the same shuffle the join would pay), bounded top-k,
+    // windows only over the k-row result
+    ("key_skew_profile",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.keySkewProfile(
+          s.read.parquet(s"$d/lineitem.parquet"), "l_suppkey", topK = 10),
+      Some(OracleSqlExt.keySkewSql("l_suppkey", 10))),
+
     // per-source distribution drift vs the whole corpus as reference
     // (PSI over fixed-width doc-length bins) — the "did this delivery's
     // length distribution move" monitor. Bounded aggregations off one

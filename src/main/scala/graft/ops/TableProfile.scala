@@ -240,4 +240,43 @@ object TableProfile {
       .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
         count(lit(1L)).as("n_bins"))
   }
+
+  /** Shuffle-key skew diagnostic — the pre-flight a pipeline runs on a
+    * prospective join/groupBy key before deciding whether it needs
+    * salting or AQE skew handling: the `topK` hottest key values with
+    * their absolute count, corpus share, cumulative share, and
+    * `hot_ratio` = count ÷ the uniform per-key average (a hot_ratio of 50
+    * means one reducer gets 50 partitions' worth of rows).
+    *
+    * Scale shape: one partial+final count aggregation keyed on the key
+    * (the same shuffle the prospective join would pay — measuring it IS
+    * the cost model), a single-row stats aggregate, then global top-k via
+    * TakeOrderedAndProject. Rank/cumulative windows run over the bounded
+    * k-row result only, never over data ([[graft.text.TextAnalysis
+    * .vocabCoverage]]'s cache lifecycle, one count pass feeding both the
+    * stats and the top-k). */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1L)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = counts.agg(count(lit(1L)).as("n_keys"), sum("cnt").as("n_rows"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+    val ord = Window.orderBy(col("cnt").desc, col("key").asc)
+    val out = top
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cum").cast("double") / col("n_rows"), 6).as("cum_share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 6).as("hot_ratio"),
+        col("n_keys"), col("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    counts.unpersist()
+    out
+  }
 }

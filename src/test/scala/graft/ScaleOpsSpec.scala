@@ -310,4 +310,22 @@ class ScaleOpsSpec extends SparkSpec {
     // PSI is non-negative by construction (it is a symmetrized KL form)
     psi.values.foreach(v => assert(v >= 0.0, s"PSI must be non-negative: $v"))
   }
+
+  test("key skew profile surfaces the hot key with its share and hot ratio") {
+    import spark.implicits._
+    // one key holds 90 of 100 rows across 11 keys
+    val rows = Seq.fill(90)(7L) ++ (10L until 20L)
+    val prof = graft.ops.TableProfile.keySkewProfile(rows.toDF("k"), "k", topK = 3)
+      .orderBy("rank").collect()
+    assert(prof.length == 3)
+    val hot = prof.head
+    assert(hot.getAs[Long]("key") == 7L && hot.getAs[Long]("cnt") == 90L)
+    assert(hot.getAs[Double]("share") == 0.9)
+    // 90 rows vs a uniform 100/11 per key
+    assert(math.abs(hot.getAs[Double]("hot_ratio") - 90.0 * 11 / 100) < 1e-6)
+    // cumulative share is monotone and rank 2/3 are the tied singletons in key order
+    assert(prof.map(_.getAs[Double]("cum_share")).toSeq == Seq(0.9, 0.91, 0.92))
+    assert(prof(1).getAs[Long]("key") == 10L && prof(2).getAs[Long]("key") == 11L)
+    assert(prof.forall(r => r.getAs[Long]("n_keys") == 11L && r.getAs[Long]("n_rows") == 100L))
+  }
 }
