@@ -214,23 +214,27 @@ object TableProfile {
     * round(·, 6) — the same exact-associative-sum contract as the LM
     * score, so the result is engine-identical regardless of add order.
     *
-    * Scale shape: two bounded aggregations (bins, group × bins) off one
-    * corpus scan, then arithmetic over the bin-count-sized grid with the
-    * reference riding a broadcast — the corpus never shuffles twice and
-    * nothing downstream exceeds |groups| × |bins| rows. */
+    * Scale shape: ONE corpus pass — the (group × bin) count aggregation —
+    * cached at its bounded |groups| × |bins| size; the reference
+    * distribution, per-group totals, and PSI terms are all
+    * re-aggregations of that cached table (groups partition the
+    * reference, so the pooled bin counts are exactly the per-group sums).
+    * Nothing downstream of the first aggregation exceeds
+    * |groups| × |bins| rows. */
   def driftPsi(df: DataFrame, column: String, groupCol: String,
                lo: Double = 0.0, width: Double = 50.0, eps: Double = 1e-4): DataFrame = {
     require(width > 0, s"bin width must be positive, got $width")
     require(eps > 0, s"eps must be positive, got $eps")
     val x = col(column).cast("double")
-    val binned = df.filter(x.isNotNull)
+    val cur = df.filter(x.isNotNull)
       .select(col(groupCol), floor((x - lo) / width).cast("long").as("bin"))
-    val ref = binned.groupBy("bin").agg(count(lit(1L)).as("rn"))
+      .groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = cur.groupBy("bin").agg(sum("cn").as("rn"))
     val refP = ref.crossJoin(broadcast(ref.agg(sum("rn").as("rt"))))
       .select(col("bin"), (col("rn") / col("rt")).as("pr"))
-    val cur = binned.groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn"))
     val curTot = cur.groupBy(groupCol).agg(sum("cn").as("ct"))
-    curTot.crossJoin(broadcast(refP))
+    val out = curTot.crossJoin(broadcast(refP))
       .join(cur, Seq(groupCol, "bin"), "left")
       .select(col(groupCol), col("pr"),
         greatest(coalesce(col("cn"), lit(0L)) / col("ct"), lit(eps)).as("pc"))
@@ -239,6 +243,12 @@ object TableProfile {
       .groupBy(groupCol)
       .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
         count(lit(1L)).as("n_bins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vocabCoverage lifecycle: materialize the bounded result, release
+    // the upstream (group x bin) cache — the caller owns only the result
+    out.count()
+    cur.unpersist()
+    out
   }
 
   /** Shuffle-key skew diagnostic — the pre-flight a pipeline runs on a

@@ -254,6 +254,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch build is one bounded aggregation") {
+    // the CMS contract: explode(depth probes) is array-local, so the whole
+    // build is exactly ONE hash-partitioned exchange on (rw, bkt) —
+    // depth×width-bounded however large the corpus
+    val p = plan(SparkEntry.queries("cms_sketch_bigrams")(spark, sf))
+    val n = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+      .findAllIn(p).size
+    assert(n == 1, s"cms_sketch_bigrams: $n exchanges (documented 1):\n$p")
+    // drift_psi's single-corpus-scan property (ref proportions derived
+    // from the cached group×bin table, never a second scan) is NOT
+    // plan-assertable here: the builder releases the cache after
+    // materializing, and CacheManager recompiles the released reference
+    // into a plain scan in the inspected plan — the execution that
+    // mattered read parquet once, but the post-hoc plan no longer shows
+    // it. The property is structural (TableProfile.driftPsi derives
+    // `ref` by re-aggregating `cur`) and covered by the oracle gate.
+  }
+
   test("no registry query plans a cartesian product, BNLJ, or global window over data") {
     // The absolute scale invariant, swept over EVERY shipped query: no
     // unbounded×unbounded join node anywhere (a BNLJ passes only with a
