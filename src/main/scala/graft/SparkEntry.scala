@@ -100,14 +100,12 @@ object SparkEntry {
 
   /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
     * two implementations stay visibly in lockstep. */
-  /** One row per bigram OCCURRENCE of the cleaned token stream, as the
-    * space-joined string the CMS entries sketch ("w1 w2" — mirror of the
-    * oracle's `tl[i] || ' ' || tl[i+1]`). Array-local pair formation
-    * ([[graft.ops.Normalize.bigramsCol]]) — zero shuffle to form pairs. */
+  /** One row per bigram OCCURRENCE as the "w1 w2" string (mirror of the
+    * oracle's `tl[i] || ' ' || tl[i+1]`) — delegates to the shared
+    * [[graft.ops.CountMin.bigramItems]] so the batch entries and the
+    * streaming twin sketch identical items. */
   private def bigramOccurrences(docs: DataFrame): DataFrame =
-    docs.select(graft.ops.Normalize.tokensCol(col("text")).as("toks"))
-      .select(explode(graft.ops.Normalize.bigramsCol(col("toks"))).as("p"))
-      .select(concat_ws(" ", col("p.w1"), col("p.w2")).as("item"))
+    graft.ops.CountMin.bigramItems(docs, col("text"))
 
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
 

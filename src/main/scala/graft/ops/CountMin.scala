@@ -69,6 +69,17 @@ object CountMin {
       .agg(count(lit(1L)).as("cnt"))
   }
 
+  /** One row per bigram OCCURRENCE of a text column's cleaned token
+    * stream, as the space-joined "w1 w2" string — the item relation the
+    * CMS registry entries and the streaming twin ([[graft.streaming
+    * .CmsStream]]) both sketch, defined ONCE so batch and stream can
+    * never diverge in tokenization. Array-local pair formation
+    * ([[Normalize.bigramsCol]]) — zero shuffle to form pairs. */
+  def bigramItems(docs: DataFrame, text: Column): DataFrame =
+    docs.select(Normalize.tokensCol(text).as("toks"))
+      .select(explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(concat_ws(" ", col("p.w1"), col("p.w2")).as("item"))
+
   /** Cell-wise sum of sketches built over disjoint corpus splits — the
     * whole mergeability contract in one aggregation. Exact, not
     * approximate: addition is the sketch's native combine, so the result

@@ -391,4 +391,42 @@ class StreamingSpec extends SparkSpec {
       s"shard in a 'heb'-pathed directory must classify by basename: $langs")
     org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
   }
+
+  test("streaming count-min sketch stays cell-identical to the batch build after every drop") {
+    import graft.streaming.CmsStream
+    import graft.ops.CountMin
+    val watch = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    def drop(name: String, parityKeep: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cms-stage")
+      all.filter(pmod(col("doc_id"), lit(3L)) === parityKeep)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def batchCells(parities: Long*) = cells(CountMin.sketch(
+      CountMin.bigramItems(
+        all.filter(pmod(col("doc_id"), lit(3L)).isin(parities: _*)), col("text")),
+      col("item"), depth = 4, width = 64))
+
+    drop("a.parquet", 0L)
+    val q = CmsStream.runningSketch(CmsStream.readStream(spark, watch.toString),
+        depth = 4, width = 64)
+      .writeStream.outputMode("complete").format("memory").queryName("cms_inc").start()
+    q.processAllAvailable()
+    assert(cells(spark.table("cms_inc")) == batchCells(0L),
+      "after drop 1: the running grid must equal the batch sketch on shard 1")
+
+    // second drop: only the new file is read, yet every cell must equal
+    // the batch engine re-run on the union — the streaming form of the
+    // cms_sketch_merged cell-exact mergeability gate
+    drop("b.parquet", 1L)
+    q.processAllAvailable(); q.stop()
+    assert(cells(spark.table("cms_inc")) == batchCells(0L, 1L),
+      "after drop 2: the running grid must equal the batch sketch on both shards")
+    org.apache.commons.io.FileUtils.deleteDirectory(watch.toFile)
+  }
 }
