@@ -1545,6 +1545,34 @@ object OracleSqlExt {
        |       n_keys, n_rows
        |FROM r, s""".stripMargin
 
+  /** Mirror of [[graft.ops.TableProfile.driftPsiQuantile]] (exact-edge
+    * twin): pooled `nBins`-ile edges, round-6 values and edges before the
+    * strict `>` bin comparisons, then the same ε-clamped DECIMAL PSI
+    * tail as [[driftPsiSql]]. */
+  def driftPsiQuantileSql(column: String, nBins: Int, eps: Double): String = {
+    val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    s"""WITH b AS (
+       |  SELECT source, round(CAST($column AS DOUBLE), 6) AS x
+       |  FROM documents WHERE $column IS NOT NULL
+       |),
+       |e AS (SELECT list_transform(quantile_cont(x, [$qs]), v -> round(v, 6)) AS le FROM b),
+       |bb AS (SELECT source, CAST(len(list_filter(le, v -> x > v)) AS BIGINT) AS bin FROM b, e),
+       |cur AS (SELECT source, bin, count(*) AS cn FROM bb GROUP BY source, bin),
+       |ref AS (SELECT bin, sum(cn) AS rn FROM cur GROUP BY bin),
+       |rt AS (SELECT CAST(sum(rn) AS DOUBLE) AS rt FROM ref),
+       |refp AS (SELECT bin, rn / rt AS pr FROM ref, rt),
+       |ct AS (SELECT source, CAST(sum(cn) AS DOUBLE) AS ct FROM cur GROUP BY source),
+       |grid AS (SELECT source, ct, bin, pr FROM ct, refp),
+       |terms AS (
+       |  SELECT source, pr, greatest(COALESCE(cn, 0) / ct, CAST($eps AS DOUBLE)) AS pc
+       |  FROM grid LEFT JOIN cur USING (source, bin)
+       |)
+       |SELECT source,
+       |       round(CAST(sum(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(28,18))) AS DOUBLE), 6) AS psi,
+       |       CAST(count(*) AS BIGINT) AS n_bins
+       |FROM terms GROUP BY source""".stripMargin
+  }
+
   // ------------------------------------------------------ count-min sketch
 
   /** Row-i CMS bucket over md5 halves x/y — the single definition all CMS

@@ -950,6 +950,17 @@ object SparkEntry {
           lo = 0.0, width = 50.0),
       Some(OracleSqlExt.driftPsiSql("n_chars", 0.0, 50.0, 1e-4))),
 
+    // the scale-free PSI twin: bin edges are the pooled corpus's own
+    // deciles (exact=true is the oracle-parity opt-in; the library
+    // default computes edges with the approx_percentile sketch — the
+    // 100 TB form, same trade as profile_mad_outliers)
+    ("drift_psi_quantile",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.driftPsiQuantile(
+          s.read.parquet(s"$d/documents.parquet"), "n_chars", "source",
+          nBins = 10, exact = true),
+      Some(OracleSqlExt.driftPsiQuantileSql("n_chars", 10, 1e-4))),
+
     ("cms_heavy_hitters",
       (s: SparkSession, d: String) => {
         val bg = bigramOccurrences(Collocations.documents(s, d))

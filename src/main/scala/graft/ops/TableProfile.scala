@@ -224,12 +224,55 @@ object TableProfile {
   def driftPsi(df: DataFrame, column: String, groupCol: String,
                lo: Double = 0.0, width: Double = 50.0, eps: Double = 1e-4): DataFrame = {
     require(width > 0, s"bin width must be positive, got $width")
-    require(eps > 0, s"eps must be positive, got $eps")
     val x = col(column).cast("double")
-    val cur = df.filter(x.isNotNull)
-      .select(col(groupCol), floor((x - lo) / width).cast("long").as("bin"))
-      .groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn"))
+    psiOverGroupBins(
+      df.filter(x.isNotNull)
+        .select(col(groupCol), floor((x - lo) / width).cast("long").as("bin"))
+        .groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn")),
+      groupCol, eps)
+  }
+
+  /** [[driftPsi]] with REFERENCE-QUANTILE bins — the standard industry
+    * PSI form: bin edges are the pooled distribution's own `nBins`-iles,
+    * so every reference bin holds ~1/nBins of the mass and the score is
+    * scale-free (fixed-width bins under- or over-resolve as the value
+    * range drifts; quantile bins adapt). Values and edges both round to
+    * 6 digits before the strict `>` comparisons, so bin boundaries are
+    * engine-identical (the quality-gate discipline); bin id =
+    * |{edges < x}| via an array-local filter over the single broadcast
+    * edge row.
+    *
+    * The LIBRARY DEFAULT computes edges with `approx_percentile`
+    * (`exact = false`): a grouping-free exact percentile funnels the
+    * whole column into one task — the [[madOutliers]] 100 TB note.
+    * `exact = true` is the oracle-parity twin the registry gates. */
+  def driftPsiQuantile(df: DataFrame, column: String, groupCol: String,
+                       nBins: Int = 10, eps: Double = 1e-4,
+                       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of [2, 1000]: $nBins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    val pctl =
+      if (exact) s"percentile(x, array($qs))"
+      else s"cast(approx_percentile(x, array($qs), $accuracy) as array<double>)"
+    val base = df.filter(col(column).isNotNull)
+      .select(col(groupCol), round(col(column).cast("double"), 6).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = base.agg(expr(s"transform($pctl, v -> round(v, 6))").as("le"))
+    val out = psiOverGroupBins(
+      base.crossJoin(broadcast(edges))
+        .select(col(groupCol), size(expr("filter(le, v -> x > v)")).cast("long").as("bin"))
+        .groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn")),
+      groupCol, eps)
+    base.unpersist() // out is already materialized by psiOverGroupBins
+    out
+  }
+
+  /** Shared PSI tail over a (group, bin, cn) count table: reference
+    * proportions by re-aggregation (groups partition the reference),
+    * ε-clamped grid, DECIMAL term accumulation — see [[driftPsi]]. */
+  private def psiOverGroupBins(cur0: DataFrame, groupCol: String, eps: Double): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val cur = cur0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ref = cur.groupBy("bin").agg(sum("cn").as("rn"))
     val refP = ref.crossJoin(broadcast(ref.agg(sum("rn").as("rt"))))
       .select(col("bin"), (col("rn") / col("rt")).as("pr"))

@@ -311,6 +311,27 @@ class ScaleOpsSpec extends SparkSpec {
     psi.values.foreach(v => assert(v >= 0.0, s"PSI must be non-negative: $v"))
   }
 
+  test("quantile-bin PSI: approx default tracks exact edges; shifted group still dominates") {
+    import spark.implicits._
+    val rows =
+      (0 until 100).map(i => ("flat_a", (i % 10) * 50.0 + 10)) ++
+      (0 until 100).map(i => ("flat_b", (i % 10) * 50.0 + 10)) ++
+      (0 until 100).map(_ => ("shifted", 480.0))
+    val df = rows.toDF("source", "n_chars")
+    def scores(exact: Boolean) =
+      graft.ops.TableProfile.driftPsiQuantile(df, "n_chars", "source", nBins = 5, exact = exact)
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+    val ex = scores(exact = true)
+    assert(ex("flat_a") == ex("flat_b"), "identical distributions must score identically")
+    assert(ex("shifted") > ex("flat_a"), s"shift must dominate: $ex")
+    ex.values.foreach(v => assert(v >= 0.0, s"PSI must be non-negative: $v"))
+    // the sketch-edged default stays ordered the same way (values may
+    // differ slightly when an approx edge lands on a duplicate-heavy
+    // point, but the drift signal must survive the sketch)
+    val ap = scores(exact = false)
+    assert(ap("shifted") > ap("flat_a"), s"approx edges must preserve the drift signal: $ap")
+  }
+
   test("key skew profile surfaces the hot key with its share and hot ratio") {
     import spark.implicits._
     // one key holds 90 of 100 rows across 11 keys
