@@ -429,4 +429,51 @@ class StreamingSpec extends SparkSpec {
       "after drop 2: the running grid must equal the batch sketch on both shards")
     org.apache.commons.io.FileUtils.deleteDirectory(watch.toFile)
   }
+
+  test("streaming drift monitor flags a shifted delivery and passes an in-distribution one") {
+    import graft.streaming.{DedupStream, DriftStream}
+    val refDir = java.nio.file.Files.createTempDirectory("graft-drift-ref")
+    val watch = java.nio.file.Files.createTempDirectory("graft-drift-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-drift-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    DriftStream.buildReference(all, "n_chars", refDir.toString, nBins = 10, exact = true)
+    assert(DriftStream.refBins(spark, refDir.toString).count() <= 10,
+      "reference bin table must be metadata-sized")
+
+    def dropDf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    // delivery 1: a subset of the reference corpus itself (in-distribution)
+    dropDf(all.filter(pmod(col("doc_id"), lit(3L)) === 0), "a.parquet")
+    val q = DriftStream.monitor(
+      DedupStream.readStream(spark, watch.toString), "n_chars",
+      refDir.toString, out.toString, ckpt.toString)
+    q.processAllAvailable()
+    // delivery 2: every document far outside the reference length range
+    dropDf(all.limit(30).withColumn("n_chars", lit(10000L)), "b.parquet")
+    q.processAllAvailable(); q.stop()
+
+    val log = DriftStream.driftLog(spark, out.toString)
+      .collect().map(r => r.getAs[Long]("ingest_batch") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("psi"))).toMap
+    assert(log.keySet == Set(0L, 1L), s"one score row per delivery: ${log.keySet}")
+    val (inDist, shifted) = (log(0L)._2, log(1L)._2)
+    assert(shifted > 1.0, s"all-mass-in-one-bin delivery must flag hard: $shifted")
+    assert(inDist < 0.5 && inDist < shifted / 4,
+      s"in-distribution subset must score far below the shifted one: $inDist vs $shifted")
+    // the logged row IS the batch scorer's output — same code path both ways
+    val direct = DriftStream.psiBatch(
+      all.filter(pmod(col("doc_id"), lit(3L)) === 0), "n_chars",
+      DriftStream.edges(spark, refDir.toString), DriftStream.refBins(spark, refDir.toString))
+      .collect().head
+    assert(direct.getAs[Double]("psi") == inDist && direct.getAs[Long]("n_rows") == log(0L)._1,
+      "stream-logged score must equal the direct batch scorer on the same shard")
+    Seq(refDir, watch, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
 }
