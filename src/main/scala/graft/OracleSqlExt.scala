@@ -1523,6 +1523,22 @@ object OracleSqlExt {
        |       CAST(count(*) AS BIGINT) AS n_bins
        |FROM terms GROUP BY source""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.oovRate]]: top-`v` vocabulary by
+    * (count DESC, token ASC), per-doc occurrence counts outside it. */
+  def oovRateSql(v: Int): String =
+    s"""WITH $tclCte,
+       |tk AS (SELECT doc_id, unnest(tl) AS w FROM tcl),
+       |vocab AS (
+       |  SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY w ORDER BY c DESC, w ASC LIMIT $v)
+       |)
+       |SELECT t.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |             / CAST(count(*) AS BIGINT), 6) AS oov_rate
+       |FROM tk t LEFT JOIN vocab ON t.w = vocab.w
+       |GROUP BY t.doc_id""".stripMargin
+
   /** Mirror of [[graft.ops.TableProfile.keySkewProfile]] over a lineitem
     * key column. */
   def keySkewSql(keyCol: String, topK: Int): String =

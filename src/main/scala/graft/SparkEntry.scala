@@ -857,6 +857,15 @@ object SparkEntry {
         graft.text.TextAnalysis.vocabCoverage(Collocations.documents(s, d), k = 50),
       Some(OracleSqlExt.vocabCoverageSql(50))),
 
+    // tokenizer-coverage report: per-doc fraction of token occurrences
+    // outside the corpus's own top-v vocabulary — the "is v entries
+    // enough" pass before committing to a tokenizer size. Vocab is a
+    // bounded broadcast artifact; membership never shuffles the corpus
+    ("vocab_oov_rate",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.oovRate(Collocations.documents(s, d), v = 20),
+      Some(OracleSqlExt.oovRateSql(20))),
+
     // first-iteration BPE merge statistics: corpus-weighted adjacent
     // char-pair counts computed over the word-FREQUENCY table (the
     // Sennrich form — the pair explode runs over the vocabulary, never

@@ -176,6 +176,32 @@ object TextAnalysis {
     out
   }
 
+  /** Tokenizer-coverage / out-of-vocabulary report: each document's
+    * fraction of token occurrences OUTSIDE the corpus's own top-`v`
+    * vocabulary — the "how much of this corpus does a v-entry vocab
+    * actually cover, and which documents are full of tail tokens" pass
+    * run before committing to a tokenizer size.
+    *
+    * Scale shape: the vocabulary is a bounded artifact (one token-keyed
+    * count aggregation, global top-v as a TakeOrderedAndProject heap)
+    * that rides a BROADCAST into the per-doc scan; membership is a
+    * broadcast left join, never a shuffle of the corpus on the token.
+    * In production the vocab is built once and reused ([[vocabCoverage]]
+    * is its builder twin); here both passes run for the self-contained
+    * oracle gate. */
+  def oovRate(docs: DataFrame, v: Int = 20): DataFrame = {
+    require(v >= 1, s"vocab size must be >= 1: $v")
+    val toks = docs.select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1L)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(v)
+      .select(col("w"), lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1L)).as("n_tokens"),
+        (count(lit(1L)) - sum(coalesce(col("iv"), lit(0L)))).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** First-iteration BPE merge statistics: corpus-weighted counts of
     * adjacent character pairs — exactly the table a byte-pair-encoding
     * tokenizer trainer builds to choose its first merge (Sennrich et al.

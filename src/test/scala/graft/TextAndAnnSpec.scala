@@ -499,6 +499,18 @@ class TextAndAnnSpec extends SparkSpec {
     assert(df.select("meta.n_bytes").collect().head.getLong(0) == 2L)
   }
 
+  test("oov rate counts occurrences outside the top-v vocabulary, ties broken by token") {
+    import spark.implicits._
+    // counts: a=6, b=1, c=1 — at v=2 the tie between b and c resolves to
+    // b (token asc), so doc 1's single c is the only OOV occurrence
+    val docs = Seq((1L, "a a b c"), (2L, "a a a a")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.oovRate(docs, v = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"), x.getAs[Double]("oov_rate"))).toMap
+    assert(r(1L) == ((4L, 1L, 0.25)), s"doc 1: ${r(1L)}")
+    assert(r(2L) == ((4L, 0L, 0.0)), s"doc 2: ${r(2L)}")
+  }
+
   test("semantic sort: contiguous global positions, clusters contiguous, most-central first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = graft.similarity.Ann.semanticSort(emb, trainStride = 4)
