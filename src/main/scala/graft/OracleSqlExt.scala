@@ -602,11 +602,14 @@ object OracleSqlExt {
     * assignment by max-dot (smallest-cid ties, as ivfCell), cosine to the
     * own centroid, global position by row_number over (cid, cos DESC,
     * vec_id). */
-  def semanticSortSql(cents: Seq[(Int, Array[Double], Double)]): String = {
+  /** Shared assignment + own-centroid-cosine CTE chain (`c`, `cents`,
+    * `ca`, `scored`) over literal (cid, cv, cn) rows — ONE definition for
+    * the semantic-sort and diverse-batches oracles. */
+  private def ownCosCtes(cents: Seq[(Int, Array[Double], Double)]): String = {
     val centRows = cents.map { case (cid, arr, cn) =>
       s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv, CAST($cn AS DOUBLE) AS cn"
     }.mkString("\n  UNION ALL ")
-    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+    s"""c AS (SELECT vec_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
        |cents AS (
        |  $centRows
        |),
@@ -620,14 +623,40 @@ object OracleSqlExt {
        |  SELECT vec_id, cid,
        |         round(${dotSql("nv", "cv")} / (sqrt(${dotSql("nv", "nv")}) * cn), 6) AS cos
        |  FROM ca JOIN cents USING (cid)
-       |)
+       |)""".stripMargin
+  }
+
+  def semanticSortSql(cents: Seq[(Int, Array[Double], Double)]): String =
+    s"""WITH ${ownCosCtes(cents)}
        |SELECT vec_id, cid, cos,
        |       CAST(row_number() OVER (ORDER BY cid ASC, cos DESC, vec_id ASC) AS BIGINT) AS pos
        |FROM scored""".stripMargin
-  }
 
   def semanticSortSqlFromLastModel: Option[String] =
     graft.similarity.Ann.lastSortModel.map(semanticSortSql)
+
+  /** Mirror of [[graft.similarity.Ann.diverseBatches]] GIVEN the trained
+    * centroids: within-cluster rank, round-robin global position over
+    * (rank, cid), integer-div batch chunking. */
+  def diverseBatchesSql(cents: Seq[(Int, Array[Double], Double)], batchSize: Int): String =
+    s"""WITH ${ownCosCtes(cents)},
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |         CAST(row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |),
+       |positioned AS (
+       |  SELECT vec_id, cid, rk,
+       |         CAST(row_number() OVER (ORDER BY rk ASC, cid ASC) AS BIGINT) AS pos
+       |  FROM ranked
+       |)
+       |SELECT vec_id, cid, rk, pos, (pos - 1) // $batchSize AS batch_id
+       |FROM positioned""".stripMargin
+
+  def diverseBatchesSqlFromLastModel: Option[String] =
+    graft.similarity.Ann.lastDiverseModel.map { case (cents, bs) =>
+      diverseBatchesSql(cents, bs)
+    }
 
   /** Sub-dimensional dot for PQ subvectors (the 64-wide [[dotSql]] fold
     * restricted to `n` elements — same left-to-right order). */

@@ -1577,6 +1577,17 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), trainStride = 8),
       None),
 
+    // diversity batching — the curriculum's complement: round-robin by
+    // within-cluster rank so each batch SPREADS across clusters.
+    // Within-cluster rank is a cid-PARTITIONED window (nCells
+    // partitions, never global-over-data); chunk position is the
+    // two-pass global rank. DYNAMIC centroid-injected oracle
+    ("diverse_batches",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.diverseBatches(
+          s.read.parquet(s"$d/embeddings.parquet"), batchSize = 8, trainStride = 8),
+      None),
+
     // benchmark decontamination: training docs whose shingles are
     // contained in an eval-set doc (src0 plays the benchmark here)
     ("decontaminate",
@@ -1826,5 +1837,6 @@ object SparkEntry {
       OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
-      OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _)
+      OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
+      OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _)
 }

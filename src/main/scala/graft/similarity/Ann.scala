@@ -253,19 +253,64 @@ object Ann {
       (cid, arr, math.sqrt(arr.map(x => x * x).sum))
     }
     lastSortModel = Some(withNorm)
+    graft.ops.Ranks.globalRank(
+      assignedWithOwnCos(emb, withNorm),
+      Seq((col("cid"), true), (col("cos"), false), (col("vec_id"), true)), out = "pos")
+      .drop("_n_total")
+  }
+
+  /** (vec_id, cid, cos): cluster assignment + round-6 cosine to the
+    * row's OWN centroid — shared by [[semanticSort]] and
+    * [[diverseBatches]]. The cosine is a when-chain over the literal
+    * model keyed on the already-computed cid (nCells branches, one
+    * 64-dim literal dot each — same plan-size class as ivfCell). */
+  private def assignedWithOwnCos(emb: DataFrame,
+                                 withNorm: Seq[(Int, Array[Double], Double)]): DataFrame = {
+    val cents = withNorm.map { case (cid, arr, _) => (cid, arr) }
     val assigned = candidates(emb).withColumn("cid", ivfCell(col("n_vec"), cents))
-    // cosine to the row's OWN centroid: a when-chain over the literal
-    // model keyed on the already-computed cid (16 branches, one 64-dim
-    // literal dot each — same plan-size class as ivfCell itself)
     val cosOwn = withNorm.foldRight(lit(null).cast("double")) {
       case ((cid, arr, cn), acc) =>
         when(col("cid") === cid,
           dot(col("n_vec"), array(arr.map(lit(_)): _*)) / (col("n_nrm") * lit(cn)))
           .otherwise(acc)
     }
-    graft.ops.Ranks.globalRank(
-      assigned.select(col("n_id").as("vec_id"), col("cid"), round(cosOwn, 6).as("cos")),
-      Seq((col("cid"), true), (col("cos"), false), (col("vec_id"), true)), out = "pos")
+    assigned.select(col("n_id").as("vec_id"), col("cid"), round(cosOwn, 6).as("cos"))
+  }
+
+  /** The most recently trained diversity-batch model (+ batch size). */
+  @volatile private[graft] var lastDiverseModel: Option[(Seq[(Int, Array[Double], Double)], Int)] = None
+
+  /** Diversity batching — [[semanticSort]]'s complement: compose
+    * training batches that SPREAD across semantic clusters instead of
+    * concentrating within one (the anti-curriculum a contrastive or
+    * mixing-sensitive run wants). Round-robin by within-cluster rank:
+    * rank each vector inside its cluster (most-central first), order
+    * globally by (rank, cid) and chunk into `batchSize` rows — while
+    * every cluster still has unconsumed members at a rank, consecutive
+    * rows cycle through clusters, so a batch draws from as many
+    * clusters as it has rows.
+    *
+    * Scale shape: assignment + cosine are the narrow literal-model maps;
+    * the within-cluster rank is a window PARTITIONED on cid (nCells
+    * partitions, each corpus/nCells — never a global window over data);
+    * the global chunk position is the two-pass [[graft.ops.Ranks
+    * .globalRank]]. Returns (vec_id, cid, rk, pos, batch_id). */
+  def diverseBatches(emb: DataFrame, batchSize: Int = 8, nCells: Int = 16,
+                     iters: Int = 2, trainStride: Int = 1): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    val withNorm = cents.map { case (cid, arr) =>
+      (cid, arr, math.sqrt(arr.map(x => x * x).sum))
+    }
+    lastDiverseModel = Some((withNorm, batchSize))
+    val ranked = assignedWithOwnCos(emb, withNorm)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid")
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select("vec_id", "cid", "rk")
+    graft.ops.Ranks.globalRank(ranked,
+      Seq((col("rk"), true), (col("cid"), true)), out = "pos")
+      .withColumn("batch_id", expr(s"(pos - 1) div $batchSize"))
       .drop("_n_total")
   }
 

@@ -511,6 +511,34 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r(2L) == ((4L, 0L, 0.0)), s"doc 2: ${r(2L)}")
   }
 
+  test("diverse batches spread clusters; curriculum chunks concentrate them") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bs = 8
+    val div = graft.similarity.Ann.diverseBatches(emb, batchSize = bs, trainStride = 4)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Int]("cid"), r.getAs[Long]("pos")))
+    // pos is a contiguous permutation; batch chunking follows pos exactly
+    assert(div.map(_._3).sorted.toSeq == (1L to div.length).toSeq)
+    div.foreach { case (b, _, p) => assert(b == (p - 1) / bs, s"batch must chunk pos: $b $p") }
+    def meanDistinctClusters(batches: Map[Long, Array[Int]]): Double = {
+      val full = batches.filter(_._2.length == bs)
+      full.values.map(_.distinct.length.toDouble).sum / full.size
+    }
+    val divSpread = meanDistinctClusters(
+      div.groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2) })
+    // curriculum = same corpus chunked in semantic_sort (cluster-major) order
+    val cur = graft.similarity.Ann.semanticSort(emb, trainStride = 4)
+      .collect().map(r => ((r.getAs[Long]("pos") - 1) / bs, r.getAs[Int]("cid")))
+    val curSpread = meanDistinctClusters(
+      cur.groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2) })
+    assert(divSpread > 2 * curSpread,
+      s"round-robin batches must span far more clusters: diverse $divSpread vs curriculum $curSpread")
+    // while every cluster still has unconsumed members, a full batch
+    // draws bs DISTINCT clusters — true for the earliest batch
+    val first = div.filter(_._1 == 0L).map(_._2)
+    assert(first.distinct.length == first.length,
+      s"batch 0 must be fully cluster-diverse: ${first.toSeq}")
+  }
+
   test("semantic sort: contiguous global positions, clusters contiguous, most-central first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = graft.similarity.Ann.semanticSort(emb, trainStride = 4)
