@@ -1590,6 +1590,29 @@ object OracleSqlExt {
        |       n_keys, n_rows
        |FROM r, s""".stripMargin
 
+  /** Mirror of [[graft.ops.TableProfile.driftKs]]: exact integer
+    * cumulative counts over the bin axis, one double division per CDF
+    * value, max gap rounded to 6. */
+  def driftKsSql(column: String, lo: Double, width: Double): String =
+    s"""WITH b AS (
+       |  SELECT source, CAST(floor((CAST($column AS DOUBLE) - $lo) / $width) AS BIGINT) AS bin
+       |  FROM documents WHERE $column IS NOT NULL
+       |),
+       |cur AS (SELECT source, bin, count(*) AS cn FROM b GROUP BY source, bin),
+       |ref AS (SELECT bin, sum(cn) AS rn FROM cur GROUP BY bin),
+       |rt AS (SELECT sum(rn) AS rt FROM ref),
+       |refc AS (SELECT bin, sum(rn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS crn FROM ref),
+       |ct AS (SELECT source, sum(cn) AS ct FROM cur GROUP BY source),
+       |grid AS (SELECT source, ct, bin, crn FROM ct, refc),
+       |cum AS (
+       |  SELECT source, ct, crn,
+       |         sum(COALESCE(cn, 0)) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ccn
+       |  FROM grid LEFT JOIN cur USING (source, bin)
+       |)
+       |SELECT source, round(max(abs(ccn / ct - crn / rt)), 6) AS ks,
+       |       CAST(count(*) AS BIGINT) AS n_bins
+       |FROM cum, rt GROUP BY source""".stripMargin
+
   /** Mirror of [[graft.ops.TableProfile.driftPsiQuantile]] (exact-edge
     * twin): pooled `nBins`-ile edges, round-6 values and edges before the
     * strict `>` bin comparisons, then the same ε-clamped DECIMAL PSI

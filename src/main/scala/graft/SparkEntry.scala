@@ -959,6 +959,16 @@ object SparkEntry {
           lo = 0.0, width = 50.0),
       Some(OracleSqlExt.driftPsiSql("n_chars", 0.0, 50.0, 1e-4))),
 
+    // KS drift companion: max cumulative-CDF gap per source vs the
+    // pooled reference — catches concentrated shifts PSI dilutes and
+    // vice versa; exact integer cumulatives, one division per CDF value
+    ("drift_ks",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.driftKs(
+          s.read.parquet(s"$d/documents.parquet"), "n_chars", "source",
+          lo = 0.0, width = 50.0),
+      Some(OracleSqlExt.driftKsSql("n_chars", 0.0, 50.0))),
+
     // the scale-free PSI twin: bin edges are the pooled corpus's own
     // deciles (exact=true is the oracle-parity opt-in; the library
     // default computes edges with the approx_percentile sketch — the

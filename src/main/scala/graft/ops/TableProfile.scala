@@ -267,6 +267,48 @@ object TableProfile {
     out
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group — PSI's
+    * standard companion: the maximum absolute gap between each group's
+    * binned CDF and the pooled reference CDF. Where PSI integrates
+    * mass-weighted log-ratios (sensitive to relative shifts in thin
+    * bins), KS reports the single worst cumulative displacement — the
+    * two disagree exactly when a drift is concentrated vs diffuse, which
+    * is why monitors run both.
+    *
+    * Same one-corpus-scan shape as [[driftPsi]] (the shared group×bin
+    * count table; reference = per-group sums). Cumulative counts are
+    * EXACT integer window sums over the bounded bin axis (windows
+    * partitioned per group over ≤ |bins| rows — never over data); each
+    * CDF value is then one double division, so the statistic is
+    * engine-identical without any decimal scaffolding. */
+  def driftKs(df: DataFrame, column: String, groupCol: String,
+              lo: Double = 0.0, width: Double = 50.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width > 0, s"bin width must be positive, got $width")
+    val x = col(column).cast("double")
+    val cur = df.filter(x.isNotNull)
+      .select(col(groupCol), floor((x - lo) / width).cast("long").as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1L)).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = cur.groupBy("bin").agg(sum("cn").as("rn"))
+    val refC = ref.crossJoin(broadcast(ref.agg(sum("rn").as("rt"))))
+      .withColumn("crn", sum("rn").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val curTot = cur.groupBy(groupCol).agg(sum("cn").as("ct"))
+    val out = curTot.crossJoin(broadcast(refC.select(col("bin"), col("crn"), col("rt"))))
+      .join(cur, Seq(groupCol, "bin"), "left")
+      .withColumn("ccn", sum(coalesce(col("cn"), lit(0L))).over(
+        Window.partitionBy(groupCol).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(groupCol)
+      .agg(round(max(abs(col("ccn") / col("ct") - col("crn") / col("rt"))), 6).as("ks"),
+        count(lit(1L)).as("n_bins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cur.unpersist()
+    out
+  }
+
   /** Shared PSI tail over a (group, bin, cn) count table: reference
     * proportions by re-aggregation (groups partition the reference),
     * ε-clamped grid, DECIMAL term accumulation — see [[driftPsi]]. */

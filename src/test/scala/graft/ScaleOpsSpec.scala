@@ -332,6 +332,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ap("shifted") > ap("flat_a"), s"approx edges must preserve the drift signal: $ap")
   }
 
+  test("KS drift: bounded in [0,1], zero-gap for a proportional group, max for a disjoint shift") {
+    import spark.implicits._
+    val rows =
+      (0 until 100).map(i => ("flat_a", (i % 10) * 50.0 + 10)) ++
+      (0 until 100).map(i => ("flat_b", (i % 10) * 50.0 + 10)) ++
+      (0 until 100).map(_ => ("shifted", 2000.0)) // entirely above every flat bin
+    val ks = graft.ops.TableProfile.driftKs(rows.toDF("source", "n_chars"), "n_chars", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("ks")).toMap
+    ks.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"KS must be a probability gap: $v"))
+    assert(ks("flat_a") == ks("flat_b"))
+    // the shifted group's CDF stays 0 until the last bin while the
+    // reference has accumulated the two flat groups' 2/3 of the mass
+    assert(math.abs(ks("shifted") - 2.0 / 3) < 1e-6, s"disjoint shift: ${ks("shifted")}")
+    // each flat group's CDF reaches 1 while the reference still holds
+    // the shifted third back: gap = 1/3
+    assert(math.abs(ks("flat_a") - 1.0 / 3) < 1e-6, s"flat gap: ${ks("flat_a")}")
+  }
+
   test("key skew profile surfaces the hot key with its share and hot ratio") {
     import spark.implicits._
     // one key holds 90 of 100 rows across 11 keys
