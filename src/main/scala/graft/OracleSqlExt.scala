@@ -551,6 +551,48 @@ object OracleSqlExt {
        |) WHERE rn <= $k""".stripMargin
   }
 
+  /** Mirror of [[graft.similarity.Ann.hardNegatives]] GIVEN the trained
+    * centroids: [[annMultiProbeSql]]'s bucket-join candidates with both
+    * sides cluster-assigned (argmax dot, smallest-cid ties — the ivfCell
+    * semantics) and the cross-cluster filter inside the join. */
+  def hardNegativesSql(cents: Seq[(Int, Array[Double])], stride: Int,
+                       k: Int, bits: Int): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    val probes = (bucketSql("qv", bits) +: (1 to bits).map(f => flipBucketSql("qv", bits, f))).mkString(", ")
+    def assign(rel: String, idCol: String, vecCol: String, out: String) =
+      s"""$out AS (
+         |  SELECT $idCol, cid FROM (
+         |    SELECT $idCol, cid, row_number() OVER (PARTITION BY $idCol ORDER BY d DESC, cid ASC) AS rn
+         |    FROM (SELECT $idCol, cid, ${dotSql(vecCol, "cv")} AS d FROM $rel CROSS JOIN cents)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |${assign("q", "q_id", "qv", "qa")},
+       |${assign("c", "n_id", "nv", "na")},
+       |qb AS (SELECT q_id, qv, unnest([$probes]) AS bkt FROM q),
+       |cb AS (SELECT n_id, nv, ${bucketSql("nv", bits)} AS bkt FROM c),
+       |scored AS (
+       |  SELECT DISTINCT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM qb JOIN cb USING (bkt)
+       |  JOIN qa USING (q_id) JOIN na USING (n_id)
+       |  WHERE n_id != q_id AND qa.cid != na.cid
+       |)
+       |SELECT q_id, n_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM scored
+       |) WHERE rn <= $k""".stripMargin
+  }
+
+  def hardNegativesSqlFromLastModel: Option[String] =
+    graft.similarity.Ann.lastHardNegModel.map { case (cents, stride, k, bits) =>
+      hardNegativesSql(cents, stride, k, bits)
+    }
+
   /** Mirror of [[graft.similarity.Ann.ivfTopK]] GIVEN the trained
     * centroids, injected as literal DOUBLE[] rows (the same
     * serve-a-model shape the Spark plan uses — centroids are plan

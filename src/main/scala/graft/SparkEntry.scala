@@ -1598,6 +1598,17 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), batchSize = 8, trainStride = 8),
       None),
 
+    // hard-negative mining for contrastive training: each query's top-k
+    // most-similar candidates from a DIFFERENT trained cluster —
+    // multi-probe sign-LSH candidates + literal-model cluster
+    // assignment on both sides, cross-cluster filter inside the bucket
+    // join. DYNAMIC centroid-injected oracle
+    ("hard_negatives",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.hardNegatives(
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, trainStride = 8),
+      None),
+
     // benchmark decontamination: training docs whose shingles are
     // contained in an eval-set doc (src0 plays the benchmark here)
     ("decontaminate",
@@ -1848,5 +1859,6 @@ object SparkEntry {
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
-      OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _)
+      OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
+      OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _)
 }

@@ -314,6 +314,43 @@ object Ann {
       .drop("_n_total")
   }
 
+  /** The most recently trained hard-negative model:
+    * (centroids, stride, k, bits). */
+  @volatile private[graft] var lastHardNegModel: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None
+
+  /** Hard-negative mining — the contrastive-training data op: each
+    * query's top-k most SIMILAR candidates drawn from a DIFFERENT
+    * trained semantic cluster. High cosine makes the pair hard; the
+    * cluster boundary is the (proxy) negative label — the standard
+    * in-batch-negatives upgrade for embedding training.
+    *
+    * Composition of two existing serve shapes: sign-LSH multi-probe
+    * candidate generation ([[multiProbeTopK]] — candidates restricted to
+    * the query's probe buckets, never all pairs) with the literal-model
+    * cluster assignment of [[ivfCell]] on BOTH sides (narrow maps, no
+    * join to assign). The cross-cluster filter runs inside the bucket
+    * join, so same-cluster easy negatives never reach the ranker.
+    * DYNAMIC oracle: the trained centroids inject as literals, like
+    * ann_ivf_topk. */
+  def hardNegatives(emb: DataFrame, stride: Int = 100, k: Int = 5, bits: Int = 6,
+                    nCells: Int = 16, iters: Int = 2, trainStride: Int = 1): DataFrame = {
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    lastHardNegModel = Some((cents, stride, k, bits))
+    val cand = candidates(emb)
+      .withColumn("bkt", bucket(col("n_vec"), bits))
+      .withColumn("cid", ivfCell(col("n_vec"), cents))
+    val q = queries(emb, stride)
+      .withColumn("qcid", ivfCell(col("q_vec"), cents))
+      .withColumn("bkt", explode(probeBuckets(col("q_vec"), bits)))
+    val scored = cand.join(broadcast(q), Seq("bkt"))
+      .filter(col("n_id") =!= col("q_id") && col("cid") =!= col("qcid"))
+      .withColumn("cos", round(dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 6))
+    graft.ops.TopK.topKPerGroup(
+      scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
+      Seq(col("q_id")),
+      Seq(col("cos").desc, col("n_id").asc), k)
+  }
+
   /** KNN self-join: EVERY vector gets its k approximate nearest
     * neighbors — the all-pairs form of [[multiProbeTopK]], the shape a
     * training pipeline needs for graph-based curation (semantic dedup

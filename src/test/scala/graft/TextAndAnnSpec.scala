@@ -511,6 +511,30 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r(2L) == ((4L, 0L, 0.0)), s"doc 2: ${r(2L)}")
   }
 
+  test("hard negatives always cross the cluster boundary and rank below unrestricted neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hn = graft.similarity.Ann.hardNegatives(emb, stride = 20, k = 3, trainStride = 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Double]("cos")))
+    assert(hn.nonEmpty)
+    // recompute assignments through the same stashed model and check
+    // every returned pair crosses the boundary
+    val (cents, _, _, _) = graft.similarity.Ann.lastHardNegModel.get
+    val assign = emb.select(col("vec_id"),
+        graft.similarity.Ann.ivfCell(col("embedding").cast("array<double>"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hn.foreach { case (q, n, _) =>
+      assert(assign(q) != assign(n), s"pair ($q, $n) shares cluster ${assign(q)}")
+    }
+    // a cross-cluster top-1 can never beat the unrestricted top-1
+    val unrestricted = graft.similarity.Ann.multiProbeTopK(emb, stride = 20, k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val hardTop = hn.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._3).max }
+    hardTop.foreach { case (q, c) =>
+      unrestricted.get(q).foreach(u =>
+        assert(c <= u, s"query $q: hard-negative cos $c exceeds unrestricted $u"))
+    }
+  }
+
   test("diverse batches spread clusters; curriculum chunks concentrate them") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bs = 8
