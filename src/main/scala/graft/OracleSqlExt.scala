@@ -97,6 +97,44 @@ object OracleSqlExt {
 
   val lshCandidatesSql: String = lshCandidatesBandedSql(4, 4)
 
+  /** Mirror of [[graft.dedup.Dedup.winnowFingerprints]]: k-gram rolling
+    * hashes over the cleaned token list, window-min selection, distinct
+    * per doc. DuckDB list slicing past the end truncates exactly like
+    * Spark's `slice`, so the short-document single-window case matches. */
+  def winnowSql(k: Int = 3, w: Int = 4): String = {
+    val kgRoll = rollSql(s"array_to_string(tl[i:i+${k - 1}], ' ')")
+    s"""WITH $tclCte,
+       |kg AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(tl) - ${k - 1} + 1), i -> $kgRoll) AS hs
+       |  FROM tcl WHERE len(tl) >= $k
+       |)
+       |SELECT doc_id,
+       |       unnest(list_distinct(list_transform(range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+       |              i -> list_min(hs[i:i+${w - 1}])))) AS fp
+       |FROM kg""".stripMargin
+  }
+
+  /** Mirror of [[graft.dedup.Dedup.editDistanceVerify]]: the default-
+    * geometry LSH candidate pairs, each verified by DuckDB's
+    * `levenshtein` (same unit-cost character edit distance as Spark's),
+    * normalized by the longer document's character length. */
+  def editDistanceVerifySql(minSim: Double): String =
+    s"""WITH $tclCte,
+       |$shCte,
+       |$mhCte,
+       |$bkCte,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, dist, max_len, sim FROM (
+       |  SELECT a, b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+       |         CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+       |         round(1.0 - levenshtein(da.text, db.text) / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6) AS sim
+       |  FROM cand JOIN documents da ON cand.a = da.doc_id JOIN documents db ON cand.b = db.doc_id
+       |) WHERE sim >= $minSim""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
     * (doc_id, idx), per-document dup counts. DuckDB zips the parallel

@@ -1410,6 +1410,22 @@ object SparkEntry {
         graft.dedup.Dedup.jaccardVerify(Collocations.documents(s, d), threshold = 0.3),
       Some(OracleSqlExt.jaccardVerifySql(0.3))),
 
+    // character-level verification twin: same LSH candidate stream,
+    // exact edit distance instead of shingle Jaccard — position-aware
+    // similarity that templated/reordered near-dups can't inflate
+    ("dedup_edit_distance",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.editDistanceVerify(Collocations.documents(s, d), minSim = 0.97),
+      Some(OracleSqlExt.editDistanceVerifySql(0.97))),
+
+    // winnowing (MOSS) fingerprints: shift-resistant partial-overlap
+    // detection — any shared run of >= k+w-1 tokens shares a fingerprint,
+    // selection is fully array-local per doc (zero pre-explode shuffles)
+    ("winnow_fingerprints",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.winnowFingerprints(Collocations.documents(s, d), k = 3, w = 4),
+      Some(OracleSqlExt.winnowSql(3, 4))),
+
     // curation analytics: near-dup pair counts + mean similarity per
     // unordered source pair — "how much does feed A overlap feed B",
     // one bounded rollup over the verified pair stream

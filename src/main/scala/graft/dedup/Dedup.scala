@@ -1080,6 +1080,77 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------------- winnowing / edit distance
+
+  /** Rolling hashes of the k-gram strings of a cleaned token array,
+    * array-local (one row per doc, no shuffle). NULL for docs with < k
+    * tokens — `explode` drops them, matching the shingle convention. The
+    * token array must be MATERIALIZED in its own projection first (see
+    * [[shingleCol]]'s lambda-substitution note — HOF lambdas get no
+    * subexpression caching, so an inlined tokenizer would re-run per
+    * element). */
+  private def kgramHashCol(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i =>
+        graft.functions.RollingHash.rollingHash(
+          concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS primitive): hash every k-token gram, slide a window of `w`
+    * consecutive k-gram hashes, keep each window's MINIMUM hash, emit the
+    * per-document DISTINCT selected hashes as (doc_id, fp).
+    *
+    * The winnowing guarantee: any shared token run of length >= k + w - 1
+    * between two documents yields at least one SHARED fingerprint, while
+    * the fingerprint density is ~2/(w+1) of the k-gram count — a
+    * position-robust partial-overlap detector (the passage family
+    * [[passageDupStats]] is grid-aligned and misses shifted copies; this
+    * is the shift-resistant complement).
+    *
+    * Scale shape: the entire selection is array-local per document
+    * (tokenize -> k-gram hash -> window-min via `transform`+`slice`, all
+    * higher-order functions on one row) — ZERO shuffles before the final
+    * explode; a fingerprint inverted index is then one exchange on `fp`.
+    * Documents with fewer than w k-grams emit the minimum of what they
+    * have (one truncated window — `slice` past the end truncates on both
+    * engines), so every doc with >= k tokens gets >= 1 fingerprint. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val kh = docs
+      .select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), kgramHashCol(col("toks"), k).as("hs"))
+    val nw = greatest(size(col("hs")) - (w - 1), lit(1))
+    kh.select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), nw), i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+  }
+
+  /** LSH-candidate pairs verified by EDIT DISTANCE instead of shingle
+    * Jaccard: normalized similarity 1 - lev(a,b)/max(|a|,|b|), kept at
+    * `minSim` or above. The character-level twin of [[jaccardVerify]] —
+    * Jaccard on shingle SETS is order/position-blind, so templated
+    * documents with reshuffled sections score high; Levenshtein charges
+    * every move. Same scale contract: the O(|a|·|b|) exact comparison
+    * runs ONLY on the LSH-bucketed candidate set (never all pairs), and
+    * both text sides attach by doc_id equi-join. */
+  def editDistanceVerify(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                         minSim: Double = 0.97, maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val cand = lshCandidates(docs, k, bands, rowsPerBand, maxBucketSize)
+    val out = cand
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("sim", round(lit(1.0) - col("dist") / col("max_len"), 6))
+      .filter(col("sim") >= minSim)
+      .select("a", "b", "dist", "max_len", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cand.unpersist() // lshCandidates hands back a persisted pair table
+    out
+  }
+
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
     * the correctness baseline for [[embeddingLshPairs]] — do not run at
     * corpus scale). */

@@ -585,4 +585,53 @@ class DedupSpec extends SparkSpec {
     assert((top.head.getLong(0), top.head.getLong(1)) == ((1L, 2L)))
     assert(top.head.getDouble(2) > 0.99)
   }
+
+  test("winnowing fingerprints survive a shift that breaks the passage grid") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    // a 2-token prefix shifts every token position by 2 — NOT a multiple of
+    // the passage window (3), so the grid-aligned passage hashes all change
+    val shifted = "zz yy " + base
+    val d = Seq((1L, base), (2L, shifted))
+      .map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val fp = d.transform(Dedup.winnowFingerprints(_, k = 3, w = 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fp.collect { case (1L, h) => h }.toSet
+    val f2 = fp.collect { case (2L, h) => h }.toSet
+    // winnowing guarantee: a shared token run of >= k + w - 1 = 6 yields a
+    // shared fingerprint; the whole 18-token base is shared here
+    assert((f1 & f2).nonEmpty, s"shifted copy must share fingerprints: $f1 vs $f2")
+    // density: far fewer fingerprints than k-grams (18 - 3 + 1 = 16)
+    assert(f1.size < 16)
+    // the grid-aligned passage detector finds NOTHING on the same pair —
+    // the shift-resistance winnowing exists for
+    val pass = Dedup.passageDupStats(d, window = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pass.values.forall(_ == 0L), s"passage grid should miss the shifted copy: $pass")
+  }
+
+  test("a doc with exactly k tokens emits exactly one winnow fingerprint") {
+    import spark.implicits._
+    val d = Seq((1L, "one two three", "en")).toDF("doc_id", "text", "lang")
+    val fp = d.transform(Dedup.winnowFingerprints(_, k = 3, w = 4)).collect()
+    assert(fp.length == 1 && fp.head.getLong(0) == 1L)
+  }
+
+  test("edit-distance verify scores the exact dup 1.0 and the one-word edit just below") {
+    val v = Dedup.editDistanceVerify(docs, minSim = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(4)))).toMap
+    // exact duplicate: zero distance, similarity exactly 1
+    assert(v((1L, 2L)) == ((0L, 1.0)))
+    // "rests" -> "sleeps" one-word edit: small positive distance, sim in (0.9, 1)
+    val (d13, s13) = v((1L, 3L))
+    assert(d13 > 0L && d13 <= 6L, s"one-word edit distance: $d13")
+    assert(s13 < 1.0 && s13 >= 0.9)
+    // the unrelated doc never reaches the verifier (not an LSH candidate)
+    assert(!v.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // tightening the threshold to 1.0 keeps only the exact pair
+    val exact = Dedup.editDistanceVerify(docs, minSim = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+  }
 }
