@@ -101,19 +101,40 @@ object OracleSqlExt {
     * hashes over the cleaned token list, window-min selection, distinct
     * per doc. DuckDB list slicing past the end truncates exactly like
     * Spark's `slice`, so the short-document single-window case matches. */
-  def winnowSql(k: Int = 3, w: Int = 4): String = {
+  /** tcl -> kg -> fpt CTE chain shared by [[winnowSql]] and
+    * [[winnowOverlapSql]]; fpt(doc_id, fp) is the fingerprint table. */
+  private def winnowCtes(k: Int, w: Int): String = {
     val kgRoll = rollSql(s"array_to_string(tl[i:i+${k - 1}], ' ')")
-    s"""WITH $tclCte,
+    s"""$tclCte,
        |kg AS (
        |  SELECT doc_id,
        |         list_transform(range(1, len(tl) - ${k - 1} + 1), i -> $kgRoll) AS hs
        |  FROM tcl WHERE len(tl) >= $k
-       |)
-       |SELECT doc_id,
-       |       unnest(list_distinct(list_transform(range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
-       |              i -> list_min(hs[i:i+${w - 1}])))) AS fp
-       |FROM kg""".stripMargin
+       |),
+       |fpt AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+       |                i -> list_min(hs[i:i+${w - 1}])))) AS fp
+       |  FROM kg
+       |)""".stripMargin
   }
+
+  def winnowSql(k: Int = 3, w: Int = 4): String =
+    s"""WITH ${winnowCtes(k, w)}
+       |SELECT doc_id, fp FROM fpt""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.winnowOverlap]]: the winnow
+    * fingerprint table, hot posting lists capped via QUALIFY, self-joined
+    * on fp, shared counts thresholded. */
+  def winnowOverlapSql(k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                       maxPostings: Int = graft.dedup.Dedup.MaxLshBucketSize): String =
+    s"""WITH ${winnowCtes(k, w)},
+       |capped AS (
+       |  SELECT doc_id, fp FROM fpt QUALIFY count(*) OVER (PARTITION BY fp) <= $maxPostings
+       |)
+       |SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+       |FROM capped l JOIN capped r ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
 
   /** Mirror of [[graft.dedup.Dedup.editDistanceVerify]]: the default-
     * geometry LSH candidate pairs, each verified by DuckDB's

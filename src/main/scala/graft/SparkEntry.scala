@@ -1426,6 +1426,32 @@ object SparkEntry {
         graft.dedup.Dedup.winnowFingerprints(Collocations.documents(s, d), k = 3, w = 4),
       Some(OracleSqlExt.winnowSql(3, 4))),
 
+    // winnowing's dedup payoff: pair overlap counts from the fingerprint
+    // inverted index (capped posting lists, same recall contract as the
+    // LSH bucket cap) — ranks contiguous-overlap pairs whole-doc Jaccard
+    // dilutes away
+    ("dedup_winnow_overlap",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.winnowOverlap(Collocations.documents(s, d), k = 3, w = 4,
+          minShared = 2L),
+      Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
+
+    // ε-band self-join via grid bucketing: same-type event pairs within
+    // value tolerance — the 1-D grid-file ε-join (constant 3× probe
+    // fan-out, shuffle keyed on (type, bucket); never a per-key cross
+    // product). The oracle states the SEMANTICS as the naive quadratic
+    // join — the grid plan must reproduce it exactly.
+    ("band_join",
+      (s: SparkSession, d: String) =>
+        graft.ops.BandJoin.bandJoin(
+          s.read.parquet(s"$d/events.parquet"),
+          keys = Seq("event_type"), idCol = "event_id", valueCol = "value", eps = 0.01),
+      Some("""SELECT l.event_type AS event_type, l.event_id AS a, r.event_id AS b,
+             |       l.value AS va, r.value AS vb, round(abs(l.value - r.value), 6) AS diff
+             |FROM events l JOIN events r
+             |  ON l.event_type = r.event_type AND l.event_id < r.event_id
+             | AND abs(l.value - r.value) <= 0.01""".stripMargin)),
+
     // curation analytics: near-dup pair counts + mean similarity per
     // unordered source pair — "how much does feed A overlap feed B",
     // one bounded rollup over the verified pair stream

@@ -1126,6 +1126,42 @@ object Dedup {
           transform(sequence(lit(1), nw), i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Document-pair partial-overlap report from the winnowing inverted
+    * index: pairs sharing at least `minShared` selected fingerprints,
+    * with the shared count. This is winnowing's dedup payoff — a pair
+    * sharing m fingerprints shares roughly m·(w+1)/2 k-grams of CONTIGUOUS
+    * text, so `shared` ranks plagiarism/quotation-style overlap that
+    * whole-document Jaccard dilutes away on long documents.
+    *
+    * Scale shape mirrors [[lshCandidates]]: fingerprint posting lists
+    * beyond `maxPostings` are dropped before the self-join (a
+    * boilerplate fingerprint shared by thousands of docs is O(n²) pairs
+    * and zero signal — same recall contract as [[MaxLshBucketSize]]),
+    * the capped index persists once so the self-join reads both sides
+    * pre-partitioned on `fp`, and the pair aggregation shuffles only
+    * candidate pairs, never the corpus. */
+  def winnowOverlap(docs: DataFrame, k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                    maxPostings: Int = MaxLshBucketSize): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w)
+    val capped0 =
+      if (maxPostings <= 0) fp
+      else fp
+        .withColumn("pn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("pn") <= maxPostings)
+        .drop("pn")
+    val capped = capped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = capped.select(col("fp"), col("doc_id").as("a"))
+      .join(capped.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    capped.unpersist()
+    out
+  }
+
   /** LSH-candidate pairs verified by EDIT DISTANCE instead of shingle
     * Jaccard: normalized similarity 1 - lev(a,b)/max(|a|,|b|), kept at
     * `minSim` or above. The character-level twin of [[jaccardVerify]] —

@@ -618,6 +618,27 @@ class DedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp.head.getLong(0) == 1L)
   }
 
+  test("winnow overlap ranks the near-dup pair and the posting cap silences boilerplate") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    val d = (Seq((1L, base), (2L, "zz yy " + base)) ++ // shifted near-dup pair
+        (10L to 30L).map(i => (i, boiler))) // 21 boilerplate clones
+      .map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val ov = Dedup.winnowOverlap(d, k = 3, w = 4, minShared = 2L, maxPostings = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the genuine shifted near-dup pair shares several fingerprints
+    assert(ov.contains((1L, 2L)) && ov((1L, 2L)) >= 2L, s"near-dup pair missing: $ov")
+    // every boilerplate fingerprint has 21 > 16 postings — capped away,
+    // so no clone-clone pair survives (exactGroups is the documented
+    // prefilter for byte-identical boilerplate)
+    assert(!ov.keySet.exists(p => p._1 >= 10L), s"boilerplate pairs must be capped: $ov")
+    // with the cap disabled the clones DO pair — the cap is what bounds them
+    val uncapped = Dedup.winnowOverlap(d, k = 3, w = 4, minShared = 2L, maxPostings = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 >= 10L))
+  }
+
   test("edit-distance verify scores the exact dup 1.0 and the one-word edit just below") {
     val v = Dedup.editDistanceVerify(docs, minSim = 0.9).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(4)))).toMap

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.abs
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 
@@ -52,5 +53,25 @@ class JoinStrategySpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.sharedState.cacheManager.clearCache()
     }
+  }
+
+  test("band join matches the naive quadratic semantics, including across bucket boundaries") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", 1L, 0.019), // bucket 1 at eps=0.01
+      ("k1", 2L, 0.021), // bucket 2 — within eps of row 1 only via neighbor probe
+      ("k1", 3L, 0.05),  // isolated
+      ("k1", 4L, 0.06),  // exactly eps from row 3 (0.06-0.05 == 0.01 in binary? filter decides; both paths agree)
+      ("k2", 5L, 0.019)  // same value as row 1, different key: never pairs
+    ).toDF("k", "id", "v")
+    val got = graft.ops.BandJoin.bandJoin(df, Seq("k"), "id", "v", eps = 0.01)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: the naive cross-product semantics on the same tiny input
+    val want = df.as("l").join(df.as("r"),
+        $"l.k" === $"r.k" && $"l.id" < $"r.id" && abs($"l.v" - $"r.v") <= 0.01)
+      .select($"l.id", $"r.id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"grid join must equal naive semantics: got $got want $want")
+    assert(got.contains((1L, 2L)), "cross-bucket-boundary pair must be found")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "keys must partition the band")
   }
 }
