@@ -123,6 +123,27 @@ object OracleSqlExt {
     s"""WITH ${winnowCtes(k, w)}
        |SELECT doc_id, fp FROM fpt""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.sortedNeighborhood]]: rank over
+    * (h0, doc_id) — the oracle's single-partition window is fine at
+    * oracle scale; Spark's side uses the sketch-bucketed globalRank —
+    * rank-window pairing, exact Jaccard on the pair stream. */
+  def sortedNeighborhoodSql(windowSize: Int = 3): String =
+    s"""WITH $tclCte,
+       |slt AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+       |  FROM tcl WHERE len(tl) >= 3
+       |),
+       |sh AS (SELECT doc_id, unnest(sl) AS shingle FROM slt),
+       |$mhCte,
+       |rk AS (SELECT doc_id, row_number() OVER (ORDER BY h0, doc_id) AS r FROM mh),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r2.doc_id AS b
+       |  FROM rk l JOIN rk r2 ON r2.r - l.r BETWEEN 1 AND ${windowSize - 1}
+       |)
+       |SELECT a, b,
+       |       round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
+       |FROM pairs JOIN slt la ON pairs.a = la.doc_id JOIN slt lb ON pairs.b = lb.doc_id""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.winnowOverlap]]: the winnow
     * fingerprint table, hot posting lists capped via QUALIFY, self-joined
     * on fp, shared counts thresholded. */

@@ -1436,6 +1436,15 @@ object SparkEntry {
           minShared = 2L),
       Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
 
+    // the OTHER classic blocking strategy next to LSH banding: global
+    // sort by the first minhash (sketch-bucketed globalRank, no
+    // single-partition window), pair each doc with its windowSize-1 rank
+    // successors via exploded equi-probes, verify with exact Jaccard
+    ("dedup_sorted_neighborhood",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.sortedNeighborhood(Collocations.documents(s, d), windowSize = 3),
+      Some(OracleSqlExt.sortedNeighborhoodSql(3))),
+
     // ε-band self-join via grid bucketing: same-type event pairs within
     // value tolerance — the 1-D grid-file ε-join (constant 3× probe
     // fan-out, shuffle keyed on (type, bucket); never a per-key cross

@@ -1162,6 +1162,55 @@ object Dedup {
     out
   }
 
+  /** Sorted-neighborhood near-dup blocking (Hernández/Stolfo 1995) with a
+    * similarity-preserving NUMERIC sort key: documents sort globally by
+    * their first minhash (h0 — equal for exact dups, near-equal-or-equal
+    * for near-dups, uniformly scattered otherwise), and every document
+    * pairs with the `windowSize − 1` documents that follow it in that
+    * order; each pair is then verified by exact shingle Jaccard.
+    *
+    * This is the OTHER classic blocking strategy next to LSH banding, and
+    * it fails differently: banding needs an entire band of `rowsPerBand`
+    * hashes to agree, so a pair can miss every band by one hash; the
+    * neighborhood window only needs the single sort key to land the pair
+    * within `windowSize` ranks. Running both and unioning candidates is
+    * the standard multi-pass SNM recipe.
+    *
+    * Scale shape: the global order comes from [[graft.ops.Ranks.globalRank]]
+    * (sketch-bucketed range partitioning — no single-partition window over
+    * data), the window pairing is an EQUI-join on exploded rank probes
+    * (constant `windowSize − 1` fan-out, never a rank-range theta join),
+    * and verification joins the persisted shingle-set table by doc_id.
+    * Emits (a, b, jaccard) for pairs where both sides have shingles. */
+  def sortedNeighborhood(docs: DataFrame, windowSize: Int = 3, k: Int = 3): DataFrame = {
+    require(windowSize >= 2, s"windowSize must pair at least adjacent ranks, got $windowSize")
+    val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = minhashSignaturesFromSets(ss, numHashes = 1)
+      .select(col("doc_id"), col("h0").as("bkey"))
+    val ranked = graft.ops.Ranks.globalRank(
+        keyed, Seq((col("bkey"), true), (col("doc_id"), true)), "r")
+      .select(col("doc_id"), col("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ranked.select(col("doc_id").as("a"),
+      explode(array((1 until windowSize).map(d => col("r") + d): _*)).as("r"))
+    val pairs = probes.join(ranked.select(col("doc_id").as("b"), col("r")), Seq("r"))
+    val out = pairs
+      .join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
+      .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
+      // null-shingle (<k-token) docs drop HERE, on the cached table — a
+      // pre-join filter would push the tokenizer lambda into a predicate
+      // (the shingleSets pathology note)
+      .filter(col("sa").isNotNull && col("sb").isNotNull)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .select("a", "b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranked.unpersist()
+    ss.unpersist()
+    out
+  }
+
   /** LSH-candidate pairs verified by EDIT DISTANCE instead of shingle
     * Jaccard: normalized similarity 1 - lev(a,b)/max(|a|,|b|), kept at
     * `minSim` or above. The character-level twin of [[jaccardVerify]] —

@@ -618,6 +618,20 @@ class DedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp.head.getLong(0) == 1L)
   }
 
+  test("sorted-neighborhood blocking pairs the dup cluster rank-adjacently") {
+    // docs 1/2/3 share (or nearly share) every minhash, so they sort
+    // adjacently on h0 and the window pairs them; doc 4 lands elsewhere
+    // on the h0 axis and any window pair it gets scores jaccard 0
+    val sn = Dedup.sortedNeighborhood(docs, windowSize = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val dupPairs = sn.filter { case ((a, b), _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) }
+    assert(dupPairs.keySet.size == 3, s"all three cluster pairs must be windowed: $sn")
+    assert(dupPairs((1L, 2L)) == 1.0)
+    assert(sn.filter { case ((a, b), _) => a == 4L || b == 4L }.values.forall(_ == 0.0))
+    // the short doc (5, no shingles) never appears
+    assert(!sn.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("winnow overlap ranks the near-dup pair and the posting cap silences boilerplate") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
