@@ -144,6 +144,36 @@ object OracleSqlExt {
        |       round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
        |FROM pairs JOIN slt la ON pairs.a = la.doc_id JOIN slt lb ON pairs.b = lb.doc_id""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.multipassVerify]]: LSH candidates
+    * UNION sorted-neighborhood window pairs (normalized to a < b), exact
+    * Jaccard at the threshold. */
+  def multipassVerifySql(threshold: Double, windowSize: Int = 3,
+                         bands: Int = 4, rowsPerBand: Int = 4): String =
+    s"""WITH $tclCte,
+       |slt AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+       |  FROM tcl WHERE len(tl) >= 3
+       |),
+       |sh AS (SELECT doc_id, unnest(sl) AS shingle FROM slt),
+       |$mhCte,
+       |${bkCteFrom("", "mh", bands, rowsPerBand)},
+       |candl AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |),
+       |rk AS (SELECT doc_id, row_number() OVER (ORDER BY h0, doc_id) AS r FROM mh),
+       |cands AS (
+       |  SELECT least(l.doc_id, r2.doc_id) AS a, greatest(l.doc_id, r2.doc_id) AS b
+       |  FROM rk l JOIN rk r2 ON r2.r - l.r BETWEEN 1 AND ${windowSize - 1}
+       |),
+       |cand AS (SELECT a, b FROM candl UNION SELECT a, b FROM cands)
+       |SELECT a, b, inter, na, nb, jaccard FROM (
+       |  SELECT a, b, CAST(len(list_intersect(la.sl, lb.sl)) AS BIGINT) AS inter,
+       |         CAST(len(la.sl) AS BIGINT) AS na, CAST(len(lb.sl) AS BIGINT) AS nb,
+       |         round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
+       |  FROM cand JOIN slt la ON cand.a = la.doc_id JOIN slt lb ON cand.b = lb.doc_id
+       |) WHERE jaccard >= $threshold""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.winnowOverlap]]: the winnow
     * fingerprint table, hot posting lists capped via QUALIFY, self-joined
     * on fp, shared counts thresholded. */

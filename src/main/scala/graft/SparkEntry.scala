@@ -1436,6 +1436,14 @@ object SparkEntry {
           minShared = 2L),
       Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
 
+    // the multi-pass recall recipe: LSH-band candidates UNION
+    // sorted-neighborhood window pairs, one shared shingle/signature
+    // pass, exact-Jaccard verification keeping precision exact
+    ("dedup_multipass",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.multipassVerify(Collocations.documents(s, d), threshold = 0.3),
+      Some(OracleSqlExt.multipassVerifySql(0.3))),
+
     // the OTHER classic blocking strategy next to LSH banding: global
     // sort by the first minhash (sketch-bucketed globalRank, no
     // single-partition window), pair each doc with its windowSize-1 rank

@@ -1211,6 +1211,52 @@ object Dedup {
     out
   }
 
+  /** MULTI-PASS blocking: the union of LSH-band candidates and
+    * sorted-neighborhood window pairs, verified once by exact shingle
+    * Jaccard at `threshold`. The standard recall recipe — the two
+    * blocking passes fail independently (banding needs a full band of
+    * hashes to agree; the neighborhood window needs only the single h0
+    * axis to land a pair within `windowSize` ranks), so their union
+    * dominates either alone while verification keeps precision exact.
+    *
+    * One corpus pass feeds everything: the shingle-set table is computed
+    * once and persisted, the 16-hash signature table derives from it and
+    * is ALSO shared — LSH bands consume h0..h15, the neighborhood axis
+    * is h0 of the SAME table — and verification joins the cached sets.
+    * Pair normalization to (a < b) makes the union's `distinct` merge
+    * the two passes' overlapping discoveries. */
+  def multipassVerify(docs: DataFrame, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                      windowSize: Int = 3, threshold: Double = 0.3,
+                      maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val ss = shingleSets(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromSets(ss, bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(lshBucketsFromSigs(sigs, bands, rowsPerBand), maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candLsh = candidatesFromBuckets(capped, maxBucketSize = 0)
+    val ranked = graft.ops.Ranks.globalRank(
+        sigs.select(col("doc_id"), col("h0").as("bkey")),
+        Seq((col("bkey"), true), (col("doc_id"), true)), "r")
+      .select(col("doc_id"), col("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ranked.select(col("doc_id").as("pa"),
+      explode(array((1 until windowSize).map(d => col("r") + d): _*)).as("r"))
+    val candSnm = probes.join(ranked.select(col("doc_id").as("pb"), col("r")), Seq("r"))
+      .select(least(col("pa"), col("pb")).as("a"), greatest(col("pa"), col("pb")).as("b"))
+    val cand = candLsh.unionByName(candSnm).distinct()
+    val out = cand
+      .join(ss.select(col("doc_id").as("a"), col("sl").as("sa"), col("nsh").as("na")), Seq("a"))
+      .join(ss.select(col("doc_id").as("b"), col("sl").as("sb"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranked.unpersist(); capped.unpersist(); sigs.unpersist(); ss.unpersist()
+    out
+  }
+
   /** LSH-candidate pairs verified by EDIT DISTANCE instead of shingle
     * Jaccard: normalized similarity 1 - lev(a,b)/max(|a|,|b|), kept at
     * `minSim` or above. The character-level twin of [[jaccardVerify]] —

@@ -618,6 +618,17 @@ class DedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp.head.getLong(0) == 1L)
   }
 
+  test("multipass verify dominates single-pass LSH recall at the same threshold") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val lsh = Dedup.jaccardVerify(docs, threshold = 0.3).collect().map(key).toSet
+    val mp = Dedup.multipassVerify(docs, threshold = 0.3).collect().map(key).toSet
+    assert(lsh.subsetOf(mp), s"union blocking must not lose LSH pairs: $lsh vs $mp")
+    assert(mp.nonEmpty)
+    // precision stays exact: every multipass pair satisfies the threshold
+    val sims = Dedup.multipassVerify(docs, threshold = 0.3).collect().map(_.getDouble(5))
+    assert(sims.forall(_ >= 0.3))
+  }
+
   test("sorted-neighborhood blocking pairs the dup cluster rank-adjacently") {
     // docs 1/2/3 share (or nearly share) every minhash, so they sort
     // adjacently on h0 and the window pairs them; doc 4 lands elsewhere
