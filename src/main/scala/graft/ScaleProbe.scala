@@ -15,7 +15,7 @@ object ScaleProbe {
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
-      "--lsh-skew-only", "--semantic-only", "--novelty-only")
+      "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -28,6 +28,7 @@ object ScaleProbe {
     val lshSkewOnly = flags.contains("--lsh-skew-only")
     val semanticOnly = flags.contains("--semantic-only")
     val noveltyOnly = flags.contains("--novelty-only")
+    val winnowOnly = flags.contains("--winnow-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -172,6 +173,33 @@ object ScaleProbe {
         val (nF, dF, tF) = run(8)
         val (nS, dS, tS) = run(8 * m)
         println(f"SCALE-SEMANTIC m=$m%2d vecs=${2000 * m}%7d fixedK=8: rows=$nF%7d dups=$dF%5d $tF%6.2f s   scaledK=${8 * m}%3d: rows=$nS%7d dups=$dS%5d $tS%6.2f s")
+      } else if (winnowOnly) {
+        // winnowing under clone skew: m-fold replication multiplies every
+        // fingerprint posting list by m, so UNCAPPED pair volume grows
+        // ~m² while fingerprint extraction itself stays linear (array-
+        // local selection). The capped inverted index drops saturated
+        // postings, so capped pair work stays bounded under arbitrary
+        // clone skew — the same contract the LSH bucket cap pins
+        // (--lsh-skew-only). The uncapped twin runs only at m <= 2,
+        // where its quadratic term is still affordable.
+        val t0 = System.nanoTime()
+        val nFp = graft.dedup.Dedup.winnowFingerprints(docs).count()
+        val tFp = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val ov = graft.dedup.Dedup.winnowOverlap(docs)
+        val nOv = ov.count()
+        val tOv = (System.nanoTime() - t1) / 1e9
+        ov.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+        val unc = if (m <= 2) {
+          val t2 = System.nanoTime()
+          val o = graft.dedup.Dedup.winnowOverlap(docs, maxPostings = 0)
+          val n = o.count()
+          o.unpersist()
+          f" uncapped_pairs=$n%9d ${(System.nanoTime() - t2) / 1e9}%6.2f s"
+        } else " uncapped=skipped(quadratic)"
+        println(f"SCALE-WINNOW m=$m%2d docs=${5000 * m}%7d fps=$nFp%8d $tFp%5.2f s capped_pairs=$nOv%8d $tOv%6.2f s$unc")
+        spark.sharedState.cacheManager.clearCache()
       } else if (lshSkewOnly) {
         // ADVERSARIAL SKEW probe (the MaxLshBucketSize contract, measured):
         // 20% of the corpus is ONE byte-identical boilerplate text — every
