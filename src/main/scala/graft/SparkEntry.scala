@@ -62,12 +62,31 @@ object SparkEntry {
       dir
     })
 
+  /** Winnow fingerprint index (full corpus / even half) — same
+    * build-once lifecycle and shutdown-cleaned root as the minhash
+    * index. */
+  private def winnowIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#winnow", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#winnow")).toString
+      graft.dedup.Dedup.writeWinnowIndex(Collocations.documents(s, d), dir)
+      dir
+    })
+  private def winnowIndexDirHalf(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#winnow-even", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#winnow-even")).toString
+      graft.dedup.Dedup.writeWinnowIndex(
+        Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
+      dir
+    })
+
   /** One-time per-process setup a measurement harness runs during warmup
     * (currently: the dedup index builds), so even a single-sweep bench
     * sample measures the serve path, never build+serve. */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     dedupIndexDir(spark, sfDir)
     dedupIndexDirHalf(spark, sfDir)
+    winnowIndexDir(spark, sfDir)
+    winnowIndexDirHalf(spark, sfDir)
   }
 
   /** One dialect-neutral SQL text executed verbatim by BOTH engines
@@ -1434,6 +1453,28 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.winnowOverlap(Collocations.documents(s, d), k = 3, w = 4,
           minShared = 2L),
+      Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
+
+    // build-once/serve-many for the winnow family: overlap served from
+    // the persisted fingerprint table alone — zero corpus access in the
+    // serve plan (pinned in DedupSpec); same oracle as the direct path
+    ("dedup_winnow_indexed",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.winnowOverlapFrom(
+          s.read.parquet(s"${winnowIndexDir(s, d)}/winnow_fp")),
+      Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
+
+    // incremental ingest: the persisted index covers the even-doc_id
+    // half; odd-half fingerprints union on top WITHOUT re-fingerprinting
+    // the old corpus (fingerprints are a pure per-doc function), and the
+    // SAME full-corpus oracle proves ingest-equals-rebuild
+    ("dedup_winnow_incremental",
+      (s: SparkSession, d: String) => {
+        val idx = s.read.parquet(s"${winnowIndexDirHalf(s, d)}/winnow_fp")
+        val fresh = graft.dedup.Dedup.winnowFingerprints(
+          Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1))
+        graft.dedup.Dedup.winnowOverlapFrom(idx.unionByName(fresh))
+      },
       Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
 
     // the multi-pass recall recipe: LSH-band candidates UNION

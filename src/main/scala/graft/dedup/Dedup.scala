@@ -1141,8 +1141,22 @@ object Dedup {
     * pre-partitioned on `fp`, and the pair aggregation shuffles only
     * candidate pairs, never the corpus. */
   def winnowOverlap(docs: DataFrame, k: Int = 3, w: Int = 4, minShared: Long = 2L,
-                    maxPostings: Int = MaxLshBucketSize): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w)
+                    maxPostings: Int = MaxLshBucketSize): DataFrame =
+    winnowOverlapFrom(winnowFingerprints(docs, k, w), minShared, maxPostings)
+
+  /** Build-once winnow index: the (doc_id, fp) fingerprint table
+    * persisted as parquet. Fingerprints are a pure per-document function
+    * (tokenize → k-gram hash → window-min, no cross-document term), so
+    * fresh shards UNION onto the index without re-fingerprinting the
+    * existing corpus — the same incremental-ingest contract as the
+    * minhash/shingle index ([[writeDedupIndex]]). */
+  def writeWinnowIndex(docs: DataFrame, dir: String, k: Int = 3, w: Int = 4): Unit =
+    winnowFingerprints(docs, k, w).write.mode("overwrite").parquet(s"$dir/winnow_fp")
+
+  /** [[winnowOverlap]] served from a persisted (doc_id, fp) table — the
+    * serve plan never touches the corpus. */
+  def winnowOverlapFrom(fp: DataFrame, minShared: Long = 2L,
+                        maxPostings: Int = MaxLshBucketSize): DataFrame = {
     val capped0 =
       if (maxPostings <= 0) fp
       else fp

@@ -618,6 +618,29 @@ class DedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp.head.getLong(0) == 1L)
   }
 
+  test("winnow index serves identical overlap; incremental union equals rebuild; no corpus in serve plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-spec").toString
+    Dedup.writeWinnowIndex(docs, dir)
+    val fp = spark.read.parquet(s"$dir/winnow_fp")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val direct = Dedup.winnowOverlap(docs, minShared = 1L).collect().map(key).toSet
+    val served = Dedup.winnowOverlapFrom(fp, minShared = 1L).collect().map(key).toSet
+    assert(served == direct && direct.nonEmpty)
+    // serve plan reads ONLY the index parquet (fresh frame — execution
+    // folds scans into AQE stage leaves)
+    val p = Dedup.winnowOverlapFrom(fp, minShared = 1L).queryExecution.executedPlan.toString
+    assert(p.contains("graft-winnow-spec"), s"serve plan must scan the index:\n$p")
+    assert(!p.contains("documents"), s"serve plan must not scan the corpus:\n$p")
+    // incremental: index over the even half + fresh odd-half fingerprints
+    // reproduces the full rebuild exactly (fingerprints are per-doc pure)
+    val evenDir = java.nio.file.Files.createTempDirectory("graft-winnow-even").toString
+    Dedup.writeWinnowIndex(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), evenDir)
+    val merged = spark.read.parquet(s"$evenDir/winnow_fp")
+      .unionByName(Dedup.winnowFingerprints(docs.filter(pmod(col("doc_id"), lit(2L)) === 1)))
+    val incr = Dedup.winnowOverlapFrom(merged, minShared = 1L).collect().map(key).toSet
+    assert(incr == direct, "incremental ingest must equal the from-scratch rebuild")
+  }
+
   test("multipass verify dominates single-pass LSH recall at the same threshold") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val lsh = Dedup.jaccardVerify(docs, threshold = 0.3).collect().map(key).toSet
