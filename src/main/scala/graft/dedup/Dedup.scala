@@ -1155,16 +1155,25 @@ object Dedup {
 
   /** [[winnowOverlap]] served from a persisted (doc_id, fp) table — the
     * serve plan never touches the corpus. */
+  /** Fingerprint table with oversized posting lists removed — the
+    * [[capBuckets]] analogue on the `fp` key: ONE count-over-window on
+    * the same key the overlap self-join shuffles on, so the partitioning
+    * is computed once and (through the persist in
+    * [[winnowOverlapFrom]]) reused by both join sides. `<= 0` disables.
+    * Exchange parity pinned in PlanSpec. */
+  private[graft] def cappedPostings(fp: DataFrame,
+                                    maxPostings: Int = MaxLshBucketSize): DataFrame =
+    if (maxPostings <= 0) fp
+    else fp
+      .withColumn("pn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("pn") <= maxPostings)
+      .drop("pn")
+
   def winnowOverlapFrom(fp: DataFrame, minShared: Long = 2L,
                         maxPostings: Int = MaxLshBucketSize): DataFrame = {
-    val capped0 =
-      if (maxPostings <= 0) fp
-      else fp
-        .withColumn("pn",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-        .filter(col("pn") <= maxPostings)
-        .drop("pn")
-    val capped = capped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = cappedPostings(fp, maxPostings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = capped.select(col("fp"), col("doc_id").as("a"))
       .join(capped.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
       .filter(col("a") < col("b"))

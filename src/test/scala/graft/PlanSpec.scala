@@ -107,6 +107,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("capped winnow posting cache feeds the fp self-join pre-partitioned — one exchange total") {
+    // Same contract as the capped LSH bucket cache, on the fp key: the
+    // posting-cap window partitions on fp, the persist preserves that
+    // partitioning, and the overlap self-join consumes both cached sides
+    // with no exchange of its own — the only shuffle after the cache is
+    // the final (a, b) pair aggregation.
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sharedState.cacheManager.clearCache()
+    val capped = Dedup.cappedPostings(
+        Dedup.winnowFingerprints(Collocations.documents(spark, sf)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      capped.count()
+      val pairs = capped.select(col("fp"), col("doc_id").as("a"))
+        .join(capped.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      pairs.count()
+      val shuffles = physicalPlan(pairs).collect {
+        case s: ShuffleQueryStageExec => s
+        case e: ShuffleExchangeLike   => e
+      }
+      assert(shuffles.size == 1,
+        s"overlap plan should shuffle once (the pair agg), saw ${shuffles.size}:\n${physicalPlan(pairs)}")
+    } finally {
+      capped.unpersist()
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("sketch twins aggregate partial then final (mergeable partials)") {
     Seq("percentiles_approx", "approx_distinct").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
