@@ -366,6 +366,10 @@ class DedupSpec extends SparkSpec {
       "simhashPairs" -> (() => Dedup.simhashPairs(docs)),
       "embeddingLshPairs" -> (() => Dedup.embeddingLshPairs(emb, bands = 8, rowsPerBand = 8, minCos = 0.99)),
       "lshComponents" -> (() => Dedup.lshComponents(docs)),
+      "winnowOverlap" -> (() => Dedup.winnowOverlap(docs, minShared = 1L)),
+      "editDistanceVerify" -> (() => Dedup.editDistanceVerify(docs, minSim = 0.5)),
+      "sortedNeighborhood" -> (() => Dedup.sortedNeighborhood(docs)),
+      "multipassVerify" -> (() => Dedup.multipassVerify(docs, threshold = 0.0)),
       "Collocations.joinedC2" -> (() => graft.collocations.Collocations.joinedC2(docs)),
       "Collocations.withN" -> (() => graft.collocations.Collocations.withN(docs)))
     builders.foreach { case (name, build) =>
