@@ -1348,6 +1348,39 @@ object OracleSqlExt {
        |       round(CAST(sum(c) OVER (ORDER BY c DESC, w ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / n, 6) AS coverage
        |FROM top CROSS JOIN ntab""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.vocabZipf]]: identical rank
+    * order, per-term DECIMAL(28,18) sums, and the exact cov/var
+    * operation order. */
+  def vocabZipfSql(k: Int): String = {
+    val lx = "ln(CAST(rank AS DOUBLE))"
+    val ly = "ln(CAST(c AS DOUBLE))"
+    s"""WITH ${OracleSql.toksCte},
+       |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+       |top AS (SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT $k),
+       |rk AS (SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rank FROM top),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         sum(CAST($lx AS DECIMAL(28,18))) AS sx,
+       |         sum(CAST($ly AS DECIMAL(28,18))) AS sy,
+       |         sum(CAST($lx * $lx AS DECIMAL(28,18))) AS sxx,
+       |         sum(CAST($ly * $ly AS DECIMAL(28,18))) AS syy,
+       |         sum(CAST($lx * $ly AS DECIMAL(28,18))) AS sxy
+       |  FROM rk
+       |),
+       |t AS (
+       |  SELECT n, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+       |         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cov,
+       |         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS vx,
+       |         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS vy
+       |  FROM s
+       |)
+       |SELECT n,
+       |       round(CASE WHEN vx <> 0 THEN cov / vx ELSE CAST(0 AS DOUBLE) END, 6) AS slope,
+       |       round((syd - (CASE WHEN vx <> 0 THEN cov / vx ELSE CAST(0 AS DOUBLE) END) * sxd) / n, 6) AS intercept,
+       |       round(CASE WHEN vx * vy <> 0 THEN cov * cov / (vx * vy) ELSE CAST(0 AS DOUBLE) END, 6) AS r2
+       |FROM t""".stripMargin
+  }
+
   val fingerprintSql: String =
     s"""WITH $tclCte
        |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tl)), ' ')) AS fp FROM tcl""".stripMargin

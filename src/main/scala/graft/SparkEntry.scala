@@ -876,6 +876,14 @@ object SparkEntry {
         graft.text.TextAnalysis.vocabCoverage(Collocations.documents(s, d), k = 50),
       Some(OracleSqlExt.vocabCoverageSql(50))),
 
+    // Zipf's-law fit over the vocabulary head: OLS of ln(count) on
+    // ln(rank) with order-independent decimal term sums — slope ≈ -1 and
+    // high r2 on natural corpora; the one-row corpus-health diagnostic
+    ("vocab_zipf",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.vocabZipf(Collocations.documents(s, d), k = 200),
+      Some(OracleSqlExt.vocabZipfSql(200))),
+
     // tokenizer-coverage report: per-doc fraction of token occurrences
     // outside the corpus's own top-v vocabulary — the "is v entries
     // enough" pass before committing to a tokenizer size. Vocab is a

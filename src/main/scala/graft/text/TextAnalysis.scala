@@ -401,6 +401,52 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("entropy"))
   }
 
+  /** Zipf's-law fit over the top-`k` vocabulary: OLS regression of
+    * ln(count) on ln(rank). Natural corpora fit a line of slope ≈ −1
+    * with high r² (Zipf 1949); the fit is a one-row corpus-health
+    * diagnostic — boilerplate/template corpora flatten the head (slope
+    * toward 0), spammy machine text breaks the fit (low r²), and a
+    * post-dedup rerun shows the head mass the dedup removed.
+    *
+    * Scale shape: one token-keyed count aggregation, global top-k as a
+    * bounded TakeOrderedAndProject heap, then the regression runs over
+    * the k-row metadata result — the bounded case where a global window
+    * is the right plan ([[vocabCoverage]]'s rationale). Regression term
+    * sums accumulate per-term in DECIMAL(28,18) (the stats_agg / entropy
+    * discipline) so the float aggregation is order-independent and
+    * engine-identical. */
+  def vocabZipf(docs: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("w").asc).limit(k)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    def dsum(e: Column, n: String) = sum(e.cast("decimal(28,18)")).as(n)
+    val s = ranked.agg(count(lit(1)).as("n"),
+      dsum(x, "sx"), dsum(y, "sy"),
+      dsum(x * x, "sxx"), dsum(y * y, "syy"), dsum(x * y, "sxy"))
+    val n = col("n")
+    val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    // operation order mirrors the oracle SQL verbatim — cov/var forms,
+    // never a rearrangement (float algebra is order-sensitive). The
+    // degenerate corpora guard explicitly: ANSI mode throws on double
+    // division by an exact 0 (a single-word vocabulary zeroes vx; an
+    // all-equal-count one zeroes vy), and the guard keeps both engines
+    // on the same CASE branch instead of trading NaN conventions.
+    val cov = sxy - sx * sy / n
+    val vx = sxx - sx * sx / n
+    val vy = syy - sy * sy / n
+    val slopeRaw = when(vx =!= 0.0, cov / vx).otherwise(lit(0.0))
+    s.select(n,
+      round(slopeRaw, 6).as("slope"),
+      round((sy - slopeRaw * sx) / n, 6).as("intercept"),
+      round(when(vx * vy =!= 0.0, cov * cov / (vx * vy)).otherwise(lit(0.0)), 6).as("r2"))
+  }
+
   /** Domain-mixture reweighting: per-source corpus share and the sampling
     * weight that moves the mix to a uniform target — the knob a
     * pretraining pipeline turns to rebalance sources. One aggregation on

@@ -511,6 +511,25 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r(2L) == ((4L, 0L, 0.0)), s"doc 2: ${r(2L)}")
   }
 
+  test("zipf fit recovers the exact slope of a synthetic power law") {
+    import spark.implicits._
+    // counts 16/8/4/2 for tokens a/b/c/d: ln(c) = ln(16) - r'·ln(2) where
+    // rank follows 1..4 — not exactly linear in ln(rank), but the OLS on
+    // (ln r, ln c) is deterministic; pin direction and fit-quality bounds
+    // plus the exact n
+    val docs = Seq((1L, ("a " * 16 + "b " * 8 + "c " * 4 + "d " * 2).trim))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.vocabZipf(docs, k = 10).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    val (slope, r2) = (r.getAs[Double]("slope"), r.getAs[Double]("r2"))
+    assert(slope < -0.5, s"head-heavy corpus must fit a steep negative slope: $slope")
+    assert(r2 > 0.8 && r2 <= 1.0, s"fit quality: $r2")
+    // a flat (all-equal-count) vocabulary has zero covariance: slope 0
+    val flat = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val f = graft.text.TextAnalysis.vocabZipf(flat, k = 10).collect().head
+    assert(f.getAs[Double]("slope") == 0.0, s"flat vocab: ${f.getAs[Double]("slope")}")
+  }
+
   test("hard negatives always cross the cluster boundary and rank below unrestricted neighbors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val hn = graft.similarity.Ann.hardNegatives(emb, stride = 20, k = 3, trainStride = 4)
