@@ -144,6 +144,42 @@ object OracleSqlExt {
        |       round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
        |FROM pairs JOIN slt la ON pairs.a = la.doc_id JOIN slt lb ON pairs.b = lb.doc_id""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.blockingEval]]: exact all-pairs truth
+    * at the threshold vs the banded candidate set, one metrics row. */
+  def blockingEvalSql(threshold: Double, bands: Int = 4, rowsPerBand: Int = 4): String =
+    s"""WITH $tclCte,
+       |slt AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+       |  FROM tcl WHERE len(tl) >= 3
+       |),
+       |sh AS (SELECT doc_id, unnest(sl) AS shingle FROM slt),
+       |$mhCte,
+       |${bkCteFrom("", "mh", bands, rowsPerBand)},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bk l JOIN bk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |),
+       |truth AS (
+       |  SELECT i.a, i.b
+       |  FROM (
+       |    SELECT s1.doc_id AS a, s2.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |    FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+       |    GROUP BY 1, 2
+       |  ) i
+       |  JOIN (SELECT doc_id, CAST(len(sl) AS BIGINT) AS nsh FROM slt) ca ON i.a = ca.doc_id
+       |  JOIN (SELECT doc_id, CAST(len(sl) AS BIGINT) AS nsh FROM slt) cb ON i.b = cb.doc_id
+       |  WHERE round(i.inter / (ca.nsh + cb.nsh - i.inter), 6) >= $threshold
+       |),
+       |m AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN cand USING (a, b)) AS n_hit
+       |)
+       |SELECT n_truth, n_cand, n_hit,
+       |       round(CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS recall,
+       |       round(CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand ELSE CAST(0 AS DOUBLE) END, 6) AS candidate_precision
+       |FROM m""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.multipassVerify]]: LSH candidates
     * UNION sorted-neighborhood window pairs (normalized to a < b), exact
     * Jaccard at the threshold. */

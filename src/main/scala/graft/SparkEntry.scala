@@ -1463,6 +1463,14 @@ object SparkEntry {
           minShared = 2L),
       Some(OracleSqlExt.winnowOverlapSql(3, 4, 2L))),
 
+    // "measure, don't guess" for the band geometry: recall/precision of
+    // the LSH candidate set against exact all-pairs truth — the
+    // sample-then-decide pass run before committing a geometry at scale
+    ("dedup_blocking_eval",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.blockingEval(Collocations.documents(s, d), threshold = 0.3),
+      Some(OracleSqlExt.blockingEvalSql(0.3))),
+
     // build-once/serve-many for the winnow family: overlap served from
     // the persisted fingerprint table alone — zero corpus access in the
     // serve plan (pinned in DedupSpec); same oracle as the direct path

@@ -633,6 +633,43 @@ object Dedup {
     out
   }
 
+  /** Blocking-quality evaluation — "measure, don't guess" for the LSH
+    * geometry: ground-truth pairs at `threshold` from the exact all-pairs
+    * inverted index ([[jaccardPairs]]) against the banded candidate set
+    * ([[lshCandidates]]), as ONE row of
+    * (n_truth, n_cand, n_hit, recall, candidate_precision).
+    *
+    * Run this on a bounded SAMPLE before committing a band geometry to
+    * the full corpus: the truth side is the quadratic all-pairs join
+    * that the production path exists to avoid (the same sample-then-
+    * decide shape as IVF centroid training). `recall` is the fraction of
+    * true near-dup pairs the bands surface; `candidate_precision` is the
+    * fraction of candidates that verify — low precision costs verify
+    * CPU, low recall silently leaves duplicates in the corpus. Compare
+    * against the s-curve prediction from [[tuneBands]]. */
+  def blockingEval(docs: DataFrame, threshold: Double = 0.3, k: Int = 3,
+                   bands: Int = 4, rowsPerBand: Int = 4,
+                   maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val truth = jaccardPairs(docs, k, threshold)
+    val cand = lshCandidates(docs, k, bands, rowsPerBand, maxBucketSize)
+    val joined = truth.select(col("a"), col("b"), lit(1).as("t"))
+      .join(cand.select(col("a"), col("b"), lit(1).as("c")), Seq("a", "b"), "full_outer")
+    val agg = joined.agg(
+      count(col("t")).as("n_truth"),
+      count(col("c")).as("n_cand"),
+      count(when(col("t").isNotNull && col("c").isNotNull, lit(1))).as("n_hit"))
+    // ANSI-safe: an empty truth/candidate side reads 0.0, not an error
+    val out = agg.select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(lit(0.0)), 6).as("recall"),
+        round(when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand")).otherwise(lit(0.0)), 6).as("candidate_precision"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    truth.unpersist(); cand.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 60-bit SimHash over token md5s (15 hex chars x 4 bits — 60 bits keeps

@@ -622,6 +622,23 @@ class DedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp.head.getLong(0) == 1L)
   }
 
+  test("blocking eval scores LSH recall against exact all-pairs truth") {
+    val r = Dedup.blockingEval(docs, threshold = 0.3).collect().head
+    val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (recall, prec) = (r.getDouble(3), r.getDouble(4))
+    // exact truth at 0.3 on the fixture: (1,2) j=1.0 and the two
+    // near-dup pairs (1,3)/(2,3) at j~0.9
+    assert(nTruth == 3L, s"truth pairs: $nTruth")
+    assert(nHit <= math.min(nTruth, nCand))
+    // identical docs always collide; the near-dup shares bands (the
+    // lshCandidates spec pins at least one of its pairs), so recall > 1/3
+    assert(recall >= 2.0 / 3 - 1e-9, s"recall: $recall")
+    assert(recall <= 1.0 && prec >= 0.0 && prec <= 1.0)
+    // internal consistency of the published ratios
+    assert(math.abs(recall - nHit.toDouble / nTruth) < 1e-6)
+    assert(math.abs(prec - nHit.toDouble / nCand) < 1e-6)
+  }
+
   test("winnow index serves identical overlap; incremental union equals rebuild; no corpus in serve plan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-winnow-spec").toString
     Dedup.writeWinnowIndex(docs, dir)
