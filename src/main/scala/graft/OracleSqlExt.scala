@@ -146,8 +146,9 @@ object OracleSqlExt {
 
   /** Mirror of [[graft.dedup.Dedup.blockingEval]]: exact all-pairs truth
     * at the threshold vs the banded candidate set, one metrics row. */
-  def blockingEvalSql(threshold: Double, bands: Int = 4, rowsPerBand: Int = 4): String =
-    s"""WITH $tclCte,
+  def blockingEvalSql(threshold: Double, bands: Int = 4, rowsPerBand: Int = 4,
+                      srcRel: String = "documents"): String =
+    s"""WITH ${tclCteNamed("tcl", srcRel)},
        |slt AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
        |  FROM tcl WHERE len(tl) >= 3

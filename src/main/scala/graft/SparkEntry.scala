@@ -1466,10 +1466,17 @@ object SparkEntry {
     // "measure, don't guess" for the band geometry: recall/precision of
     // the LSH candidate set against exact all-pairs truth — the
     // sample-then-decide pass run before committing a geometry at scale
+    // registered on a content-stable HALF-sample: the truth side is the
+    // deliberate all-pairs quadratic, so the eval runs on a bounded
+    // sample by design (the op's own scale contract) — the geometry
+    // decision generalizes from the sample to the corpus
     ("dedup_blocking_eval",
       (s: SparkSession, d: String) =>
-        graft.dedup.Dedup.blockingEval(Collocations.documents(s, d), threshold = 0.3),
-      Some(OracleSqlExt.blockingEvalSql(0.3))),
+        graft.dedup.Dedup.blockingEval(
+          Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0),
+          threshold = 0.3),
+      Some(OracleSqlExt.blockingEvalSql(0.3,
+        srcRel = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"))),
 
     // build-once/serve-many for the winnow family: overlap served from
     // the persisted fingerprint table alone — zero corpus access in the
