@@ -76,4 +76,39 @@ object DedupStream {
     spark.read.parquet(s"$indexDir/minhash_sigs").drop("ingest_batch")
   def sets(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/shingle_sets").drop("ingest_batch")
+
+  // ------------------------------------------------- winnow index ingest
+
+  /** The winnow fingerprint index ([[graft.dedup.Dedup.writeWinnowIndex]])
+    * under the same continuous-ingest contract: fingerprints are a pure
+    * per-document function, so each micro-batch computes ONLY its own
+    * shard's (doc_id, fp) rows and appends them replay-idempotently;
+    * serving is [[graft.dedup.Dedup.winnowOverlapFrom]] over the live
+    * table, and ingest-equals-rebuild is pinned in StreamingSpec (the
+    * streaming deployment of the batch `dedup_winnow_incremental`
+    * contract). */
+  def ingestWinnow(stream: DataFrame, indexDir: String, checkpoint: String,
+                   k: Int = 3, w: Int = 4): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendWinnowBatch(batch, indexDir, batchId, k, w)
+      }
+      .start()
+
+  /** One micro-batch's winnow writes — replay-idempotent via the same
+    * dynamic-partition-overwrite-on-`ingest_batch` scheme as
+    * [[appendBatch]]. */
+  def appendWinnowBatch(batch: DataFrame, indexDir: String, batchId: Long,
+                        k: Int = 3, w: Int = 4): Unit =
+    Dedup.winnowFingerprints(batch, k, w)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$indexDir/winnow_fp")
+
+  /** The live winnow fingerprint table (serve-schema view). */
+  def winnowFp(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/winnow_fp").drop("ingest_batch")
 }

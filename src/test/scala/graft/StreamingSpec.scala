@@ -321,6 +321,49 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming winnow-index ingest serves overlap identical to a full rebuild after every drop") {
+    import graft.streaming.DedupStream
+    import graft.dedup.Dedup
+    val watch = java.nio.file.Files.createTempDirectory("graft-winnow-stream")
+    val index = java.nio.file.Files.createTempDirectory("graft-winnow-stream-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-winnow-stream-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    def drop(name: String, parityKeep: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-winnow-stage")
+      all.filter(pmod(col("doc_id"), lit(2L)) === parityKeep)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    def served() = Dedup.winnowOverlapFrom(DedupStream.winnowFp(spark, index.toString))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rebuilt(parities: Long*) =
+      Dedup.winnowOverlap(all.filter(pmod(col("doc_id"), lit(2L)).isin(parities: _*)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    drop("a.parquet", 0L)
+    val q = DedupStream.ingestWinnow(DedupStream.readStream(spark, watch.toString),
+      index.toString, ckpt.toString)
+    q.processAllAvailable()
+    assert(served() == rebuilt(0L),
+      "after drop 1: serving from the streamed winnow index must equal a rebuild on shard 1")
+
+    drop("b.parquet", 1L)
+    q.processAllAvailable(); q.stop()
+    assert(served() == rebuilt(0L, 1L),
+      "after drop 2: serving from the streamed winnow index must equal a full-corpus rebuild")
+    assert(served().nonEmpty, "the sf0.001 corpus has known overlapping docs; empty means a broken join")
+
+    // replay idempotence: re-committing batch 0 replaces its partition
+    val before = served()
+    DedupStream.appendWinnowBatch(
+      all.filter(pmod(col("doc_id"), lit(2L)) === 0L), index.toString, 0L)
+    assert(served() == before, "replaying batch 0 must leave serve results unchanged")
+    Seq(watch, index, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("streaming novelty triage scores each shard exactly like the batch query") {
     import graft.streaming.{DedupStream, NoveltyStream}
     import graft.dedup.Dedup
