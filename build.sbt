@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver retains a tail of stdout and parses the LAST complete
+// JSON line in it. sbt's default logger decorates every forked-process
+// line with "[info] " and appends a "[success] Total time" trailer — both
+// of which defeat a plain json-loads of the tail lines (BENCH_rN.json has
+// had "parsed": null since round 1). StdoutOutput pipes the forked JVM's
+// stdout through verbatim; showSuccess drops the trailer, leaving the
+// bench's final compact JSON line as the literal last line of output.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,12 +97,14 @@ object OracleSqlExt {
 
   val lshCandidatesSql: String = lshCandidatesBandedSql(4, 4)
 
-  /** Mirror of [[graft.dedup.Dedup.winnowFingerprints]]: k-gram rolling
-    * hashes over the cleaned token list, window-min selection, distinct
-    * per doc. DuckDB list slicing past the end truncates exactly like
-    * Spark's `slice`, so the short-document single-window case matches. */
   /** tcl -> kg -> fpt CTE chain shared by [[winnowSql]] and
-    * [[winnowOverlapSql]]; fpt(doc_id, fp) is the fingerprint table. */
+    * [[winnowOverlapSql]]; fpt(doc_id, fp) mirrors
+    * [[graft.dedup.Dedup.winnowFingerprints]]: k-gram rolling hashes over
+    * the cleaned token list, window-min selection, distinct per doc.
+    * DuckDB list slicing past the end truncates exactly like Spark's
+    * `slice`, so the short-document single-window case matches; docs with
+    * < k tokens are dropped by `len(tl) >= k`, matching the engine's
+    * NULL-guarded explode. */
   private def winnowCtes(k: Int, w: Int): String = {
     val kgRoll = rollSql(s"array_to_string(tl[i:i+${k - 1}], ' ')")
     s"""$tclCte,

@@ -609,13 +609,35 @@ object Dedup {
   /** Exact shingle-Jaccard for ALL pairs sharing >= 1 shingle, via an
     * inverted index self-join (a < b) — the correctness baseline for
     * [[jaccardVerify]]. Unbounded posting lists make this quadratic in the
-    * hottest shingle's list; do not run it at corpus scale. */
-  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.0): DataFrame = {
+    * hottest shingle's list; do not run it at corpus scale.
+    *
+    * Because this is the deliberate exact-truth side (of
+    * [[blockingEval]] among others), hot posting lists must NOT be
+    * capped — capping would silently change the truth. Instead the
+    * hottest list is measured up front (one bounded aggregate over the
+    * already-persisted index) and the job FAILS LOUDLY when it exceeds
+    * `maxPostingGuard`: the fix is to run on a sample, never to let a
+    * stopword-hot shingle quietly expand into O(n²) pairs. `<= 0`
+    * disables the guard (for callers that have already bounded input). */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.0,
+                   maxPostingGuard: Int = 20000): DataFrame = {
     // the shingle index is referenced three times (both join sides +
     // per-doc counts); materialize it once — the single-DAG equivalent of
     // writing the inverted index to a table, which is what a 100 TB
     // pipeline does with it anyway
     val sh = shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxPostingGuard > 0) {
+      val hottest = Option(sh.groupBy("shingle").agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (hottest > maxPostingGuard) {
+        sh.unpersist()
+        throw new IllegalArgumentException(
+          s"jaccardPairs: hottest shingle posting list has $hottest docs " +
+          s"(> guard $maxPostingGuard); the exact all-pairs self-join would be " +
+          s"quadratic in that list. Run on a sample (this operator is the " +
+          s"bounded-truth side), or raise maxPostingGuard deliberately.")
+      }
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("shingle"), col("doc_id").as("a"))
       .join(sh.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
@@ -1158,9 +1180,13 @@ object Dedup {
       .select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), kgramHashCol(col("toks"), k).as("hs"))
     val nw = greatest(size(col("hs")) - (w - 1), lit(1))
+    // <k-token docs have hs = NULL, but greatest(size(NULL)-…, 1) still
+    // reads 1 and array_min(slice(NULL,…)) yields a non-null [NULL] array —
+    // so the NULL guard must wrap the WHOLE selection: explode of a NULL
+    // array drops the row, matching the oracle's `len(tl) >= k` filter.
     kh.select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), nw), i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+        explode(when(col("hs").isNotNull, array_distinct(
+          transform(sequence(lit(1), nw), i => array_min(slice(col("hs"), i, lit(w))))))).as("fp"))
   }
 
   /** Document-pair partial-overlap report from the winnowing inverted
@@ -1190,8 +1216,6 @@ object Dedup {
   def writeWinnowIndex(docs: DataFrame, dir: String, k: Int = 3, w: Int = 4): Unit =
     winnowFingerprints(docs, k, w).write.mode("overwrite").parquet(s"$dir/winnow_fp")
 
-  /** [[winnowOverlap]] served from a persisted (doc_id, fp) table — the
-    * serve plan never touches the corpus. */
   /** Fingerprint table with oversized posting lists removed — the
     * [[capBuckets]] analogue on the `fp` key: ONE count-over-window on
     * the same key the overlap self-join shuffles on, so the partitioning
@@ -1207,6 +1231,8 @@ object Dedup {
       .filter(col("pn") <= maxPostings)
       .drop("pn")
 
+  /** [[winnowOverlap]] served from a persisted (doc_id, fp) table — the
+    * serve plan never touches the corpus. */
   def winnowOverlapFrom(fp: DataFrame, minShared: Long = 2L,
                         maxPostings: Int = MaxLshBucketSize): DataFrame = {
     val capped = cappedPostings(fp, maxPostings)

@@ -31,6 +31,10 @@ object BandJoin {
     * @param eps   band half-width (pairs kept at |va − vb| <= eps) */
   def bandJoin(df: DataFrame, keys: Seq[String], idCol: String, valueCol: String,
                eps: Double): DataFrame = {
+    // eps = 0 makes floor(va/eps) = ±Infinity and the ANSI long cast throws
+    // CAST_OVERFLOW mid-job; a negative eps silently returns garbage. Fail
+    // at plan time instead (the require(windowSize >= 2) convention).
+    require(eps > 0, s"band half-width eps must be positive, got $eps")
     val lb = floor(col("va") / eps).cast("long")
     val l = df.select(keys.map(col) :+ col(idCol).as("a") :+ col(valueCol).as("va"): _*)
       .withColumn("bkt", explode(array(lb - 1, lb, lb + 1)))

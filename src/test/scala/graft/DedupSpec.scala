@@ -622,6 +622,39 @@ class DedupSpec extends SparkSpec {
     assert(fp.length == 1 && fp.head.getLong(0) == 1L)
   }
 
+  test("a doc with fewer than k tokens emits NO winnow fingerprint row") {
+    import spark.implicits._
+    // regression: hs is NULL for <k-token docs, but greatest(size(hs)-3, 1)
+    // still read 1 and the un-guarded transform produced a non-null [NULL]
+    // array that explode KEPT — a (doc_id, NULL) row the oracle's
+    // `len(tl) >= k` filter never emits, poisoning the persisted indexes
+    val d = Seq((1L, "one two", "en"), (2L, "one two three four five", "en"))
+      .toDF("doc_id", "text", "lang")
+    val fp = d.transform(Dedup.winnowFingerprints(_, k = 3, w = 4)).collect()
+    assert(fp.forall(_.getLong(0) == 2L), s"short doc must emit nothing: ${fp.toSeq}")
+    assert(fp.forall(!_.isNullAt(1)), s"no NULL fingerprints: ${fp.toSeq}")
+    assert(fp.nonEmpty)
+    // the docs fixture's doc 5 ("ab") rides the same guarantee end to end
+    val all = docs.transform(Dedup.winnowFingerprints(_, k = 3, w = 4)).collect()
+    assert(!all.exists(_.getLong(0) == 5L))
+  }
+
+  test("jaccardPairs fails loudly on a hot shingle posting list instead of going quadratic") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val hot = (1L to 6L).map(i => (i, boiler, "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(hot, threshold = 0.0, maxPostingGuard = 3)
+    }
+    assert(e.getMessage.contains("sample"), s"guard must say how to fix: ${e.getMessage}")
+    // truth stays EXACT when under the guard — same corpus, guard off vs generous
+    val a = Dedup.jaccardPairs(hot, threshold = 0.0, maxPostingGuard = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.jaccardPairs(hot, threshold = 0.0, maxPostingGuard = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.size == 15, s"6 identical docs -> C(6,2)=15 pairs: ${a.size}")
+  }
+
   test("blocking eval scores LSH recall against exact all-pairs truth") {
     val r = Dedup.blockingEval(docs, threshold = 0.3).collect().head
     val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -74,4 +74,18 @@ class JoinStrategySpec extends SparkSpec {
     assert(got.contains((1L, 2L)), "cross-bucket-boundary pair must be found")
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "keys must partition the band")
   }
+
+  test("bandJoin rejects non-positive eps at plan time") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0)).toDF("id", "k", "v")
+    // eps = 0 would make floor(v/eps) infinite and the ANSI long cast throw
+    // CAST_OVERFLOW mid-job; negative eps would silently return garbage
+    val e0 = intercept[IllegalArgumentException] {
+      graft.ops.BandJoin.bandJoin(df, Seq("k"), "id", "v", eps = 0.0)
+    }
+    assert(e0.getMessage.contains("eps"))
+    intercept[IllegalArgumentException] {
+      graft.ops.BandJoin.bandJoin(df, Seq("k"), "id", "v", eps = -0.5)
+    }
+  }
 }
