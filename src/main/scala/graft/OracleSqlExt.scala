@@ -246,6 +246,70 @@ object OracleSqlExt {
        |  FROM cand JOIN documents da ON cand.a = da.doc_id JOIN documents db ON cand.b = db.doc_id
        |) WHERE sim >= $minSim""".stripMargin
 
+  /** g -> m -> isl -> sp CTE chain shared by [[substringMatchesSql]] and
+    * [[substringSpansSql]]; sp(a, b, sa, sb, match_len) states the
+    * SEMANTICS of [[graft.dedup.Dedup.substringMatches]] as the naive
+    * construction: explode every minLen-char gram of the raw text at
+    * every offset, equi-join grams across documents (a < b), and merge
+    * consecutive aligned gram matches (same pb - pa delta) into maximal
+    * runs via gaps-and-islands — a maximal common substring of length M
+    * is exactly a run of M - minLen + 1 consecutive gram matches. The
+    * engine's winnowed-anchor + extension plan must reproduce this
+    * row-for-row. Two maximal matches at one delta can never merge: a
+    * mismatch char forces a gram-position gap > 1. */
+  private def substringCtes(minLen: Int): String =
+    s"""g AS (
+       |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |  FROM documents WHERE len(text) >= $minLen
+       |),
+       |g2 AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM g
+       |),
+       |m AS (
+       |  SELECT la.doc_id AS a, lb.doc_id AS b, la.pos AS pa, lb.pos AS pb
+       |  FROM g2 la JOIN g2 lb ON la.gram = lb.gram AND la.doc_id < lb.doc_id
+       |),
+       |isl AS (
+       |  SELECT a, b, pb - pa AS delta, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY a, b, pb - pa ORDER BY pa) AS grp
+       |  FROM m
+       |),
+       |sp AS (
+       |  SELECT a, b, CAST(min(pa) AS BIGINT) AS sa, CAST(min(pb) AS BIGINT) AS sb,
+       |         CAST(max(pa) - min(pa) + $minLen AS BIGINT) AS match_len
+       |  FROM isl GROUP BY a, b, delta, grp
+       |)""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.substringMatches]]. */
+  def substringMatchesSql(minLen: Int): String =
+    s"""WITH ${substringCtes(minLen)}
+       |SELECT a, b, sa, sb, match_len FROM sp""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.substringRemovalSpans]]: spans cut
+    * from the higher doc_id, merged per document with the same
+    * running-max gaps-and-islands construction (touching spans merge —
+    * `s > prev_max` starts a new island). */
+  def substringSpansSql(minLen: Int): String =
+    s"""WITH ${substringCtes(minLen)},
+       |rs AS (SELECT DISTINCT b AS doc_id, sb AS s, sb + match_len AS e FROM sp),
+       |mk AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+       |              THEN 1 ELSE 0 END AS new_isl
+       |  FROM rs
+       |),
+       |mi AS (
+       |  SELECT doc_id, s, e,
+       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
+       |  FROM mk
+       |)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end,
+       |       CAST(max(e) - min(s) AS BIGINT) AS span_len
+       |FROM mi GROUP BY doc_id, isl2""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
     * (doc_id, idx), per-document dup counts. DuckDB zips the parallel

@@ -72,6 +72,56 @@ object Profile {
     // the ascii variant is the SHIPPED parser, not a re-implementation
     clear(); time("minhash_ascii")(minhashVariant(m => Seq(
       Dedup.md5Half(m, 1).as("x"), Dedup.md5Half(m, 8).as("y"))))
+
+    if (args.contains("--substring")) {
+      import org.apache.spark.storage.StorageLevel
+      clear()
+      time("sub_anchors")(Dedup.substringAnchors(docs, 16, 15).count())
+      val an = Dedup.substringAnchors(docs, 16, 15).persist(StorageLevel.MEMORY_AND_DISK)
+      time("sub_anchors_persist")(an.count())
+      time("sub_guard_agg")(an.groupBy("h").agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).count())
+      val cand = an.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
+        .join(an.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .select("a", "pa", "b", "pb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("sub_candidates")(cand.count())
+      import graft.functions.CommonAffix.{commonPrefixLen, commonSuffixLen}
+      val withText = cand
+        .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+        .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+        .repartition(32)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("sub_withtext")(withText.count())
+      time("sub_extend")(withText
+        .withColumn("ext_r", commonPrefixLen(
+          col("ta").substr(col("pa").cast("int"), length(col("ta"))),
+          col("tb").substr(col("pb").cast("int"), length(col("tb")))))
+        .withColumn("ext_l", commonSuffixLen(
+          col("ta").substr(lit(1), (col("pa") - 1).cast("int")),
+          col("tb").substr(lit(1), (col("pb") - 1).cast("int"))))
+        .withColumn("match_len", col("ext_l") + col("ext_r"))
+        .filter(col("match_len") >= 30)
+        .select(col("a"), col("b"),
+          (col("pa") - col("ext_l")).cast("long").as("sa"),
+          (col("pb") - col("ext_l")).cast("long").as("sb"),
+          col("match_len").cast("long").as("match_len"))
+        .distinct().count())
+      clear()
+      time("sub_full")(Dedup.substringMatches(docs, 30, 16, 15).count())
+      for ((kk, ww) <- Seq((20, 11), (24, 7), (26, 5), (28, 3))) {
+        clear()
+        val a2 = Dedup.substringAnchors(docs, kk, ww).persist(StorageLevel.MEMORY_AND_DISK)
+        time(s"sub_anchors_k${kk}_w$ww")(a2.count())
+        time(s"sub_cand_k${kk}_w$ww")(
+          a2.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
+            .join(a2.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
+            .filter(col("a") < col("b")).count())
+        time(s"sub_full_k${kk}_w$ww")(Dedup.substringMatches(docs, 30, kk, ww).count())
+        a2.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -1517,6 +1517,26 @@ object SparkEntry {
         graft.dedup.Dedup.sortedNeighborhood(Collocations.documents(s, d), windowSize = 3),
       Some(OracleSqlExt.sortedNeighborhoodSql(3))),
 
+    // EXACT-substring dedup (Lee et al. 2022's suffix-array family): every
+    // maximal byte-exact shared substring >= 30 chars, via content-defined
+    // winnowed char anchors + maximal extension — the shift-resistant AND
+    // exact detector the rest of the family lacks (the passage grid is
+    // alignment-bound, winnow overlap is approximate ranking). The oracle
+    // states the semantics as the naive all-offset 30-gram self-join
+    // merged into maximal runs; the anchor plan must reproduce it exactly.
+    ("dedup_substring",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.substringMatches(Collocations.documents(s, d), minLen = 30),
+      Some(OracleSqlExt.substringMatchesSql(30))),
+
+    // its removal payoff: spans cut from the higher doc_id of each match,
+    // merged per document into maximal [start, end) intervals (per-doc
+    // gaps-and-islands window, never a global one)
+    ("dedup_substring_spans",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.substringRemovalSpans(Collocations.documents(s, d), minLen = 30),
+      Some(OracleSqlExt.substringSpansSql(30))),
+
     // ε-band self-join via grid bucketing: same-type event pairs within
     // value tolerance — the 1-D grid-file ε-join (constant 3× probe
     // fan-out, shuffle keyed on (type, bucket); never a per-key cross

@@ -1391,6 +1391,160 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------------- exact substring dedup
+
+  /** Content-defined CHAR-level anchor positions as (doc_id, pos, h):
+    * rolling-hash every k-char gram of the RAW text (no tokenization, no
+    * cleaning — this family is byte-exact), slide a window of `w`
+    * consecutive k-gram hashes, and record each window's LEFTMOST-minimum
+    * position with its hash. Winnowing (Schleimer/Wilkerson/Aiken 2003)
+    * used as a POSITION SAMPLER rather than a fingerprint set: any two
+    * occurrences of the same substring of length >= k + w - 1 contain at
+    * least one window fully interior to the occurrence; interior windows
+    * see identical hash sequences, so both occurrences select the same
+    * anchor at the same RELATIVE offset. That alignment guarantee is what
+    * [[substringMatches]]' extension step consumes.
+    *
+    * Scale shape: selection is fully row-local per document — ONE
+    * compiled O(len) pass (incremental roll + monotonic-deque sliding
+    * min, [[graft.functions.WinnowAnchorsExpr]]), ZERO shuffles before
+    * the explode; anchor density is ~2/(w+1) of char positions, so the
+    * anchor table is a small fraction of corpus bytes. The input is
+    * repartitioned to the session shuffle width first: this stage is
+    * CPU-bound, and a byte-small corpus file otherwise plans as ONE
+    * scan partition that serializes all of it — the
+    * [[editDistanceVerify]] byte-vs-CPU mismatch, on the build side. */
+  private[graft] def substringAnchors(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.repartition(width)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowAnchor.anchors(col("text"), k, w)).as("an"))
+      .select(col("doc_id"), col("an.pos").as("pos"), col("an.h").as("h"))
+  }
+
+  /** EXACT-substring deduplication, the suffix-array dedup family of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed Spark-first: every maximal byte-exact
+    * substring of length >= `minLen` CHARS shared by two documents, as
+    * (a, b, sa, sb, match_len) with 1-based char starts and a < b. The
+    * gap the rest of the dedup family leaves open: [[passageDupStats]]
+    * is w-token GRID-aligned (a shifted copy changes every window hash)
+    * and winnowing overlap is approximate ranking — this operator is
+    * shift-resistant AND exact.
+    *
+    * Three stages, none quadratic in the corpus:
+    *   1. ANCHOR — [[substringAnchors]]: content-defined winnowed
+    *      positions; `require(k + w - 1 <= minLen)` makes the coverage
+    *      guarantee exact (every qualifying match contains an interior
+    *      anchor in both copies at the same relative offset).
+    *   2. PAIR — equi-join anchors on hash across documents (a < b).
+    *      Hash collisions only ADD candidates; step 3 compares real
+    *      chars, so output rows are exact regardless.
+    *   3. EXTEND — attach both texts by doc_id equi-joins and grow the
+    *      match maximally right/left with the codegen'd
+    *      [[graft.functions.CommonAffix]] prefix/suffix expressions
+    *      (zero-allocation byte compares); the span is maximal by
+    *      construction, so every anchor interior to one maximal match
+    *      extends to the SAME span and `distinct` collapses them.
+    *
+    * Like [[jaccardPairs]], a hot anchor (boilerplate repeated across
+    * thousands of docs) makes the pair join quadratic in its posting
+    * list — and capping would silently drop exactly the most-duplicated
+    * content, so the hottest posting list is measured up front and the
+    * job FAILS LOUDLY over `maxPostingGuard` (guard, don't cap; `<= 0`
+    * disables). The extension stage repartitions to the session shuffle
+    * width first: candidate pairs are tiny in BYTES but O(len) CPU each,
+    * and AQE's byte-based coalescing would serialize them (the
+    * [[editDistanceVerify]] precedent).
+    *
+    * Geometry knob: the RESULT is identical for every (k, w) with
+    * k + w - 1 <= minLen (the guarantee covers every match; extension is
+    * exact) — only the COST moves. Small k selects fewer anchors but
+    * collides constantly (a k-char gram is far more common than a
+    * minLen-char match); large k selects denser anchors whose collisions
+    * nearly all verify. Measured at sf0.1/minLen=30: k=16,w=15 gives
+    * 172k anchors but 523k candidates; k=24,w=7 gives 339k anchors and
+    * 29k candidates — 18x fewer text attaches for the same output, hence
+    * the k=24 default. Tune k toward minLen when candidates dominate. */
+  def substringMatches(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
+                       maxPostingGuard: Int = 20000): DataFrame = {
+    require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
+      s"anchor geometry must cover every match: need k + w - 1 <= minLen, " +
+      s"got k=$k w=$w minLen=$minLen")
+    val an = substringAnchors(docs, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxPostingGuard > 0) {
+      val hottest = Option(an.groupBy("h").agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (hottest > maxPostingGuard) {
+        an.unpersist()
+        throw new IllegalArgumentException(
+          s"substringMatches: hottest anchor has $hottest occurrences " +
+          s"(> guard $maxPostingGuard); the pair join would be quadratic in " +
+          s"that posting list. Shard the corpus or raise maxPostingGuard " +
+          s"deliberately — capping would drop the most-duplicated content.")
+      }
+    }
+    val cand = an.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(an.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .select("a", "pa", "b", "pb")
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    import graft.functions.CommonAffix.{commonPrefixLen, commonSuffixLen}
+    val out = cand
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .repartition(width)
+      .withColumn("ext_r", commonPrefixLen(
+        col("ta").substr(col("pa").cast("int"), length(col("ta"))),
+        col("tb").substr(col("pb").cast("int"), length(col("tb")))))
+      .withColumn("ext_l", commonSuffixLen(
+        col("ta").substr(lit(1), (col("pa") - 1).cast("int")),
+        col("tb").substr(lit(1), (col("pb") - 1).cast("int"))))
+      .withColumn("match_len", col("ext_l") + col("ext_r"))
+      .filter(col("match_len") >= minLen)
+      .select(col("a"), col("b"),
+        (col("pa") - col("ext_l")).cast("long").as("sa"),
+        (col("pb") - col("ext_l")).cast("long").as("sb"),
+        col("match_len").cast("long").as("match_len"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    an.unpersist()
+    out
+  }
+
+  /** Removal spans from [[substringMatches]]: for every matched pair the
+    * span is cut from the HIGHER doc_id (b — the canonical copy in a
+    * survives), overlapping-or-touching spans per document merge to
+    * maximal [start, end) intervals (the gaps-and-islands running-max
+    * window, partitioned BY DOCUMENT — never a global window over data).
+    * Output (doc_id, span_start, span_end, span_len), 1-based start,
+    * end exclusive — the byte ranges an exact-dedup scrub deletes. */
+  def substringRemovalSpans(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
+                            maxPostingGuard: Int = 20000): DataFrame = {
+    val m = substringMatches(docs, minLen, k, w, maxPostingGuard)
+    val spans = m.select(col("b").as("doc_id"), col("sb").as("s"),
+        (col("sb") + col("match_len")).as("e"))
+      .distinct()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val out = spans
+      .withColumn("new_isl",
+        when(col("s") > coalesce(prevMax, lit(Long.MinValue)), lit(1)).otherwise(lit(0)))
+      .withColumn("isl", sum(col("new_isl")).over(win))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    m.unpersist()
+    out
+  }
+
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
     * the correctness baseline for [[embeddingLshPairs]] — do not run at
     * corpus scale). */

@@ -655,6 +655,87 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.size == 15, s"6 identical docs -> C(6,2)=15 pairs: ${a.size}")
   }
 
+  test("exact-substring dedup catches a shifted, non-window-aligned copy the passage grid misses") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
+    // a 2-token / 6-char prefix: not a multiple of the passage window (3
+    // tokens), so every grid-aligned passage hash changes — and not a
+    // multiple of anything the char anchors care about, because winnowed
+    // anchor selection is content-defined, not position-defined
+    val d = Seq((1L, base, "en"), (2L, "zz yy " + base, "en"))
+      .toDF("doc_id", "text", "lang")
+    val m = Dedup.substringMatches(d, minLen = 30, k = 16, w = 15).collect()
+    assert(m.length == 1, s"exactly one maximal match: ${m.toSeq}")
+    val r = m.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 1L, s"match starts at char 1 of doc 1: $r")      // sa
+    assert(r.getLong(3) == 7L, s"match starts after the 6-char prefix: $r") // sb
+    assert(r.getLong(4) == base.length.toLong, s"match is the whole base: $r")
+    // the grid-aligned passage detector provably finds NOTHING here
+    val pass = Dedup.passageDupStats(d, window = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(pass.values.forall(_ == 0L), s"passage grid must miss the shifted copy: $pass")
+  }
+
+  test("substring matches are maximal and separate runs stay separate rows") {
+    import spark.implicits._
+    val s1 = "alpha beta gamma delta epsilon zeta"   // 35 chars
+    val s2 = "omicron sigma upsilon phi chi psi omega" // 39 chars
+    val d = Seq((1L, s1 + " xxx " + s2, "en"), (2L, s1 + " qqq " + s2, "en"))
+      .toDF("doc_id", "text", "lang")
+    val m = Dedup.substringMatches(d, minLen = 30, k = 16, w = 15).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // two maximal matches at delta 0: "s1 " (divergence at x/q) and " s2"
+    assert(m.toSet == Set(
+      (1L, 1L, s1.length + 1L),
+      (s1.length + 5L, s1.length + 5L, s2.length + 1L)), s"got: ${m.toSeq}")
+  }
+
+  test("substring removal spans merge overlaps and cut from the higher doc_id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
+    val d = Seq((1L, base, "en"), (2L, "zz yy " + base, "en"))
+      .toDF("doc_id", "text", "lang")
+    val sp = Dedup.substringRemovalSpans(d, minLen = 30, k = 16, w = 15).collect()
+    assert(sp.length == 1, s"one merged span: ${sp.toSeq}")
+    val r = sp.head
+    // span cut from doc 2 (the higher id): the copied base, prefix kept
+    assert(r.getLong(0) == 2L && r.getLong(1) == 7L)
+    assert(r.getLong(2) == 7L + base.length && r.getLong(3) == base.length.toLong)
+  }
+
+  test("substring output is invariant to the anchor geometry") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
+    val d = Seq((1L, base, "en"), (2L, "zz yy " + base, "en"),
+      (3L, base + " and some trailing words here", "en"),
+      (4L, "completely unrelated text goes in this fourth document now", "en"))
+      .toDF("doc_id", "text", "lang")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // only COST moves with (k, w); any covered geometry yields the same rows
+    val g1 = Dedup.substringMatches(d, minLen = 30, k = 16, w = 15).collect().map(key).toSet
+    val g2 = Dedup.substringMatches(d, minLen = 30, k = 24, w = 7).collect().map(key).toSet
+    val g3 = Dedup.substringMatches(d, minLen = 30, k = 28, w = 3).collect().map(key).toSet
+    assert(g1 == g2 && g2 == g3, s"geometries disagree: $g1 / $g2 / $g3")
+    assert(g1.nonEmpty)
+  }
+
+  test("substringMatches guards the hot-anchor quadratic and rejects uncovered geometry") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate license header repeats in every single file"
+    val hot = (1L to 8L).map(i => (i, boiler, "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringMatches(hot, minLen = 30, k = 16, w = 15, maxPostingGuard = 3)
+    }
+    assert(e.getMessage.contains("posting"), e.getMessage)
+    // k + w - 1 > minLen would silently miss matches between minLen and
+    // k + w - 2 chars — rejected at plan time
+    intercept[IllegalArgumentException] {
+      Dedup.substringMatches(hot, minLen = 20, k = 16, w = 15)
+    }
+  }
+
   test("blocking eval scores LSH recall against exact all-pairs truth") {
     val r = Dedup.blockingEval(docs, threshold = 0.3).collect().head
     val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
