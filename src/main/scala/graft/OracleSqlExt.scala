@@ -1158,6 +1158,134 @@ object OracleSqlExt {
        |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS c FROM pr GROUP BY pair)
        |SELECT pair, c FROM pc ORDER BY c DESC, pair LIMIT $k""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.tokenizeBpe]] GIVEN the trained
+    * merge table as literals (the ann_ivf_topk injected-model pattern):
+    * greedy apply as a RECURSIVE CTE over the distinct-word table — each
+    * step merges the LEFTMOST occurrence of the LOWEST-RANK applicable
+    * pair (rank = list_position in the literal merge list), terminating
+    * when no adjacent pair is in the table; the final state per word is
+    * its minimum-length row. One-at-a-time is equivalent to
+    * rank-order-all-occurrences apply (see BpeEncodeExpr's scaladoc),
+    * and both engines break rank ties leftmost. Doc counts then join the
+    * occurrence table on the word, as the engine does. */
+  def tokenizeBpeSql(merges: Seq[(String, String)]): String = {
+    val lit = merges
+      .map { case (a, b) => "'" + (a + " " + b).replace("'", "''") + "'" }
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $tclCte,
+       |occ AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(tl) AS w FROM tcl) GROUP BY doc_id, w
+       |),
+       |wl AS (SELECT DISTINCT w FROM occ),
+       |init AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT):CAST(i AS INT)]) AS syms
+       |  FROM wl
+       |),
+       |enc AS (
+       |  SELECT w, syms FROM init
+       |  UNION ALL
+       |  SELECT w, syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:] AS syms
+       |  FROM (
+       |    SELECT w, syms, list_min(rk) AS best,
+       |           CAST(list_position(rk, list_min(rk)) AS INT) AS pos
+       |    FROM (
+       |      SELECT w, syms,
+       |             list_transform(range(1, len(syms)),
+       |               -- list_position returns 0 (not NULL) for a missing
+       |               -- element on this engine; 0 would read as rank-0 and
+       |               -- greedily merge UNKNOWN pairs — nullif maps it out
+       |               i -> coalesce(nullif(list_position($lit, syms[i] || ' ' || syms[i+1]), 0), 1000000)) AS rk
+       |      FROM enc
+       |    )
+       |  ) WHERE best < 1000000
+       |),
+       |fin AS (
+       |  SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc
+       |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms) ASC) = 1
+       |)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * n_sub) AS BIGINT) AS n_bpe_tokens,
+       |       round(CAST(sum(n * n_sub) AS DOUBLE) / sum(n), 6) AS subwords_per_word
+       |FROM occ JOIN fin USING (w) GROUP BY doc_id""".stripMargin
+  }
+
+  def tokenizeBpeSqlFromLastModel: Option[String] =
+    graft.text.TextAnalysis.lastBpeMerges.map(tokenizeBpeSql)
+
+  /** raw -> s CTE chain shared by [[urlCanonicalSql]] and
+    * [[urlDomainStatsSql]]: the deterministic messy-URL derivation (the
+    * scrub_pii pattern — testdata has no url column, so one is built
+    * from existing columns, exercising every canonicalization rule:
+    * scheme/host case, www, default vs NON-default ports, trailing
+    * slash, tracking params, fragments), then the same 6-rule algebra
+    * as [[graft.ops.UrlOps.canonicalUrl]]. All regexes are anchored or
+    * single-occurrence, so DuckDB's replace-first default matches
+    * Spark's replace-all. */
+  private val urlCtes: String =
+    s"""raw AS (
+       |  SELECT doc_id,
+       |    (CASE doc_id % 4 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://WWW.'
+       |          WHEN 2 THEN 'HTTPS://' ELSE 'http://www.' END) ||
+       |    source || '.Example.COM' ||
+       |    (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE '' END) ||
+       |    '/Docs/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+       |    '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR) ||
+       |    '&fbclid=xyz' ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '&ref=home' ELSE '' END) ||
+       |    '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+       |  FROM documents
+       |),
+       |pp AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u FROM raw),
+       |qq AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS scheme,
+       |    regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1) AS hostport,
+       |    regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS pathq
+       |  FROM pp
+       |),
+       |rr AS (
+       |  SELECT doc_id, url, scheme,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')), '^www\\.', '') AS host,
+       |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+       |    regexp_extract(pathq, '\\?(.*)$$', 1) AS query
+       |  FROM qq
+       |),
+       |ss AS (
+       |  SELECT doc_id, url, scheme, host, path,
+       |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443')
+       |         THEN '' ELSE ':' || port END AS portpart,
+       |    array_to_string(list_filter(string_split(query, '&'),
+       |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+       |                OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref=')
+       |                OR x = '')), '&') AS kq
+       |  FROM rr
+       |),
+       |canon AS (
+       |  SELECT doc_id, url,
+       |    scheme || '://' || host || portpart || path ||
+       |      (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canonical_url,
+       |    host AS domain
+       |  FROM ss
+       |)""".stripMargin
+
+  /** Mirror of the url_canonical registry entry. */
+  def urlCanonicalSql: String =
+    s"""WITH $urlCtes
+       |SELECT doc_id, url, canonical_url, domain FROM canon""".stripMargin
+
+  /** Mirror of the url_domain_stats registry entry: per-domain doc and
+    * distinct-canonical-url counts — the per-domain dedup/mixture view. */
+  def urlDomainStatsSql: String =
+    s"""WITH $urlCtes
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_unique_urls,
+       |       round(1.0 - CAST(count(DISTINCT canonical_url) AS DOUBLE) / count(*), 6) AS dup_ratio
+       |FROM canon GROUP BY domain""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.noveltyScores]] with even doc_ids as
     * the reference corpus: distinct reference shingles, a shingle-keyed
     * membership probe, round-6 novelty. */

@@ -126,6 +126,23 @@ object SparkEntry {
   private def bigramOccurrences(docs: DataFrame): DataFrame =
     graft.ops.CountMin.bigramItems(docs, col("text"))
 
+  /** Deterministic messy URL from existing document columns (testdata
+    * ships no url column — the scrub_pii derivation pattern), built to
+    * exercise every [[graft.ops.UrlOps.canonicalUrl]] rule; mirrored
+    * verbatim by the oracle's `raw` CTE. */
+  private def messyUrl: org.apache.spark.sql.Column = concat(
+    element_at(array(lit("HTTP://"), lit("https://WWW."), lit("HTTPS://"), lit("http://www.")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+    col("source"), lit(".Example.COM"),
+    element_at(array(lit(":80"), lit(":443"), lit("")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+    lit("/Docs/"), col("lang"), lit("/"), col("doc_id").cast("string"),
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&page="), pmod(col("doc_id"), lit(7)).cast("string"),
+    lit("&fbclid=xyz"),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
+    lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
 
     // ---------------------------------------------------------------- S1/P1
@@ -902,6 +919,18 @@ object SparkEntry {
         graft.text.TextAnalysis.bpePairCounts(Collocations.documents(s, d), k = 20),
       Some(OracleSqlExt.bpePairCountsSql(20))),
 
+    // tokenizer APPLY: greedy BPE encode against a trained merge table —
+    // real subword counts per doc (what packing/batching should consume
+    // instead of whitespace counts). Sennrich vocabulary trick end to
+    // end: driver-side bounded training, compiled greedy encode over
+    // DISTINCT words only, occurrence-join back per doc. DYNAMIC oracle
+    // like ann_ivf_topk: the run stashes the merge table and oracleSql
+    // injects it into a recursive-CTE greedy apply.
+    ("tokenize_bpe",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.tokenizeBpe(Collocations.documents(s, d), numMerges = 30),
+      None),
+
     // ------------------------------------------------- count-min sketch
     // Fixed-size (depth x width) frequency sketch over bigram
     // occurrences — the frequency pass for item spaces too wide to
@@ -1342,6 +1371,37 @@ object SparkEntry {
             ne.as("n_emails"), nn.as("n_nums"))
       },
       Some(OracleSqlExt.scrubSql)),
+
+    // URL canonicalization — the web-curation key (per-domain dedup,
+    // crawl-feed overlap, domain mixing all key on canonical urls).
+    // Testdata has no url column, so one is derived deterministically
+    // from existing columns (the scrub_pii pattern), built messy on
+    // purpose: mixed scheme/host case, www toggles, DEFAULT and
+    // NON-default ports, trailing slashes, tracking params, fragments.
+    // Row-local string algebra, zero shuffles.
+    ("url_canonical",
+      (s: SparkSession, d: String) => {
+        val raw = Collocations.documents(s, d).select(col("doc_id"), messyUrl.as("url"))
+        raw.select(col("doc_id"), col("url"),
+          graft.ops.UrlOps.canonicalUrl(col("url")).as("canonical_url"),
+          graft.ops.UrlOps.urlDomain(col("url")).as("domain"))
+      },
+      Some(OracleSqlExt.urlCanonicalSql)),
+
+    // its rollup: per-domain doc counts vs distinct canonical urls — the
+    // per-domain dup pressure a crawl-curation pass reads before
+    // deciding domain weights; ONE hash aggregation on the domain key
+    ("url_domain_stats",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d).select(col("doc_id"), messyUrl.as("url"))
+          .select(graft.ops.UrlOps.canonicalUrl(col("url")).as("cu"),
+            graft.ops.UrlOps.urlDomain(col("url")).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cu")).as("n_unique_urls"))
+          .withColumn("dup_ratio",
+            round(lit(1.0) - col("n_unique_urls").cast("double") / col("n_docs"), 6)),
+      Some(OracleSqlExt.urlDomainStatsSql)),
 
     ("text_rolling_hash",
       (s: SparkSession, d: String) =>
@@ -2003,5 +2063,6 @@ object SparkEntry {
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
-      OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _)
+      OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _) ++
+      OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _)
 }

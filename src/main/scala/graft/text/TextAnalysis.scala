@@ -224,6 +224,105 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("pair").asc).limit(k)
   }
 
+  /** Last trained BPE merge table, stashed by [[tokenizeBpe]] for the
+    * dynamic oracle (the ann_ivf_topk pattern: training isn't
+    * SQL-mirrorable, apply given the model is). */
+  @volatile var lastBpeMerges: Option[Seq[(String, String)]] = None
+
+  /** Deterministic BPE training (Sennrich et al. 2016) on the corpus's
+    * word-frequency table: `numMerges` iterations of count-adjacent-pairs
+    * -> merge-the-most-frequent. Runs DRIVER-SIDE on a bounded model —
+    * the word-frequency table capped at `maxVocab` entries by
+    * (freq DESC, word ASC) — the sampled-training/full-corpus-apply
+    * shape of [[graft.similarity.Ann.ivfCentroids]]: at 100 TB the
+    * trainer sees a vocabulary SAMPLE, while [[tokenizeBpe]]'s apply
+    * runs distributed over every word. Pair counting weights every
+    * adjacent occurrence by word frequency (the convention
+    * [[bpePairCounts]]'s first-iteration table already states); ties
+    * break to the lexicographically smallest pair. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 30,
+               maxVocab: Int = 5000): Seq[(String, String)] = {
+    require(numMerges >= 0 && maxVocab > 0)
+    val wf = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // split by CODEPOINT (not UTF-16 char), matching BpeEncode.encode and
+    // the oracle's per-character DuckDB slicing
+    def cps(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n); i += n
+      }
+      out.toArray
+    }
+    var vocab: Array[(Array[String], Long)] = wf.map { case (w, c) => (cps(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenizer APPLY: real subword token counts per document from a
+    * greedy BPE encode against the [[bpeTrain]]ed merge table — the
+    * count [[graft.pipelines.Packing]]-style consumers should prefer
+    * over whitespace word counts.
+    *
+    * Scale shape (the Sennrich vocabulary trick end to end): the encode
+    * runs over DISTINCT words only — one vocabulary-keyed aggregation,
+    * then the compiled greedy loop ([[graft.functions.BpeEncodeExpr]],
+    * merge table as a single plan-side reference object) on the tiny
+    * distinct-word table — and per-document counts come from an
+    * occurrence-count equi-join on the word, never re-encoding the
+    * corpus stream. Output (doc_id, n_words, n_bpe_tokens,
+    * subwords_per_word); docs with zero tokens emit nothing. */
+  def tokenizeBpe(docs: DataFrame, numMerges: Int = 30,
+                  maxVocab: Int = 5000): DataFrame = {
+    val merges = bpeTrain(docs, numMerges, maxVocab)
+    lastBpeMerges = Some(merges)
+    val occ = docs.select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val enc = occ.select("w").distinct()
+      .withColumn("n_sub",
+        size(graft.functions.BpeEncode.encodeCol(col("w"), merges)).cast("long"))
+    occ.join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("subwords_per_word",
+        round(col("n_bpe_tokens") / col("n_words"), 6))
+      .select("doc_id", "n_words", "n_bpe_tokens", "subwords_per_word")
+  }
+
   /** Bigram language-model scoring — the LM-perplexity-style quality
     * signal: each document's mean log-probability of its bigrams under
     * the corpus's own add-one-smoothed bigram model,

@@ -6,6 +6,34 @@ import graft.pipelines.Packing
 
 class PipelineOpsSpec extends SparkSpec {
 
+  test("url canonicalization: each rule on a hand-picked case") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, www strip, default port drop, fragment drop
+      ("HTTP://WWW.Example.COM:80/Path#frag", "http://example.com/Path"),
+      // https default port
+      ("https://Example.com:443/a", "https://example.com/a"),
+      // NON-default port is addressing, stays
+      ("https://example.com:80/a", "https://example.com:80/a"),
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      // path case preserved; trailing slashes stripped; root -> empty
+      ("http://example.com/CaseSensitive//", "http://example.com/CaseSensitive"),
+      ("http://example.com/", "http://example.com"),
+      // tracking params drop, the rest keep ORDER; empty query drops '?'
+      ("http://example.com/p?utm_source=x&id=2&fbclid=z&b=1", "http://example.com/p?id=2&b=1"),
+      ("http://example.com/p?utm_campaign=x&gclid=1&ref=home", "http://example.com/p"),
+      ("http://example.com/p?z=1&a=2", "http://example.com/p?z=1&a=2"))
+    val got = cases.toDF("url", "want")
+      .select(col("want"), graft.ops.UrlOps.canonicalUrl(col("url")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+    // domain key: lowercased host, www/port stripped
+    val d = Seq(("HTTPS://WWW.Sub.Example.COM:8443/x?q=1", "")).toDF("url", "x")
+      .select(graft.ops.UrlOps.urlDomain(col("url"))).head.getString(0)
+    assert(d == "sub.example.com")
+  }
+
   test("scrub redacts emails and digit runs, counts match") {
     import spark.implicits._
     val rows = Seq(

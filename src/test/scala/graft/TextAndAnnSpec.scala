@@ -116,6 +116,42 @@ class TextAndAnnSpec extends SparkSpec {
     assert(pairs == Map("ab" -> 7L, "ba" -> 2L, "cd" -> 1L), s"got $pairs")
   }
 
+  test("bpe training learns the expected merges in order") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ab ab"), (2L, "abab ab cd")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 3)
+    // iteration 1: (a,b) wc 7 -> "ab". After merging, "abab" -> [ab, ab],
+    // "ab" -> [ab]; iteration 2: (ab,ab) wc 2 -> "abab"; iteration 3:
+    // (c,d) wc 1 is the only pair left
+    assert(merges == Seq(("a", "b"), ("ab", "ab"), ("c", "d")), s"got $merges")
+  }
+
+  test("bpe encode is greedy by rank, leftmost on ties, non-overlapping") {
+    val rank = new java.util.HashMap[String, Integer]()
+    rank.put("a b", 0); rank.put("ab ab", 1); rank.put("c d", 2)
+    def enc(w: String) = graft.functions.BpeEncode.encode(w, rank)
+      .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(enc("ababab") == Seq("abab", "ab")) // rank 0 thrice, then rank 1 leftmost
+    assert(enc("abcd") == Seq("ab", "cd"))
+    assert(enc("xyz") == Seq("x", "y", "z"))   // nothing applicable
+    assert(enc("a") == Seq("a"))
+    // "aaa" with (a,a) unknown: untouched even though chars repeat
+    assert(enc("aaa") == Seq("a", "a", "a"))
+  }
+
+  test("tokenize_bpe counts: real subword totals per doc, words compressed by the table") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ab ab"), (2L, "abab ab cd")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenizeBpe(docs, numMerges = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // after 3 merges: abab -> 1 symbol, ab -> 1, cd -> 1
+    assert(r == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))), s"got $r")
+    // zero merges: every word splits to chars
+    val r0 = TextAnalysis.tokenizeBpe(docs, numMerges = 0).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r0 == Map(1L -> 8L, 2L -> 8L), s"got $r0") // 4+2+2 and 4+2+2 chars
+  }
+
   test("lang confusion table conserves doc counts and agrees with the per-doc argmax") {
     import spark.implicits._
     val docs = Seq(
