@@ -89,10 +89,23 @@ object Bench {
         name -> (if (ts.isEmpty || ts.min <= 0) -1.0
                  else BigDecimal(ts.max / ts.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
+      // MEDIAN alongside MIN: the min is the robust cold-cache estimator
+      // (noise is strictly additive), but on sub-second queries a single
+      // lucky sample makes round-over-round min deltas coin flips — the
+      // r11 verdict counted 33 fast queries with spread > 2. The (upper)
+      // median is insensitive to one lucky AND one unlucky sample, so
+      // fast-tier comparisons should read it; slow-tier comparisons keep
+      // using the min.
+      val medians = sampled.map { case (name, _) =>
+        val ts = samples(name).filter(_ >= 0).sorted
+        name -> (if (ts.isEmpty) -1.0
+                 else BigDecimal(ts(ts.size / 2)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
       val failed = results.filter(_._2 < 0).map(_._1)
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val totalMedian = medians.map(_._2).filter(_ >= 0).sum
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
       // FINAL COMPACT LINE, always last and always < 1800 bytes: the
@@ -108,7 +121,7 @@ object Bench {
         .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       val slowestFirst = rounded.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
       val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0

@@ -1168,11 +1168,77 @@ object OracleSqlExt {
     * rank-order-all-occurrences apply (see BpeEncodeExpr's scaladoc),
     * and both engines break rank ties leftmost. Doc counts then join the
     * occurrence table on the word, as the engine does. */
-  def tokenizeBpeSql(merges: Seq[(String, String)]): String = {
+  def tokenizeBpeSql(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE ${tokenizeBpeCtes(merges)}
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * n_sub) AS BIGINT) AS n_bpe_tokens,
+       |       round(CAST(sum(n * n_sub) AS DOUBLE) / sum(n), 6) AS subwords_per_word
+       |FROM occ JOIN fin USING (w) GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.scrubSubstringDups]]: the merged
+    * removal spans ([[substringSpansSql]]'s rs→mi chain) cut out of each
+    * text — kept HEAD pieces via lag-window complements string_agg'd in
+    * span order, plus the tail after the last span; span-free documents
+    * pass through. Equivalent algebra to the engine's row-local fold
+    * (spans are merged and disjoint, so piece order is unambiguous). */
+  def scrubSubstringSql(minLen: Int): String =
+    s"""WITH ${substringCtes(minLen)},
+       |rs AS (SELECT DISTINCT b AS doc_id, sb AS s, sb + match_len AS e FROM sp),
+       |mk AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+       |              THEN 1 ELSE 0 END AS new_isl
+       |  FROM rs
+       |),
+       |mi AS (
+       |  SELECT doc_id, s, e,
+       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
+       |  FROM mk
+       |),
+       |sp2 AS (
+       |  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+       |  FROM mi GROUP BY doc_id, isl2
+       |),
+       |kp AS (
+       |  SELECT doc_id, s, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ps
+       |  FROM sp2
+       |),
+       |agg AS (
+       |  SELECT kp.doc_id,
+       |         string_agg(substr(d.text, CAST(ps AS INT), CAST(s - ps AS INT)), '' ORDER BY s) AS headpieces,
+       |         max(e) AS maxe, CAST(sum(e - s) AS BIGINT) AS removed
+       |  FROM kp JOIN documents d ON kp.doc_id = d.doc_id GROUP BY kp.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CASE WHEN a.doc_id IS NULL THEN d.text
+       |            ELSE coalesce(a.headpieces, '') || substr(d.text, CAST(a.maxe AS INT)) END AS clean_text,
+       |       coalesce(a.removed, CAST(0 AS BIGINT)) AS n_removed_chars
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** Mirror of the pack_sequences_bpe registry entry: greedy packing by
+    * REAL subword lengths — the [[packSql]] cumulative-bin construction
+    * fed by the recursive-CTE BPE apply instead of n_chars. */
+  def tokenizeBpePackSql(merges: Seq[(String, String)], windowSize: Long): String =
+    s"""WITH RECURSIVE ${tokenizeBpeCtes(merges)},
+       |bpedoc AS (
+       |  SELECT doc_id, CAST(sum(n * n_sub) AS BIGINT) AS n_bpe_tokens
+       |  FROM occ JOIN fin USING (w) GROUP BY doc_id
+       |),
+       |c AS (
+       |  SELECT doc_id, n_bpe_tokens,
+       |         sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM bpedoc
+       |)
+       |SELECT doc_id, n_bpe_tokens,
+       |       CAST((cum - n_bpe_tokens) // $windowSize AS BIGINT) AS bin FROM c""".stripMargin
+
+  private def tokenizeBpeCtes(merges: Seq[(String, String)]): String = {
     val lit = merges
       .map { case (a, b) => "'" + (a + " " + b).replace("'", "''") + "'" }
       .mkString("[", ", ", "]")
-    s"""WITH RECURSIVE $tclCte,
+    s"""$tclCte,
        |occ AS (
        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT doc_id, unnest(tl) AS w FROM tcl) GROUP BY doc_id, w
@@ -1203,15 +1269,14 @@ object OracleSqlExt {
        |fin AS (
        |  SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc
        |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY len(syms) ASC) = 1
-       |)
-       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
-       |       CAST(sum(n * n_sub) AS BIGINT) AS n_bpe_tokens,
-       |       round(CAST(sum(n * n_sub) AS DOUBLE) / sum(n), 6) AS subwords_per_word
-       |FROM occ JOIN fin USING (w) GROUP BY doc_id""".stripMargin
+       |)""".stripMargin
   }
 
   def tokenizeBpeSqlFromLastModel: Option[String] =
     graft.text.TextAnalysis.lastBpeMerges.map(tokenizeBpeSql)
+
+  def tokenizeBpePackSqlFromLastModel(windowSize: Long): Option[String] =
+    graft.text.TextAnalysis.lastBpeMerges.map(tokenizeBpePackSql(_, windowSize))
 
   /** raw -> s CTE chain shared by [[urlCanonicalSql]] and
     * [[urlDomainStatsSql]]: the deterministic messy-URL derivation (the

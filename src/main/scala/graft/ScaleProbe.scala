@@ -173,6 +173,28 @@ object ScaleProbe {
         val (nF, dF, tF) = run(8)
         val (nS, dS, tS) = run(8 * m)
         println(f"SCALE-SEMANTIC m=$m%2d vecs=${2000 * m}%7d fixedK=8: rows=$nF%7d dups=$dF%5d $tF%6.2f s   scaledK=${8 * m}%3d: rows=$nS%7d dups=$dS%5d $tS%6.2f s")
+        // nClusters CURVE at this m: the structural quadratic term
+        // (Σ C(n_c, 2) within-cell pairs, computed from the SAME model the
+        // timed run trained) and end-to-end wall per k — the measured
+        // numbers behind "grow nClusters with the corpus so cells stay
+        // memory-sized"
+        for (k <- Seq(8, 16, 32, 8 * m, 16 * m).distinct.sorted) {
+          val t0 = System.nanoTime()
+          val out = graft.dedup.Dedup.semanticDedup(emb, nClusters = k, iters = 2, minCos = 0.4)
+          val dups = out.filter(col("keep") === 0).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          val cents = graft.dedup.Dedup.lastSemanticModel.get._1
+          val cellPairs = emb
+            .select(col("embedding").cast("array<double>").as("v"))
+            .withColumn("nrm", sqrt(graft.similarity.Ann.dot(col("v"), col("v"))))
+            .filter(col("nrm") > 0)
+            .select(graft.similarity.Ann.ivfCell(col("v"), cents).as("cid"))
+            .groupBy("cid").agg(count(lit(1)).as("n"))
+            .agg(sum(col("n") * (col("n") - 1) / 2)).head.getLong(0)
+          out.unpersist()
+          spark.sharedState.cacheManager.clearCache()
+          println(f"SCALE-SEMANTIC-K m=$m%2d k=$k%4d cellPairs=$cellPairs%10d dups=$dups%5d $t%7.2f s")
+        }
       } else if (winnowOnly) {
         // winnowing under clone skew: m-fold replication multiplies every
         // fingerprint posting list by m, so UNCAPPED pair volume grows

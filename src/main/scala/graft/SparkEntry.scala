@@ -931,6 +931,21 @@ object SparkEntry {
         graft.text.TextAnalysis.tokenizeBpe(Collocations.documents(s, d), numMerges = 30),
       None),
 
+    // the consumer the tokenizer exists for: greedy sequence packing by
+    // REAL subword lengths instead of char counts — same global-cumsum
+    // packing machinery (content-bucketed, no single-partition window),
+    // fed by the per-doc BPE totals. DYNAMIC oracle: recursive-CTE BPE
+    // apply + the packSql cumulative-bin construction.
+    ("pack_sequences_bpe",
+      (s: SparkSession, d: String) => {
+        val lens = graft.text.TextAnalysis
+          .tokenizeBpe(Collocations.documents(s, d), numMerges = 30)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_chars"))
+        graft.pipelines.Packing.packSequences(lens, windowSize = 256)
+          .withColumnRenamed("n_chars", "n_bpe_tokens")
+      },
+      None),
+
     // ------------------------------------------------- count-min sketch
     // Fixed-size (depth x width) frequency sketch over bigram
     // occurrences — the frequency pass for item spaces too wide to
@@ -1597,6 +1612,14 @@ object SparkEntry {
         graft.dedup.Dedup.substringRemovalSpans(Collocations.documents(s, d), minLen = 30),
       Some(OracleSqlExt.substringSpansSql(30))),
 
+    // the rewrite step itself (Lee et al. 2022: all-but-one occurrence of
+    // every long duplicated substring removed): spans collapse to one
+    // sorted array per doc, the cut is a row-local fold — row-preserving
+    ("scrub_substring_dups",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.scrubSubstringDups(Collocations.documents(s, d), minLen = 30),
+      Some(OracleSqlExt.scrubSubstringSql(30))),
+
     // ε-band self-join via grid bucketing: same-type event pairs within
     // value tolerance — the 1-D grid-file ε-join (constant 3× probe
     // fan-out, shuffle keyed on (type, bucket); never a per-key cross
@@ -2064,5 +2087,6 @@ object SparkEntry {
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
       OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _) ++
-      OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _)
+      OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _) ++
+      OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _)
 }

@@ -1545,6 +1545,44 @@ object Dedup {
     out
   }
 
+  /** Apply [[substringRemovalSpans]] to the corpus: delete the removal
+    * byte ranges from each document's text, keeping everything else —
+    * the Lee et al. 2022 rewrite step itself ("remove all but one
+    * occurrence of every long duplicated substring"). One row per input
+    * document: (doc_id, clean_text, n_removed_chars); documents with no
+    * spans pass through verbatim.
+    *
+    * Scale shape: spans collapse to ONE sorted array per affected doc
+    * (they are merged and disjoint by construction, so the sort key is
+    * unambiguous), attach by a doc_id equi-join against the corpus, and
+    * the cut itself is a single row-local `aggregate` fold over the span
+    * array — kept segments concatenate in order, no per-span join, no
+    * window over text rows. */
+  def scrubSubstringDups(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
+                         maxPostingGuard: Int = 20000): DataFrame = {
+    val spans = substringRemovalSpans(docs, minLen, k, w, maxPostingGuard)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))).as("sp"),
+        sum(col("span_len")).as("removed"))
+    val cut = aggregate(col("sp"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (st, x) => struct(
+        x.getField("e").as("pos"),
+        concat(st.getField("acc"),
+          col("text").substr(st.getField("pos").cast("int"),
+            (x.getField("s") - st.getField("pos")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        col("text").substr(st.getField("pos").cast("int"), length(col("text")))))
+    val out = docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("text")).otherwise(cut).as("clean_text"),
+        coalesce(col("removed"), lit(0L)).as("n_removed_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    spans.unpersist()
+    out
+  }
+
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
     * the correctness baseline for [[embeddingLshPairs]] — do not run at
     * corpus scale). */

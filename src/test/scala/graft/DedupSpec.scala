@@ -704,6 +704,28 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(2) == 7L + base.length && r.getLong(3) == base.length.toLong)
   }
 
+  test("substring scrub deletes exactly the removal spans, keeps everything else") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
+    val d = Seq((1L, base, "en"), (2L, "zz yy " + base + " extra tail", "en"),
+      (3L, "no duplicated content in this third document at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = Dedup.scrubSubstringDups(d, minLen = 30, k = 16, w = 15).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    // doc 1 is the canonical copy (lower id): untouched
+    assert(r(1L) == ((base, 0L)))
+    // doc 2 loses the copied span (base + the leading space of " extra"
+    // joins? no — the match is maximal over "base" plus the following
+    // space+"extra..."? only bytes shared with doc 1 match, so exactly
+    // base), keeping its unique prefix and tail
+    assert(r(2L) == (("zz yy  extra tail", base.length.toLong)), s"got ${r(2L)}")
+    assert(r(3L)._2 == 0L && r(3L)._1.nonEmpty)
+    // conservation: every clean length = original - removed
+    val lens = d.collect().map(x => x.getLong(0) -> x.getString(1).length).toMap
+    r.foreach { case (id, (clean, rem)) =>
+      assert(clean.length.toLong == lens(id) - rem, s"doc $id length mismatch") }
+  }
+
   test("substring output is invariant to the anchor geometry") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
