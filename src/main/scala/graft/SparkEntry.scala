@@ -79,6 +79,22 @@ object SparkEntry {
       dir
     })
 
+  /** Substring-anchor index (full corpus / even half) — same
+    * build-once lifecycle and shutdown-cleaned root. */
+  private def substringIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#substr", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#substr")).toString
+      graft.dedup.Dedup.writeSubstringIndex(Collocations.documents(s, d), dir)
+      dir
+    })
+  private def substringIndexDirHalf(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#substr-even", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#substr-even")).toString
+      graft.dedup.Dedup.writeSubstringIndex(
+        Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
+      dir
+    })
+
   /** One-time per-process setup a measurement harness runs during warmup
     * (currently: the dedup index builds), so even a single-sweep bench
     * sample measures the serve path, never build+serve. */
@@ -87,6 +103,8 @@ object SparkEntry {
     dedupIndexDirHalf(spark, sfDir)
     winnowIndexDir(spark, sfDir)
     winnowIndexDirHalf(spark, sfDir)
+    substringIndexDir(spark, sfDir)
+    substringIndexDirHalf(spark, sfDir)
   }
 
   /** One dialect-neutral SQL text executed verbatim by BOTH engines
@@ -1619,6 +1637,31 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.scrubSubstringDups(Collocations.documents(s, d), minLen = 30),
       Some(OracleSqlExt.scrubSubstringSql(30))),
+
+    // build-once/serve-many for the substring family: the anchor pair
+    // join reads the persisted index alone; the corpus is touched only
+    // by the extension's doc_id equi-joins (text never re-hashed). Same
+    // oracle as the direct path gates both.
+    ("dedup_substring_indexed",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.substringMatchesFrom(
+          s.read.parquet(s"${substringIndexDir(s, d)}/substring_anchors"),
+          Collocations.documents(s, d), minLen = 30),
+      Some(OracleSqlExt.substringMatchesSql(30))),
+
+    // incremental ingest: the persisted index covers the even-doc_id
+    // half; odd-half anchors union on top WITHOUT re-anchoring the old
+    // corpus (anchors are a pure per-doc function) — the SAME
+    // full-corpus oracle proves ingest-equals-rebuild
+    ("dedup_substring_incremental",
+      (s: SparkSession, d: String) => {
+        val idx = s.read.parquet(s"${substringIndexDirHalf(s, d)}/substring_anchors")
+        val docs = Collocations.documents(s, d)
+        val fresh = graft.dedup.Dedup.substringAnchors(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 1), k = 24, w = 7)
+        graft.dedup.Dedup.substringMatchesFrom(idx.unionByName(fresh), docs, minLen = 30)
+      },
+      Some(OracleSqlExt.substringMatchesSql(30))),
 
     // ε-band self-join via grid bucketing: same-type event pairs within
     // value tolerance — the 1-D grid-file ε-join (constant 3× probe

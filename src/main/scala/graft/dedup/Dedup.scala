@@ -1471,8 +1471,24 @@ object Dedup {
     require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
       s"anchor geometry must cover every match: need k + w - 1 <= minLen, " +
       s"got k=$k w=$w minLen=$minLen")
-    val an = substringAnchors(docs, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    substringMatchesFrom(substringAnchors(docs, k, w), docs, minLen, maxPostingGuard)
+  }
+
+  /** Build-once substring-anchor index: the (doc_id, pos, h) table
+    * persisted as parquet. Anchors are a pure per-document function, so
+    * fresh shards UNION onto the index without re-anchoring the existing
+    * corpus — the [[writeWinnowIndex]] incremental-ingest contract. The
+    * (k, w) geometry is baked into the stored hashes; serve-side callers
+    * must pass a `minLen >= k + w - 1` of the build. */
+  def writeSubstringIndex(docs: DataFrame, dir: String, k: Int = 24, w: Int = 7): Unit =
+    substringAnchors(docs, k, w).write.mode("overwrite").parquet(s"$dir/substring_anchors")
+
+  /** [[substringMatches]] served from a persisted anchor table: the pair
+    * join reads the index, the corpus is touched only by the extension's
+    * doc_id equi-joins (text is never re-hashed). */
+  def substringMatchesFrom(anchors: DataFrame, docs: DataFrame, minLen: Int = 30,
+                           maxPostingGuard: Int = 20000): DataFrame = {
+    val an = anchors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxPostingGuard > 0) {
       val hottest = Option(an.groupBy("h").agg(count(lit(1)).as("pn"))
         .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])

@@ -726,6 +726,30 @@ class DedupSpec extends SparkSpec {
       assert(clean.length.toLong == lens(id) - rem, s"doc $id length mismatch") }
   }
 
+  test("substring index serves identical matches; incremental union equals rebuild") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
+    val d = Seq((1L, base, "en"), (2L, "zz yy " + base, "en"),
+      (3L, base + " with more words appended here", "en"),
+      (4L, "totally unrelated words fill this document to its end", "en"))
+      .toDF("doc_id", "text", "lang")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val direct = Dedup.substringMatches(d, minLen = 30).collect().map(key).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr-spec").toString
+    Dedup.writeSubstringIndex(d, dir)
+    val an = spark.read.parquet(s"$dir/substring_anchors")
+    val served = Dedup.substringMatchesFrom(an, d, minLen = 30).collect().map(key).toSet
+    assert(served == direct && direct.nonEmpty, s"serve != direct: $served vs $direct")
+    // incremental: even-half index + fresh odd-half anchors == rebuild
+    val evenDir = java.nio.file.Files.createTempDirectory("graft-substr-even").toString
+    Dedup.writeSubstringIndex(d.filter(pmod(col("doc_id"), lit(2L)) === 0), evenDir)
+    val merged = spark.read.parquet(s"$evenDir/substring_anchors")
+      .unionByName(Dedup.substringAnchors(d.filter(pmod(col("doc_id"), lit(2L)) === 1), 24, 7))
+    val incr = Dedup.substringMatchesFrom(merged, d, minLen = 30).collect().map(key).toSet
+    assert(incr == direct, s"ingest must equal rebuild: $incr vs $direct")
+  }
+
   test("substring output is invariant to the anchor geometry") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
