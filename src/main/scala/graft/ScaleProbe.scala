@@ -15,7 +15,8 @@ object ScaleProbe {
     val (flags, nums) = args.partition(_.startsWith("--"))
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
-      "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only")
+      "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
+      "--substring-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -29,6 +30,7 @@ object ScaleProbe {
     val semanticOnly = flags.contains("--semantic-only")
     val noveltyOnly = flags.contains("--novelty-only")
     val winnowOnly = flags.contains("--winnow-only")
+    val substringOnly = flags.contains("--substring-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -195,6 +197,32 @@ object ScaleProbe {
           spark.sharedState.cacheManager.clearCache()
           println(f"SCALE-SEMANTIC-K m=$m%2d k=$k%4d cellPairs=$cellPairs%10d dups=$dups%5d $t%7.2f s")
         }
+      } else if (substringOnly) {
+        // exact-substring growth: replicas are SUBSTITUTION-CIPHERED
+        // (per-replica caesar alphabet), so no byte run is shared ACROSS
+        // replicas — cross-replica matches would be the operator finding
+        // real duplicates (its job, m² of them on clones), not a
+        // machinery cost. Ciphered replicas preserve each replica's
+        // internal match structure, so matches, anchors, candidates and
+        // wall time must all grow ~linearly in m if no stage hides a
+        // corpus-quadratic term.
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val sub = (0 until m).map { i =>
+          val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+          base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            translate(col("text"), alpha, rot).as("text"), col("lang"))
+        }.reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val nAn = graft.dedup.Dedup.substringAnchors(sub, 24, 7).count()
+        val tAn = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val mts = graft.dedup.Dedup.substringMatches(sub, minLen = 30,
+          maxPostingGuard = 200000)
+        val nM = mts.count()
+        val tM = (System.nanoTime() - t1) / 1e9
+        mts.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-SUBSTRING m=$m%2d docs=${5000 * m}%6d anchors=$nAn%9d $tAn%6.2f s   matches=$nM%7d end2end $tM%6.2f s")
       } else if (winnowOnly) {
         // winnowing under clone skew: m-fold replication multiplies every
         // fingerprint posting list by m, so UNCAPPED pair volume grows

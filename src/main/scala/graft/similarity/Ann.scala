@@ -131,19 +131,19 @@ object Ann {
     * run-dependent. Returns the (cell, centroid) model — a k x dim
     * artifact collected to the driver, which is how a serving system
     * ships it. */
-  /** Nearest trained cell for a vector column — an ARRAY-LOCAL argmax:
-    * the centroid model is a driver-side constant, so the
-    * per-cell dot products become literal expressions and `greatest`
-    * over (dot, -cid) structs picks the cell with zero shuffle and
-    * deterministic smallest-cid ties. Vectors never move to be
-    * assigned — the property that makes IVF indexing a narrow map at
-    * 100 TB. */
-  def ivfCell(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
-    val structs = cents.map { case (cid, arr) =>
-      struct(dot(v, array(arr.map(lit(_)): _*)).as("d"), lit(-cid).as("negcid"))
-    }
-    (-greatest(structs: _*).getField("negcid")).cast("int")
-  }
+  /** Nearest trained cell for a vector column — an ARRAY-LOCAL argmax
+    * against the driver-side centroid model, zero shuffle, smallest-cid
+    * ties. Vectors never move to be assigned — the property that makes
+    * IVF indexing a narrow map at 100 TB. Implemented as the compiled
+    * [[graft.functions.IvfCellExpr]] (model = one reference object, plan
+    * O(1) nodes): the earlier `greatest` over k literal-dot structs
+    * carried O(k·dim) plan nodes, which blew past codegen method limits
+    * around k≈80 and fell back to per-row interpreted struct compares —
+    * measured 672 s vs sub-second for one 20k-vector assignment. Same
+    * bit-exact left-to-right dots and tie rule; the injected-literal
+    * oracle SQL is unchanged. */
+  def ivfCell(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    graft.functions.IvfCell.cellCol(v, cents)
 
   /** @param trainStride Lloyd iterations aggregate a posexplode of every
     *   TRAINING vector (N_train × dim rows shuffled per iteration) — at
