@@ -192,7 +192,8 @@ object ScaleProbe {
             .filter(col("nrm") > 0)
             .select(graft.similarity.Ann.ivfCell(col("v"), cents).as("cid"))
             .groupBy("cid").agg(count(lit(1)).as("n"))
-            .agg(sum(col("n") * (col("n") - 1) / 2)).head.getLong(0)
+            // Column./ is DOUBLE division — halve driver-side to stay long
+            .agg(sum(col("n") * (col("n") - 1))).head.getLong(0) / 2
           out.unpersist()
           spark.sharedState.cacheManager.clearCache()
           println(f"SCALE-SEMANTIC-K m=$m%2d k=$k%4d cellPairs=$cellPairs%10d dups=$dups%5d $t%7.2f s")

@@ -714,10 +714,9 @@ class DedupSpec extends SparkSpec {
       .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
     // doc 1 is the canonical copy (lower id): untouched
     assert(r(1L) == ((base, 0L)))
-    // doc 2 loses the copied span (base + the leading space of " extra"
-    // joins? no — the match is maximal over "base" plus the following
-    // space+"extra..."? only bytes shared with doc 1 match, so exactly
-    // base), keeping its unique prefix and tail
+    // doc 2 loses exactly the copied base (only bytes shared with doc 1
+    // can match, so the span cannot bleed into " extra tail"), keeping
+    // its unique prefix and tail
     assert(r(2L) == (("zz yy  extra tail", base.length.toLong)), s"got ${r(2L)}")
     assert(r(3L)._2 == 0L && r(3L)._1.nonEmpty)
     // conservation: every clean length = original - removed
