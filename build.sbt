@@ -21,6 +21,9 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by settings/tasks — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -851,12 +851,6 @@ object OracleSqlExt {
       annIvfSql(cents, stride, k, probes)
     }
 
-  /** Mirror of [[graft.similarity.Ann.semanticSort]] GIVEN the trained
-    * centroids: literal (cid, cv, cn) rows — `cn` is the Scala-computed
-    * centroid norm shipped to both engines as the same literal —
-    * assignment by max-dot (smallest-cid ties, as ivfCell), cosine to the
-    * own centroid, global position by row_number over (cid, cos DESC,
-    * vec_id). */
   /** Shared assignment + own-centroid-cosine CTE chain (`c`, `cents`,
     * `ca`, `scored`) over literal (cid, cv, cn) rows — ONE definition for
     * the semantic-sort and diverse-batches oracles. */
@@ -881,6 +875,12 @@ object OracleSqlExt {
        |)""".stripMargin
   }
 
+  /** Mirror of [[graft.similarity.Ann.semanticSort]] GIVEN the trained
+    * centroids: literal (cid, cv, cn) rows — `cn` is the Scala-computed
+    * centroid norm shipped to both engines as the same literal —
+    * assignment by max-dot (smallest-cid ties, as ivfCell), cosine to the
+    * own centroid, global position by row_number over (cid, cos DESC,
+    * vec_id). */
   def semanticSortSql(cents: Seq[(Int, Array[Double], Double)]): String =
     s"""WITH ${ownCosCtes(cents)}
        |SELECT vec_id, cid, cos,

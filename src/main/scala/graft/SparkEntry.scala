@@ -135,8 +135,6 @@ object SparkEntry {
       |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
       |FROM orders WHERE o_totalprice > 300000""".stripMargin
 
-  /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
-    * two implementations stay visibly in lockstep. */
   /** One row per bigram OCCURRENCE as the "w1 w2" string (mirror of the
     * oracle's `tl[i] || ' ' || tl[i+1]`) — delegates to the shared
     * [[graft.ops.CountMin.bigramItems]] so the batch entries and the
@@ -161,6 +159,8 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
     lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
 
+  /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
+    * two implementations stay visibly in lockstep. */
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
 
     // ---------------------------------------------------------------- S1/P1

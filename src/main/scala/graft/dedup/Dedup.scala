@@ -35,29 +35,6 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
-  /** Passage-level exact dedup over fixed token windows — the token-stream
-    * form of the line/paragraph dedup a C4/RefinedWeb-style pipeline runs:
-    * chunk each document into consecutive `window`-token passages, hash
-    * each, and mark every passage that repeats an earlier (doc_id, idx)
-    * occurrence anywhere in the corpus. Emits per-document
-    * (n_passages, n_dup, dup_ratio) — the curation signal; dropping or
-    * rewriting flagged passages composes on top.
-    *
-    * EVERY input document appears in the output: docs shorter than one
-    * window have no passages and come back as (0, 0, NULL dup_ratio) via
-    * the left join — they never enter the hash shuffle (routing their
-    * NULL hashes through the first-occurrence window would funnel all
-    * short docs into one task), they rejoin afterwards on doc_id.
-    *
-    * Scale shape: passages explode array-locally (no shuffle), then one
-    * shuffle on the passage hash (high-cardinality, well spread) for the
-    * first-occurrence window, then one shuffle back on doc_id.
-    *
-    * PRECONDITION: `doc_id` is a key of `docs` (true for every corpus this
-    * engine ingests). The short-doc pass-through join re-attaches stats by
-    * doc_id, so duplicate input ids would fan out into duplicate output
-    * rows rather than collapse — dedup ids upstream (exactGroups) first if
-    * the source can't guarantee uniqueness. */
   /** The ONE definition of the fixed-window passage grid shared by all
     * three passage operators (stats, containment, rewrite): per doc,
     * `floor(tokens/window)` windows of exactly `window` tokens, exploded
@@ -81,6 +58,29 @@ object Dedup {
       .select(col("doc_id"), col("p.idx").as("idx"), col(s"p.$outCol").as(outCol))
   }
 
+  /** Passage-level exact dedup over fixed token windows — the token-stream
+    * form of the line/paragraph dedup a C4/RefinedWeb-style pipeline runs:
+    * chunk each document into consecutive `window`-token passages, hash
+    * each, and mark every passage that repeats an earlier (doc_id, idx)
+    * occurrence anywhere in the corpus. Emits per-document
+    * (n_passages, n_dup, dup_ratio) — the curation signal; dropping or
+    * rewriting flagged passages composes on top.
+    *
+    * EVERY input document appears in the output: docs shorter than one
+    * window have no passages and come back as (0, 0, NULL dup_ratio) via
+    * the left join — they never enter the hash shuffle (routing their
+    * NULL hashes through the first-occurrence window would funnel all
+    * short docs into one task), they rejoin afterwards on doc_id.
+    *
+    * Scale shape: passages explode array-locally (no shuffle), then one
+    * shuffle on the passage hash (high-cardinality, well spread) for the
+    * first-occurrence window, then one shuffle back on doc_id.
+    *
+    * PRECONDITION: `doc_id` is a key of `docs` (true for every corpus this
+    * engine ingests). The short-doc pass-through join re-attaches stats by
+    * doc_id, so duplicate input ids would fan out into duplicate output
+    * rows rather than collapse — dedup ids upstream (exactGroups) first if
+    * the source can't guarantee uniqueness. */
   def passageDupStats(docs: DataFrame, window: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val passages = passageGrid(docs, window, "h", md5)
@@ -220,6 +220,15 @@ object Dedup {
   def minhashB(i: Int): Long = 1000003L * (i + 1) + 7
   def minhashC(i: Int): Long = 7919L * i + 1
 
+  /** 28-bit half of an md5 hex string as a long: ascii-nibble polynomial
+    * over the 7 chars at [start, start+6]. Shared with Profile's parse
+    * A/B harness so the profiled variant IS the shipped one. */
+  private[graft] def md5Half(m: Column, start: Int): Column =
+    (0 until 7).map { j =>
+      val a = ascii(substring(m, start + j, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - j)))
+    }.reduce(_ + _)
+
   /** MinHash signature: h_i(doc) = min over shingles of the affine hash
     * above, as BIGINT columns h0..h{n-1}.
     *
@@ -233,15 +242,6 @@ object Dedup {
     * lowercase [0-9a-f], and conv's general radix parser measured ~1.4x
     * the cost (Profile: 1.04 s vs 0.76 s for the sf0.1 signature table —
     * the same trade the simhash nibbles use). */
-  /** 28-bit half of an md5 hex string as a long: ascii-nibble polynomial
-    * over the 7 chars at [start, start+6]. Shared with Profile's parse
-    * A/B harness so the profiled variant IS the shipped one. */
-  private[graft] def md5Half(m: Column, start: Int): Column =
-    (0 until 7).map { j =>
-      val a = ascii(substring(m, start + j, 1))
-      when(a <= 57, a - 48).otherwise(a - 87).cast("long") * (1L << (4 * (6 - j)))
-    }.reduce(_ + _)
-
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame =
     signaturesFromShingleRows(shingles(docs, k), numHashes)
 

@@ -123,14 +123,6 @@ object Ann {
 
   // ------------------------------------------------------------------ IVF
 
-  /** K-means centroids for IVF, trained with deterministic Lloyd
-    * iterations: init = the first `nCells` vectors by vec_id; assignment
-    * maximizes dot product (codegen'd); means are computed through
-    * DECIMAL sums so they are bit-stable across partitionings and runs —
-    * float averages would make cell boundaries (and therefore results)
-    * run-dependent. Returns the (cell, centroid) model — a k x dim
-    * artifact collected to the driver, which is how a serving system
-    * ships it. */
   /** Nearest trained cell for a vector column — an ARRAY-LOCAL argmax
     * against the driver-side centroid model, zero shuffle, smallest-cid
     * ties. Vectors never move to be assigned — the property that makes
@@ -145,7 +137,16 @@ object Ann {
   def ivfCell(v: Column, cents: Seq[(Int, Array[Double])]): Column =
     graft.functions.IvfCell.cellCol(v, cents)
 
-  /** @param trainStride Lloyd iterations aggregate a posexplode of every
+  /** K-means centroids for IVF, trained with deterministic Lloyd
+    * iterations: init = the first `nCells` vectors by vec_id; assignment
+    * maximizes dot product (codegen'd); means are computed through
+    * DECIMAL sums so they are bit-stable across partitionings and runs —
+    * float averages would make cell boundaries (and therefore results)
+    * run-dependent. Returns the (cell, centroid) model — a k x dim
+    * artifact collected to the driver, which is how a serving system
+    * ships it.
+    *
+    * @param trainStride Lloyd iterations aggregate a posexplode of every
     *   TRAINING vector (N_train × dim rows shuffled per iteration) — at
     *   corpus scale, train on the deterministic `vec_id % trainStride == 0`
     *   sample and assign the full set. The sample is content-stable (no

@@ -111,4 +111,38 @@ object DedupStream {
   /** The live winnow fingerprint table (serve-schema view). */
   def winnowFp(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/winnow_fp").drop("ingest_batch")
+
+  /** The substring-anchor index ([[graft.dedup.Dedup.writeSubstringIndex]])
+    * under the same continuous-ingest contract: anchors are a pure
+    * per-document function, so each micro-batch computes only its own
+    * shard's (doc_id, pos, h) rows and appends them replay-idempotently;
+    * serving is [[graft.dedup.Dedup.substringMatchesFrom]] over the live
+    * table (the extension step reads document text from the caller's
+    * corpus store, never from the index). Ingest-equals-rebuild pinned in
+    * StreamingSpec — the streaming deployment of the batch
+    * `dedup_substring_incremental` contract. */
+  def ingestSubstring(stream: DataFrame, indexDir: String, checkpoint: String,
+                      k: Int = 24, w: Int = 7): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendSubstringBatch(batch, indexDir, batchId, k, w)
+      }
+      .start()
+
+  /** One micro-batch's anchor writes — replay-idempotent via the same
+    * dynamic-partition-overwrite-on-`ingest_batch` scheme as
+    * [[appendBatch]]. */
+  def appendSubstringBatch(batch: DataFrame, indexDir: String, batchId: Long,
+                           k: Int = 24, w: Int = 7): Unit =
+    Dedup.substringAnchors(batch, k, w)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$indexDir/substring_anchors")
+
+  /** The live substring-anchor table (serve-schema view). */
+  def substringAnchorsTable(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/substring_anchors").drop("ingest_batch")
 }

@@ -364,6 +364,57 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming substring-anchor ingest serves matches identical to a full rebuild after every drop") {
+    import graft.streaming.DedupStream
+    import graft.dedup.Dedup
+    val watch = java.nio.file.Files.createTempDirectory("graft-substr-stream")
+    val index = java.nio.file.Files.createTempDirectory("graft-substr-stream-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-substr-stream-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    def drop(name: String, parityKeep: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-substr-stage")
+      all.filter(pmod(col("doc_id"), lit(2L)) === parityKeep)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // the serve side reads anchors from the LIVE index; document text for
+    // the extension comes from the corpus store (here: the same table,
+    // restricted to the ingested shards)
+    def served(parities: Long*) = Dedup.substringMatchesFrom(
+        DedupStream.substringAnchorsTable(spark, index.toString),
+        all.filter(pmod(col("doc_id"), lit(2L)).isin(parities: _*)), minLen = 30)
+      .collect().map(key).toSet
+    def rebuilt(parities: Long*) =
+      Dedup.substringMatches(
+          all.filter(pmod(col("doc_id"), lit(2L)).isin(parities: _*)), minLen = 30)
+        .collect().map(key).toSet
+
+    drop("a.parquet", 0L)
+    val q = DedupStream.ingestSubstring(DedupStream.readStream(spark, watch.toString),
+      index.toString, ckpt.toString)
+    q.processAllAvailable()
+    assert(served(0L) == rebuilt(0L),
+      "after drop 1: serving from the streamed anchor index must equal a rebuild on shard 1")
+
+    drop("b.parquet", 1L)
+    q.processAllAvailable(); q.stop()
+    val full = served(0L, 1L)
+    assert(full == rebuilt(0L, 1L),
+      "after drop 2: serving from the streamed anchor index must equal a full-corpus rebuild")
+    assert(full.nonEmpty, "sf0.001 has known >=30-char cross-doc matches; empty means a broken join")
+
+    // replay idempotence: re-committing batch 0 replaces its partition
+    DedupStream.appendSubstringBatch(
+      all.filter(pmod(col("doc_id"), lit(2L)) === 0L), index.toString, 0L)
+    assert(served(0L, 1L) == full, "replaying batch 0 must leave serve results unchanged")
+    Seq(watch, index, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("streaming novelty triage scores each shard exactly like the batch query") {
     import graft.streaming.{DedupStream, NoveltyStream}
     import graft.dedup.Dedup
