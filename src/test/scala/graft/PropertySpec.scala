@@ -194,4 +194,84 @@ class PropertySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pos2 == pos)
   }
+
+  test("common prefix/suffix byte compares equal the string-walk reference on arbitrary unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def refPrefix(x: String, y: String): Long = {
+      val xs = x.codePoints().toArray; val ys = y.codePoints().toArray
+      var i = 0
+      while (i < math.min(xs.length, ys.length) && xs(i) == ys(i)) i += 1
+      i.toLong
+    }
+    // 1-, 2-, 3-byte UTF-8 chars plus a 4-byte supplementary codepoint
+    // (as its full surrogate PAIR, so inputs stay valid UTF-8)
+    val charGen = Gen.oneOf(Gen.alphaNumChar.map(_.toString), Gen.const("ä"),
+      Gen.const("ש"), Gen.const("中"), Gen.const(" "), Gen.const("𐍈"))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val pairs = Gen.listOfN(300, Gen.zip(strGen, strGen)).sample.get
+    // exercise shared prefixes too, not just random pairs
+    val shared = pairs.map { case (a, b) => (a + b, a + b.reverse) }
+    (pairs ++ shared).foreach { case (x, y) =>
+      val u = UTF8String.fromString(x); val v = UTF8String.fromString(y)
+      assert(graft.functions.CommonAffix.prefixLen(u, v) == refPrefix(x, y),
+        s"prefix mismatch on ${x.codePoints().toArray.toSeq} vs ${y.codePoints().toArray.toSeq}")
+      assert(graft.functions.CommonAffix.suffixLen(u, v) == refPrefix(x.reverse, y.reverse),
+        s"suffix mismatch on $x vs $y")
+    }
+  }
+
+  test("winnow anchors equal the naive window-min reference for arbitrary geometry") {
+    def refAnchors(s: String, k: Int, w: Int): Seq[(Long, Long)] = {
+      val cps = s.codePoints().toArray
+      val nk = cps.length - k + 1
+      if (nk < 1) return Seq.empty
+      val hs = (0 until nk).map(i =>
+        RollingHash.compute(new String(cps, i, k)))
+      val nw = math.max(nk - w + 1, 1)
+      (0 until nw).map { i =>
+        val win = hs.slice(i, math.min(i + w, nk))
+        val m = win.min
+        val pos = i + win.indexOf(m) // leftmost min
+        (pos + 1L, m)
+      }.distinct
+    }
+    val textGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', 'ä')).map(_.mkString)
+    val cases = Gen.listOfN(200,
+      Gen.zip(textGen, Gen.chooseNum(2, 6), Gen.chooseNum(1, 5))).sample.get
+    cases.foreach { case (s, k, w) =>
+      val got = graft.functions.WinnowAnchor.compute(s, k, w)
+        .toObjectArray(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType))))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == refAnchors(s, k, w),
+        s"anchor mismatch for '$s' k=$k w=$w: $got vs ${refAnchors(s, k, w)}")
+    }
+  }
+
+  test("bpe encode is a fixpoint and concatenation-preserving for arbitrary merge tables") {
+    import org.apache.spark.sql.types.StringType
+    val wordGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString).suchThat(_.nonEmpty)
+    val mergeGen = Gen.listOfN(6, Gen.zip(
+      Gen.oneOf("a", "b", "c", "ab", "cd"), Gen.oneOf("a", "b", "d", "ab")))
+    val cases = Gen.listOfN(200, Gen.zip(wordGen, mergeGen)).sample.get
+    cases.foreach { case (w, merges) =>
+      val rank = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        val key = a + " " + b
+        if (!rank.containsKey(key)) rank.put(key, i)
+      }
+      val syms = graft.functions.BpeEncode.encode(w, rank)
+        .toObjectArray(StringType).map(_.toString).toSeq
+      // concatenation preserved: the symbols spell the word exactly
+      assert(syms.mkString == w, s"'$w' -> $syms loses bytes")
+      // fixpoint: no adjacent pair is still mergeable
+      syms.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(!rank.containsKey(p(0) + " " + p(1)),
+            s"'$w' -> $syms still has mergeable pair $p under $merges")
+      }
+    }
+  }
 }
