@@ -287,6 +287,33 @@ object OracleSqlExt {
     s"""WITH ${substringCtes(minLen)}
        |SELECT a, b, sa, sb, match_len FROM sp""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.substringSelfRepeats]]: the same
+    * all-offset-gram islands construction, with the self-join kept
+    * WITHIN one document (pa < pb) and islands per (doc_id, delta). */
+  def substringSelfSql(minLen: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |  FROM documents WHERE len(text) >= $minLen
+       |),
+       |g2 AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM g
+       |),
+       |m AS (
+       |  SELECT ga.doc_id, ga.pos AS pa, gb.pos AS pb
+       |  FROM g2 ga JOIN g2 gb
+       |    ON ga.doc_id = gb.doc_id AND ga.gram = gb.gram AND ga.pos < gb.pos
+       |),
+       |isl AS (
+       |  SELECT doc_id, pb - pa AS delta, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS grp
+       |  FROM m
+       |)
+       |SELECT doc_id, CAST(min(pa) AS BIGINT) AS sa, CAST(min(pb) AS BIGINT) AS sb,
+       |       CAST(max(pa) - min(pa) + $minLen AS BIGINT) AS match_len
+       |FROM isl GROUP BY doc_id, delta, grp""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.substringRemovalSpans]]: spans cut
     * from the higher doc_id, merged per document with the same
     * running-max gaps-and-islands construction (touching spans merge —

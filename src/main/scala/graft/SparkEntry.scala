@@ -1638,6 +1638,18 @@ object SparkEntry {
         graft.dedup.Dedup.scrubSubstringDups(Collocations.documents(s, d), minLen = 30),
       Some(OracleSqlExt.scrubSubstringSql(30))),
 
+    // the INTRA-document half of the suffix-array dedup (a substring
+    // repeated within one document dedups like one repeated across
+    // documents): same anchors, pair join keyed (doc_id, h) so the
+    // quadratic term is per-document and guard-bounded. minLen drops to
+    // 15 here — in-doc repetition is shorter-range than cross-doc
+    // duplication on this corpus, and the guarantee scales down with
+    // k=12/w=4 geometry (k + w - 1 = 15).
+    ("dedup_substring_self",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.substringSelfRepeats(Collocations.documents(s, d), minLen = 15),
+      Some(OracleSqlExt.substringSelfSql(15))),
+
     // build-once/serve-many for the substring family: the anchor pair
     // join reads the persisted index alone; the corpus is touched only
     // by the extension's doc_id equi-joins (text never re-hashed). Same

@@ -1561,6 +1561,69 @@ object Dedup {
     out
   }
 
+  /** INTRA-document exact repeats — the other half of Lee et al. 2022's
+    * dedup (their suffix array spans the whole corpus, so a substring
+    * repeated WITHIN one document dedups exactly like one repeated
+    * across documents): every maximal substring of length >= `minLen`
+    * occurring at two positions of the SAME document, as
+    * (doc_id, sa, sb, match_len) with sa < sb. Degenerate generated/
+    * boilerplate text repeats itself long before it repeats across
+    * documents, so this is the in-doc repetition scrub signal.
+    *
+    * Same anchor machinery as [[substringMatches]] — both occurrences of
+    * a repeated run select identical relative anchor positions (distinct
+    * absolute positions, so overlapping occurrences pair too) — but the
+    * pair join keys on (doc_id, h): the quadratic term is per-document,
+    * and the guard bounds the hottest (doc_id, anchor) posting list. The
+    * extension attaches ONE text per pair (both sides are the same
+    * document). */
+  def substringSelfRepeats(docs: DataFrame, minLen: Int = 15, k: Int = 12, w: Int = 4,
+                           maxPostingGuard: Int = 5000): DataFrame = {
+    require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
+      s"anchor geometry must cover every match: need k + w - 1 <= minLen, " +
+      s"got k=$k w=$w minLen=$minLen")
+    val an = substringAnchors(docs, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxPostingGuard > 0) {
+      val hottest = Option(an.groupBy("doc_id", "h").agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (hottest > maxPostingGuard) {
+        an.unpersist()
+        throw new IllegalArgumentException(
+          s"substringSelfRepeats: hottest (doc, anchor) posting list has $hottest " +
+          s"occurrences (> guard $maxPostingGuard) — a pathologically periodic " +
+          s"document would go quadratic in its own length. Raise the guard " +
+          s"deliberately or pre-filter degenerate documents.")
+      }
+    }
+    val cand = an.select(col("doc_id"), col("h"), col("pos").as("pa"))
+      .join(an.select(col("doc_id"), col("h"), col("pos").as("pb")), Seq("doc_id", "h"))
+      .filter(col("pa") < col("pb"))
+      .select("doc_id", "pa", "pb")
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    import graft.functions.CommonAffix.{commonPrefixLen, commonSuffixLen}
+    val out = cand
+      .join(docs.select(col("doc_id"), col("text").as("ta")), Seq("doc_id"))
+      .repartition(width)
+      .withColumn("ext_r", commonPrefixLen(
+        col("ta").substr(col("pa").cast("int"), length(col("ta"))),
+        col("ta").substr(col("pb").cast("int"), length(col("ta")))))
+      .withColumn("ext_l", commonSuffixLen(
+        col("ta").substr(lit(1), (col("pa") - 1).cast("int")),
+        col("ta").substr(lit(1), (col("pb") - 1).cast("int"))))
+      .withColumn("match_len", col("ext_l") + col("ext_r"))
+      .filter(col("match_len") >= minLen)
+      .select(col("doc_id"),
+        (col("pa") - col("ext_l")).cast("long").as("sa"),
+        (col("pb") - col("ext_l")).cast("long").as("sb"),
+        col("match_len").cast("long").as("match_len"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    an.unpersist()
+    out
+  }
+
   /** Apply [[substringRemovalSpans]] to the corpus: delete the removal
     * byte ranges from each document's text, keeping everything else —
     * the Lee et al. 2022 rewrite step itself ("remove all but one

@@ -704,6 +704,33 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(2) == 7L + base.length && r.getLong(3) == base.length.toLong)
   }
 
+  test("intra-document repeats: exact spans, overlapping periodic runs, and the guard") {
+    import spark.implicits._
+    val phrase = "the same boilerplate clause"          // 27 chars
+    val d = Seq(
+      (1L, phrase + " then filler words " + phrase, "en"),
+      (2L, "nothing repeats inside this one at all today", "en"),
+      (3L, "ab" * 20, "en"))                            // periodic, overlapping matches
+      .toDF("doc_id", "text", "lang")
+    val m = Dedup.substringSelfRepeats(d, minLen = 15, k = 12, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val doc1 = m.filter(_._1 == 1L)
+    assert(doc1.toSet == Set((1L, 1L, phrase.length + 20L, phrase.length.toLong)),
+      s"exact repeated clause: ${doc1.toSeq}")
+    assert(!m.exists(_._1 == 2L))
+    // periodic "abab...": one maximal match per even delta d, spanning
+    // [1, 40-d] vs [1+d, 40] — length 40-d while 40-d >= 15
+    val doc3 = m.filter(_._1 == 3L).toSet
+    val want = (2 to 24 by 2).map(dd => (3L, 1L, 1L + dd, 40L - dd)).toSet
+    assert(doc3 == want, s"periodic run: $doc3 vs $want")
+    // a pathologically periodic doc trips the per-doc posting guard
+    val degenerate = Seq((9L, "z" * 500, "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringSelfRepeats(degenerate, minLen = 15, k = 12, w = 4, maxPostingGuard = 50)
+    }
+    assert(e.getMessage.contains("periodic"), e.getMessage)
+  }
+
   test("substring scrub deletes exactly the removal spans, keeps everything else") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy dog near riverbanks tonight"
