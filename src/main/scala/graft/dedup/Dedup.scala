@@ -1485,10 +1485,17 @@ object Dedup {
 
   /** [[substringMatches]] served from a persisted anchor table: the pair
     * join reads the index, the corpus is touched only by the extension's
-    * doc_id equi-joins (text is never re-hashed). */
+    * doc_id equi-joins (text is never re-hashed).
+    *
+    * The anchor cache is HASH-PARTITIONED ON `h` before persisting — the
+    * [[cappedPostings]] exchange-parity trick: the guard aggregation and
+    * BOTH sides of the pair self-join consume that one partitioning, so
+    * neither adds an exchange of its own (pinned in PlanSpec). */
   def substringMatchesFrom(anchors: DataFrame, docs: DataFrame, minLen: Int = 30,
                            maxPostingGuard: Int = 20000): DataFrame = {
-    val an = anchors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val an = anchors.repartition(width, col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxPostingGuard > 0) {
       val hottest = Option(an.groupBy("h").agg(count(lit(1)).as("pn"))
         .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
@@ -1505,7 +1512,6 @@ object Dedup {
       .join(an.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
       .filter(col("a") < col("b"))
       .select("a", "pa", "b", "pb")
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     import graft.functions.CommonAffix.{commonPrefixLen, commonSuffixLen}
     val out = cand
       .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
@@ -1582,7 +1588,11 @@ object Dedup {
     require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
       s"anchor geometry must cover every match: need k + w - 1 <= minLen, " +
       s"got k=$k w=$w minLen=$minLen")
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // partitioned on THIS operator's join key (doc_id, h); guard agg and
+    // both self-join sides reuse it — the substringMatchesFrom contract
     val an = substringAnchors(docs, k, w)
+      .repartition(width, col("doc_id"), col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxPostingGuard > 0) {
       val hottest = Option(an.groupBy("doc_id", "h").agg(count(lit(1)).as("pn"))
@@ -1600,7 +1610,6 @@ object Dedup {
       .join(an.select(col("doc_id"), col("h"), col("pos").as("pb")), Seq("doc_id", "h"))
       .filter(col("pa") < col("pb"))
       .select("doc_id", "pa", "pb")
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     import graft.functions.CommonAffix.{commonPrefixLen, commonSuffixLen}
     val out = cand
       .join(docs.select(col("doc_id"), col("text").as("ta")), Seq("doc_id"))

@@ -142,6 +142,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substring anchor cache feeds the pair self-join pre-partitioned — no join-side exchange") {
+    // substringMatchesFrom's contract: ONE hash-repartition on `h` before
+    // the persist, then the guard aggregation and both self-join sides
+    // consume that partitioning with no exchange of their own.
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sharedState.cacheManager.clearCache()
+    val width = spark.sessionState.conf.numShufflePartitions
+    val an = Dedup.substringAnchors(Collocations.documents(spark, sf), 24, 7)
+      .repartition(width, col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      an.count()
+      val guard = an.groupBy("h").agg(count(lit(1)).as("pn")).agg(max(col("pn")))
+      guard.collect()
+      val guardShuffles = physicalPlan(guard).collect {
+        case s: ShuffleQueryStageExec => s
+        case e: ShuffleExchangeLike   => e
+      }
+      // the h-keyed partial/final agg reuses the cache's partitioning; the
+      // only exchange is the 1-row global max (metadata-sized)
+      assert(guardShuffles.size <= 1,
+        s"guard agg should reuse the h partitioning, saw ${guardShuffles.size}:\n${physicalPlan(guard)}")
+      val pairs = an.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
+        .join(an.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .select("a", "pa", "b", "pb")
+      pairs.count()
+      val joinShuffles = physicalPlan(pairs).collect {
+        case s: ShuffleQueryStageExec => s
+        case e: ShuffleExchangeLike   => e
+      }
+      assert(joinShuffles.isEmpty,
+        s"pair self-join must read both cached sides pre-partitioned, saw ${joinShuffles.size}:\n${physicalPlan(pairs)}")
+    } finally {
+      an.unpersist()
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("sketch twins aggregate partial then final (mergeable partials)") {
     Seq("percentiles_approx", "approx_distinct").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
