@@ -314,12 +314,14 @@ object OracleSqlExt {
        |       CAST(max(pa) - min(pa) + $minLen AS BIGINT) AS match_len
        |FROM isl GROUP BY doc_id, delta, grp""".stripMargin
 
-  /** Mirror of [[graft.dedup.Dedup.substringRemovalSpans]]: spans cut
-    * from the higher doc_id, merged per document with the same
-    * running-max gaps-and-islands construction (touching spans merge —
-    * `s > prev_max` starts a new island). */
-  def substringSpansSql(minLen: Int): String =
-    s"""WITH ${substringCtes(minLen)},
+  /** rs -> mk -> mi -> sp2 merged-span chain on top of
+    * [[substringCtes]]: spans cut from the higher doc_id, merged per
+    * document with the running-max gaps-and-islands construction
+    * (touching spans merge — `s > prev_max` starts a new island);
+    * sp2(doc_id, s, e) is the merged [s, e) table. Shared by the spans,
+    * scrub, and report oracles. */
+  private def substringSpanCtes(minLen: Int): String =
+    s"""${substringCtes(minLen)},
        |rs AS (SELECT DISTINCT b AS doc_id, sb AS s, sb + match_len AS e FROM sp),
        |mk AS (
        |  SELECT doc_id, s, e,
@@ -332,10 +334,34 @@ object OracleSqlExt {
        |  SELECT doc_id, s, e,
        |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
        |  FROM mk
+       |),
+       |sp2 AS (
+       |  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+       |  FROM mi GROUP BY doc_id, isl2
+       |)""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.substringRemovalSpans]]. */
+  def substringSpansSql(minLen: Int): String =
+    s"""WITH ${substringSpanCtes(minLen)}
+       |SELECT doc_id, s AS span_start, e AS span_end,
+       |       CAST(e - s AS BIGINT) AS span_len
+       |FROM sp2""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.substringDupReport]]: one row of
+    * match/span/affected-doc counts, merged removable chars, and their
+    * fraction of corpus chars. */
+  def substringReportSql(minLen: Int): String =
+    s"""WITH ${substringSpanCtes(minLen)},
+       |r AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM sp) AS n_matches,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM sp2) AS n_spans,
+       |         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM sp2) AS n_docs_affected,
+       |         (SELECT CAST(coalesce(sum(e - s), 0) AS BIGINT) FROM sp2) AS removable_chars,
+       |         (SELECT CAST(sum(len(text)) AS BIGINT) FROM documents) AS corpus_chars
        |)
-       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end,
-       |       CAST(max(e) - min(s) AS BIGINT) AS span_len
-       |FROM mi GROUP BY doc_id, isl2""".stripMargin
+       |SELECT n_matches, n_spans, n_docs_affected, removable_chars, corpus_chars,
+       |       round(CAST(removable_chars AS DOUBLE) / corpus_chars, 6) AS removable_frac
+       |FROM r""".stripMargin
 
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
@@ -1209,24 +1235,7 @@ object OracleSqlExt {
     * pass through. Equivalent algebra to the engine's row-local fold
     * (spans are merged and disjoint, so piece order is unambiguous). */
   def scrubSubstringSql(minLen: Int): String =
-    s"""WITH ${substringCtes(minLen)},
-       |rs AS (SELECT DISTINCT b AS doc_id, sb AS s, sb + match_len AS e FROM sp),
-       |mk AS (
-       |  SELECT doc_id, s, e,
-       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
-       |              THEN 1 ELSE 0 END AS new_isl
-       |  FROM rs
-       |),
-       |mi AS (
-       |  SELECT doc_id, s, e,
-       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
-       |  FROM mk
-       |),
-       |sp2 AS (
-       |  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
-       |  FROM mi GROUP BY doc_id, isl2
-       |),
+    s"""WITH ${substringSpanCtes(minLen)},
        |kp AS (
        |  SELECT doc_id, s, e,
        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ps

@@ -1638,6 +1638,15 @@ object SparkEntry {
         graft.dedup.Dedup.scrubSubstringDups(Collocations.documents(s, d), minLen = 30),
       Some(OracleSqlExt.scrubSubstringSql(30))),
 
+    // one-row substring-duplication report: the ANALYZE summary a
+    // curation pass reads before deciding whether the scrub is worth a
+    // corpus rewrite — match/span/affected-doc counts, merged removable
+    // chars, fraction of corpus chars; shares ONE anchor/extension pass
+    ("substring_dup_report",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.substringDupReport(Collocations.documents(s, d), minLen = 30),
+      Some(OracleSqlExt.substringReportSql(30))),
+
     // the INTRA-document half of the suffix-array dedup (a substring
     // repeated within one document dedups like one repeated across
     // documents): same anchors, pair join keyed (doc_id, h) so the

@@ -1546,6 +1546,17 @@ object Dedup {
   def substringRemovalSpans(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
                             maxPostingGuard: Int = 20000): DataFrame = {
     val m = substringMatches(docs, minLen, k, w, maxPostingGuard)
+    val out = spansFromMatches(m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    m.unpersist()
+    out
+  }
+
+  /** The span-merge of [[substringRemovalSpans]], factored so callers
+    * that already hold the match table ([[substringDupReport]]) reuse
+    * one anchor/extension pass. */
+  private def spansFromMatches(m: DataFrame): DataFrame = {
     val spans = m.select(col("b").as("doc_id"), col("sb").as("s"),
         (col("sb") + col("match_len")).as("e"))
       .distinct()
@@ -1553,7 +1564,7 @@ object Dedup {
       .partitionBy("doc_id").orderBy(col("s"), col("e"))
     val prevMax = max(col("e")).over(
       win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    val out = spans
+    spans
       .withColumn("new_isl",
         when(col("s") > coalesce(prevMax, lit(Long.MinValue)), lit(1)).otherwise(lit(0)))
       .withColumn("isl", sum(col("new_isl")).over(win))
@@ -1561,10 +1572,6 @@ object Dedup {
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    m.unpersist()
-    out
   }
 
   /** INTRA-document exact repeats — the other half of Lee et al. 2022's
@@ -1630,6 +1637,34 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     an.unpersist()
+    out
+  }
+
+  /** One-row exact-substring duplication report — the ANALYZE-style
+    * summary a curation pass reads before deciding whether the corpus
+    * needs the substring scrub at all: match count, affected documents,
+    * removable chars (merged spans, so overlaps never double-count), and
+    * the fraction of corpus chars they represent. Two bounded
+    * aggregations over the span table plus one corpus-size aggregate
+    * attached via `crossJoin(broadcast(1-row))` — the scalar-attach
+    * idiom every other report here uses. */
+  def substringDupReport(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
+                         maxPostingGuard: Int = 20000): DataFrame = {
+    val m = substringMatches(docs, minLen, k, w, maxPostingGuard)
+    val spans = spansFromMatches(m)
+    val tot = docs.agg(sum(length(col("text"))).cast("long").as("corpus_chars"))
+    val agg = m.agg(count(lit(1)).as("n_matches")).crossJoin(
+      spans.agg(coalesce(count(lit(1)), lit(0L)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs_affected"),
+        coalesce(sum(col("span_len")), lit(0L)).as("removable_chars")))
+    val out = agg.crossJoin(broadcast(tot))
+      .select(col("n_matches"), col("n_spans"), col("n_docs_affected"),
+        col("removable_chars"), col("corpus_chars"),
+        round(col("removable_chars").cast("double") / col("corpus_chars"), 6)
+          .as("removable_frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    m.unpersist()
     out
   }
 
