@@ -1119,6 +1119,83 @@ object OracleSqlExt {
        |       round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS quality
        |FROM r""".stripMargin
 
+  /** Feature chain for the TRAINED quality classifier (mirror of
+    * [[graft.text.QualityClassifier.features]]): qcf(doc_id, label, pr,
+    * sr, ttr, lt). pr/sr/ttr are exact double ratios of longs
+    * (bit-identical across engines); lt = ln(1+n_tokens) has <=1-ulp
+    * drift that dies in the round-6 score. */
+  private val qcFeatureChain: String =
+    s"""$tclCte,
+       |qcm AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(tl) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tl)) AS BIGINT) AS n_distinct,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(tl, t -> t IN (${Stopwords.sqlList}))) AS BIGINT) AS n_stop
+       |  FROM tcl
+       |),
+       |qcf AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label,
+       |    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+       |    CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS sr,
+       |    CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0.0 END AS ttr,
+       |    ln(1 + n_tokens) AS lt
+       |  FROM qcm
+       |)""".stripMargin
+
+  /** w·x with LITERAL trained weights, written left-associated in weight
+    * order — the same evaluation order the engine's `dot` Column builds,
+    * so both engines round identically at every fused add. */
+  private def qcDot(w: Seq[Double]): String =
+    s"${w(0)} + ${w(1)} * pr + ${w(2)} * sr + ${w(3)} * ttr + ${w(4)} * lt"
+
+  /** qcp(doc_id, label, score, pred): round-6 sigmoid score + threshold
+    * on the ROUNDED value, shared by the score and eval oracles. */
+  private def qcScoredChain(w: Seq[Double]): String =
+    s"""$qcFeatureChain,
+       |qcp AS (
+       |  SELECT doc_id, label,
+       |    round(1.0 / (1.0 + exp(-(${qcDot(w)}))), 6) AS score
+       |  FROM qcf
+       |)""".stripMargin
+
+  /** Mirror of [[graft.text.QualityClassifier.score]] given the stashed
+    * trained weights (the ann_ivf_topk pattern: deterministic training
+    * isn't SQL-mirrorable, scoring given the model is). */
+  def qualityClassifierScoreSql(w: Seq[Double]): String =
+    s"""WITH ${qcScoredChain(w)}
+       |SELECT doc_id, label, score,
+       |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM qcp""".stripMargin
+
+  /** Mirror of [[graft.text.QualityClassifier.eval]]: one-row confusion
+    * counts + accuracy/precision/recall/F1 with the same zero-denominator
+    * guards as the engine. */
+  def qualityClassifierEvalSql(w: Seq[Double]): String =
+    s"""WITH ${qcScoredChain(w)},
+       |cm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM qcp
+       |)
+       |SELECT n, tp, fp, fn, tn,
+       |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+       |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+       |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+       |  round(CASE WHEN 2.0 * tp + fp + fn > 0 THEN 2.0 * tp / (2.0 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+       |FROM cm""".stripMargin
+
+  def qualityClassifierScoreSqlFromLastModel: Option[String] =
+    graft.text.QualityClassifier.lastWeights.map(qualityClassifierScoreSql)
+
+  def qualityClassifierEvalSqlFromLastModel: Option[String] =
+    graft.text.QualityClassifier.lastWeights.map(qualityClassifierEvalSql)
+
   /** Mirror of the quantile quality gate: keep documents at or above the
     * corpus's own `p`-quantile of the (6-digit-rounded) quality score.
     * Both the scores and the threshold round to 6 digits BEFORE the

@@ -1279,6 +1279,22 @@ object SparkEntry {
         graft.text.TextAnalysis.qualityGate(Collocations.documents(s, d), p = 0.75),
       Some(OracleSqlExt.qualityGateSql(0.75))),
 
+    // TRAINED quality filter (CCNet/DCLM-style learned boundary instead
+    // of the fixed heuristic): deterministic batch-GD logistic regression
+    // over engine-computable features, weak labels from lang='en'.
+    // Training collects one bounded gradient row per iteration (the Lloyd
+    // pattern); scoring is a shuffle-free literal-weight map. Dynamic
+    // oracle: the stashed weights are injected as literals.
+    ("quality_classifier_score",
+      (s: SparkSession, d: String) =>
+        graft.text.QualityClassifier.score(Collocations.documents(s, d)),
+      None),
+
+    ("quality_classifier_eval",
+      (s: SparkSession, d: String) =>
+        graft.text.QualityClassifier.eval(Collocations.documents(s, d)),
+      None),
+
     // labeled × predicted lang-ID contingency table — the eval report /
     // drift monitor for the lang-ID stage; shuffle-free argmax, one
     // metadata-sized aggregation
@@ -2152,5 +2168,7 @@ object SparkEntry {
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
       OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _) ++
       OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _) ++
-      OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _)
+      OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
+      OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
+      OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.QualityClassifier
+
+class QualityClassifierSpec extends SparkSpec {
+
+  test("GD separates a linearly separable synthetic corpus") {
+    import spark.implicits._
+    // positives: English-looking (stopword-heavy) docs labeled en;
+    // negatives: stopword-free docs labeled de — sr alone separates them
+    val docs = ((0 until 30).map(i => (i.toLong, s"the cat and the dog is on a mat $i", "en")) ++
+      (30 until 60).map(i => (i.toLong, s"katze hund matte fenster tisch stuhl $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val scored = QualityClassifier.score(docs)
+    val acc = scored.agg(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    assert(acc >= 0.95, s"expected near-perfect separation, accuracy was $acc")
+    // the stop-ratio weight must have learned the positive direction
+    val w = QualityClassifier.lastWeights.get
+    assert(w(2) > 0, s"stop_ratio weight should be positive, got ${w(2)}")
+  }
+
+  test("training is deterministic: identical weights across repeated runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = QualityClassifier.features(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w1 = QualityClassifier.train(feats, iters = 10, lr = 1.5)
+    val w2 = QualityClassifier.train(feats.repartition(7), iters = 10, lr = 1.5)
+    feats.unpersist()
+    assert(w1 == w2, s"weights must be partition-invariant: $w1 vs $w2")
+  }
+
+  test("real-corpus eval is consistent and at least majority-competitive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev = QualityClassifier.eval(docs).collect()(0)
+    val n = ev.getAs[Long]("n")
+    assert(n == docs.count())
+    assert(ev.getAs[Long]("tp") + ev.getAs[Long]("fp") +
+      ev.getAs[Long]("fn") + ev.getAs[Long]("tn") == n)
+    // the synthetic corpus's lang signal is weak by construction, so the
+    // converged model may land AT the majority rate — but it must never
+    // collapse to the all-positive minority predictor (the divergence
+    // failure mode this spec guards against)
+    val majority = math.max(
+      ev.getAs[Long]("tp") + ev.getAs[Long]("fn"),  // positives
+      ev.getAs[Long]("fp") + ev.getAs[Long]("tn")). // negatives
+      toDouble / n
+    val acc = ev.getAs[Double]("accuracy")
+    assert(acc >= majority - 0.02, s"accuracy $acc far below majority baseline $majority")
+  }
+
+  test("scoreWith is a pure literal-weight map: no shuffle in the serve plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val served = QualityClassifier.scoreWith(
+      QualityClassifier.features(docs), Seq(0.1, -2.0, 3.0, -0.5, 0.2))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = physicalPlan(served).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, "literal-weight scoring must be shuffle-free")
+    assert(served.count() == docs.count())
+  }
+}
