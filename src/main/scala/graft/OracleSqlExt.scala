@@ -1119,6 +1119,47 @@ object OracleSqlExt {
        |       round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS quality
        |FROM r""".stripMargin
 
+  /** prev/cur snapshot derivation + digest full-outer join shared by the
+    * corpus-diff oracles. Testdata ships ONE corpus version (the urlCtes
+    * situation), so the "previous" snapshot is derived deterministically:
+    * docs with doc_id%10=7 are absent from prev (→ added), docs with
+    * doc_id%11=5 are absent from cur (→ removed), docs with doc_id%13=0
+    * carry a mutated prev text (→ changed). */
+  private val corpusDiffCtes: String =
+    s"""prev AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || ' legacy-rev' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |),
+       |cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5),
+       |ph AS (SELECT doc_id, md5(text) AS h_prev FROM prev),
+       |ch AS (SELECT doc_id, md5(text) AS h_cur FROM cur),
+       |dj AS (
+       |  SELECT coalesce(ph.doc_id, ch.doc_id) AS doc_id, h_prev, h_cur
+       |  FROM ph FULL OUTER JOIN ch ON ph.doc_id = ch.doc_id
+       |)""".stripMargin
+
+  /** Mirror of [[graft.pipelines.CorpusDiff.diff]] over the derived
+    * snapshots. */
+  val corpusDiffSql: String =
+    s"""WITH $corpusDiffCtes
+       |SELECT doc_id,
+       |  CASE WHEN h_prev IS NULL THEN 'added'
+       |       WHEN h_cur IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM dj
+       |WHERE h_prev IS NULL OR h_cur IS NULL OR h_prev <> h_cur""".stripMargin
+
+  /** Mirror of [[graft.pipelines.CorpusDiff.diffStats]]. */
+  val corpusDiffStatsSql: String =
+    s"""WITH $corpusDiffCtes
+       |SELECT
+       |  CAST(sum(CASE WHEN h_prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(sum(CASE WHEN h_cur IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN h_prev IS NOT NULL AND h_cur IS NOT NULL AND h_prev <> h_cur THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN h_prev = h_cur THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       |FROM dj""".stripMargin
+
   /** Feature chain for the TRAINED quality classifier (mirror of
     * [[graft.text.QualityClassifier.features]]): qcf(doc_id, label, pr,
     * sr, ttr, lt). pr/sr/ttr are exact double ratios of longs

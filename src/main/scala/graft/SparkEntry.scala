@@ -159,6 +159,20 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
     lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
 
+  /** Derived "previous" corpus snapshot for the corpus_diff queries
+    * (testdata ships one version — the [[messyUrl]] derivation pattern):
+    * doc_id%10=7 absent (→ added in cur), doc_id%13=0 text-mutated
+    * (→ changed). Mirrored verbatim by the oracle's `prev` CTE. */
+  private def diffSnapPrev(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" legacy-rev")))
+          .otherwise(col("text")))
+
+  /** Derived "current" snapshot: doc_id%11=5 dropped (→ removed). */
+  private def diffSnapCur(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+
   /** (name, spark query, Some(oracle sql)) triples — kept adjacent so the
     * two implementations stay visibly in lockstep. */
   private lazy val registry: Seq[(String, Q, Option[String])] = Seq(
@@ -845,6 +859,24 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.pipelines.CorpusReport.report(Collocations.documents(s, d)),
       Some(OracleSqlExt.corpusReportSql)),
+
+    // snapshot delta between two corpus versions — the incremental-ingest
+    // primitive. Testdata ships one version, so "prev" is derived
+    // deterministically (the urlCtes situation): %10=7 absent from prev
+    // (added), %11=5 absent from cur (removed), %13=0 mutated (changed).
+    ("corpus_diff",
+      (s: SparkSession, d: String) => {
+        val docs = Collocations.documents(s, d)
+        graft.pipelines.CorpusDiff.diff(diffSnapPrev(docs), diffSnapCur(docs))
+      },
+      Some(OracleSqlExt.corpusDiffSql)),
+
+    ("corpus_diff_stats",
+      (s: SparkSession, d: String) => {
+        val docs = Collocations.documents(s, d)
+        graft.pipelines.CorpusDiff.diffStats(diffSnapPrev(docs), diffSnapCur(docs))
+      },
+      Some(OracleSqlExt.corpusDiffStatsSql)),
 
     ("table_profile",
       (s: SparkSession, d: String) =>

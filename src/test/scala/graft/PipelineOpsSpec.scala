@@ -212,4 +212,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w("big") == ((20L, 0.666667, 0.75)))
     assert(w("small") == ((10L, 0.333333, 1.5)))
   }
+
+  test("corpus diff classifies added/removed/changed and drops unchanged") {
+    import graft.pipelines.CorpusDiff
+    import spark.implicits._
+    val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val cur  = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val d = CorpusDiff.diff(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val s = CorpusDiff.diffStats(prev, cur).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("corpus diff shuffles digests, not document bodies") {
+    import graft.pipelines.CorpusDiff
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val cur  = Seq((2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val plan = physicalPlan(CorpusDiff.diff(prev, cur))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"), s"exchange carries text: $cols")
+    }
+  }
 }
