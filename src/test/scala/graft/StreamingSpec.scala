@@ -570,4 +570,38 @@ class StreamingSpec extends SparkSpec {
     Seq(refDir, watch, out, ckpt).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
+
+  test("streaming quality gate scores shards exactly like the batch scorer") {
+    import graft.streaming.{DedupStream, QualityStream}
+    import graft.text.QualityClassifier
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-qc-model")
+    val watch = java.nio.file.Files.createTempDirectory("graft-qc-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-qc-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qc-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val w = QualityStream.buildModel(all, modelDir.toString, iters = 20)
+    assert(QualityStream.readModel(spark, modelDir.toString).count() == 1,
+      "model table must be one row")
+
+    val shard = all.filter(pmod(col("doc_id"), lit(4L)) === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qc-stage")
+    shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    java.nio.file.Files.copy(part, watch.resolve("a.parquet"))
+
+    val q = QualityStream.gate(DedupStream.readStream(spark, watch.toString),
+      modelDir.toString, out.toString, ckpt.toString)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = QualityStream.scoreLog(spark, out.toString)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val direct = QualityClassifier.scoreWith(QualityClassifier.features(shard), w)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(streamed == direct,
+      "stream-logged scores must equal the literal-weight batch scorer on the same shard")
+    assert(streamed.nonEmpty)
+    Seq(modelDir, watch, out, ckpt, tmp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
 }
