@@ -1312,19 +1312,21 @@ object SparkEntry {
       Some(OracleSqlExt.qualityGateSql(0.75))),
 
     // TRAINED quality filter (CCNet/DCLM-style learned boundary instead
-    // of the fixed heuristic): deterministic batch-GD logistic regression
-    // over engine-computable features, weak labels from lang='en'.
-    // Training collects one bounded gradient row per iteration (the Lloyd
-    // pattern); scoring is a shuffle-free literal-weight map. Dynamic
-    // oracle: the stashed weights are injected as literals.
+    // of the fixed heuristic): deterministic ridge-Newton logistic
+    // regression over engine-computable features, weak labels from
+    // lang='en'. Each iteration collects one bounded gradient+Hessian row
+    // (the Lloyd pattern); training sees the doc_id%4 sample (the IVF
+    // trainStride shape) and scoring applies the weights to the full
+    // corpus as a shuffle-free literal-weight map. Dynamic oracle: the
+    // stashed weights are injected as literals.
     ("quality_classifier_score",
       (s: SparkSession, d: String) =>
-        graft.text.QualityClassifier.score(Collocations.documents(s, d)),
+        graft.text.QualityClassifier.score(Collocations.documents(s, d), trainMod = 4),
       None),
 
     ("quality_classifier_eval",
       (s: SparkSession, d: String) =>
-        graft.text.QualityClassifier.eval(Collocations.documents(s, d)),
+        graft.text.QualityClassifier.eval(Collocations.documents(s, d), trainMod = 4),
       None),
 
     // labeled × predicted lang-ID contingency table — the eval report /

@@ -27,10 +27,10 @@ object QualityStream {
 
   /** Train on `docs` and persist the weight row under `dir`. */
   def buildModel(docs: DataFrame, dir: String,
-                 iters: Int = 80, lr: Double = 1.0): Seq[Double] = {
+                 iters: Int = 8, ridge: Double = 1e-3): Seq[Double] = {
     val feats = QualityClassifier.features(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = QualityClassifier.train(feats, iters, lr)
+    val w = QualityClassifier.train(feats, iters, ridge)
     feats.unpersist()
     val spark = docs.sparkSession
     import spark.implicits._

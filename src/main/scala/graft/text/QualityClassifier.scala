@@ -10,7 +10,7 @@ import org.apache.spark.storage.StorageLevel
   * GPT-3's logistic-regression quality filter over a curated-positive /
   * random-web-negative split) LEARN the quality boundary from weak labels
   * instead of hand-tuning it. This is that operator as deterministic
-  * batch-gradient-descent logistic regression over engine-computable
+  * ridge-Newton (IRLS) logistic regression over engine-computable
   * document features, with weak labels derived from corpus metadata
   * (here: `lang = 'en'` as the curated-positive proxy — the English
   * stopword ratio is genuinely discriminative, so the learner has signal).
@@ -18,18 +18,18 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape (the [[graft.similarity.Ann.ivfCentroids]] contract):
   *  - the feature table is ONE shuffle-free pass over the corpus (pure
   *    per-document Column algebra), persisted once and reused by every
-  *    GD iteration;
+  *    Newton iteration;
   *  - each iteration is a single grouping-free aggregation (map-side
-  *    partial sums) collecting ONE bounded row (|features|+1 values) to
-  *    the driver — the same bounded-model `.collect()` as Lloyd
-  *    iterations, never data rows;
+  *    partial sums) collecting ONE bounded row (k gradients + k(k+1)/2
+  *    Hessian cells) to the driver — the same bounded-model `.collect()`
+  *    as Lloyd iterations, never data rows;
   *  - at 100 TB you train on a deterministic SAMPLE and apply the
   *    resulting literal weights to the full corpus — scoring is again a
   *    shuffle-free map, so the apply path is an embarrassingly parallel
   *    scan with full pushdown.
   *
-  * Cross-engine determinism: gradients sum DECIMAL(28,18)-cast per-doc
-  * terms (exactly associative, so Spark's partitioning can't change the
+  * Cross-engine determinism: gradient and Hessian sums are
+  * DECIMAL(28,18)-cast per term (exactly associative, so Spark's partitioning can't change the
   * result — the [[TextAnalysis.lmScore]] discipline); the trained weights
   * are stashed and injected into the DuckDB oracle as double literals
   * (the ann_ivf_topk pattern: training isn't SQL-mirrorable, scoring
@@ -71,66 +71,102 @@ object QualityClassifier {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
-  /** Deterministic batch gradient descent on the logistic loss.
+  /** Deterministic ridge-regularized Newton/IRLS on the logistic loss.
     * `feats` must be [[features]]-shaped; pass a persisted frame — every
-    * iteration re-reads it. GD runs in STANDARDIZED feature space (one
-    * extra decimal-summed moments pass for per-feature mean/std — raw
-    * scales differ by ~10x, so unscaled GD needs a per-feature step),
-    * then the weights are back-transformed to raw-feature space:
-    * w_j = u_j/σ_j, w_0 = u_0 − Σ u_j μ_j/σ_j. The returned vector
-    * scores RAW features — the serving formula (and its SQL mirror)
-    * never sees the standardization. Returns weights in
-    * [[featureNames]] order. */
-  def train(feats: DataFrame, iters: Int = 80, lr: Double = 1.0): Seq[Double] = {
-    require(iters >= 1 && lr > 0, s"iters >= 1 and lr > 0 required; got $iters, $lr")
-    val raw: Seq[Column] = Seq(col("pr"), col("sr"), col("ttr"), col("lt"))
-    // per-feature moments, decimal-cast per term so the sums are exactly
-    // associative — partitioning cannot perturb the trained model
-    val momentAggs = raw.zipWithIndex.flatMap { case (x, j) =>
-      Seq(sum(x.cast("decimal(28,18)")).as(s"s$j"),
-        sum((x * x).cast("decimal(28,18)")).as(s"q$j"))
-    } :+ count(lit(1L)).as("n")
-    val mrow = feats.agg(momentAggs.head, momentAggs.tail: _*).collect()(0)
-    require(mrow.getLong(2 * raw.size) > 0, "cannot train on an empty corpus")
-    val n = mrow.getLong(2 * raw.size).toDouble
-    val (mu, sd) = raw.indices.map { j =>
-      val m = mrow.getDecimal(2 * j).doubleValue() / n
-      val v = mrow.getDecimal(2 * j + 1).doubleValue() / n - m * m
-      if (v < 1e-18) (0.0, 1.0) else (m, math.sqrt(v)) // constant feature: identity
-    }.unzip
-    val xs: Seq[Column] = lit(1.0) +: raw.zipWithIndex.map { case (x, j) =>
-      (x - lit(mu(j))) / lit(sd(j))
-    }
-    var u = Seq.fill(featureNames.size)(0.0)
+    * iteration re-reads it. Per iteration, ONE grouping-free aggregation
+    * computes the gradient g_j = Σ (y_i − p_i)·x_ij and the Hessian's
+    * upper triangle H_jk = Σ p_i(1−p_i)·x_ij·x_ik (5 + 15 cells for 5
+    * features — bounded model state, the Lloyd-collect pattern), the
+    * driver solves the 5×5 system (H + λnI)·d = g and steps w += d.
+    * Newton is affine-invariant, so no feature standardization is needed
+    * (plain GD here oscillates on the ~10x-spread raw scales), and the
+    * ridge keeps the step defined when classes are linearly separable
+    * (the unregularized MLE diverges). Quadratic convergence: ~10
+    * iterations reach machine precision where first-order GD needs
+    * hundreds. Every aggregated term casts to DECIMAL(28,18) BEFORE its
+    * sum — exactly associative, so partitioning cannot perturb the
+    * trained model. Returns weights in [[featureNames]] order. */
+  def train(feats: DataFrame, iters: Int = 8, ridge: Double = 1e-3): Seq[Double] = {
+    require(iters >= 1 && ridge > 0, s"iters >= 1 and ridge > 0 required; got $iters, $ridge")
+    val k = featureNames.size
+    val xs: Seq[Column] = Seq(lit(1.0), col("pr"), col("sr"), col("ttr"), col("lt"))
+    var w = Seq.fill(k)(0.0)
+    var n = 0.0
     var it = 0
     while (it < iters) {
-      // residual r_i = sigmoid(u·x'_i) − y_i; gradient_j = Σ r_i x'_ij / n.
-      val z = xs.zip(u).map { case (x, uj) => x * lit(uj) }.reduce(_ + _)
-      val r = (sigmoid(z) - col("label")).as("r")
-      val aggs = xs.zipWithIndex.map { case (x, j) =>
-        sum((col("r") * x).cast("decimal(28,18)")).as(s"g$j")
+      val p = sigmoid(dot(w))
+      val grads = xs.zipWithIndex.map { case (x, j) =>
+        sum(((col("label") - col("p")) * x).cast("decimal(28,18)")).as(s"g$j")
       }
-      val row = feats.select(col("label"), col("pr"), col("sr"), col("ttr"), col("lt"), r)
+      val upper = for (j <- 0 until k; l <- j until k) yield (j, l)
+      val hess = upper.map { case (j, l) =>
+        sum((col("p") * (lit(1.0) - col("p")) * xs(j) * xs(l)).cast("decimal(28,18)"))
+          .as(s"h${j}_$l")
+      }
+      val aggs = grads ++ hess :+ count(lit(1L)).as("n")
+      val row = feats.select(col("label"), col("pr"), col("sr"), col("ttr"), col("lt"),
+          p.as("p"))
         .agg(aggs.head, aggs.tail: _*)
-        .collect()(0) // ONE row of |features| values — bounded model state
-      u = u.zipWithIndex.map { case (uj, j) =>
-        uj - lr * row.getDecimal(j).doubleValue() / n
+        .collect()(0) // ONE bounded row: k gradients + k(k+1)/2 Hessian cells
+      require(row.getLong(aggs.size - 1) > 0, "cannot train on an empty corpus")
+      n = row.getLong(aggs.size - 1).toDouble
+      val g = Array.tabulate(k)(j => row.getDecimal(j).doubleValue())
+      val h = Array.ofDim[Double](k, k)
+      upper.zipWithIndex.foreach { case ((j, l), i) =>
+        val v = row.getDecimal(k + i).doubleValue()
+        h(j)(l) = v; h(l)(j) = v
       }
+      (0 until k).foreach(j => h(j)(j) += ridge * n)
+      val d = solve(h, g)
+      w = w.zipWithIndex.map { case (wj, j) => wj + d(j) }
       it += 1
     }
-    // back-transform: u·x' = (u0 − Σ u_j μ_j/σ_j) + Σ (u_j/σ_j)·x_j
-    val wj = raw.indices.map(j => u(j + 1) / sd(j))
-    val w0 = u(0) - raw.indices.map(j => u(j + 1) * mu(j) / sd(j)).sum
-    w0 +: wj
+    w
+  }
+
+  /** Gaussian elimination with partial pivoting on a k×k SPD-ish system —
+    * driver-side, deterministic (fixed operation order on doubles). */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val k = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until k) {
+      val piv = (c until k).maxBy(r => math.abs(a(r)(c)))
+      val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      require(math.abs(a(c)(c)) > 1e-300, "singular Newton system despite ridge")
+      for (r <- c + 1 until k) {
+        val f = a(r)(c) / a(c)(c)
+        for (cc <- c until k) a(r)(cc) -= f * a(c)(cc)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](k)
+    for (r <- k - 1 to 0 by -1) {
+      var s = b(r)
+      for (cc <- r + 1 until k) s -= a(r)(cc) * x(cc)
+      x(r) = s / a(r)(r)
+    }
+    x
   }
 
   /** Train-then-score: (doc_id, label, score, pred) for every document,
     * score = round(sigmoid(w·x), 6), pred = score >= 0.5 — the rounded
     * value is what's thresholded, so the decision boundary is
-    * engine-identical. Stashes the weights for the oracle. */
-  def score(docs: DataFrame, iters: Int = 80, lr: Double = 1.0): DataFrame = {
+    * engine-identical. Stashes the weights for the oracle.
+    *
+    * `trainMod` > 1 trains on the deterministic doc_id % trainMod == 0
+    * slice and applies the weights to the FULL corpus — the
+    * [[graft.similarity.Ann.ivfTopK]] `trainStride` shape, and the form
+    * to run at 100 TB (the Newton passes see a bounded sample; serving
+    * stays a full-corpus shuffle-free map). */
+  def score(docs: DataFrame, iters: Int = 8, ridge: Double = 1e-3,
+            trainMod: Int = 1): DataFrame = {
+    require(trainMod >= 1, s"trainMod >= 1 required; got $trainMod")
     val feats = features(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val w = train(feats, iters, lr)
+    val trainFeats =
+      if (trainMod == 1) feats
+      else feats.filter(pmod(col("doc_id"), lit(trainMod)) === 0)
+    val w = train(trainFeats, iters, ridge)
     lastWeights = Some(w)
     scoreWith(feats, w)
   }
@@ -149,8 +185,9 @@ object QualityClassifier {
     * accuracy / precision / recall / F1 (round-6). Counts are exact
     * longs; the ratios are single divisions of longs — bit-identical
     * across engines. */
-  def eval(docs: DataFrame, iters: Int = 80, lr: Double = 1.0): DataFrame = {
-    val scored = score(docs, iters, lr)
+  def eval(docs: DataFrame, iters: Int = 8, ridge: Double = 1e-3,
+           trainMod: Int = 1): DataFrame = {
+    val scored = score(docs, iters, ridge, trainMod)
     scored.agg(
         count(lit(1L)).as("n"),
         sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),

@@ -5,7 +5,7 @@ import graft.text.QualityClassifier
 
 class QualityClassifierSpec extends SparkSpec {
 
-  test("GD separates a linearly separable synthetic corpus") {
+  test("Newton training separates a linearly separable synthetic corpus") {
     import spark.implicits._
     // positives: English-looking (stopword-heavy) docs labeled en;
     // negatives: stopword-free docs labeled de — sr alone separates them
@@ -25,8 +25,8 @@ class QualityClassifierSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = QualityClassifier.features(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w1 = QualityClassifier.train(feats, iters = 10, lr = 1.5)
-    val w2 = QualityClassifier.train(feats.repartition(7), iters = 10, lr = 1.5)
+    val w1 = QualityClassifier.train(feats, iters = 6)
+    val w2 = QualityClassifier.train(feats.repartition(7), iters = 6)
     feats.unpersist()
     assert(w1 == w2, s"weights must be partition-invariant: $w1 vs $w2")
   }

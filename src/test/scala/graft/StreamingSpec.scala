@@ -579,7 +579,7 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft-qc-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-qc-ckpt")
     val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
-    val w = QualityStream.buildModel(all, modelDir.toString, iters = 20)
+    val w = QualityStream.buildModel(all, modelDir.toString)
     assert(QualityStream.readModel(spark, modelDir.toString).count() == 1,
       "model table must be one row")
 
