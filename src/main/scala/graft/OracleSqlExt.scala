@@ -1231,6 +1231,33 @@ object OracleSqlExt {
        |  round(CASE WHEN 2.0 * tp + fp + fn > 0 THEN 2.0 * tp / (2.0 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
        |FROM cm""".stripMargin
 
+  /** Mirror of [[graft.text.QualityClassifier.calibration]]: score-decile
+    * reliability table. Bins cut on the ROUNDED score; the per-bin mean
+    * accumulates DECIMAL(28,18) and divides once (order-independent);
+    * gap derives from the two already-rounded columns. */
+  def qualityClassifierCalibrationSql(w: Seq[Double], nBins: Int = 10): String =
+    s"""WITH ${qcScoredChain(w)},
+       |cb AS (
+       |  SELECT least(CAST(floor(score * $nBins) AS BIGINT), ${nBins - 1}) AS bin, label, score
+       |  FROM qcp
+       |),
+       |cg AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+       |         sum(CAST(score AS DECIMAL(28,18))) AS s
+       |  FROM cb GROUP BY bin
+       |)
+       |SELECT bin, n, n_pos, pos_rate, mean_score,
+       |       round(abs(mean_score - pos_rate), 6) AS gap
+       |FROM (
+       |  SELECT bin, n, n_pos,
+       |         round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       |         round(CAST(s AS DOUBLE) / n, 6) AS mean_score
+       |  FROM cg
+       |)""".stripMargin
+
+  def qualityClassifierCalibrationSqlFromLastModel: Option[String] =
+    graft.text.QualityClassifier.lastWeights.map(qualityClassifierCalibrationSql(_))
+
   def qualityClassifierScoreSqlFromLastModel: Option[String] =
     graft.text.QualityClassifier.lastWeights.map(qualityClassifierScoreSql)
 

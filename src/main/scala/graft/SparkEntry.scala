@@ -1329,6 +1329,14 @@ object SparkEntry {
         graft.text.QualityClassifier.eval(Collocations.documents(s, d), trainMod = 4),
       None),
 
+    // score-decile reliability table — the calibration QA view of the
+    // learned filter (bin boundaries cut on the round-6 score, so the
+    // decile edges are engine-identical)
+    ("quality_classifier_calibration",
+      (s: SparkSession, d: String) =>
+        graft.text.QualityClassifier.calibration(Collocations.documents(s, d), trainMod = 4),
+      None),
+
     // labeled × predicted lang-ID contingency table — the eval report /
     // drift monitor for the lang-ID stage; shuffle-free argmax, one
     // metadata-sized aggregation
@@ -2204,5 +2212,6 @@ object SparkEntry {
       OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _) ++
       OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
-      OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _)
+      OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++
+      OracleSqlExt.qualityClassifierCalibrationSqlFromLastModel.map("quality_classifier_calibration" -> _)
 }

@@ -181,6 +181,31 @@ object QualityClassifier {
       .withColumn("pred", when(col("score") >= 0.5, 1L).otherwise(0L))
   }
 
+  /** Calibration report over the trained scorer: documents bucket by
+    * score decile (bin = min(floor(score·nBins), nBins−1) on the ROUNDED
+    * score, so the bin boundary is engine-identical) and each bin reports
+    * its size, empirical positive rate, mean predicted score, and the
+    * |mean − rate| calibration gap — the reliability-diagram table a
+    * production filter is QA'd with. The mean accumulates
+    * DECIMAL(28,18)-cast scores (order-independent) and divides once at
+    * the end; pos_rate is an exact ratio of longs. */
+  def calibration(docs: DataFrame, nBins: Int = 10, iters: Int = 8,
+                  ridge: Double = 1e-3, trainMod: Int = 1): DataFrame = {
+    require(nBins >= 2, s"nBins >= 2 required; got $nBins")
+    val scored = score(docs, iters, ridge, trainMod)
+    scored
+      .withColumn("bin",
+        least(floor(col("score") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1L)).as("n"),
+        sum(col("label")).as("n_pos"),
+        sum(col("score").cast("decimal(28,18)")).as("s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_score"))
+      .withColumn("gap", round(abs(col("mean_score") - col("pos_rate")), 6))
+  }
+
   /** One-row eval report over the trained scorer: confusion counts,
     * accuracy / precision / recall / F1 (round-6). Counts are exact
     * longs; the ratios are single divisions of longs — bit-identical

@@ -50,6 +50,21 @@ class QualityClassifierSpec extends SparkSpec {
     assert(acc >= majority - 0.02, s"accuracy $acc far below majority baseline $majority")
   }
 
+  test("calibration bins partition the corpus and agree with the scored table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cal = QualityClassifier.calibration(docs, trainMod = 4).collect()
+    assert(cal.map(_.getAs[Long]("n")).sum == docs.count())
+    assert(cal.map(_.getAs[Long]("bin")).distinct.length == cal.length)
+    cal.foreach { r =>
+      val (n, nPos) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))
+      assert(nPos >= 0 && nPos <= n)
+      val gap = r.getAs[Double]("gap")
+      assert(gap >= 0 && gap <= 1)
+      assert(math.abs(gap -
+        math.abs(r.getAs[Double]("mean_score") - r.getAs[Double]("pos_rate"))) < 1e-6)
+    }
+  }
+
   test("scoreWith is a pure literal-weight map: no shuffle in the serve plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val served = QualityClassifier.scoreWith(
