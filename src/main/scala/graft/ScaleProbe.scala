@@ -16,7 +16,7 @@ object ScaleProbe {
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
-      "--substring-only")
+      "--substring-only", "--classifier-only", "--diff-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -31,6 +31,8 @@ object ScaleProbe {
     val noveltyOnly = flags.contains("--novelty-only")
     val winnowOnly = flags.contains("--winnow-only")
     val substringOnly = flags.contains("--substring-only")
+    val classifierOnly = flags.contains("--classifier-only")
+    val diffOnly = flags.contains("--diff-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -198,6 +200,43 @@ object ScaleProbe {
           spark.sharedState.cacheManager.clearCache()
           println(f"SCALE-SEMANTIC-K m=$m%2d k=$k%4d cellPairs=$cellPairs%10d dups=$dups%5d $t%7.2f s")
         }
+      } else if (classifierOnly) {
+        // trained quality filter: training is a FIXED number of Newton
+        // iterations, each one full pass over the doc_id%4 sample's
+        // cached feature table (map-side-combined grouping-free agg), so
+        // train wall must grow ~linearly in m with a constant iteration
+        // count; serving is a shuffle-free literal-weight map, so score
+        // wall must also stay ~linear — any superlinear bend means a
+        // stage snuck in a join or a wide exchange.
+        import org.apache.spark.storage.StorageLevel
+        val feats = graft.text.QualityClassifier.features(docs)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val trainFeats = feats.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val t0 = System.nanoTime()
+        val w = graft.text.QualityClassifier.train(trainFeats)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n = graft.text.QualityClassifier.scoreWith(feats, w).count()
+        val tScore = (System.nanoTime() - t1) / 1e9
+        feats.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-CLASSIFIER m=$m%2d docs=${5000 * m}%7d scored=$n%7d train(8 it)=$tTrain%6.2f s score=$tScore%6.2f s")
+      } else if (diffOnly) {
+        // corpus snapshot diff: both sides project to (doc_id, md5)
+        // before the full-outer join, so the exchange volume is
+        // digest-sized and the wall must grow ~linearly in m; the delta
+        // derivation mirrors the registry entry (drops/mutations by
+        // doc_id residue), so the output is always ~delta-sized.
+        val prev = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" legacy-rev")))
+              .otherwise(col("text")))
+        val cur = docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+        val t0 = System.nanoTime()
+        val n = graft.pipelines.CorpusDiff.diff(prev, cur).count()
+        val tD = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-DIFF m=$m%2d docs=${5000 * m}%7d delta=$n%7d $tD%6.2f s")
       } else if (substringOnly) {
         // exact-substring growth: replicas are SUBSTITUTION-CIPHERED
         // (per-replica caesar alphabet), so no byte run is shared ACROSS
