@@ -943,6 +943,30 @@ object OracleSqlExt {
   def semanticSortSqlFromLastModel: Option[String] =
     graft.similarity.Ann.lastSortModel.map(semanticSortSql)
 
+  /** Mirror of [[graft.similarity.Ann.prototypicality]] GIVEN the trained
+    * centroids: own-centroid cosine via the shared [[ownCosCtes]] chain,
+    * corpus-quantile lo/hi thresholds rounded to 6 digits BEFORE the
+    * comparisons (the qualityGate discipline — `percentile` vs
+    * `quantile_cont` interpolation drift dies in the rounding). */
+  def prototypicalitySql(cents: Seq[(Int, Array[Double], Double)],
+                         loP: Double, hiP: Double): String =
+    s"""WITH ${ownCosCtes(cents)},
+       |thr AS (
+       |  SELECT round(quantile_cont(cos, $loP), 6) AS lo,
+       |         round(quantile_cont(cos, $hiP), 6) AS hi
+       |  FROM scored
+       |)
+       |SELECT vec_id, cid, cos,
+       |       CASE WHEN cos >= hi THEN 'prototype'
+       |            WHEN cos <= lo THEN 'outlier'
+       |            ELSE 'keep' END AS flag
+       |FROM scored CROSS JOIN thr""".stripMargin
+
+  def prototypicalitySqlFromLastModel: Option[String] =
+    graft.similarity.Ann.lastProtoModel.map { case (cents, lo, hi) =>
+      prototypicalitySql(cents, lo, hi)
+    }
+
   /** Mirror of [[graft.similarity.Ann.diverseBatches]] GIVEN the trained
     * centroids: within-cluster rank, round-robin global position over
     * (rank, cid), integer-div batch chunking. */

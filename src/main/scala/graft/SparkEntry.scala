@@ -1917,6 +1917,15 @@ object SparkEntry {
     // the query stashes the centroids, and oracleSql injects them as
     // literal arrays into a generated DuckDB query (see oracleSql below);
     // recall vs brute force is additionally pinned in TextAndAnnSpec.
+    // D4-style prototypicality pruning: own-centroid cosine against the
+    // trained IVF model, corpus-quantile lo/hi flags (dup-risk core /
+    // off-manifold tail / keep) — the embedding-side curation gate
+    ("embedding_prototypicality",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.prototypicality(
+          s.read.parquet(s"$d/embeddings.parquet"), trainStride = 8),
+      None),
+
     ("ann_ivf_topk",
       (s: SparkSession, d: String) =>
         graft.similarity.Ann.ivfTopK(
@@ -2213,5 +2222,6 @@ object SparkEntry {
       OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++
-      OracleSqlExt.qualityClassifierCalibrationSqlFromLastModel.map("quality_classifier_calibration" -> _)
+      OracleSqlExt.qualityClassifierCalibrationSqlFromLastModel.map("quality_classifier_calibration" -> _) ++
+      OracleSqlExt.prototypicalitySqlFromLastModel.map("embedding_prototypicality" -> _)
 }

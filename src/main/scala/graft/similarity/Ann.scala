@@ -315,6 +315,51 @@ object Ann {
       .drop("_n_total")
   }
 
+  /** The most recently trained prototypicality model:
+    * (centroids-with-norms, loP, hiP). */
+  @volatile private[graft] var lastProtoModel: Option[(Seq[(Int, Array[Double], Double)], Double, Double)] = None
+
+  /** D4-style prototypicality pruning (Tirumala et al. 2023): flag each
+    * vector by its cosine to its OWN trained centroid — the densest core
+    * (`cos >= hi` quantile) is semantic-duplication risk the D4 recipe
+    * prunes before re-clustering, and the far tail (`cos <= lo`) is the
+    * off-manifold noise slice; the middle keeps. Both thresholds are the
+    * corpus's OWN quantiles of the round-6 cosine (the
+    * [[graft.text.TextAnalysis.qualityGate]] dynamic-threshold form),
+    * rounded to 6 digits before comparing so the boundary sets are
+    * engine-identical; swap exact `percentile` for `approx_percentile`
+    * at 100 TB (the documented sketch-twin trade).
+    *
+    * Scale shape: training is the bounded-sample Lloyd; assignment +
+    * own-centroid cosine are narrow literal-model maps (no join); the
+    * thresholds are one grouping-free aggregate broadcast against the
+    * scored scan. Returns (vec_id, cid, cos, flag). */
+  def prototypicality(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                      trainStride: Int = 1, loP: Double = 0.1,
+                      hiP: Double = 0.9): DataFrame = {
+    require(0 < loP && loP < hiP && hiP < 1,
+      s"need 0 < loP < hiP < 1; got $loP, $hiP")
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    val withNorm = cents.map { case (cid, arr) =>
+      (cid, arr, math.sqrt(arr.map(x => x * x).sum))
+    }
+    lastProtoModel = Some((withNorm, loP, hiP))
+    // scored feeds both the quantile aggregate and the flag projection;
+    // persist so the corpus is scanned+assigned once (the qualityGate
+    // caller-owned-cache trade; the broadcast threshold job materializes
+    // it before the main stage runs)
+    val scored = assignedWithOwnCos(emb, withNorm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = scored.agg(
+      round(expr(s"percentile(cos, $loP)"), 6).as("lo"),
+      round(expr(s"percentile(cos, $hiP)"), 6).as("hi"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("cid"), col("cos"),
+        when(col("cos") >= col("hi"), "prototype")
+          .when(col("cos") <= col("lo"), "outlier")
+          .otherwise("keep").as("flag"))
+  }
+
   /** The most recently trained hard-negative model:
     * (centroids, stride, k, bits). */
   @volatile private[graft] var lastHardNegModel: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None

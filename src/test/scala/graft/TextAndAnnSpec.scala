@@ -642,4 +642,28 @@ class TextAndAnnSpec extends SparkSpec {
       .orderBy("pos").collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")))
     assert(again.toSeq == rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos"))).toSeq)
   }
+
+  test("prototypicality flags quantile-sized core and tail slices, deterministically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = graft.similarity.Ann.prototypicality(emb, trainStride = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[String]("flag")))
+    val n = rows.length
+    assert(n == emb.count())
+    val byFlag = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // lo=0.1 / hi=0.9 quantile cuts with >= / <= semantics: each flagged
+    // slice holds at least its quantile mass and cannot swallow the corpus
+    assert(byFlag.getOrElse("outlier", 0) >= n / 10 - 1, s"flags: $byFlag")
+    assert(byFlag.getOrElse("prototype", 0) >= n / 10 - 1, s"flags: $byFlag")
+    assert(byFlag.getOrElse("keep", 0) >= n / 2, s"flags: $byFlag")
+    // flag is monotone in cos: every prototype >= every keep >= every outlier
+    val protoMin = rows.filter(_._3 == "prototype").map(_._2).min
+    val keepCos = rows.filter(_._3 == "keep").map(_._2)
+    val outMax = rows.filter(_._3 == "outlier").map(_._2).max
+    assert(keepCos.max <= protoMin, "a keep row above the prototype floor")
+    assert(outMax <= keepCos.min, "an outlier row above the keep floor")
+    // fresh training reproduces the same flags
+    val again = graft.similarity.Ann.prototypicality(emb, trainStride = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[String]("flag")))
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
 }
