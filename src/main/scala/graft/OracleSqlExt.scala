@@ -1143,6 +1143,55 @@ object OracleSqlExt {
        |       round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS quality
        |FROM r""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.repetitionNgrams]]: the Gopher
+    * repetition battery. Per-n gram streams unnest from the shared token
+    * list, count per (doc, n, gram), and the top-gram argmax rides the
+    * same `c·10⁹ + charlen` integer order encode as the engine (ties:
+    * highest count, then longest gram — identical on both engines). All
+    * ratios are divisions of exact longs; dup shares cap at 1.0. */
+  def repetitionNgramsSql(tops: Seq[Int] = Seq(2, 3, 4),
+                          dups: Seq[Int] = Seq(5, 8, 10)): String = {
+    val ns = (tops ++ dups).distinct.sorted
+    val gramSelects = ns.map { n =>
+      s"""SELECT doc_id, $n AS n,
+         |    unnest(list_transform(range(1, greatest(len(tl) - ${n - 1}, 0) + 1),
+         |           i -> array_to_string(tl[i:i+${n - 1}], ' '))) AS gram
+         |  FROM tcl""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val encAggs = tops.map(n =>
+      s"max(CASE WHEN n = $n THEN c * 1000000000 + clen END) AS enc$n")
+    val dupAggs = dups.map(n =>
+      s"CAST(sum(CASE WHEN n = $n AND c > 1 THEN c * clen ELSE 0 END) AS BIGINT) AS dup$n")
+    val outTops = tops.map(n =>
+      s"""round(CASE WHEN total_chars > 0 AND enc$n IS NOT NULL
+         |      THEN CAST((enc$n // 1000000000) * (enc$n % 1000000000) AS DOUBLE) / total_chars
+         |      ELSE 0.0 END, 6) AS top${n}_frac""".stripMargin)
+    val outDups = dups.map(n =>
+      s"""round(CASE WHEN total_chars > 0
+         |      THEN least(CAST(coalesce(dup$n, 0) AS DOUBLE) / total_chars, 1.0)
+         |      ELSE 0.0 END, 6) AS dup${n}_frac""".stripMargin)
+    s"""WITH $tclCte,
+       |tc AS (
+       |  SELECT doc_id,
+       |         coalesce(CAST(list_sum(list_transform(tl, t -> length(t))) AS BIGINT), 0) AS total_chars
+       |  FROM tcl
+       |),
+       |g AS (
+       |  SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+       |         CAST(length(gram) - (n - 1) AS BIGINT) AS clen
+       |  FROM (
+       |  $gramSelects
+       |  ) GROUP BY doc_id, n, gram
+       |),
+       |per AS (
+       |  SELECT doc_id, ${(encAggs ++ dupAggs).mkString(",\n    ")}
+       |  FROM g GROUP BY doc_id
+       |)
+       |SELECT tc.doc_id, total_chars,
+       |  ${(outTops ++ outDups).mkString(",\n  ")}
+       |FROM tc LEFT JOIN per ON tc.doc_id = per.doc_id""".stripMargin
+  }
+
   /** prev/cur snapshot derivation + digest full-outer join shared by the
     * corpus-diff oracles. Testdata ships ONE corpus version (the urlCtes
     * situation), so the "previous" snapshot is derived deterministically:

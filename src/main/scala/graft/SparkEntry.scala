@@ -1388,6 +1388,14 @@ object SparkEntry {
         graft.text.TextAnalysis.perplexityBuckets(Collocations.documents(s, d)),
       Some(OracleSqlExt.perplexityBucketsSql)),
 
+    // the Gopher REPETITION battery (top n-gram char share, duplicated
+    // n-gram char coverage) — one gram-keyed shuffle for all n levels,
+    // integer order-encoded argmax for engine-identical ties
+    ("text_repetition_ngrams",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.repetitionNgrams(Collocations.documents(s, d)),
+      Some(OracleSqlExt.repetitionNgramsSql())),
+
     ("text_repetition",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.repetition(Collocations.documents(s, d)),

@@ -411,6 +411,66 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** The Gopher REPETITION battery (Rae et al. 2021, Appendix A1.1 —
+    * the companion of [[gopherRules]]' format battery): per document,
+    * the fraction of characters contained in the most frequent n-gram
+    * (`top{n}_frac`, n in `tops`) and the fraction of characters covered
+    * by occurrences of DUPLICATED n-grams (`dup{n}_frac`, n in `dups`,
+    * capped at 1.0 since overlapping occurrences double-count).
+    * Character mass counts token characters only (an n-gram's length is
+    * `length(gram) − (n−1)` — separators excluded; the doc total is the
+    * summed token lengths), so every ratio is a division of exact longs.
+    * The duplicate-LINE rules are deliberately absent: this corpus ships
+    * single-line documents, and line semantics are [[graft.dedup.Dedup
+    * .passageDupStats]]' territory.
+    *
+    * Scale shape: ONE corpus scan builds every n level array-locally
+    * (per-n `transform`s concatenated, one explode), one shuffle keyed on
+    * (doc_id, n, gram) — well-spread, vocabulary-like — then a per-doc
+    * conditional aggregation. The top-gram argmax rides the
+    * `c·10⁹ + charlen` integer order encode (the argmax_customer
+    * pattern), so ties break identically on both engines: highest count,
+    * then longest gram. */
+  def repetitionNgrams(docs: DataFrame, tops: Seq[Int] = Seq(2, 3, 4),
+                       dups: Seq[Int] = Seq(5, 8, 10)): DataFrame = {
+    val ns = (tops ++ dups).distinct.sorted
+    require(ns.forall(_ >= 2), s"n-gram orders must be >= 2: $ns")
+    val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramsArr = ns.map { n =>
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => struct(lit(n).as("n"), array_join(slice(col("toks"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }
+    val g = t.select(col("doc_id"), explode(concat(gramsArr: _*)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .withColumn("clen", (length(col("gram")) - (col("n") - 1)).cast("long"))
+    val aggs =
+      tops.map(n => max(when(col("n") === n,
+        col("c") * lit(1000000000L) + col("clen"))).as(s"enc$n")) ++
+      dups.map(n => sum(when(col("n") === n && col("c") > 1,
+        col("c") * col("clen")).otherwise(lit(0L))).as(s"dup$n"))
+    val per = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val tc = t.select(col("doc_id"),
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
+    val outCols =
+      Seq(col("doc_id"), col("total_chars")) ++
+      tops.map { n =>
+        round(when(col("total_chars") > 0 && col(s"enc$n").isNotNull,
+          (expr(s"enc$n div 1000000000") *
+            (col(s"enc$n") % lit(1000000000L))).cast("double") / col("total_chars"))
+          .otherwise(lit(0.0)), 6).as(s"top${n}_frac")
+      } ++
+      dups.map { n =>
+        round(when(col("total_chars") > 0,
+          least(coalesce(col(s"dup$n"), lit(0L)).cast("double") / col("total_chars"), lit(1.0)))
+          .otherwise(lit(0.0)), 6).as(s"dup${n}_frac")
+      }
+    tc.join(per, Seq("doc_id"), "left").select(outCols: _*)
+  }
+
   /** Gopher-style document-format rules (Rae et al. 2021, "Scaling
     * Language Models: ...", Appendix A1.1) — the published rule set a
     * web-scale curation pipeline applies before any model-based scoring:

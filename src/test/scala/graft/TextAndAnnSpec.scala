@@ -643,6 +643,34 @@ class TextAndAnnSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos"))).toSeq)
   }
 
+  test("gopher repetition battery: planted loops score high, clean text scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("spam ham " * 12).trim, "en"),                    // pure 2-token loop
+      (2L, "one two three four five six seven eight", "en"),  // no repeats at all
+      (3L, ("alpha beta gamma delta epsilon " * 4).trim, "en")) // repeated 5-gram
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.repetitionNgrams(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: "spam ham" occurs 12x of 23 bigrams; every bigram duplicated
+    assert(m(1L).getAs[Double]("top2_frac") > 0.4)
+    assert(m(1L).getAs[Double]("dup5_frac") == 1.0, "saturated loop must cap at 1.0")
+    // doc 2: nothing repeats — every dup share is exactly zero
+    Seq("dup5_frac", "dup8_frac", "dup10_frac").foreach { c =>
+      assert(m(2L).getAs[Double](c) == 0.0, s"$c on clean text")
+    }
+    // and its top-2 share is exactly one bigram's char mass: every bigram
+    // has c=1, so the order encode tie-breaks to the LONGEST bigram
+    // ("seven eight", 10 chars) over the 32 total token chars
+    assert(m(2L).getAs[Double]("top2_frac") == 0.3125)
+    // doc 3: the 5-gram loop repeats 4x -> dup5 coverage well above half
+    assert(m(3L).getAs[Double]("dup5_frac") > 0.5)
+    // short doc: fewer tokens than n emits zero, not null/crash
+    val tiny = Seq((9L, "just two", "en")).toDF("doc_id", "text", "lang")
+    val r9 = TextAnalysis.repetitionNgrams(tiny).collect().head
+    assert(r9.getAs[Double]("top4_frac") == 0.0 && r9.getAs[Double]("dup10_frac") == 0.0)
+  }
+
   test("prototypicality flags quantile-sized core and tail slices, deterministically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = graft.similarity.Ann.prototypicality(emb, trainStride = 4)
