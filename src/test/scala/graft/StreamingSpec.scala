@@ -571,6 +571,46 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming snapshot diff logs each shard's added/changed rows, matching the batch diff") {
+    import graft.streaming.{DedupStream, DiffStream}
+    import graft.pipelines.CorpusDiff
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-diff-base")
+    val watch = java.nio.file.Files.createTempDirectory("graft-diff-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-diff-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-diff-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    // previous snapshot: docs with doc_id%7==3 absent (so they arrive as
+    // "added"), docs with doc_id%5==0 carry different text ("changed")
+    val prev = all.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5L)) === 0, concat(col("text"), lit(" OLD")))
+          .otherwise(col("text")))
+    DiffStream.buildBase(prev, baseDir.toString)
+
+    val shard = all.filter(pmod(col("doc_id"), lit(3L)) === 1) // new-snapshot slice
+    val tmp = java.nio.file.Files.createTempDirectory("graft-diff-stage")
+    shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    java.nio.file.Files.copy(part, watch.resolve("a.parquet"))
+
+    val q = DiffStream.monitor(DedupStream.readStream(spark, watch.toString),
+      baseDir.toString, out.toString, ckpt.toString)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = DiffStream.deltaLog(spark, out.toString)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    // the batch diff over (prev, full new snapshot), restricted to this
+    // shard's doc_ids and to the per-shard-visible statuses, must agree
+    val batchExpected = CorpusDiff.diff(prev, all).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter { case (id, st) => id % 3 == 1 && st != "removed" }
+    assert(streamed == batchExpected, s"stream=$streamed batch=$batchExpected")
+    assert(streamed.values.toSet == Set("added", "changed"))
+    Seq(baseDir, watch, out, ckpt, tmp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("streaming quality gate scores shards exactly like the batch scorer") {
     import graft.streaming.{DedupStream, QualityStream}
     import graft.text.QualityClassifier
