@@ -159,6 +159,31 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
     lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
 
+  /** Per-process trained-weight cache for the quality-classifier queries
+    * (the dedupIndexDirs build-once pattern): training is deterministic
+    * given (dataset, params), so every classifier entry — score, eval,
+    * calibration — and every bench sweep reuses one Newton run per
+    * dataset. The stash still updates on every call, so the dynamic
+    * oracle always reflects exactly the weights the dumped result used. */
+  private val qcWeightCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+
+  /** Scored corpus (doc_id, label, score, pred) under the cached
+    * trainMod=4 model — the shared base of the three classifier
+    * queries. */
+  private def qcScored(s: SparkSession, d: String): DataFrame = {
+    val w = qcWeightCache.getOrElseUpdate(d, {
+      val feats = graft.text.QualityClassifier.features(Collocations.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trained = graft.text.QualityClassifier.train(
+        feats.filter(pmod(col("doc_id"), lit(4)) === 0))
+      feats.unpersist()
+      trained
+    })
+    graft.text.QualityClassifier.lastWeights = Some(w)
+    graft.text.QualityClassifier.scoreWith(
+      graft.text.QualityClassifier.features(Collocations.documents(s, d)), w)
+  }
+
   /** Derived "previous" corpus snapshot for the corpus_diff queries
     * (testdata ships one version — the [[messyUrl]] derivation pattern):
     * doc_id%10=7 absent (→ added in cur), doc_id%13=0 text-mutated
@@ -1320,13 +1345,12 @@ object SparkEntry {
     // corpus as a shuffle-free literal-weight map. Dynamic oracle: the
     // stashed weights are injected as literals.
     ("quality_classifier_score",
-      (s: SparkSession, d: String) =>
-        graft.text.QualityClassifier.score(Collocations.documents(s, d), trainMod = 4),
+      (s: SparkSession, d: String) => qcScored(s, d),
       None),
 
     ("quality_classifier_eval",
       (s: SparkSession, d: String) =>
-        graft.text.QualityClassifier.eval(Collocations.documents(s, d), trainMod = 4),
+        graft.text.QualityClassifier.evalScored(qcScored(s, d)),
       None),
 
     // score-decile reliability table — the calibration QA view of the
@@ -1334,7 +1358,7 @@ object SparkEntry {
     // decile edges are engine-identical)
     ("quality_classifier_calibration",
       (s: SparkSession, d: String) =>
-        graft.text.QualityClassifier.calibration(Collocations.documents(s, d), trainMod = 4),
+        graft.text.QualityClassifier.calibrationScored(qcScored(s, d)),
       None),
 
     // labeled × predicted lang-ID contingency table — the eval report /

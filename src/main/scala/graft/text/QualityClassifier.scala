@@ -190,9 +190,14 @@ object QualityClassifier {
     * DECIMAL(28,18)-cast scores (order-independent) and divides once at
     * the end; pos_rate is an exact ratio of longs. */
   def calibration(docs: DataFrame, nBins: Int = 10, iters: Int = 8,
-                  ridge: Double = 1e-3, trainMod: Int = 1): DataFrame = {
+                  ridge: Double = 1e-3, trainMod: Int = 1): DataFrame =
+    calibrationScored(score(docs, iters, ridge, trainMod), nBins)
+
+  /** [[calibration]] over an already-scored frame — lets a caller score
+    * once and derive every report (the registry's per-process weight
+    * cache rides this). */
+  def calibrationScored(scored: DataFrame, nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins >= 2 required; got $nBins")
-    val scored = score(docs, iters, ridge, trainMod)
     scored
       .withColumn("bin",
         least(floor(col("score") * nBins).cast("long"), lit(nBins - 1L)))
@@ -211,8 +216,11 @@ object QualityClassifier {
     * longs; the ratios are single divisions of longs — bit-identical
     * across engines. */
   def eval(docs: DataFrame, iters: Int = 8, ridge: Double = 1e-3,
-           trainMod: Int = 1): DataFrame = {
-    val scored = score(docs, iters, ridge, trainMod)
+           trainMod: Int = 1): DataFrame =
+    evalScored(score(docs, iters, ridge, trainMod))
+
+  /** [[eval]] over an already-scored frame. */
+  def evalScored(scored: DataFrame): DataFrame = {
     scored.agg(
         count(lit(1L)).as("n"),
         sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
