@@ -1143,6 +1143,36 @@ object OracleSqlExt {
        |       round(1.0 / (1.0 + exp(-(1.5 - 4.0 * pr - 1.0 * sr))), 6) AS quality
        |FROM r""".stripMargin
 
+  /** Mirror of [[graft.ops.TableProfile.sourceOverlap]]: exact pairwise
+    * source overlap over distinct 3-shingles, with the four engine-side
+    * sketch-bound booleans mirrored as literal TRUEs (the approx_distinct
+    * gate pattern — a sketch past its envelope fails the hash compare).
+    * The oracle-side intersection is a plain shingle equi-join (fine at
+    * gate scale; the engine's source-set explode is the scale path). */
+  val sourceOverlapSql: String =
+    s"""WITH st AS (
+       |  SELECT source,
+       |         list_filter(list_transform(string_split_regex(text, '\\s+'), s -> ${OracleSql.clean("s")}), s -> length(s) > 0) AS tl
+       |  FROM documents
+       |),
+       |shp AS (
+       |  SELECT DISTINCT source,
+       |         unnest(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS shingle
+       |  FROM st WHERE len(tl) >= 3
+       |),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM shp GROUP BY source),
+       |pi AS (
+       |  SELECT l.source AS a, r.source AS b, CAST(count(*) AS BIGINT) AS inter_exact
+       |  FROM shp l JOIN shp r ON l.shingle = r.shingle AND l.source < r.source
+       |  GROUP BY l.source, r.source
+       |)
+       |SELECT pi.a, pi.b, pa.n AS exact_a, pb.n AS exact_b, inter_exact,
+       |       pa.n + pb.n - inter_exact AS union_exact,
+       |       round(CAST(inter_exact AS DOUBLE) / (pa.n + pb.n - inter_exact), 6) AS jaccard,
+       |       TRUE AS a_within_rsd, TRUE AS b_within_rsd,
+       |       TRUE AS union_within_rsd, TRUE AS inter_within_bound
+       |FROM pi JOIN per pa ON pi.a = pa.source JOIN per pb ON pi.b = pb.source""".stripMargin
+
   /** Mirror of [[graft.text.TextAnalysis.repetitionNgrams]]: the Gopher
     * repetition battery. Per-n gram streams unnest from the shared token
     * list, count per (doc, n, gram), and the top-gram argmax rides the

@@ -1088,6 +1088,14 @@ object SparkEntry {
     // measurement that decides salting/AQE before a big join. One count
     // aggregation (the same shuffle the join would pay), bounded top-k,
     // windows only over the k-row result
+    // sketch-based cross-source overlap: exact pair cardinalities +
+    // HLL inclusion-exclusion estimates validated against their bounds
+    // engine-side (the approx_distinct gate pattern)
+    ("profile_source_overlap",
+      (s: SparkSession, d: String) =>
+        graft.ops.TableProfile.sourceOverlap(Collocations.documents(s, d)),
+      Some(OracleSqlExt.sourceOverlapSql)),
+
     ("key_skew_profile",
       (s: SparkSession, d: String) =>
         graft.ops.TableProfile.keySkewProfile(

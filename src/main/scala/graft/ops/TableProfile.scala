@@ -374,4 +374,66 @@ object TableProfile {
     counts.unpersist()
     out
   }
+
+  /** Cross-source content overlap — "how much do these two deliveries
+    * share" — as sketch-based inclusion–exclusion over distinct
+    * k-shingles: per ordered source pair (a < b) that shares at least one
+    * shingle, the exact per-source / intersection / union cardinalities
+    * and Jaccard, plus DataSketches-HLL estimates validated engine-side
+    * against their error bounds (the approx_distinct gate pattern: the
+    * row carries the exact values — cross-engine-mirrorable — and
+    * booleans asserting each estimate sits inside its envelope; a sketch
+    * regression flips a boolean and fails the hash compare). At 100 TB
+    * the exact columns are the part you drop and the sketches are the
+    * point: per-source HLLs are bounded partials, pairwise union is
+    * sketch-merge, and the intersection estimate `est_a + est_b −
+    * est_union` never touches a posting join.
+    *
+    * Scale shape: one (source, shingle) distinct shuffle; per-source
+    * aggregates are |sources|-sized; exact intersections come from
+    * source-set pairs exploded per shingle (≤ C(|sources|,2) per shingle,
+    * bounded by the source cardinality, never a shingle posting
+    * self-join); every join downstream of the first aggregation is keyed
+    * on the tiny source dimension. Zero-intersection pairs don't appear —
+    * that keeps the plan equi-join-only (no cartesian pair grid).
+    *
+    * `rsd` is the lgK-12 relative standard error (~1.6%); bounds use
+    * 4·rsd (union: on the exact union; intersection: on the summed
+    * magnitudes, since inclusion–exclusion compounds three errors). */
+  def sourceOverlap(docs: DataFrame, k: Int = 3, rsd: Double = 0.016): DataFrame = {
+    val sh = docs
+      .select(col("source"), graft.ops.Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("source"), explode(graft.dedup.Dedup.shingleCol(col("toks"), k)).as("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = sh.groupBy("source")
+      .agg(count(lit(1L)).as("n"), hll_sketch_agg(col("shingle")).as("sk"))
+    // exact pairwise intersections: the sorted source set of each shared
+    // shingle explodes into its ordered pairs (bounded per shingle by the
+    // source cardinality), then one (a, b)-keyed count
+    val ss = sh.groupBy("shingle").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val inter = ss
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1L)).as("inter_exact"))
+    val pa = per.select(col("source").as("a"), col("n").as("exact_a"), col("sk").as("sk_a"))
+    val pb = per.select(col("source").as("b"), col("n").as("exact_b"), col("sk").as("sk_b"))
+    val bound = lit(4 * rsd)
+    inter.join(pa, Seq("a")).join(pb, Seq("b"))
+      .withColumn("union_exact", col("exact_a") + col("exact_b") - col("inter_exact"))
+      .withColumn("est_a", hll_sketch_estimate(col("sk_a")))
+      .withColumn("est_b", hll_sketch_estimate(col("sk_b")))
+      .withColumn("est_union", hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .select(col("a"), col("b"), col("exact_a"), col("exact_b"),
+        col("inter_exact"), col("union_exact"),
+        round(col("inter_exact").cast("double") / col("union_exact"), 6).as("jaccard"),
+        (abs(col("est_a") - col("exact_a")) <= bound * col("exact_a")).as("a_within_rsd"),
+        (abs(col("est_b") - col("exact_b")) <= bound * col("exact_b")).as("b_within_rsd"),
+        (abs(col("est_union") - col("union_exact")) <= bound * col("union_exact")).as("union_within_rsd"),
+        (abs(col("est_a") + col("est_b") - col("est_union") - col("inter_exact")) <=
+          bound * (col("exact_a") + col("exact_b") + col("union_exact"))).as("inter_within_bound"))
+  }
 }

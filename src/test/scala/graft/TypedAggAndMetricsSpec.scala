@@ -78,4 +78,27 @@ class TypedAggAndMetricsSpec extends SparkSpec {
         assert(math.abs(est - nd) <= 0.065 * nd, s"$src estimate $est out of envelope around $nd"))
     }
   }
+
+  test("source overlap: planted shared shingles yield exact pair counts, sketches in-bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // srcA: tokens 1..40 shifted by 0; srcB: shifted by 20 (50% token
+    // overlap); srcC: disjoint tokens 1000.. — so (A,B) share shingles,
+    // (A,C) and (B,C) share none and must NOT appear
+    def doc(id: Long, src: String, off: Int) =
+      (id, (off until off + 40).map(i => s"tok$i").mkString(" "), "en", src)
+    val docs = Seq(doc(1, "srcA", 0), doc(2, "srcB", 20), doc(3, "srcC", 1000))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = graft.ops.TableProfile.sourceOverlap(docs).collect()
+    assert(rows.length == 1, s"only the (A,B) pair shares content: ${rows.length} rows")
+    val r = rows.head
+    assert(r.getAs[String]("a") == "srcA" && r.getAs[String]("b") == "srcB")
+    // each doc has 38 distinct 3-shingles; the shared run tok20..tok39
+    // (20 tokens) contributes 18 shared shingles
+    assert(r.getAs[Long]("exact_a") == 38L && r.getAs[Long]("exact_b") == 38L)
+    assert(r.getAs[Long]("inter_exact") == 18L)
+    assert(r.getAs[Long]("union_exact") == 58L)
+    Seq("a_within_rsd", "b_within_rsd", "union_within_rsd", "inter_within_bound")
+      .foreach(c => assert(r.getAs[Boolean](c), s"$c must hold on a tiny exact set"))
+  }
 }
