@@ -2257,6 +2257,40 @@ object OracleSqlExt {
       |       COALESCE(sparse.sum_value, 0.0) AS sum_value
       |FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type AND grid.hour = sparse.hour""".stripMargin
 
+  /** Mirror of [[graft.events.Events.funnel]]: chained per-user earliest
+    * step times (strictly-after within the window), one count row per
+    * step, step-1 total attached by cross join. */
+  def funnelSql(steps: Seq[String], windowUs: Long): String = {
+    val stepCtes = steps.zipWithIndex.map { case (st, i) =>
+      val esc = st.replace("'", "''")
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(ts_us) AS t FROM ev
+           |  WHERE event_type = '$esc' GROUP BY user_id
+           |)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts_us) AS t
+           |  FROM ev e JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$esc' AND e.ts_us > p.t AND e.ts_us <= p.t + $windowUs
+           |  GROUP BY e.user_id
+           |)""".stripMargin
+    }.mkString(",\n")
+    val countRows = steps.zipWithIndex.map { case (st, i) =>
+      val esc = st.replace("'", "''")
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$esc' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |$stepCtes,
+       |c AS (
+       |  $countRows
+       |),
+       |b AS (SELECT n_users AS n_base FROM c WHERE step = 1)
+       |SELECT step, event_type, n_users,
+       |       round(CASE WHEN n_base > 0 THEN CAST(n_users AS DOUBLE) / n_base ELSE 0.0 END, 6) AS conversion
+       |FROM c CROSS JOIN b""".stripMargin
+  }
+
   def sessionizeSql(gapMinutes: Int): String = {
     val gapUs = gapMinutes * 60L * 1000 * 1000
     s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -2217,6 +2217,15 @@ object SparkEntry {
         graft.events.Events.hourlyGapFill(graft.events.Events.events(s, d)),
       Some(OracleSqlExt.hourlyGapFillSql)),
 
+    // step-ordered conversion funnel (first-touch, strictly-after within
+    // a 1h window): chained user-keyed min-aggregations, report rows are
+    // single-row aggregates with the step-1 total broadcast-attached
+    ("events_funnel",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.funnel(
+          graft.events.Events.events(s, d), Seq("signup", "click", "purchase")),
+      Some(OracleSqlExt.funnelSql(Seq("signup", "click", "purchase"), 3600000000L))),
+
     ("sessionize",
       (s: SparkSession, d: String) =>
         graft.events.Events.sessionize(graft.events.Events.events(s, d), gapMinutes = 30),

@@ -138,4 +138,45 @@ object Events {
         count(lit(1)).as("n_events"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
+
+  /** Step-ordered funnel report — the conversion analytic of event
+    * pipelines: how many users performed `steps(0)`, then `steps(1)`
+    * STRICTLY AFTER it within `windowUs`, then `steps(2)` after that,
+    * and so on. Each user's step time is the EARLIEST event satisfying
+    * the ordering (first-touch attribution); a user missing a step drops
+    * from every later step. Output: one row per step with the users
+    * reached and the conversion share vs step 1 (round-6).
+    *
+    * Scale shape: one filtered per-user min-aggregation per step, chained
+    * by user_id equi-joins — every join is keyed on the natural
+    * well-spread user dimension and the left side shrinks monotonically
+    * (reached-users only); the report rows are single-row aggregates
+    * unioned with the step-1 total attached by broadcast. No windows, no
+    * self-joins over the raw event stream. */
+  def funnel(ev: DataFrame, steps: Seq[String],
+             windowUs: Long = 3600000000L): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    require(windowUs > 0, s"windowUs must be positive: $windowUs")
+    val e = ev.withColumn("ts_us", tsMicros(ev))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    // reached(i): per-user earliest valid time of step i given step i-1
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts_us") > col("t_prev") && col("ts_us") <= col("t_prev") + windowUs)
+        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    }
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1L)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(steps(i)).as("event_type"), col("n_users"))
+    }
+    val base = counts.head.select(col("n_users").as("n_base"))
+    counts.reduce(_ unionByName _)
+      .crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        round(when(col("n_base") > 0, col("n_users").cast("double") / col("n_base"))
+          .otherwise(lit(0.0)), 6).as("conversion"))
+  }
 }

@@ -156,4 +156,30 @@ class EventsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Events.tsMicros(bad))
     assert(e.getMessage.contains("ts"))
   }
+
+  test("funnel: ordering and window rules decide who converts") {
+    import spark.implicits._
+    // realistic epoch-nanos (the BIGINT branch rejects sub-1973 magnitudes)
+    def ns(minute: Long) = 1700000000000000000L + minute * 60L * 1000000000L
+    // u1 converts fully in order; u2 clicked BEFORE signup (ordering
+    // violation); u3 purchased 130min after click (window violation at
+    // 1h); u4 never signed up
+    val rows = Seq(
+      (1L, ns(10), 1L, "signup"), (2L, ns(20), 1L, "click"), (3L, ns(30), 1L, "purchase"),
+      (4L, ns(10), 2L, "click"), (5L, ns(20), 2L, "signup"), (6L, ns(30), 2L, "purchase"),
+      (7L, ns(10), 3L, "signup"), (8L, ns(20), 3L, "click"), (9L, ns(150), 3L, "purchase"),
+      (10L, ns(10), 4L, "click"), (11L, ns(20), 4L, "purchase"))
+      .map { case (eid, t, uid, ty) => (eid, t, uid, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnel(rows, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("step") ->
+        ((r.getAs[String]("event_type"), r.getAs[Long]("n_users"), r.getAs[Double]("conversion")))).toMap
+    // signed up: u1, u2, u3; clicked after signup in-window: u1, u3
+    // (u2's click predates signup); purchased after that click in-window:
+    // u1 only (u3's purchase is 130min later). But u2's purchase at 30min
+    // follows no valid click, so u2 stops at step 1.
+    assert(got(1L) == (("signup", 3L, 1.0)), s"got $got")
+    assert(got(2L) == (("click", 2L, 0.666667)), s"got $got")
+    assert(got(3L) == (("purchase", 1L, 0.333333)), s"got $got")
+  }
 }
