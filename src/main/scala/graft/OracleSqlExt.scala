@@ -2257,6 +2257,39 @@ object OracleSqlExt {
       |       COALESCE(sparse.sum_value, 0.0) AS sum_value
       |FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type AND grid.hour = sparse.hour""".stripMargin
 
+  /** Mirror of [[graft.events.Events.retention]]. */
+  def retentionSql(periodUs: Long, maxPeriods: Int): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // $periodUs AS p FROM events),
+       |first AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
+       |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY cohort),
+       |act AS (
+       |  SELECT cohort, p - cohort AS "offset", CAST(count(*) AS BIGINT) AS n_active FROM (
+       |    SELECT DISTINCT e.user_id, cohort, p
+       |    FROM e JOIN first ON e.user_id = first.user_id
+       |    WHERE p - cohort < $maxPeriods
+       |  ) GROUP BY cohort, p - cohort
+       |)
+       |SELECT act.cohort, "offset", n_active, cohort_size,
+       |       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+       |FROM act JOIN sizes ON act.cohort = sizes.cohort""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.keywords]]: the tfidf chain plus
+    * a doc-partitioned rank over the round-6 score. */
+  def keywordsSql(k: Int): String =
+    s"""WITH ${OracleSql.toksCte},
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |ntab AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |sc AS (
+       |  SELECT doc_id, w, round(tf * ln((n + 1) / (df + 1)), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (w) CROSS JOIN ntab
+       |)
+       |SELECT doc_id, rk, w, tfidf FROM (
+       |  SELECT doc_id, w, tfidf,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS BIGINT) AS rk
+       |  FROM sc
+       |) WHERE rk <= $k""".stripMargin
+
   /** Mirror of [[graft.events.Events.funnel]]: chained per-user earliest
     * step times (strictly-after within the window), one count row per
     * step, step-1 total attached by cross join. */

@@ -1393,6 +1393,13 @@ object SparkEntry {
           graft.text.TextAnalysis.fingerprint(col("text")).as("fp")),
       Some(OracleSqlExt.fingerprintSql)),
 
+    // per-doc top-3 keywords by tf-idf: doc-partitioned WindowGroupLimit
+    // over the round-6 score — the topical label for topic slicing
+    ("text_keywords",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.keywords(Collocations.documents(s, d)),
+      Some(OracleSqlExt.keywordsSql(3))),
+
     ("text_tfidf",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.tfidf(Collocations.documents(s, d)),
@@ -2220,6 +2227,13 @@ object SparkEntry {
     // step-ordered conversion funnel (first-touch, strictly-after within
     // a 1h window): chained user-keyed min-aggregations, report rows are
     // single-row aggregates with the step-1 total broadcast-attached
+    // day-cohort retention grid: per cohort day, the share of its users
+    // active again k days later (offset 0 pins 1.0 by construction)
+    ("events_retention",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.retention(graft.events.Events.events(s, d)),
+      Some(OracleSqlExt.retentionSql(86400000000L, 7))),
+
     ("events_funnel",
       (s: SparkSession, d: String) =>
         graft.events.Events.funnel(

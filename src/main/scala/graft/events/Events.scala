@@ -139,6 +139,36 @@ object Events {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Cohort retention — the other classic event analytic: users cohort by
+    * the PERIOD (default day) of their first-ever event, and each cohort
+    * reports how many of its users were active again `offset` periods
+    * later (offset 0 = the cohort period itself, so its rate is 1.0 by
+    * construction — a useful self-check row). Rates are exact
+    * long-ratios, round-6.
+    *
+    * Scale shape: one per-user min-aggregation (the cohort table), one
+    * user-keyed equi-join back to the event stream projected to (user,
+    * period), a (user, cohort, offset)-distinct, then a bounded
+    * (cohort × offset) count joined with cohort sizes on the small
+    * cohort dimension. */
+  def retention(ev: DataFrame, periodUs: Long = 86400000000L,
+                maxPeriods: Int = 7): DataFrame = {
+    require(periodUs > 0 && maxPeriods >= 1,
+      s"periodUs > 0 and maxPeriods >= 1 required; got $periodUs, $maxPeriods")
+    val e = ev.withColumn("ts_us", tsMicros(ev))
+      .select(col("user_id"), expr(s"ts_us div $periodUs").as("p"))
+    val first = e.groupBy("user_id").agg(min(col("p")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1L)).as("cohort_size"))
+    val active = e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .filter(col("offset") < maxPeriods)
+      .distinct()
+      .groupBy("cohort", "offset").agg(count(lit(1L)).as("n_active"))
+    active.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+  }
+
   /** Step-ordered funnel report — the conversion analytic of event
     * pipelines: how many users performed `steps(0)`, then `steps(1)`
     * STRICTLY AFTER it within `windowUs`, then `steps(2)` after that,

@@ -103,6 +103,23 @@ object TextAnalysis {
         round(col("tf") * log((col("n") + 1) / (col("df") + 1)), 6).as("tfidf"))
   }
 
+  /** Top-`k` keywords per document by TF-IDF — the per-doc topical label
+    * a curation pipeline uses for topic slicing and mixture reporting.
+    * Rides [[tfidf]] unchanged; the rank is a window PARTITIONED on
+    * doc_id (document-sized groups, never global) that Spark rewrites to
+    * partial+final WindowGroupLimit under the `rk <= k` filter, and it
+    * orders by the ROUND-6 score then the term, so the k-boundary is
+    * engine-identical. Returns (doc_id, rk, w, tfidf). */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    tfidf(docs)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "w", "tfidf")
+  }
+
   /** BM25 ranked retrieval for a LITERAL query — the retrieval primitive a
     * curation pipeline runs against a web corpus to pull topic slices or
     * classifier seed sets: score(d) = Σ_t idf(t) · tf·(k1+1) /

@@ -157,6 +157,30 @@ class EventsSpec extends SparkSpec {
     assert(e.getMessage.contains("ts"))
   }
 
+  test("retention: day cohorts count returning users, offset 0 pins 1.0") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val base = 1700006400000000000L // an exact day boundary won't matter; div buckets
+    // u1,u2 first seen day 0; u1 returns day 1 and 2, u2 never returns;
+    // u3 first seen day 1, returns day 2
+    val rows = Seq(
+      (1L, base, 1L), (2L, base + day, 1L), (3L, base + 2 * day, 1L),
+      (4L, base, 2L),
+      (5L, base + day, 3L), (6L, base + 2 * day, 3L))
+      .map { case (eid, t, uid) => (eid, t, uid, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.retention(rows, maxPeriods = 3).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"), r.getAs[Double]("retention")))).toMap
+    val c0 = got.keys.map(_._1).min
+    assert(got((c0, 0L)) == ((2L, 2L, 1.0)))      // day-0 cohort: u1, u2
+    assert(got((c0, 1L)) == ((1L, 2L, 0.5)))      // only u1 returns next day
+    assert(got((c0, 2L)) == ((1L, 2L, 0.5)))
+    assert(got((c0 + 1, 0L)) == ((1L, 1L, 1.0)))  // day-1 cohort: u3
+    assert(got((c0 + 1, 1L)) == ((1L, 1L, 1.0)))
+    assert(!got.contains((c0 + 1, 2L)), "no activity row beyond observed periods")
+  }
+
   test("funnel: ordering and window rules decide who converts") {
     import spark.implicits._
     // realistic epoch-nanos (the BIGINT branch rejects sub-1973 magnitudes)

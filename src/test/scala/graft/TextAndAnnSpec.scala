@@ -643,6 +643,24 @@ class TextAndAnnSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos"))).toSeq)
   }
 
+  test("keywords: rare terms outrank common ones, k bounds per doc, ties break on term") {
+    import spark.implicits._
+    // "common" appears in every doc (idf ~ 0); each doc also has unique terms
+    val docs = Seq(
+      (1L, "common rare1 rare1 rare2", "en"),
+      (2L, "common other1 other2 other3", "en"),
+      (3L, "common filler filler filler", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.keywords(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"), r.getAs[String]("w")))
+    assert(rows.count(_._1 == 1L) == 2)
+    // doc 1: rare1 (tf=2) beats rare2 (tf=1) beats common (idf=0)
+    assert(rows.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq == Seq("rare1", "rare2"))
+    // doc 2: other1/other2 tie on score -> lexicographic term order
+    assert(rows.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq == Seq("other1", "other2"))
+    rows.groupBy(_._1).foreach { case (_, rs) => assert(rs.length <= 2) }
+  }
+
   test("gopher repetition battery: planted loops score high, clean text scores zero") {
     import spark.implicits._
     val docs = Seq(
