@@ -2257,6 +2257,23 @@ object OracleSqlExt {
       |       COALESCE(sparse.sum_value, 0.0) AS sum_value
       |FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type AND grid.hour = sparse.hour""".stripMargin
 
+  /** Mirror of [[graft.events.Events.transitions]]. */
+  val transitionsSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |nx AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS to_type
+       |  FROM ev
+       |),
+       |pairs AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       |),
+       |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY from_type)
+       |SELECT pairs.from_type, to_type, n,
+       |       round(CAST(n AS DOUBLE) / n_from, 6) AS p
+       |FROM pairs JOIN tot ON pairs.from_type = tot.from_type""".stripMargin
+
   /** Mirror of [[graft.events.Events.retention]]. */
   def retentionSql(periodUs: Long, maxPeriods: Int): String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) // $periodUs AS p FROM events),

@@ -2229,6 +2229,13 @@ object SparkEntry {
     // single-row aggregates with the step-1 total broadcast-attached
     // day-cohort retention grid: per cohort day, the share of its users
     // active again k days later (offset 0 pins 1.0 by construction)
+    // empirical event-type Markov transition matrix (path analysis):
+    // user-partitioned lead window, then a |types|^2-bounded count
+    ("events_transitions",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.transitions(graft.events.Events.events(s, d)),
+      Some(OracleSqlExt.transitionsSql)),
+
     ("events_retention",
       (s: SparkSession, d: String) =>
         graft.events.Events.retention(graft.events.Events.events(s, d)),

@@ -139,6 +139,30 @@ object Events {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Event-type transition matrix — path analysis: for every adjacent
+    * pair of events in a user's timeline (ordered by ts, event_id — the
+    * [[sessionize]] order), count the (from, to) transitions and each
+    * row's share of its `from` type's outgoing edges (round-6 — the
+    * empirical Markov transition probability).
+    *
+    * Scale shape: ONE user-keyed window (user-partitioned lag, the
+    * sessionize shape — never a global window), then a bounded
+    * |types|² count aggregation; the per-from totals re-aggregate that
+    * metadata-sized table. */
+  def transitions(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val pairs = ev.withColumn("ts_us", tsMicros(ev))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1L)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
   /** Cohort retention — the other classic event analytic: users cohort by
     * the PERIOD (default day) of their first-ever event, and each cohort
     * reports how many of its users were active again `offset` periods

@@ -157,6 +157,21 @@ class EventsSpec extends SparkSpec {
     assert(e.getMessage.contains("ts"))
   }
 
+  test("transitions: adjacent pairs per user, probabilities normalize per from-type") {
+    import spark.implicits._
+    def ns(minute: Long) = 1700000000000000000L + minute * 60L * 1000000000L
+    // u1: A -> B -> A ; u2: A -> B. Cross-user adjacency must NOT count.
+    val rows = Seq(
+      (1L, ns(1), 1L, "A"), (2L, ns(2), 1L, "B"), (3L, ns(3), 1L, "A"),
+      (4L, ns(1), 2L, "A"), (5L, ns(2), 2L, "B"))
+      .map { case (eid, t, uid, ty) => (eid, t, uid, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.transitions(rows).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    assert(got == Map(("A", "B") -> ((2L, 1.0)), ("B", "A") -> ((1L, 1.0))), s"got $got")
+  }
+
   test("retention: day cohorts count returning users, offset 0 pins 1.0") {
     import spark.implicits._
     val day = 86400L * 1000000000L
