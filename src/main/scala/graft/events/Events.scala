@@ -216,11 +216,18 @@ object Events {
     // reached(i): per-user earliest valid time of step i given step i-1
     val first = e.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+    // persist each step's (user, t) table: it is users-bounded and feeds
+    // BOTH the next step's join and its own count row — without the cache
+    // the chained aggregates recompute the whole prefix, so the event
+    // stream would be scanned O(steps^2) times instead of once per step
+    // (the tfidf caller-owned-cache trade)
+    val reached = steps.tail.scanLeft(
+      first.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) { (prev, step) =>
       e.filter(col("event_type") === step)
         .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
         .filter(col("ts_us") > col("t_prev") && col("ts_us") <= col("t_prev") + windowUs)
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val counts = reached.zipWithIndex.map { case (df, i) =>
       df.agg(count(lit(1L)).as("n_users"))
