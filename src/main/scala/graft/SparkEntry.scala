@@ -95,6 +95,15 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted BPE merge-table model — the tokenizer's build-once/
+    * serve-many lifecycle, same shutdown-cleaned root. */
+  private def bpeModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#bpe", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#bpe")).toString
+      graft.text.TextAnalysis.writeBpeModel(Collocations.documents(s, d), dir)
+      dir
+    })
+
   /** One-time per-process setup a measurement harness runs during warmup
     * (currently: the dedup index builds), so even a single-sweep bench
     * sample measures the serve path, never build+serve. */
@@ -1004,6 +1013,17 @@ object SparkEntry {
     ("tokenize_bpe",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.tokenizeBpe(Collocations.documents(s, d), numMerges = 30),
+      None),
+
+    // serve-only tokenizer twin: the merge table reads back from the
+    // persisted model (build-once per process, the dedup_jaccard_indexed
+    // lifecycle) and the SAME dynamic oracle gates serve-equals-rebuild
+    ("tokenize_bpe_indexed",
+      (s: SparkSession, d: String) => {
+        val merges = graft.text.TextAnalysis.readBpeModel(s, bpeModelDir(s, d))
+        graft.text.TextAnalysis.lastBpeMerges = Some(merges)
+        graft.text.TextAnalysis.tokenizeBpeWith(Collocations.documents(s, d), merges)
+      },
       None),
 
     // the consumer the tokenizer exists for: greedy sequence packing by
@@ -2289,6 +2309,7 @@ object SparkEntry {
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
       OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _) ++
       OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _) ++
+      OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe_indexed" -> _) ++
       OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++

@@ -326,6 +326,13 @@ object TextAnalysis {
                   maxVocab: Int = 5000): DataFrame = {
     val merges = bpeTrain(docs, numMerges, maxVocab)
     lastBpeMerges = Some(merges)
+    tokenizeBpeWith(docs, merges)
+  }
+
+  /** APPLY-only twin of [[tokenizeBpe]] for a given merge table — the
+    * serve path of the persisted-tokenizer lifecycle (train once with
+    * [[writeBpeModel]], encode any corpus forever after). */
+  def tokenizeBpeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
     val enc = occ.select("w").distinct()
@@ -339,6 +346,27 @@ object TextAnalysis {
         round(col("n_bpe_tokens") / col("n_words"), 6))
       .select("doc_id", "n_words", "n_bpe_tokens", "subwords_per_word")
   }
+
+  /** Persist the trained merge table under `dir` as (rank, lhs, rhs) —
+    * the tokenizer's build-once/serve-many model artifact (the
+    * [[graft.streaming.QualityStream.buildModel]] shape: a retrain
+    * refreshes serving by atomic directory swap). */
+  def writeBpeModel(docs: DataFrame, dir: String, numMerges: Int = 30,
+                    maxVocab: Int = 5000): Unit = {
+    val merges = bpeTrain(docs, numMerges, maxVocab)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a persisted merge table back in rank order — a bounded model
+    * collect (numMerges rows), never data. */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
 
   /** Bigram language-model scoring — the LM-perplexity-style quality
     * signal: each document's mean log-probability of its bigrams under

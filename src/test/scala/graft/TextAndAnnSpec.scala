@@ -643,6 +643,21 @@ class TextAndAnnSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos"))).toSeq)
   }
 
+  test("persisted BPE model round-trips: serve equals rebuild") {
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model")
+    TextAnalysis.writeBpeModel(docs, dir.toString, numMerges = 10)
+    val served = TextAnalysis.readBpeModel(spark, dir.toString)
+    assert(served == TextAnalysis.bpeTrain(docs, numMerges = 10),
+      "read-back merge table must equal a fresh deterministic train")
+    val a = TextAnalysis.tokenizeBpeWith(docs, served)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = TextAnalysis.tokenizeBpe(docs, numMerges = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, "serve path must reproduce the train-and-apply output")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("keywords: rare terms outrank common ones, k bounds per doc, ties break on term") {
     import spark.implicits._
     // "common" appears in every doc (idf ~ 0); each doc also has unique terms
