@@ -104,6 +104,15 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted IVF centroid model — same lifecycle and cleaned root. */
+  private def ivfModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#ivf", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#ivf")).toString
+      graft.similarity.Ann.writeIvfModel(
+        s.read.parquet(s"$d/embeddings.parquet"), dir, trainStride = 8)
+      dir
+    })
+
   /** One-time per-process setup a measurement harness runs during warmup
     * (currently: the dedup index builds), so even a single-sweep bench
     * sample measures the serve path, never build+serve. */
@@ -1999,6 +2008,17 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, trainStride = 8),
       None),
 
+    // serve-only IVF twin: centroids read back from the persisted model
+    // and applied unchanged — the SAME dynamic oracle gates
+    // serve-equals-rebuild (training is deterministic)
+    ("ann_ivf_indexed",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.ivfTopKWith(
+          s.read.parquet(s"$d/embeddings.parquet"),
+          graft.similarity.Ann.readIvfModel(s, ivfModelDir(s, d)),
+          stride = 100, k = 5),
+      None),
+
     // semantic curriculum ordering (in-context-pretraining layout):
     // cluster by trained IVF centroid, most-central-first within each
     // cluster, global contiguous position via the two-pass rank (no
@@ -2303,6 +2323,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
+      OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_indexed" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++

@@ -199,6 +199,34 @@ object Ann {
               nCells: Int = 16, iters: Int = 2, probes: Int = 2,
               trainStride: Int = 1): DataFrame = {
     val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    ivfTopKWith(emb, cents, stride, k, probes)
+  }
+
+  /** Persist trained IVF centroids under `dir` as (cid, cv) — the ANN
+    * index's build-once/serve-many model artifact (the
+    * [[graft.text.TextAnalysis.writeBpeModel]] lifecycle: a retrain
+    * refreshes serving by atomic directory swap). */
+  def writeIvfModel(emb: DataFrame, dir: String, nCells: Int = 16,
+                    iters: Int = 2, trainStride: Int = 1): Unit = {
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.map { case (cid, arr) => (cid, arr.toSeq) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a persisted centroid model back in cid order — a bounded model
+    * collect (nCells rows), never data. */
+  def readIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(dir).orderBy("cid").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Double]]("cv").toArray)).toSeq
+
+  /** APPLY-only twin of [[ivfTopK]] for a given centroid model — the
+    * serve path. Stashes the model so the dynamic oracle reflects the
+    * exact centroids this plan used. */
+  def ivfTopKWith(emb: DataFrame, cents: Seq[(Int, Array[Double])],
+                  stride: Int = 100, k: Int = 5, probes: Int = 2): DataFrame = {
     lastIvfModel = Some((cents, stride, k, probes))
     // indexing is a narrow map: each vector gets its cell from the
     // literal centroid model, no join, no shuffle

@@ -643,6 +643,22 @@ class TextAndAnnSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos"))).toSeq)
   }
 
+  test("persisted IVF model round-trips: serve equals rebuild") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model")
+    graft.similarity.Ann.writeIvfModel(emb, dir.toString, trainStride = 4)
+    val served = graft.similarity.Ann.readIvfModel(spark, dir.toString)
+    val fresh = graft.similarity.Ann.ivfCentroids(emb, trainStride = 4)
+    assert(served.map(_._1) == fresh.map(_._1))
+    served.zip(fresh).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+    val a = graft.similarity.Ann.ivfTopKWith(emb, served, stride = 50, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = graft.similarity.Ann.ivfTopK(emb, stride = 50, k = 3, trainStride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, "serve path must reproduce the train-and-apply output")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("persisted BPE model round-trips: serve equals rebuild") {
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model")
