@@ -2239,10 +2239,12 @@ object OracleSqlExt {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  /** Mirror of [[graft.events.Events.hourlyGapFill]]: the sparse hourly
-    * counts densified onto each type's [lo, hi] hour grid. */
-  val hourlyGapFillSql: String =
-    """WITH sparse AS (
+  /** sparse -> grid -> gf CTE chain: the gap-filled hourly series — ONE
+    * definition shared by [[hourlyGapFillSql]] and [[hourlyAnomalySql]]
+    * (a drifted copy would break one query's parity while the other
+    * still passes). */
+  private val gapfillCtes: String =
+    """sparse AS (
       |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_type,
       |         CAST(count(*) AS BIGINT) AS cnt,
       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -2251,11 +2253,50 @@ object OracleSqlExt {
       |grid AS (
       |  SELECT event_type, unnest(range(lo, hi + 1)) AS hour
       |  FROM (SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM sparse GROUP BY event_type)
-      |)
-      |SELECT grid.hour, grid.event_type,
-      |       COALESCE(sparse.cnt, 0) AS cnt,
-      |       COALESCE(sparse.sum_value, 0.0) AS sum_value
-      |FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type AND grid.hour = sparse.hour""".stripMargin
+      |),
+      |gf AS (
+      |  SELECT grid.hour, grid.event_type,
+      |         COALESCE(sparse.cnt, 0) AS cnt,
+      |         COALESCE(sparse.sum_value, 0.0) AS sum_value
+      |  FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type AND grid.hour = sparse.hour
+      |)""".stripMargin
+
+  /** Mirror of [[graft.events.Events.hourlyGapFill]]: the sparse hourly
+    * counts densified onto each type's [lo, hi] hour grid. */
+  val hourlyGapFillSql: String =
+    s"""WITH $gapfillCtes
+       |SELECT hour, event_type, cnt, sum_value FROM gf""".stripMargin
+
+  /** Mirror of [[graft.events.Events.hourlyAnomaly]]: integer frame sums
+    * (order-independent across DuckDB's segment-tree and Spark's buffer
+    * walk), one fixed double expression for mean/variance with the 1.0
+    * floor, round-6 z. */
+  def hourlyAnomalySql(window: Int, minHist: Int, zThreshold: Double): String =
+    s"""WITH $gapfillCtes,
+       |win AS (
+       |  SELECT hour, event_type, cnt,
+       |         CAST(sum(cnt) OVER w AS BIGINT) AS s,
+       |         CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss,
+       |         CAST(count(*) OVER w AS BIGINT) AS nw
+       |  FROM gf
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
+       |               ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)
+       |),
+       |m AS (
+       |  SELECT hour, event_type, cnt, nw,
+       |         CAST(s AS DOUBLE) / nw AS mean,
+       |         greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nw) / nw, 1.0) AS varr
+       |  FROM win WHERE nw >= $minHist
+       |),
+       |z AS (
+       |  SELECT hour, event_type, cnt, nw, mean,
+       |         round((cnt - mean) / sqrt(varr), 6) AS z
+       |  FROM m
+       |)
+       |SELECT hour, event_type, cnt, nw AS n_window,
+       |       round(mean, 6) AS baseline_mean, z,
+       |       abs(z) >= $zThreshold AS is_anomaly
+       |FROM z""".stripMargin
 
   /** Mirror of [[graft.events.Events.transitions]]. */
   val transitionsSql: String =

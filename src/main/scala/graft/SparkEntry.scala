@@ -2271,6 +2271,14 @@ object SparkEntry {
     // active again k days later (offset 0 pins 1.0 by construction)
     // empirical event-type Markov transition matrix (path analysis):
     // user-partitioned lead window, then a |types|^2-bounded count
+    // trailing-window volume anomaly monitor over the gap-filled hourly
+    // series: integer frame sums keep the baseline bit-identical across
+    // engines; zero-variance baselines yield NULL z
+    ("events_anomaly",
+      (s: SparkSession, d: String) =>
+        graft.events.Events.hourlyAnomaly(graft.events.Events.events(s, d)),
+      Some(OracleSqlExt.hourlyAnomalySql(24, 12, 3.0))),
+
     ("events_transitions",
       (s: SparkSession, d: String) =>
         graft.events.Events.transitions(graft.events.Events.events(s, d)),

@@ -139,6 +139,45 @@ object Events {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Trailing-window anomaly scores over the gap-filled hourly series —
+    * the volume monitor an event pipeline alarms on: each (type, hour)'s
+    * count z-scores against the type's own trailing `window`-hour
+    * baseline (ROWS frame EXCLUDING the current hour, over the
+    * [[hourlyGapFill]]ed series so silent hours depress the baseline
+    * instead of vanishing). Hours with fewer than `minHist` trailing
+    * observations are suppressed (cold-start noise).
+    *
+    * Cross-engine determinism: the frame aggregates are INTEGER sums
+    * (count, count²) — exact in any accumulation order, so DuckDB's
+    * segment-tree window evaluation and Spark's buffer walk agree
+    * bit-for-bit — and mean/variance derive from them in one fixed
+    * double expression; z rounds to 6. A zero-variance baseline yields
+    * NULL z (no scale to score against), mirrored by the oracle's CASE.
+    *
+    * Scale shape: one event-type-partitioned window over the
+    * metadata-sized hourly grid (|types| × hours rows) — the corpus-sized
+    * work is the one hourly aggregation [[hourlyGapFill]] already does. */
+  def hourlyAnomaly(ev: DataFrame, window: Int = 24, minHist: Int = 12,
+                    zThreshold: Double = 3.0): DataFrame = {
+    require(window >= 2 && minHist >= 2 && minHist <= window,
+      s"need 2 <= minHist <= window; got window=$window minHist=$minHist")
+    val w = Window.partitionBy("event_type").orderBy(col("hour").asc)
+      .rowsBetween(-window, -1)
+    val scored = hourlyGapFill(ev)
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("nw", count(lit(1L)).over(w))
+      .filter(col("nw") >= minHist)
+      .withColumn("mean", col("s").cast("double") / col("nw"))
+      .withColumn("varr",
+        greatest((col("ss").cast("double") - col("s").cast("double") * col("s") / col("nw")) / col("nw"),
+          lit(1.0)))
+      .withColumn("z", round((col("cnt") - col("mean")) / sqrt(col("varr")), 6))
+    scored.select(col("hour"), col("event_type"), col("cnt"), col("nw").as("n_window"),
+      round(col("mean"), 6).as("baseline_mean"), col("z"),
+      (abs(col("z")) >= zThreshold).as("is_anomaly"))
+  }
+
   /** Event-type transition matrix — path analysis: for every adjacent
     * pair of events in a user's timeline (ordered by ts, event_id — the
     * [[sessionize]] order), count the (from, to) transitions and each

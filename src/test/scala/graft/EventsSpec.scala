@@ -157,6 +157,30 @@ class EventsSpec extends SparkSpec {
     assert(e.getMessage.contains("ts"))
   }
 
+  test("anomaly: a planted volume spike flags, the flat baseline does not") {
+    import spark.implicits._
+    def ns(hour: Long, i: Long) = 1700000000000000000L + hour * 3600L * 1000000000L + i * 1000000000L
+    // 30 hours of steady 5 events/hour, then one hour with 50 (the spike)
+    val steady = for (h <- 0L until 30L; i <- 0L until 5L) yield (h * 100 + i, ns(h, i), 1L, "click")
+    val spike = (0L until 50L).map(i => (9000 + i, ns(30, i), 1L, "click"))
+    val rows = (steady ++ spike)
+      .map { case (eid, t, uid, ty) => (eid, t, uid, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.hourlyAnomaly(rows).collect()
+      .map(r => r.getAs[Long]("hour") ->
+        ((r.getAs[Boolean]("is_anomaly"), Option(r.getAs[Any]("z"))))).toMap
+    val hours = got.keys.toSeq.sorted
+    // the first 12 hours are suppressed (cold start), the spike hour flags
+    assert(hours.size == 31 - 12, s"expected ${31 - 12} scored hours, got ${hours.size}")
+    val spikeHour = hours.max
+    assert(got(spikeHour)._1, "the 10x spike must flag")
+    // a perfectly flat baseline z-scores as exactly 0 under the 1.0
+    // variance floor -> never flags
+    hours.filter(_ != spikeHour).foreach { h =>
+      assert(!got(h)._1 && got(h)._2 == Some(0.0), s"flat hour $h must not flag: ${got(h)}")
+    }
+  }
+
   test("transitions: adjacent pairs per user, probabilities normalize per from-type") {
     import spark.implicits._
     def ns(minute: Long) = 1700000000000000000L + minute * 60L * 1000000000L
