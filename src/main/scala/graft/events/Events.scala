@@ -84,8 +84,14 @@ object Events {
     * pathological type spanning decades would make hours-per-type large;
     * that is data-shape, not machinery — the explode stays linear in the
     * OUTPUT grid. */
-  def hourlyGapFill(ev: DataFrame): DataFrame = {
-    val sparse = hourlyByType(ev)
+  def hourlyGapFill(ev: DataFrame): DataFrame =
+    gapFillHourly(hourlyByType(ev))
+
+  /** [[hourlyGapFill]] from an ALREADY-AGGREGATED hourly table — the
+    * entry point streaming deployments use after folding per-batch
+    * hourly partials (sums add, so the fold is exactly mergeable). */
+  def gapFillHourly(hourly: DataFrame): DataFrame = {
+    val sparse = hourly
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = sparse.groupBy("event_type")
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
@@ -158,12 +164,20 @@ object Events {
     * metadata-sized hourly grid (|types| × hours rows) — the corpus-sized
     * work is the one hourly aggregation [[hourlyGapFill]] already does. */
   def hourlyAnomaly(ev: DataFrame, window: Int = 24, minHist: Int = 12,
-                    zThreshold: Double = 3.0): DataFrame = {
+                    zThreshold: Double = 3.0): DataFrame =
+    hourlyAnomalyFromHourly(hourlyByType(ev), window, minHist, zThreshold)
+
+  /** [[hourlyAnomaly]] from an already-aggregated hourly table (the
+    * [[gapFillHourly]] entry point) — shared by the batch query and the
+    * [[graft.streaming.AnomalyStream]] fold-and-rescore deployment, so
+    * stream scoring IS the batch algebra. */
+  def hourlyAnomalyFromHourly(hourly: DataFrame, window: Int = 24, minHist: Int = 12,
+                              zThreshold: Double = 3.0): DataFrame = {
     require(window >= 2 && minHist >= 2 && minHist <= window,
       s"need 2 <= minHist <= window; got window=$window minHist=$minHist")
     val w = Window.partitionBy("event_type").orderBy(col("hour").asc)
       .rowsBetween(-window, -1)
-    val scored = hourlyGapFill(ev)
+    val scored = gapFillHourly(hourly)
       .withColumn("s", sum(col("cnt")).over(w))
       .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
       .withColumn("nw", count(lit(1L)).over(w))

@@ -571,6 +571,43 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming volume monitor folds shard partials and rescoring equals the batch operator") {
+    import graft.streaming.{AnomalyStream, DedupStream}
+    import graft.events.Events
+    val watch = java.nio.file.Files.createTempDirectory("graft-anom-watch")
+    val log = java.nio.file.Files.createTempDirectory("graft-anom-log").resolve("log")
+    val out = java.nio.file.Files.createTempDirectory("graft-anom-out").resolve("scores")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anom-ckpt")
+    val all = Events.events(spark, "/root/testdata/sf0.001")
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-anom-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    // two deliveries splitting the same event set by parity — the folded
+    // hourly grid must equal the single-batch aggregation
+    drop(all.filter(pmod(col("event_id"), lit(2L)) === 0), "a.parquet")
+    val q = AnomalyStream.monitor(
+      graft.streaming.EventsStream.readStream(spark, watch.toString),
+      log.toString, out.toString, ckpt.toString, window = 6, minHist = 3)
+    q.processAllAvailable()
+    drop(all.filter(pmod(col("event_id"), lit(2L)) === 1), "b.parquet")
+    q.processAllAvailable(); q.stop()
+
+    val streamed = AnomalyStream.scores(spark, out.toString)
+      .collect().map(r => (r.getAs[Long]("hour"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Any]("z"))).toMap
+    val batch = Events.hourlyAnomaly(all, window = 6, minHist = 3)
+      .collect().map(r => (r.getAs[Long]("hour"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Any]("z"))).toMap
+    assert(streamed == batch,
+      s"folded-and-rescored table must equal the batch operator (${streamed.size} vs ${batch.size} rows)")
+    assert(streamed.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(watch.toFile)
+  }
+
   test("streaming snapshot diff logs each shard's added/changed rows, matching the batch diff") {
     import graft.streaming.{DedupStream, DiffStream}
     import graft.pipelines.CorpusDiff
