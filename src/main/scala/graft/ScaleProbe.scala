@@ -16,7 +16,7 @@ object ScaleProbe {
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
-      "--substring-only", "--classifier-only", "--diff-only")
+      "--substring-only", "--classifier-only", "--diff-only", "--overlap-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -33,6 +33,7 @@ object ScaleProbe {
     val substringOnly = flags.contains("--substring-only")
     val classifierOnly = flags.contains("--classifier-only")
     val diffOnly = flags.contains("--diff-only")
+    val overlapOnly = flags.contains("--overlap-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -221,6 +222,16 @@ object ScaleProbe {
         feats.unpersist()
         spark.sharedState.cacheManager.clearCache()
         println(f"SCALE-CLASSIFIER m=$m%2d docs=${5000 * m}%7d scored=$n%7d train(8 it)=$tTrain%6.2f s score=$tScore%6.2f s")
+      } else if (overlapOnly) {
+        // cross-source overlap: shingle rows grow linearly in m while the
+        // source dimension stays fixed (20), so the per-shingle source-set
+        // explode is bounded by C(20,2) per shingle and wall must stay
+        // ~linear; pair rows stay at <= 190 at every m.
+        val t0 = System.nanoTime()
+        val n = graft.ops.TableProfile.sourceOverlap(docs).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-OVERLAP m=$m%2d docs=${5000 * m}%7d pairs=$n%4d $t%6.2f s")
       } else if (diffOnly) {
         // corpus snapshot diff: both sides project to (doc_id, md5)
         // before the full-outer join, so the exchange volume is
