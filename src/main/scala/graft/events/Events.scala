@@ -157,8 +157,11 @@ object Events {
     * (count, count²) — exact in any accumulation order, so DuckDB's
     * segment-tree window evaluation and Spark's buffer walk agree
     * bit-for-bit — and mean/variance derive from them in one fixed
-    * double expression; z rounds to 6. A zero-variance baseline yields
-    * NULL z (no scale to score against), mirrored by the oracle's CASE.
+    * double expression; z rounds to 6. The variance floors at 1.0
+    * event² — counts are integers, so a flatter-than-one-event baseline
+    * is "perfectly steady" and must still score a spike (a raw
+    * zero-variance guard would mute exactly the loudest anomalies; a
+    * flat baseline therefore scores z = 0, never NULL).
     *
     * Scale shape: one event-type-partitioned window over the
     * metadata-sized hourly grid (|types| × hours rows) — the corpus-sized
@@ -287,10 +290,17 @@ object Events {
         .select(lit(i + 1L).as("step"), lit(steps(i)).as("event_type"), col("n_users"))
     }
     val base = counts.head.select(col("n_users").as("n_base"))
-    counts.reduce(_ unionByName _)
+    // materialize the |steps|-row report, then release the step caches —
+    // the hourlyGapFill force-then-unpersist discipline, so repeated
+    // calls never accumulate orphaned cache entries
+    val out = counts.reduce(_ unionByName _)
       .crossJoin(broadcast(base))
       .select(col("step"), col("event_type"), col("n_users"),
         round(when(col("n_base") > 0, col("n_users").cast("double") / col("n_base"))
           .otherwise(lit(0.0)), 6).as("conversion"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    reached.foreach(_.unpersist())
+    out
   }
 }

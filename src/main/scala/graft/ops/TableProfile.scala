@@ -422,7 +422,7 @@ object TableProfile {
     val pa = per.select(col("source").as("a"), col("n").as("exact_a"), col("sk").as("sk_a"))
     val pb = per.select(col("source").as("b"), col("n").as("exact_b"), col("sk").as("sk_b"))
     val bound = lit(4 * rsd)
-    inter.join(pa, Seq("a")).join(pb, Seq("b"))
+    val out = inter.join(pa, Seq("a")).join(pb, Seq("b"))
       .withColumn("union_exact", col("exact_a") + col("exact_b") - col("inter_exact"))
       .withColumn("est_a", hll_sketch_estimate(col("sk_a")))
       .withColumn("est_b", hll_sketch_estimate(col("sk_b")))
@@ -435,5 +435,12 @@ object TableProfile {
         (abs(col("est_union") - col("union_exact")) <= bound * col("union_exact")).as("union_within_rsd"),
         (abs(col("est_a") + col("est_b") - col("est_union") - col("inter_exact")) <=
           bound * (col("exact_a") + col("exact_b") + col("union_exact"))).as("inter_within_bound"))
+      // materialize the <= C(|sources|,2)-row pair table, then release
+      // the shingle cache (the hourlyGapFill force-then-unpersist
+      // discipline)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist()
+    out
   }
 }

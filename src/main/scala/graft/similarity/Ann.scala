@@ -205,14 +205,17 @@ object Ann {
   /** Persist trained IVF centroids under `dir` as (cid, cv) — the ANN
     * index's build-once/serve-many model artifact (the
     * [[graft.text.TextAnalysis.writeBpeModel]] lifecycle: a retrain
-    * refreshes serving by atomic directory swap). */
+    * republishes via the staged delete+rename of
+    * [[graft.sources.Sinks.publishSwap]]). */
   def writeIvfModel(emb: DataFrame, dir: String, nCells: Int = 16,
                     iters: Int = 2, trainStride: Int = 1): Unit = {
     val cents = ivfCentroids(emb, nCells, iters, trainStride)
     val spark = emb.sparkSession
     import spark.implicits._
-    cents.map { case (cid, arr) => (cid, arr.toSeq) }.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      cents.map { case (cid, arr) => (cid, arr.toSeq) }.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Read a persisted centroid model back in cid order — a bounded model
@@ -373,9 +376,10 @@ object Ann {
     }
     lastProtoModel = Some((withNorm, loP, hiP))
     // scored feeds both the quantile aggregate and the flag projection;
-    // persist so the corpus is scanned+assigned once (the qualityGate
-    // caller-owned-cache trade; the broadcast threshold job materializes
-    // it before the main stage runs)
+    // persist so the corpus is scanned+assigned once. The cache backs
+    // the (corpus-sized) RESULT, so it stays alive — the documented
+    // qualityGate/tfidf caller-owned-cache trade: the session owner
+    // releases it (Verify/Bench clear the cache between queries)
     val scored = assignedWithOwnCos(emb, withNorm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = scored.agg(

@@ -40,4 +40,28 @@ object Sinks {
     writeTsv(u.groupBy("lang").agg(sum(col("c")).as("n")), s"$outRoot/n")
     u.unpersist()
   }
+
+  /** Near-atomic model publish for the serve-many model directories
+    * (classifier weights, BPE merges, IVF centroids, diff digests): the
+    * new artifact materializes FULLY under `dir + ".staging"`, and only
+    * then replaces the serving directory in a delete+rename step. A
+    * concurrent per-micro-batch reader can race only the rename instant —
+    * never observe a half-written parquet directory, which a plain
+    * in-place `.mode("overwrite")` exposes for the whole write. (A truly
+    * atomic swap needs an indirection the deployment owns — versioned
+    * dirs plus a repointed path; this helper is the strongest publish a
+    * fixed path allows.) */
+  def publishSwap(dir: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.util.Comparator
+    val staging = Paths.get(dir + ".staging")
+    def rmTree(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+    rmTree(staging)
+    write(staging.toString)
+    val target = Paths.get(dir)
+    rmTree(target)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+  }
 }

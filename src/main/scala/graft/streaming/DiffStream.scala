@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * index ingest paths consume).
   *
   * Same stream-STATIC shape as [[DriftStream]]/[[QualityStream]] (static
-  * side re-read per micro-batch, refresh = atomic directory swap) and the
+  * side re-read per micro-batch; a rebase republishes via the staged
+  * delete+rename of [[graft.sources.Sinks.publishSwap]]) and the
   * same `foreachBatch` + dynamic-partition-overwrite replay idempotence.
   * The static side is digest-projected at build time, so the per-batch
   * join ships 32-byte hashes — never old document bodies. */
@@ -23,8 +24,10 @@ object DiffStream {
 
   /** Digest the previous snapshot under `dir`: (doc_id, h_prev). */
   def buildBase(prev: DataFrame, dir: String): Unit =
-    prev.select(col("doc_id"), md5(col("text")).as("h_prev"))
-      .write.mode("overwrite").parquet(dir)
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      prev.select(col("doc_id"), md5(col("text")).as("h_prev"))
+        .write.mode("overwrite").parquet(staging)
+    }
 
   def readBase(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

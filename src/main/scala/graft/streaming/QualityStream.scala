@@ -13,10 +13,14 @@ import graft.text.QualityClassifier
   * low-quality delivery enters the corpus.
   *
   * Same stream-STATIC shape as [[DriftStream]] (the static model side is
-  * re-read per micro-batch, so a retrain refreshes serving via atomic
-  * directory swap — no restart), and the same `foreachBatch` + dynamic-
-  * partition-overwrite replay idempotence: a checkpoint-replayed batch
-  * overwrites its own `ingest_batch` partition.
+  * re-read per micro-batch, so a retrain refreshes serving without a
+  * restart via [[graft.sources.Sinks.publishSwap]] — the new weight row
+  * materializes fully in a staging directory and replaces the serving
+  * path in a delete+rename step, so a racing reader can hit only the
+  * rename instant, never a half-written model), and the same
+  * `foreachBatch` + dynamic-partition-overwrite replay idempotence: a
+  * checkpoint-replayed batch overwrites its own `ingest_batch`
+  * partition.
   *
   * The model is ONE row of |features| doubles, attached by
   * `crossJoin(broadcast(...))` — scoring stays a shuffle-free map over
@@ -34,8 +38,10 @@ object QualityStream {
     feats.unpersist()
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((w(0), w(1), w(2), w(3), w(4))).toDF("w0", "w1", "w2", "w3", "w4")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      Seq((w(0), w(1), w(2), w(3), w(4))).toDF("w0", "w1", "w2", "w3", "w4")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
     w
   }
 

@@ -350,15 +350,19 @@ object TextAnalysis {
   /** Persist the trained merge table under `dir` as (rank, lhs, rhs) —
     * the tokenizer's build-once/serve-many model artifact (the
     * [[graft.streaming.QualityStream.buildModel]] shape: a retrain
-    * refreshes serving by atomic directory swap). */
+    * republishes via the staged delete+rename of
+    * [[graft.sources.Sinks.publishSwap]], so serve-side readers never
+    * see a half-written model). */
   def writeBpeModel(docs: DataFrame, dir: String, numMerges: Int = 30,
                     maxVocab: Int = 5000): Unit = {
     val merges = bpeTrain(docs, numMerges, maxVocab)
     val spark = docs.sparkSession
     import spark.implicits._
-    merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
-      .toDF("rank", "lhs", "rhs")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Read a persisted merge table back in rank order — a bounded model
