@@ -125,4 +125,41 @@ object OracleSql {
        |  FROM final
        |)
        |SELECT lang, w1, w2, llr FROM ranked WHERE rn <= $k""".stripMargin
+
+  /** Mirror of [[graft.collocations.Collocations.pipelineCounters]]: the
+    * engine reports its stage counts via `observe` nodes riding the one
+    * top-k action; the oracle computes the SAME counts directly — each
+    * counter is a plain aggregate over the shared CTE chain (raw pairs =
+    * the pos+1 self-join before the stopword predicate; pre_agg = after
+    * it; post_agg = the grouped table; pre_topk = non-NaN scored rows) —
+    * and derives the three reduction ratios with the identical
+    * `round(1.0 - CAST(x AS DOUBLE)/y, 6)` algebra. */
+  def pipelineCountersSql(k: Int): String =
+    s"""$collocationCtes,
+       |final AS (
+       |  SELECT lang, w1, w2, round(llr_raw, 6) AS llr
+       |  FROM scored WHERE NOT isnan(llr_raw)
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY llr DESC, w1 ASC, w2 ASC) AS rn
+       |  FROM final
+       |),
+       |cnt AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT CAST(count(*) AS BIGINT)
+       |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1) AS raw_pair_records,
+       |    (SELECT CAST(count(*) AS BIGINT)
+       |       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |       WHERE ${notStop("a.w", "a.lang")} AND ${notStop("b.w", "a.lang")}) AS pre_agg_records,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bg) AS post_agg_groups,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM final) AS pre_topk_records,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ranked WHERE rn <= $k) AS topk_rows
+       |)
+       |SELECT n_docs, raw_pair_records, pre_agg_records, post_agg_groups,
+       |       pre_topk_records, topk_rows,
+       |  round(1.0 - CAST(pre_agg_records AS DOUBLE) / raw_pair_records, 6) AS stopword_cut,
+       |  round(1.0 - CAST(post_agg_groups AS DOUBLE) / pre_agg_records, 6) AS combiner_cut,
+       |  round(1.0 - CAST(topk_rows AS DOUBLE) / pre_topk_records, 6) AS topk_cut
+       |FROM cnt""".stripMargin
 }

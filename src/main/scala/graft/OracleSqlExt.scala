@@ -904,6 +904,13 @@ object OracleSqlExt {
       annIvfSql(cents, stride, k, probes)
     }
 
+  /** Oracle SQL for the serve-only indexed twin, from its OWN stash —
+    * never the rebuild entry's model. */
+  def annIvfSqlFromIndexedModel: Option[String] =
+    graft.similarity.Ann.lastIvfModelIndexed.map { case (cents, stride, k, probes) =>
+      annIvfSql(cents, stride, k, probes)
+    }
+
   /** Shared assignment + own-centroid-cosine CTE chain (`c`, `cents`,
     * `ca`, `scored`) over literal (cid, cv, cn) rows — ONE definition for
     * the semantic-sort and diverse-batches oracles. */
@@ -1178,7 +1185,8 @@ object OracleSqlExt {
     * list, count per (doc, n, gram), and the top-gram argmax rides the
     * same `c·10⁹ + charlen` integer order encode as the engine (ties:
     * highest count, then longest gram — identical on both engines). All
-    * ratios are divisions of exact longs; dup shares cap at 1.0. */
+    * ratios are divisions of exact longs; top and dup shares cap at 1.0
+    * (overlapping occurrences double-count character mass). */
   def repetitionNgramsSql(tops: Seq[Int] = Seq(2, 3, 4),
                           dups: Seq[Int] = Seq(5, 8, 10)): String = {
     val ns = (tops ++ dups).distinct.sorted
@@ -1194,7 +1202,7 @@ object OracleSqlExt {
       s"CAST(sum(CASE WHEN n = $n AND c > 1 THEN c * clen ELSE 0 END) AS BIGINT) AS dup$n")
     val outTops = tops.map(n =>
       s"""round(CASE WHEN total_chars > 0 AND enc$n IS NOT NULL
-         |      THEN CAST((enc$n // 1000000000) * (enc$n % 1000000000) AS DOUBLE) / total_chars
+         |      THEN least(CAST((enc$n // 1000000000) * (enc$n % 1000000000) AS DOUBLE) / total_chars, 1.0)
          |      ELSE 0.0 END, 6) AS top${n}_frac""".stripMargin)
     val outDups = dups.map(n =>
       s"""round(CASE WHEN total_chars > 0
@@ -1559,6 +1567,11 @@ object OracleSqlExt {
   def tokenizeBpeSqlFromLastModel: Option[String] =
     graft.text.TextAnalysis.lastBpeMerges.map(tokenizeBpeSql)
 
+  /** Oracle SQL for the serve-only indexed twin, from its OWN stash —
+    * never the rebuild entry's merge table. */
+  def tokenizeBpeSqlFromIndexedModel: Option[String] =
+    graft.text.TextAnalysis.lastBpeMergesIndexed.map(tokenizeBpeSql)
+
   def tokenizeBpePackSqlFromLastModel(windowSize: Long): Option[String] =
     graft.text.TextAnalysis.lastBpeMerges.map(tokenizeBpePackSql(_, windowSize))
 
@@ -1892,11 +1905,13 @@ object OracleSqlExt {
     * would infect the score arithmetic); scores round to 6 digits BEFORE
     * the (score desc, doc_id) ranking so the top-k boundary is
     * engine-identical. */
-  def bm25Sql(query: Seq[String], k1: Double, b: Double, k: Int): String = {
+  /** tcl → bmscore(doc_id, score) CTE chain shared by [[bm25Sql]] and
+    * [[hybridRrfSql]] (no leading WITH). */
+  private def bm25ScoreCtes(query: Seq[String], k1: Double, b: Double): String = {
     // SQL-escape each term (' -> '') — a quote in a query term must not
     // break out of (or inject into) the generated literal list
     val terms = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-    s"""WITH $tclCte,
+    s"""$tclCte,
        |d AS (SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS dl FROM tcl),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d),
        |tf AS (
@@ -1904,17 +1919,62 @@ object OracleSqlExt {
        |  FROM (SELECT doc_id, dl, unnest(tl) AS w FROM d)
        |  WHERE w IN ($terms) GROUP BY doc_id, dl, w
        |),
-       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w)
-       |SELECT doc_id,
-       |       round(sum(
-       |         ln(CAST(1.0 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
-       |         * (tf * CAST(${k1 + 1.0} AS DOUBLE))
-       |         / (tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) * dl / avgdl))
-       |       ), 6) AS score
-       |FROM tf JOIN dfq USING (w) CROSS JOIN st
-       |GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |bmscore AS (
+       |  SELECT doc_id,
+       |         round(sum(
+       |           ln(CAST(1.0 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+       |           * (tf * CAST(${k1 + 1.0} AS DOUBLE))
+       |           / (tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) * dl / avgdl))
+       |         ), 6) AS score
+       |  FROM tf JOIN dfq USING (w) CROSS JOIN st
+       |  GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  def bm25Sql(query: Seq[String], k1: Double, b: Double, k: Int): String =
+    s"""WITH ${bm25ScoreCtes(query, k1, b)}
+       |SELECT doc_id, score FROM bmscore
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Mirror of [[graft.similarity.Retrieval.hybridRrf]]: BM25 and
+    * query-vector cosine each rank their own top-`nPer` under round-6
+    * scores with doc_id tie-breaks; RRF fuses over the full-outer union
+    * with the identical `1/(rrfK + rank)` + coalesce-to-0 algebra. The
+    * query vector is read in-database from the same `embeddings` row
+    * whose collected literal the engine ships, and the norm is the same
+    * left-to-right `list_reduce` fold — identical doubles throughout. */
+  def hybridRrfSql(query: Seq[String], queryVecId: Long, nPer: Int,
+                   rrfK: Int, k: Int, k1: Double, b: Double): String =
+    s"""WITH ${bm25ScoreCtes(query, k1, b)},
+       |lext AS (SELECT doc_id, score FROM bmscore ORDER BY score DESC, doc_id LIMIT $nPer),
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+       |  FROM lext
+       |),
+       |qe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $queryVecId),
+       |ce AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS nv FROM embeddings
+       |       WHERE ${normGuardSql("nv")} AND vec_id <> $queryVecId),
+       |semsc AS (
+       |  SELECT doc_id,
+       |         round(${dotSql("nv", "qv")} / (sqrt(${dotSql("nv", "nv")}) * sqrt(${dotSql("qv", "qv")})), 6) AS cos
+       |  FROM ce CROSS JOIN qe
+       |),
+       |semt AS (SELECT doc_id, cos FROM semsc ORDER BY cos DESC, doc_id LIMIT $nPer),
+       |sem AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
+       |  FROM semt
+       |),
+       |fused AS (
+       |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+       |         round(COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + rank_lex), CAST(0.0 AS DOUBLE)) +
+       |               COALESCE(CAST(1.0 AS DOUBLE) / ($rrfK + rank_sem), CAST(0.0 AS DOUBLE)), 6) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |)
+       |SELECT doc_id, rank_lex, rank_sem, rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused
+       |) WHERE rank <= $k""".stripMargin
 
   /** Mirror of [[graft.text.TextAnalysis.vocabCoverage]]: token counts,
     * top-k with (count desc, token asc) total order, running coverage

@@ -393,6 +393,18 @@ object SparkEntry {
         Collocations.topCollocations(Collocations.documents(s, d)),
       Some(OracleSql.topCollocationsSql(Collocations.K))),
 
+    // counter-telemetry twin of the reference's Hadoop counters /
+    // `StatisticalReport .md` (Job3.java:46,50,89): one flagship run with
+    // df.observe nodes riding the single top-k action, reported as a
+    // one-row table of stage counts + the published reduction ratios
+    // (stopword cut, map→combine cut, bounded-heap top-k cut). The oracle
+    // recomputes every counter as a direct aggregate — the observe path
+    // is gated against ground truth, not trusted
+    ("pipeline_counters",
+      (s: SparkSession, d: String) =>
+        Collocations.pipelineCounters(Collocations.documents(s, d)),
+      Some(OracleSql.pipelineCountersSql(Collocations.K))),
+
     // --------------------------- reference-format raw TSV path (S1'/S3)
     // The reference's true unit of work: pre-counted n-grams at
     // (lang, decade) grain with occurrence weights and lang-from-path
@@ -1035,7 +1047,7 @@ object SparkEntry {
     ("tokenize_bpe_indexed",
       (s: SparkSession, d: String) => {
         val merges = graft.text.TextAnalysis.readBpeModel(s, bpeModelDir(s, d))
-        graft.text.TextAnalysis.lastBpeMerges = Some(merges)
+        graft.text.TextAnalysis.lastBpeMergesIndexed = Some(merges)
         graft.text.TextAnalysis.tokenizeBpeWith(Collocations.documents(s, d), merges)
       },
       None),
@@ -1447,6 +1459,20 @@ object SparkEntry {
         graft.text.TextAnalysis.bm25TopK(Collocations.documents(s, d),
           query = Seq("spark", "merge", "window"), k = 15),
       Some(OracleSqlExt.bm25Sql(Seq("spark", "merge", "window"), 1.2, 0.75, 15))),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-N
+    // and the query-embedding cosine top-N — the decontamination/audit
+    // retrieval pattern; pure rank algebra (1/(60+rank) sums over the
+    // full-outer union of two bounded ranked lists), deterministic
+    // tie-breaks on doc_id at every stage
+    ("retrieval_hybrid_rrf",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Retrieval.hybridRrf(
+          Collocations.documents(s, d), s.read.parquet(s"$d/embeddings.parquet"),
+          query = Seq("spark", "merge", "window"), queryVecId = 0L,
+          nPer = 50, rrfK = 60, k = 15),
+      Some(OracleSqlExt.hybridRrfSql(Seq("spark", "merge", "window"),
+        queryVecId = 0L, nPer = 50, rrfK = 60, k = 15, k1 = 1.2, b = 0.75))),
 
     ("text_lm_score",
       (s: SparkSession, d: String) =>
@@ -2014,14 +2040,16 @@ object SparkEntry {
       None),
 
     // serve-only IVF twin: centroids read back from the persisted model
-    // and applied unchanged — the SAME dynamic oracle gates
-    // serve-equals-rebuild (training is deterministic)
+    // and applied unchanged; its dynamic oracle reads a DEDICATED stash
+    // (lastIvfModelIndexed) so a future param drift in either twin can
+    // never gate this query against the rebuild entry's model
     ("ann_ivf_indexed",
-      (s: SparkSession, d: String) =>
+      (s: SparkSession, d: String) => {
+        val model = graft.similarity.Ann.readIvfModel(s, ivfModelDir(s, d))
+        graft.similarity.Ann.lastIvfModelIndexed = Some((model, 100, 5, 2))
         graft.similarity.Ann.ivfTopKWith(
-          s.read.parquet(s"$d/embeddings.parquet"),
-          graft.similarity.Ann.readIvfModel(s, ivfModelDir(s, d)),
-          stride = 100, k = 5),
+          s.read.parquet(s"$d/embeddings.parquet"), model, stride = 100, k = 5)
+      },
       None),
 
     // semantic curriculum ordering (in-context-pretraining layout):
@@ -2337,14 +2365,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
-      OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_indexed" -> _) ++
+      OracleSqlExt.annIvfSqlFromIndexedModel.map("ann_ivf_indexed" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
       OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _) ++
       OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _) ++
-      OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe_indexed" -> _) ++
+      OracleSqlExt.tokenizeBpeSqlFromIndexedModel.map("tokenize_bpe_indexed" -> _) ++
       OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++

@@ -192,10 +192,42 @@ object Collocations {
     * node; the WindowGroupLimit rewrite lands above it), with the count
     * table released before returning. */
   def flagshipCounters(docs: DataFrame, k: Int = K): (Long, Long, Long, Long) = {
+    val c = observedRun(docs, k)
+    (c.topkRows, c.preAggRecords, c.postAggGroups, c.preTopkRecords)
+  }
+
+  /** The observed counter values of one flagship run — every stage count
+    * the reference's `StatisticalReport .md` tables publish. */
+  case class PipelineCounterValues(nDocs: Long, rawPairRecords: Long,
+                                   preAggRecords: Long, postAggGroups: Long,
+                                   preTopkRecords: Long, topkRows: Long)
+
+  /** ONE observed flagship run: every counter rides the single top-k
+    * action as an `observe` node (zero extra corpus passes — exactly how
+    * Hadoop counters ride the job). Counters, in pipeline order:
+    *  - n_docs: documents entering the tokenizer (map input records);
+    *  - raw_pairs: adjacent pairs over the cleaned token sequence BEFORE
+    *    the stopword filter;
+    *  - pre_agg: pair records surviving the stopword anti-joins, entering
+    *    the count aggregation (Job1 map output records);
+    *  - post_agg: final (lang,w1,w2) groups — a lower bound on combiner
+    *    output, so `1 - post/pre` UPPER-bounds the map→combine cut;
+    *  - pre_topk: scored rows entering the top-k window (Job3 input);
+    *  - topk_rows: the ≤ k-per-lang output (an action count, not an
+    *    observe — it's the result itself). */
+  private def observedRun(docs: DataFrame, k: Int = K): PipelineCounterValues = {
     import graft.ops.Metrics
     val u = unigramCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = u.groupBy("lang").agg(sum("c").as("n"))
-    val (pairs, preAgg) = Metrics.observed(bigramPairs(docs), "graft_pre_agg",
+    val (t, docsObs) = Metrics.observed(tokenized(docs), "graft_n_docs",
+      count(lit(1)).as("records"))
+    val rawPairs = t
+      .select(col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val (rawObs, rawPairsObs) = Metrics.observed(rawPairs, "graft_raw_pairs",
+      count(lit(1)).as("records"))
+    val (pairs, preAgg) = Metrics.observed(
+      Stopwords.anti(Stopwords.anti(rawObs, "w1"), "w2"), "graft_pre_agg",
       count(lit(1)).as("records"))
     val bc = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
     val (bcObs, postAgg) = Metrics.observed(bc, "graft_post_agg",
@@ -215,9 +247,35 @@ object Collocations {
       Seq(col("llr").desc, col("w1").asc, col("w2").asc), k)
     val outRows = top.count()
     u.unpersist()
-    (outRows,
+    PipelineCounterValues(
+      docsObs.get("records").asInstanceOf[Long],
+      rawPairsObs.get("records").asInstanceOf[Long],
       preAgg.get("records").asInstanceOf[Long],
       postAgg.get("records").asInstanceOf[Long],
-      preTopk.get("records").asInstanceOf[Long])
+      preTopk.get("records").asInstanceOf[Long],
+      outRows)
+  }
+
+  /** The counter-telemetry REPORT — the engine twin of the reference's
+    * `StatisticalReport .md` tables (Hadoop counters, `Job3.java:46,50,89`;
+    * SURVEY §2.10 maps them to `df.observe`): one row of the six observed
+    * stage counts plus the three reduction ratios the report publishes —
+    * the stopword filter cut, the map→combine(r) cut (~75-78% on Google
+    * Books), and the Job3 bounded-heap cut (>99.9% at that scale). The
+    * ratios are computed IN the returned plan (Spark's own divide/round),
+    * so the DuckDB oracle mirrors byte-for-byte; the counts themselves are
+    * plain aggregates, directly SQL-mirrorable. */
+  def pipelineCounters(docs: DataFrame, k: Int = K): DataFrame = {
+    val c = observedRun(docs, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((c.nDocs, c.rawPairRecords, c.preAggRecords, c.postAggGroups,
+        c.preTopkRecords, c.topkRows))
+      .toDF("n_docs", "raw_pair_records", "pre_agg_records", "post_agg_groups",
+        "pre_topk_records", "topk_rows")
+      .select(col("*"),
+        round(lit(1.0) - col("pre_agg_records") / col("raw_pair_records"), 6).as("stopword_cut"),
+        round(lit(1.0) - col("post_agg_groups") / col("pre_agg_records"), 6).as("combiner_cut"),
+        round(lit(1.0) - col("topk_rows") / col("pre_topk_records"), 6).as("topk_cut"))
   }
 }

@@ -188,6 +188,14 @@ object Ann {
     * stashed model is exactly the one the dumped result used. */
   @volatile private[graft] var lastIvfModel: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None
 
+  /** SEPARATE stash for the serve-only `ann_ivf_indexed` registry entry
+    * (written only by that entry, read only by its oracle): sharing one
+    * slot between the rebuild and indexed twins would silently gate one
+    * query against the other's model if their hyperparameters ever
+    * drift — each entry's dynamic oracle must reflect exactly the model
+    * that entry's plan used. */
+  @volatile private[graft] var lastIvfModelIndexed: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None
+
   /** IVF approximate top-k: vectors are indexed by their nearest trained
     * centroid (one equi-join key per vector); each query probes its
     * `probes` best cells. Unlike the data-oblivious sign quantizer, the
@@ -199,6 +207,7 @@ object Ann {
               nCells: Int = 16, iters: Int = 2, probes: Int = 2,
               trainStride: Int = 1): DataFrame = {
     val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    lastIvfModel = Some((cents, stride, k, probes))
     ivfTopKWith(emb, cents, stride, k, probes)
   }
 
@@ -226,11 +235,12 @@ object Ann {
       .map(r => (r.getAs[Int]("cid"), r.getAs[Seq[Double]]("cv").toArray)).toSeq
 
   /** APPLY-only twin of [[ivfTopK]] for a given centroid model — the
-    * serve path. Stashes the model so the dynamic oracle reflects the
-    * exact centroids this plan used. */
+    * serve path. Stashing is the CALLER's job (the rebuild entry stashes
+    * to [[lastIvfModel]], the indexed entry to [[lastIvfModelIndexed]]),
+    * so each registry entry's dynamic oracle reflects exactly the
+    * centroids its own plan used. */
   def ivfTopKWith(emb: DataFrame, cents: Seq[(Int, Array[Double])],
                   stride: Int = 100, k: Int = 5, probes: Int = 2): DataFrame = {
-    lastIvfModel = Some((cents, stride, k, probes))
     // indexing is a narrow map: each vector gets its cell from the
     // literal centroid model, no join, no shuffle
     val cand = candidates(emb).withColumn("cid", ivfCell(col("n_vec"), cents))

@@ -44,24 +44,55 @@ object Sinks {
   /** Near-atomic model publish for the serve-many model directories
     * (classifier weights, BPE merges, IVF centroids, diff digests): the
     * new artifact materializes FULLY under `dir + ".staging"`, and only
-    * then replaces the serving directory in a delete+rename step. A
-    * concurrent per-micro-batch reader can race only the rename instant —
-    * never observe a half-written parquet directory, which a plain
-    * in-place `.mode("overwrite")` exposes for the whole write. (A truly
+    * then replaces the serving directory as two renames — the old target
+    * moves aside to `dir + ".old"` and staging moves in — with the slow
+    * recursive delete deferred until after the path is live again. A
+    * concurrent per-micro-batch reader can race only the two-rename
+    * window (microseconds), never a half-written parquet directory or the
+    * multi-file delete that a delete-then-rename publish exposes; readers
+    * that do lose the race should retry once (see `readRetry`). (A truly
     * atomic swap needs an indirection the deployment owns — versioned
     * dirs plus a repointed path; this helper is the strongest publish a
     * fixed path allows.) */
   def publishSwap(dir: String)(write: String => Unit): Unit = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import java.util.Comparator
-    val staging = Paths.get(dir + ".staging")
     def rmTree(p: Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    val staging = Paths.get(dir + ".staging")
+    val old     = Paths.get(dir + ".old")
     rmTree(staging)
+    rmTree(old)
     write(staging.toString)
     val target = Paths.get(dir)
-    rmTree(target)
+    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(old)
+  }
+
+  /** Read-side guard for the two-rename window of [[publishSwap]]: retry
+    * the read a few times with a short backoff before giving up, so a
+    * per-micro-batch model re-read (QualityStream.gate, DiffStream
+    * .monitor, indexed serve twins) landing exactly between the two
+    * renames degrades to a millisecond stall instead of killing the
+    * streaming query. */
+  def readRetry[A](attempts: Int = 5, backoffMs: Long = 20)(read: => A): A = {
+    var left    = attempts
+    var backoff = backoffMs
+    var out     = Option.empty[A]
+    while (out.isEmpty) {
+      try out = Some(read)
+      catch {
+        case e: Exception if left > 1 =>
+          left -= 1
+          Thread.sleep(backoff)
+          backoff *= 2
+      }
+    }
+    out.get
   }
 }

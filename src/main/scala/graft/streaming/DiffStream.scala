@@ -16,7 +16,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Same stream-STATIC shape as [[DriftStream]]/[[QualityStream]] (static
   * side re-read per micro-batch; a rebase republishes via the staged
-  * delete+rename of [[graft.sources.Sinks.publishSwap]]) and the
+  * two-rename swap of [[graft.sources.Sinks.publishSwap]], and the
+  * per-batch read retries across the rename window) and the
   * same `foreachBatch` + dynamic-partition-overwrite replay idempotence.
   * The static side is digest-projected at build time, so the per-batch
   * join ships 32-byte hashes — never old document bodies. */
@@ -50,12 +51,16 @@ object DiffStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        deltaBatch(batch, readBase(batch.sparkSession, baseDir))
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(outDir)
+        // readRetry: survive the two-rename window of a concurrent
+        // publishSwap rebase (batch write is dynamic-overwrite idempotent).
+        graft.sources.Sinks.readRetry() {
+          deltaBatch(batch, readBase(batch.sparkSession, baseDir))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(outDir)
+        }
       }
       .start()
 

@@ -16,8 +16,9 @@ import graft.text.QualityClassifier
   * re-read per micro-batch, so a retrain refreshes serving without a
   * restart via [[graft.sources.Sinks.publishSwap]] — the new weight row
   * materializes fully in a staging directory and replaces the serving
-  * path in a delete+rename step, so a racing reader can hit only the
-  * rename instant, never a half-written model), and the same
+  * path as two renames, so a racing reader can hit only a microsecond
+  * rename window, never a half-written model — and the per-batch read is
+  * wrapped in `readRetry` so even that window is survived), and the same
   * `foreachBatch` + dynamic-partition-overwrite replay idempotence: a
   * checkpoint-replayed batch overwrites its own `ingest_batch`
   * partition.
@@ -68,12 +69,17 @@ object QualityStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        scoreBatch(batch, readModel(batch.sparkSession, modelDir))
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(outDir)
+        // readRetry: a concurrent publishSwap leaves a two-rename window in
+        // which the model path transiently resolves empty; retrying the
+        // (idempotent, dynamic-overwrite) batch beats killing the query.
+        graft.sources.Sinks.readRetry() {
+          scoreBatch(batch, readModel(batch.sparkSession, modelDir))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(outDir)
+        }
       }
       .start()
 

@@ -246,6 +246,13 @@ object TextAnalysis {
     * SQL-mirrorable, apply given the model is). */
   @volatile var lastBpeMerges: Option[Seq[(String, String)]] = None
 
+  /** SEPARATE stash for the serve-only `tokenize_bpe_indexed` registry
+    * entry (written only by that entry, read only by its oracle) — the
+    * [[graft.similarity.Ann.lastIvfModelIndexed]] discipline: sharing one
+    * slot between the rebuild and indexed twins would gate one query
+    * against the other's merge table if their params ever drift. */
+  @volatile var lastBpeMergesIndexed: Option[Seq[(String, String)]] = None
+
   /** Deterministic BPE training (Sennrich et al. 2016) on the corpus's
     * word-frequency table: `numMerges` iterations of count-adjacent-pairs
     * -> merge-the-most-frequent. Runs DRIVER-SIDE on a bounded model —
@@ -464,8 +471,10 @@ object TextAnalysis {
     * the companion of [[gopherRules]]' format battery): per document,
     * the fraction of characters contained in the most frequent n-gram
     * (`top{n}_frac`, n in `tops`) and the fraction of characters covered
-    * by occurrences of DUPLICATED n-grams (`dup{n}_frac`, n in `dups`,
-    * capped at 1.0 since overlapping occurrences double-count).
+    * by occurrences of DUPLICATED n-grams (`dup{n}_frac`, n in `dups`).
+    * Both fractions cap at 1.0 — overlapping occurrences double-count
+    * character mass (e.g. "a a a" has c·clen > total for the top bigram),
+    * so the raw ratio can exceed 1 and the cap keeps "fraction" honest.
     * Character mass counts token characters only (an n-gram's length is
     * `length(gram) − (n−1)` — separators excluded; the doc total is the
     * summed token lengths), so every ratio is a division of exact longs.
@@ -508,8 +517,8 @@ object TextAnalysis {
       Seq(col("doc_id"), col("total_chars")) ++
       tops.map { n =>
         round(when(col("total_chars") > 0 && col(s"enc$n").isNotNull,
-          (expr(s"enc$n div 1000000000") *
-            (col(s"enc$n") % lit(1000000000L))).cast("double") / col("total_chars"))
+          least((expr(s"enc$n div 1000000000") *
+            (col(s"enc$n") % lit(1000000000L))).cast("double") / col("total_chars"), lit(1.0)))
           .otherwise(lit(0.0)), 6).as(s"top${n}_frac")
       } ++
       dups.map { n =>

@@ -78,4 +78,34 @@ class CollocationsSpec extends SparkSpec {
     val en = rows.toMap
     assert(en(("en", "big", "data"))._5 == math.round(math.log(3.0) * 1e6) / 1e6)
   }
+
+  test("observed pipeline counters equal the directly-computed stage counts") {
+    // the counter-telemetry report's observe nodes ride the one top-k
+    // action; this gates every observed value against a direct recount of
+    // the same stage, so the reduction ratios the report publishes (the
+    // reference's StatisticalReport combiner/heap cuts) are grounded
+    val sf = Collocations.documents(spark, "/root/testdata/sf0.001")
+    val r = Collocations.pipelineCounters(sf).collect().head
+
+    assert(r.getAs[Long]("n_docs") == sf.count())
+    val rawPairs = Collocations.tokenized(sf)
+      .select(explode(graft.ops.Normalize.bigramsCol(col("toks"))))
+      .count()
+    assert(r.getAs[Long]("raw_pair_records") == rawPairs)
+    assert(r.getAs[Long]("pre_agg_records") == Collocations.bigramPairs(sf).count())
+    assert(r.getAs[Long]("post_agg_groups") == Collocations.bigramCounts(sf).count())
+    assert(r.getAs[Long]("pre_topk_records") == Collocations.scored(sf).count())
+    assert(r.getAs[Long]("topk_rows") == Collocations.topCollocations(sf).count())
+
+    // the published ratios recompute from the gated counts with the same
+    // 1 - post/pre algebra (round to 6, the corpus-wide convention)
+    def cut(post: Long, pre: Long): Double =
+      math.round((1.0 - post.toDouble / pre) * 1e6) / 1e6
+    assert(r.getAs[Double]("stopword_cut") ==
+      cut(r.getAs[Long]("pre_agg_records"), r.getAs[Long]("raw_pair_records")))
+    assert(r.getAs[Double]("combiner_cut") ==
+      cut(r.getAs[Long]("post_agg_groups"), r.getAs[Long]("pre_agg_records")))
+    assert(r.getAs[Double]("topk_cut") ==
+      cut(r.getAs[Long]("topk_rows"), r.getAs[Long]("pre_topk_records")))
+  }
 }

@@ -416,8 +416,17 @@ class PlanSpec extends SparkSpec {
             "BroadcastNestedLoopJoin with unbounded build side"
         } ++
         p.collect {
+          // a partition-less window is bounded iff its input provably is:
+          // an aggregate below (vocabulary/metadata-sized groups) or a
+          // LIMIT below (top-N lists — the hybrid-RRF rank windows) both
+          // qualify; a window directly over raw table rows never does
           case w: WindowExec if w.partitionSpec.isEmpty &&
-            w.child.collect { case a: BaseAggregateExec => a }.isEmpty =>
+            w.child.collect { case a: BaseAggregateExec => a }.isEmpty &&
+            w.child.collect {
+              case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+              case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+              case c: org.apache.spark.sql.execution.CollectLimitExec => c
+            }.isEmpty =>
             "global Window over raw rows"
         }
       }
