@@ -39,5 +39,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): a local[32] session gives execution+storage
+  // ~0.6x the heap shared by 32 task threads; at 8g the heavy dedup tier
+  // ran GC-bound in long sweeps (r12 median/min gaps up to 3x that
+  // vanished in isolation). The box has 125 GiB; 16g halves collection
+  // frequency without changing any plan.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

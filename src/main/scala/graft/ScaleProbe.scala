@@ -16,7 +16,8 @@ object ScaleProbe {
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
-      "--substring-only", "--classifier-only", "--diff-only", "--overlap-only")
+      "--substring-only", "--substring-geom-only", "--classifier-only",
+      "--diff-only", "--overlap-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -31,6 +32,7 @@ object ScaleProbe {
     val noveltyOnly = flags.contains("--novelty-only")
     val winnowOnly = flags.contains("--winnow-only")
     val substringOnly = flags.contains("--substring-only")
+    val substringGeomOnly = flags.contains("--substring-geom-only")
     val classifierOnly = flags.contains("--classifier-only")
     val diffOnly = flags.contains("--diff-only")
     val overlapOnly = flags.contains("--overlap-only")
@@ -274,6 +276,54 @@ object ScaleProbe {
         mts.unpersist()
         spark.sharedState.cacheManager.clearCache()
         println(f"SCALE-SUBSTRING m=$m%2d docs=${5000 * m}%6d anchors=$nAn%9d $tAn%6.2f s   matches=$nM%7d end2end $tM%6.2f s")
+      } else if (substringGeomOnly) {
+        // (k, w) GEOMETRY sweep at a FIXED corpus (pass one m, e.g. 10):
+        // the result set is provably identical for every k + w - 1 <=
+        // minLen (coverage guarantee + exact extension) — only the COST
+        // moves, between two failure corners: tiny k anchors are common
+        // grams whose cross-doc hash collisions flood the pair join;
+        // k near minLen forces w down to 1-3, so winnowing selects
+        // nearly every position and the anchor table itself balloons.
+        // Same ciphered replicas as --substring-only, so the duplicate
+        // structure is m copies of the base corpus's internal one.
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val sub = (0 until m).map { i =>
+          val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+          base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            translate(col("text"), alpha, rot).as("text"), col("lang"))
+        }.reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sub.count()
+        val minLen = 30
+        var refMatches = -1L
+        for ((k, w) <- Seq((8, 23), (12, 19), (16, 15), (16, 7), (20, 11),
+                           (24, 7), (24, 3), (28, 3))) {
+          val t0 = System.nanoTime()
+          val an = graft.dedup.Dedup.substringAnchors(sub, k, w)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nAn = an.count()
+          val tAn = (System.nanoTime() - t0) / 1e9
+          // candidate pairs = the cross-doc anchor-hash join volume that
+          // stage 3 must attach text for — the cost the k default tunes
+          val t1 = System.nanoTime()
+          val nCand = an.select(col("h"), col("doc_id").as("a"))
+            .join(an.select(col("h"), col("doc_id").as("b")), Seq("h"))
+            .filter(col("a") < col("b")).count()
+          val tCand = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val mts = graft.dedup.Dedup.substringMatchesFrom(an, sub, minLen,
+            maxPostingGuard = 500000)
+          val nM = mts.count()
+          val tEx = (System.nanoTime() - t2) / 1e9
+          mts.unpersist(); an.unpersist()
+          spark.sharedState.cacheManager.clearCache()
+          // geometry-independence, asserted on the measured corpus itself
+          if (refMatches < 0) refMatches = nM
+          require(nM == refMatches,
+            s"geometry ($k,$w) changed the match set: $nM != $refMatches")
+          println(f"SCALE-SUBSTRING-GEOM m=$m%2d k=$k%2d w=$w%2d anchors=$nAn%9d $tAn%6.2f s   cand=$nCand%9d $tCand%6.2f s   matches=$nM%7d extend $tEx%6.2f s")
+        }
+        sub.unpersist()
       } else if (winnowOnly) {
         // winnowing under clone skew: m-fold replication multiplies every
         // fingerprint posting list by m, so UNCAPPED pair volume grows

@@ -621,27 +621,40 @@ object Dedup {
     * disables the guard (for callers that have already bounded input). */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.0,
                    maxPostingGuard: Int = 20000): DataFrame = {
-    // the shingle index is referenced three times (both join sides +
-    // per-doc counts); materialize it once — the single-DAG equivalent of
+    // the shingle index is referenced twice (posting lists + per-doc
+    // counts); materialize it once — the single-DAG equivalent of
     // writing the inverted index to a table, which is what a 100 TB
     // pipeline does with it anyway
     val sh = shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (maxPostingGuard > 0) {
-      val hottest = Option(sh.groupBy("shingle").agg(count(lit(1)).as("pn"))
-        .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
-      if (hottest > maxPostingGuard) {
-        sh.unpersist()
-        throw new IllegalArgumentException(
-          s"jaccardPairs: hottest shingle posting list has $hottest docs " +
-          s"(> guard $maxPostingGuard); the exact all-pairs self-join would be " +
-          s"quadratic in that list. Run on a sample (this operator is the " +
-          s"bounded-truth side), or raise maxPostingGuard deliberately.")
-      }
-    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = sh.select(col("shingle"), col("doc_id").as("a"))
-      .join(sh.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
-      .filter(col("a") < col("b"))
+    // POSTING-LIST shape, not a self-join: ONE exchange on shingle
+    // (the groupBy) replaces BOTH shuffled sides of the r11 index
+    // self-join AND the r12 guard pre-pass (a separate scan+aggregate
+    // job, measured ~+15% on dedup_blocking_eval at sf0.1). Lists are
+    // bounded by the guard, so a list row is <= ~160 KB; pairs stream
+    // out of two chained generators — the n²/2 pair set per list is
+    // never materialized as one array. shingleCol applies array_distinct
+    // per doc, so each doc appears at most once per list and the sorted
+    // order makes every generated pair strictly a < b.
+    val pl = sh.groupBy("shingle").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // the guard rides the same stage as pair generation via raise_error —
+    // an over-guard list kills the job before emitting a single pair; it
+    // is tied to `ds` itself (not a side column) so pruning can't drop it
+    val guarded =
+      if (maxPostingGuard <= 0) pl
+      else pl.select(when(size(col("ds")) <= maxPostingGuard, col("ds"))
+        .otherwise(raise_error(concat(
+          lit("jaccardPairs: hottest shingle posting list has "),
+          size(col("ds")).cast("string"),
+          lit(s" docs (> guard $maxPostingGuard); the exact all-pairs stage would " +
+             s"be quadratic in that list. Run on a sample (this operator is the " +
+             s"bounded-truth side), or raise maxPostingGuard deliberately."))))
+        .as("ds"))
+    val inter = guarded
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("a"),
+        slice(col("ds"), col("pos") + lit(2), size(col("ds")) - col("pos") - lit(1)).as("rest"))
+      .select(col("a"), explode(col("rest")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val j = inter
       .join(counts.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
@@ -650,7 +663,20 @@ object Dedup {
     val out = j.filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    try out.count()
+    catch {
+      case t: Throwable =>
+        sh.unpersist(); out.unpersist()
+        // surface the guard as the same instructive IllegalArgumentException
+        // the pre-pass threw (callers and specs pin the type + fix hint)
+        val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .flatMap(c => Option(c.getMessage)).toSeq
+        msgs.find(_.contains("jaccardPairs:")) match {
+          case Some(m) => throw new IllegalArgumentException(
+            m.substring(m.indexOf("jaccardPairs:")))
+          case None => throw t
+        }
+    }
     sh.unpersist()
     out
   }
