@@ -1488,10 +1488,14 @@ object Dedup {
     * exact) — only the COST moves. Small k selects fewer anchors but
     * collides constantly (a k-char gram is far more common than a
     * minLen-char match); large k selects denser anchors whose collisions
-    * nearly all verify. Measured at sf0.1/minLen=30: k=16,w=15 gives
-    * 172k anchors but 523k candidates; k=24,w=7 gives 339k anchors and
-    * 29k candidates — 18x fewer text attaches for the same output, hence
-    * the k=24 default. Tune k toward minLen when candidates dominate. */
+    * nearly all verify. Measured curve at 10x sf0.1/minLen=30
+    * (ScaleProbe --substring-geom-only, table in ARCHITECTURE.md):
+    * k=8,w=23 floods the pair join with 288M candidates (385 s extend);
+    * k=24,w=7 emits 3.4M anchors but only 305k candidates (3.0 s) —
+    * 943x fewer text attaches for the IDENTICAL 10,760 matches, hence
+    * the k=24 default. Tune k toward minLen when candidates dominate;
+    * shrink w below ~7 only when minLen forces it (anchors double with
+    * no candidate payoff). */
   def substringMatches(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
                        maxPostingGuard: Int = 20000): DataFrame = {
     require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
