@@ -46,17 +46,19 @@ object Bench {
     // reporting noise. The cache is cleared before every sample so persisted
     // intermediates inside queries are re-materialized each time (no
     // cross-sweep credit).
-    // HASH-SCATTERED sweep-1 order, not alphabetical: the registry names
-    // cluster by family (40+ dedup_* run consecutively under sorted order),
-    // so a family whose queries share heavy intermediates measures its
-    // whole tier back-to-back at peak memory/GC pressure — the r12 reading
-    // showed exactly that tier carrying 1.5-3x median/min gaps while the
-    // same queries ran stably in isolation. Ordering by a name hash is
-    // still deterministic (same order every run) but interleaves heavy
-    // and light families, so no query's sample systematically follows the
-    // same heavy predecessors.
-    val names = SparkEntry.queries.toSeq
-      .sortBy { case (n, _) => (scala.util.hashing.MurmurHash3.stringHash(n), n) }
+    // Alphabetical sweep-1 order: family-clustered, so heavy dedup_*
+    // queries run back-to-back here — but the deterministic GC placement
+    // below (collect BEFORE the timer at the checkpoint cadence, and
+    // before every heavy sample in later sweeps) breaks the GC-debt
+    // chain that made that adjacency poison r12's medians. A zigzag
+    // heavy/light interleave was tried for r13 and REJECTED by
+    // measurement: it stabilized the heavy medians but put a heavy
+    // predecessor in front of every light query's every sample, whose
+    // fresh young-gen garbage added a ~0.1 s constant that DOUBLED
+    // sub-0.3 s minima (board-wide median ratio 1.25x vs r12). Keeping
+    // the light tail contiguous is worth more than scattering the heavy
+    // block.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
 
@@ -83,6 +85,7 @@ object Bench {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch { case _: Throwable => () } // a read-only cwd must not kill the bench
+    var gcNanos = 0L
     def emit(sweepsDone: Int): Unit = {
       val sampled = names.filter { case (n, _) => samples(n).nonEmpty }
       // min over SUCCESSFUL samples; -1 only when every sample failed. A
@@ -115,7 +118,7 @@ object Bench {
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMedian = medians.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
       // FINAL COMPACT LINE, always last and always < 1800 bytes: the
@@ -156,7 +159,10 @@ object Bench {
       // moves that cost out of the sample; gating on gcFirst (heavy
       // queries + periodic checkpoints) keeps the total spend bounded
       // instead of ~170 full GCs per sweep.
-      if (gcFirst) System.gc()
+      // gc wall time accumulates into gc_s in the emitted JSON — the
+      // pre-sample collections spend sweep budget, and that spend must
+      // be visible when reading sweep counts round over round
+      if (gcFirst) { val g0 = System.nanoTime(); System.gc(); gcNanos += System.nanoTime() - g0 }
       // a failed query must surface as -1, never as its (short) elapsed
       // time — a regression that throws in planning would otherwise read
       // as a speedup
@@ -199,30 +205,20 @@ object Bench {
         val ok = samples(n).filter(_ >= 0)
         if (ok.isEmpty) 0.0 else -ok.min
       }
-      // ZIGZAG interleave (heaviest, lightest, 2nd-heaviest, 2nd-lightest,
-      // ...): pure descending order ran the entire heavy tier as one
-      // contiguous block, so every heavy query's later samples ALWAYS
-      // followed ~30 other heavy queries — systematic pressure adjacency
-      // the per-query min can dodge but the median cannot (r12:
-      // dedup_edit_distance median 3.0x its min in-sweep, 1.07x isolated).
-      // Alternating from both ends keeps the budget-expiry property
-      // (after k samples the k/2 slowest are covered) while giving every
-      // heavy sample a light successor/predecessor that lets cleanup and
-      // compaction land between heavy measurements, not inside them.
-      val order = {
-        val buf = new scala.collection.mutable.ArrayBuffer[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](byMin.size)
-        var lo = 0
-        var hi = byMin.size - 1
-        while (lo <= hi) {
-          buf += byMin(lo)
-          if (hi != lo) buf += byMin(hi)
-          lo += 1; hi -= 1
-        }
-        buf.toSeq
-      }
+      // Heavy block first (descending), light tail contiguous. The r12
+      // heavy-after-heavy median inflation (dedup_edit_distance median
+      // 3.0x its min in-sweep, 1.07x isolated) is addressed by the
+      // DETERMINISTIC GC before each heavy sample, not by reordering: a
+      // zigzag heavy/light interleave was measured for r13 and rejected
+      // — it gave every light query a heavy predecessor whose fresh
+      // garbage added a ~0.1 s constant to every sub-second sample
+      // (doubled minima board-wide on the light half). Descending order
+      // also keeps the budget-expiry property: when the budget dies
+      // mid-sweep, the slowest (least-trustworthy) queries already got
+      // their re-sample.
       var j = 0
       var done = 0
-      for ((name, fn) <- order if elapsedS < budgetS) {
+      for ((name, fn) <- byMin if elapsedS < budgetS) {
         val curMin = { val ok = samples(name).filter(_ >= 0); if (ok.isEmpty) Double.MaxValue else ok.min }
         sample(name, fn, gcFirst = curMin > 1.5)
         done += 1

@@ -911,6 +911,77 @@ object OracleSqlExt {
       annIvfSql(cents, stride, k, probes)
     }
 
+  /** Mirror of [[graft.similarity.Ann.recallEval]] GIVEN the trained
+    * centroids: the [[annBruteSql]] truth CTE chain and the
+    * [[annIvfSql]] approx chain side by side, full-outer-joined on
+    * (q_id, n_id) into the one-row report. Mean cosines sum as exact
+    * integer micros on both sides (cos is already rounded to 6dp), so
+    * no float-accumulation-order drift can enter the compare. */
+  def annRecallEvalSql(cents: Seq[(Int, Array[Double])], stride: Int,
+                       k: Int, probes: Int): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+       |tscored AS (
+       |  SELECT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM q JOIN c ON n_id != q_id
+       |),
+       |truth AS (
+       |  SELECT q_id, n_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM tscored
+       |  ) WHERE rn <= $k
+       |),
+       |cents AS (
+       |  $centRows
+       |),
+       |ca AS (
+       |  SELECT n_id, nv, cid FROM (
+       |    SELECT n_id, nv, cid, row_number() OVER (PARTITION BY n_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT n_id, nv, cid, ${dotSql("nv", "cv")} AS d FROM c CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |qp AS (
+       |  SELECT q_id, qv, cid FROM (
+       |    SELECT q_id, qv, cid, row_number() OVER (PARTITION BY q_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT q_id, qv, cid, ${dotSql("qv", "cv")} AS d FROM q CROSS JOIN cents)
+       |  ) WHERE rn <= $probes
+       |),
+       |ascored AS (
+       |  SELECT DISTINCT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM qp JOIN ca USING (cid) WHERE n_id != q_id
+       |),
+       |approx AS (
+       |  SELECT q_id, n_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM ascored
+       |  ) WHERE rn <= $k
+       |),
+       |j AS (
+       |  SELECT t.cos AS tcos, a.cos AS acos
+       |  FROM truth t FULL JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+       |),
+       |m AS (
+       |  SELECT CAST(count(tcos) AS BIGINT) AS n_truth,
+       |         CAST(count(acos) AS BIGINT) AS n_approx,
+       |         CAST(count(CASE WHEN tcos IS NOT NULL AND acos IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+       |         CAST(sum(CAST(round(tcos * 1000000) AS BIGINT)) AS DOUBLE) AS tsum,
+       |         CAST(sum(CAST(round(acos * 1000000) AS BIGINT)) AS DOUBLE) AS asum
+       |  FROM j
+       |)
+       |SELECT n_truth, n_approx, n_hit,
+       |       round(CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS recall,
+       |       round(CASE WHEN n_truth > 0 THEN tsum / 1e6 / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS truth_mean_cos,
+       |       round(CASE WHEN n_approx > 0 THEN asum / 1e6 / n_approx ELSE CAST(0 AS DOUBLE) END, 6) AS approx_mean_cos
+       |FROM m""".stripMargin
+  }
+
+  /** Oracle SQL for `ann_recall_eval`, from its OWN stash. */
+  def annRecallEvalSqlFromModel: Option[String] =
+    graft.similarity.Ann.lastRecallEvalModel.map { case (cents, stride, k, probes) =>
+      annRecallEvalSql(cents, stride, k, probes)
+    }
+
   /** Shared assignment + own-centroid-cosine CTE chain (`c`, `cents`,
     * `ca`, `scored`) over literal (cid, cv, cn) rows — ONE definition for
     * the semantic-sort and diverse-batches oracles. */

@@ -2039,6 +2039,18 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5, trainStride = 8),
       None),
 
+    // the REPORT run before committing an IVF geometry (the ANN twin of
+    // dedup_blocking_eval): brute-force truth vs the probed serve path,
+    // one row of counts + recall + the mean-cos quality gap. DYNAMIC
+    // oracle from a DEDICATED stash; a wider probes sweep of the same
+    // report is what tunes (nCells, probes) before a 100 TB run
+    ("ann_recall_eval",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.recallEval(
+          s.read.parquet(s"$d/embeddings.parquet"), stride = 100, k = 5,
+          nCells = 16, iters = 2, probes = 2, trainStride = 8),
+      None),
+
     // serve-only IVF twin: centroids read back from the persisted model
     // and applied unchanged; its dynamic oracle reads a DEDICATED stash
     // (lastIvfModelIndexed) so a future param drift in either twin can
@@ -2366,6 +2378,7 @@ object SparkEntry {
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       OracleSqlExt.annIvfSqlFromLastModel.map("ann_ivf_topk" -> _) ++
       OracleSqlExt.annIvfSqlFromIndexedModel.map("ann_ivf_indexed" -> _) ++
+      OracleSqlExt.annRecallEvalSqlFromModel.map("ann_recall_eval" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++

@@ -196,6 +196,11 @@ object Ann {
     * that entry's plan used. */
   @volatile private[graft] var lastIvfModelIndexed: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None
 
+  /** SEPARATE stash for `ann_recall_eval` (same one-slot-per-entry rule
+    * as [[lastIvfModelIndexed]]): the eval may sweep geometries the
+    * serving entries don't use. */
+  @volatile private[graft] var lastRecallEvalModel: Option[(Seq[(Int, Array[Double])], Int, Int, Int)] = None
+
   /** IVF approximate top-k: vectors are indexed by their nearest trained
     * centroid (one equi-join key per vector); each query probes its
     * `probes` best cells. Unlike the data-oblivious sign quantizer, the
@@ -263,6 +268,52 @@ object Ann {
       scored.select(col("q_id"), col("n_id"), col("cos")).distinct(),
       Seq(col("q_id")),
       Seq(col("cos").desc, col("n_id").asc), k)
+  }
+
+  /** The REPORT run before committing an IVF geometry to the full
+    * corpus — the ANN twin of [[graft.dedup.Dedup.blockingEval]]: exact
+    * brute-force top-k truth vs the (nCells, probes) serve path, as ONE
+    * row of (n_truth, n_approx, n_hit, recall, truth_mean_cos,
+    * approx_mean_cos). `recall` is the fraction of true neighbors the
+    * probed cells surface; the mean-cos pair is the quality gap that
+    * tells you whether the misses even matter (a recall of 0.9 whose
+    * replacement neighbors score within epsilon is a fine trade; the
+    * same recall with a wide gap is not).
+    *
+    * Scale shape: truth is the bounded strided probe set against one
+    * corpus scan (the [[bruteForceTopK]] literal-model plan — the truth
+    * side is n/stride x n, run on a sample before committing, exactly
+    * the blockingEval contract); the approx side is the production
+    * [[ivfTopKWith]] plan; the comparison joins two (probes x k)-sized
+    * top-k tables — metadata-sized, broadcast territory. Mean cosines
+    * aggregate as exact integer micros (cos is already rounded to 6dp)
+    * so partition-order float drift can't perturb the report. */
+  def recallEval(emb: DataFrame, stride: Int = 100, k: Int = 5,
+                 nCells: Int = 16, iters: Int = 2, probes: Int = 2,
+                 trainStride: Int = 1): DataFrame = {
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    lastRecallEvalModel = Some((cents, stride, k, probes))
+    val truth = bruteForceTopK(emb, stride, k)
+      .select(col("q_id"), col("n_id"), col("cos").as("tcos"))
+    val approx = ivfTopKWith(emb, cents, stride, k, probes)
+      .select(col("q_id"), col("n_id"), col("cos").as("acos"))
+    val joined = truth.join(approx, Seq("q_id", "n_id"), "full_outer")
+    val micros = (c: Column) => round(c * lit(1000000L)).cast("long")
+    joined.agg(
+        count(col("tcos")).as("n_truth"),
+        count(col("acos")).as("n_approx"),
+        count(when(col("tcos").isNotNull && col("acos").isNotNull, lit(1))).as("n_hit"),
+        sum(micros(col("tcos"))).as("tsum"),
+        sum(micros(col("acos"))).as("asum"))
+      .select(col("n_truth"), col("n_approx"), col("n_hit"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(lit(0.0)), 6).as("recall"),
+        round(when(col("n_truth") > 0,
+          col("tsum").cast("double") / lit(1e6) / col("n_truth")).otherwise(lit(0.0)), 6)
+          .as("truth_mean_cos"),
+        round(when(col("n_approx") > 0,
+          col("asum").cast("double") / lit(1e6) / col("n_approx")).otherwise(lit(0.0)), 6)
+          .as("approx_mean_cos"))
   }
 
   /** The most recently trained semantic-sort centroid model, with each

@@ -370,6 +370,42 @@ class TextAndAnnSpec extends SparkSpec {
     }
   }
 
+  test("recallEval reports perfect recall at probes=nCells and bounded counts below it") {
+    import spark.implicits._
+    val emb = (0 until 40).map { i =>
+      val cluster = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(cluster * 10) = 1.0f
+      v(cluster * 10 + 1) = 0.05f * (i / 4)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // probing every cell IS brute force: recall must read exactly 1.0
+    // and the mean-cos gap must vanish
+    val full = graft.similarity.Ann.recallEval(emb, stride = 10, k = 3,
+      nCells = 4, iters = 2, probes = 4).collect().head
+    assert(full.getLong(0) > 0)
+    assert(full.getLong(0) == full.getLong(1) && full.getLong(1) == full.getLong(2),
+      s"probes=nCells must match truth exactly: $full")
+    assert(full.getDouble(3) == 1.0, s"recall: $full")
+    assert(full.getDouble(4) == full.getDouble(5), s"mean-cos gap at full probes: $full")
+    // one probe on 4 tight clusters: hits bounded by both sides, recall
+    // in (0, 1], and — because every probed cell holds >= k candidates
+    // here, so both sides carry exactly k rows per query — the
+    // cell-restricted approx mean cos can never exceed the truth mean
+    val one = graft.similarity.Ann.recallEval(emb, stride = 10, k = 3,
+      nCells = 4, iters = 2, probes = 1).collect().head
+    assert(one.getLong(2) <= math.min(one.getLong(0), one.getLong(1)), s"$one")
+    assert(one.getDouble(3) > 0.0 && one.getDouble(3) <= 1.0, s"$one")
+    assert(one.getLong(0) == one.getLong(1), s"per-query counts diverged: $one")
+    assert(one.getDouble(5) <= one.getDouble(4) + 1e-9,
+      s"approx mean cos above truth mean: $one")
+    // the run stashes its OWN model slot and the oracle map serves it
+    assert(graft.similarity.Ann.lastRecallEvalModel.isDefined)
+    val sql = OracleSqlExt.annRecallEvalSqlFromModel.get
+    assert(sql.contains("n_truth") && sql.contains("FULL JOIN"), sql)
+    assert(SparkEntry.oracleSql.get("ann_recall_eval").contains(sql))
+  }
+
   test("running ivfTopK stashes the trained model and yields a centroid-literal oracle") {
     import spark.implicits._
     val emb = (0 until 40).map { i =>
