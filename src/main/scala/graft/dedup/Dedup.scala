@@ -818,7 +818,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var it = 0
+    // Convergence check WITHOUT a per-iteration old-vs-new join: labels
+    // only ever DECREASE (every update is a `least`), so the label-sum is
+    // monotonically non-increasing and stalls exactly at the fixpoint —
+    // sum equality <=> zero rows changed. One narrow DECIMAL(38,0)
+    // aggregate on the freshly-cached table (exact at any corpus size;
+    // a DOUBLE sum could absorb a small label change at 2^53) replaces
+    // the join+filter job the loop used to run each round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal].stripTrailingZeros)
+        .getOrElse(java.math.BigDecimal.ZERO)
+    // seeding the sum from the initial labels keeps the already-a-fixpoint
+    // case at one iteration (and the action doubles as the cache
+    // materialization of `labels` before its two uses in iteration 1)
+    var prevSum: Option[java.math.BigDecimal] = Some(labelSum(labels))
+    val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     while (!converged && it < maxIters) {
+      val t0 = if (ccLog) System.nanoTime() else 0L
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("component", "n_comp"), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("n_comp")).as("n_comp"))
@@ -836,13 +853,14 @@ object Dedup {
           least(col("s.component"), coalesce(col("p_comp"), col("s.component"))).as("component"))
       val updated = labels.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val newSum = labelSum(updated)
       spread.unpersist()
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      prevSum = Some(newSum)
       it += 1
+      if (ccLog) println(f"CC iter=$it sum=$newSum ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     // a non-fixpoint label table would silently under-merge clusters (and
     // diverge from the oracle's exact transitive closure) — fail loudly;
