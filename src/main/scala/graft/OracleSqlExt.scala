@@ -363,6 +363,74 @@ object OracleSqlExt {
        |       round(CAST(removable_chars AS DOUBLE) / corpus_chars, 6) AS removable_frac
        |FROM r""".stripMargin
 
+  /** Mirror of [[graft.dedup.Dedup.decontaminateSubstring]]: the same
+    * naive all-offset-gram islands construction as [[substringCtes]],
+    * with the gram join ACROSS the train/bench sides (`benchPred`
+    * selects the benchmark side), maximal cross spans per (a, b,
+    * delta), the per-TRAIN-doc merged-span chars, and the three match
+    * aggregates joined with the document's length for the fraction. */
+  def decontaminateSubstringSql(benchPred: String, minLen: Int): String =
+    s"""WITH gt AS (
+       |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |  FROM documents WHERE NOT ($benchPred) AND len(text) >= $minLen
+       |),
+       |gb AS (
+       |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |  FROM documents WHERE ($benchPred) AND len(text) >= $minLen
+       |),
+       |gt2 AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM gt
+       |),
+       |gb2 AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM gb
+       |),
+       |m AS (
+       |  SELECT gt2.doc_id AS a, gb2.doc_id AS b, gt2.pos AS pa, gb2.pos AS pb
+       |  FROM gt2 JOIN gb2 ON gt2.gram = gb2.gram AND gt2.doc_id != gb2.doc_id
+       |),
+       |isl AS (
+       |  SELECT a, b, pb - pa AS delta, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY a, b, pb - pa ORDER BY pa) AS grp
+       |  FROM m
+       |),
+       |sp AS (
+       |  SELECT a, b, CAST(min(pa) AS BIGINT) AS sa,
+       |         CAST(max(pa) - min(pa) + $minLen AS BIGINT) AS match_len
+       |  FROM isl GROUP BY a, b, delta, grp
+       |),
+       |rs AS (SELECT DISTINCT a AS doc_id, sa AS s, sa + match_len AS e FROM sp),
+       |mk AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+       |              THEN 1 ELSE 0 END AS new_isl
+       |  FROM rs
+       |),
+       |mi AS (
+       |  SELECT doc_id, s, e,
+       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
+       |  FROM mk
+       |),
+       |sp2 AS (
+       |  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+       |  FROM mi GROUP BY doc_id, isl2
+       |),
+       |spc AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_chars FROM sp2 GROUP BY doc_id),
+       |agg AS (
+       |  SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |         CAST(count(DISTINCT b) AS BIGINT) AS n_bench_docs,
+       |         CAST(max(match_len) AS BIGINT) AS max_match_len
+       |  FROM sp GROUP BY a
+       |)
+       |SELECT agg.doc_id, n_matches, n_bench_docs, max_match_len, dup_chars,
+       |       round(CAST(dup_chars AS DOUBLE) / len(d.text), 6) AS contaminated_frac
+       |FROM agg JOIN spc ON agg.doc_id = spc.doc_id
+       |JOIN documents d ON agg.doc_id = d.doc_id""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over
     * (doc_id, idx), per-document dup counts. DuckDB zips the parallel

@@ -2106,6 +2106,18 @@ object SparkEntry {
           isBench = col("source") === "src0", minContainment = 0.3),
       Some(OracleSqlExt.decontaminateSql("source = 'src0'", 0.3))),
 
+    // EXACT-substring decontamination (the Lee et al. shape): where the
+    // shingle-containment check above is Jaccard-approximate, this
+    // surfaces every verbatim >= 30-char leak of benchmark text into a
+    // training document, with merged-span chars and the contaminated
+    // fraction per flagged doc — the drop-vs-scrub release-gate table.
+    // One cross-corpus anchor/extension pass, guard-bounded pair join.
+    ("decontaminate_substring",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.decontaminateSubstring(Collocations.documents(s, d),
+          isBench = col("source") === "src0", minLen = 30),
+      Some(OracleSqlExt.decontaminateSubstringSql("source = 'src0'", 30))),
+
     // the 100 TB form of the same check: a compact benchmark-shingle bloom
     // broadcasts into a narrow prefilter scan, so only plausible-overlap
     // docs pay for signatures + LSH + verification. Blooms have no false

@@ -1560,10 +1560,23 @@ object Dedup {
       .join(an.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
       .filter(col("a") < col("b"))
       .select("a", "pa", "b", "pb")
+    val out = extendMatches(cand, docs, docs, minLen, width)
+    an.unpersist()
+    out
+  }
+
+  /** Stage-3 EXTEND shared by the self- and cross-corpus pair joins:
+    * attach both texts by doc_id equi-joins, grow each candidate
+    * maximally left/right with the codegen'd common-prefix/suffix byte
+    * compares, keep >= minLen, collapse anchor multiplicity (every
+    * anchor interior to one maximal match extends to the SAME span).
+    * Returns the persisted, materialized match table. */
+  private def extendMatches(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
+                            minLen: Int, width: Int): DataFrame = {
     import graft.functions.CommonAffix.{commonPrefixLen, commonSuffixLen}
     val out = cand
-      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
-      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .join(docsA.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(docsB.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
       .repartition(width)
       .withColumn("ext_r", commonPrefixLen(
         col("ta").substr(col("pa").cast("int"), length(col("ta"))),
@@ -1580,7 +1593,95 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    an.unpersist()
+    out
+  }
+
+  /** CROSS-corpus exact-substring matches — every maximal byte-exact
+    * shared substring >= minLen chars between a LEFT document and a
+    * RIGHT document, as (a, b, sa, sb, match_len) with a from `left`
+    * and b from `right`. The Lee et al. 2022 decontamination shape:
+    * run with left = training corpus, right = benchmark/eval set, and
+    * every verbatim leak of length >= minLen surfaces exactly (where
+    * shingle-containment [[contamination]] is Jaccard-approximate and
+    * grid-aligned passage hashing misses shifted copies).
+    *
+    * Same three stages as [[substringMatches]], with the pair join
+    * ACROSS the two anchor tables (no a < b — the sides are distinct
+    * roles; a doc present in both sides never matches itself). The
+    * posting guard bounds the hottest anchor across BOTH sides, the
+    * same loud-failure contract as the self-join. */
+  def substringMatchesAcross(left: DataFrame, right: DataFrame, minLen: Int = 30,
+                             k: Int = 24, w: Int = 7,
+                             maxPostingGuard: Int = 20000): DataFrame = {
+    require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
+      s"anchor geometry must cover every match: need k + w - 1 <= minLen, " +
+      s"got k=$k w=$w minLen=$minLen")
+    val width = left.sparkSession.sessionState.conf.numShufflePartitions
+    val anL = substringAnchors(left, k, w).repartition(width, col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anR = substringAnchors(right, k, w).repartition(width, col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxPostingGuard > 0) {
+      def hottest(an: DataFrame): Long =
+        Option(an.groupBy("h").agg(count(lit(1)).as("pn"))
+          .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      val h = math.max(hottest(anL), hottest(anR))
+      if (h > maxPostingGuard) {
+        anL.unpersist(); anR.unpersist()
+        throw new IllegalArgumentException(
+          s"substringMatchesAcross: hottest anchor has $h occurrences on one " +
+          s"side (> guard $maxPostingGuard); the cross join would be quadratic " +
+          s"in that posting list. Shard the corpus or raise maxPostingGuard " +
+          s"deliberately — capping would drop the most-duplicated content.")
+      }
+    }
+    val cand = anL.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(anR.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "pa", "b", "pb")
+    val out = extendMatches(cand, left, right, minLen, width)
+    anL.unpersist(); anR.unpersist()
+    out
+  }
+
+  /** Per-training-document exact-substring contamination report — the
+    * decontamination twin of [[substringDupReport]]: for every training
+    * document sharing at least one >= minLen verbatim substring with
+    * the benchmark side, (doc_id, n_matches, n_bench_docs,
+    * max_match_len, dup_chars, contaminated_frac) where `dup_chars`
+    * merges the document's matched spans to maximal intervals first
+    * (overlapping leaks of one passage don't double-count) and
+    * `contaminated_frac` is that against the document's length. The
+    * table a release gate reads to decide drop-vs-scrub per document.
+    *
+    * Scale shape: one cross-corpus anchor/extension pass
+    * ([[substringMatchesAcross]]); the span merge and both aggregations
+    * run over the matches table (leak-sized, not corpus-sized), and the
+    * single corpus join attaches only the flagged documents' lengths. */
+  def decontaminateSubstring(docs: DataFrame, isBench: Column, minLen: Int = 30,
+                             k: Int = 24, w: Int = 7,
+                             maxPostingGuard: Int = 20000): DataFrame = {
+    val train = docs.filter(!isBench)
+    val m = substringMatchesAcross(train, docs.filter(isBench),
+      minLen, k, w, maxPostingGuard)
+    val merged = mergeSpans(
+      m.select(col("a").as("doc_id"), col("sa").as("s"),
+        (col("sa") + col("match_len")).as("e")).distinct())
+    val dupChars = merged.groupBy("doc_id")
+      .agg(sum(col("span_len")).as("dup_chars"))
+    val perDoc = m.groupBy(col("a").as("doc_id")).agg(
+      count(lit(1)).as("n_matches"),
+      countDistinct(col("b")).as("n_bench_docs"),
+      max(col("match_len")).as("max_match_len"))
+    val out = perDoc.join(dupChars, Seq("doc_id"))
+      .join(train.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_matches"), col("n_bench_docs"),
+        col("max_match_len"), col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("len"), 6).as("contaminated_frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    m.unpersist()
     out
   }
 
@@ -1604,10 +1705,17 @@ object Dedup {
   /** The span-merge of [[substringRemovalSpans]], factored so callers
     * that already hold the match table ([[substringDupReport]]) reuse
     * one anchor/extension pass. */
-  private def spansFromMatches(m: DataFrame): DataFrame = {
-    val spans = m.select(col("b").as("doc_id"), col("sb").as("s"),
+  private def spansFromMatches(m: DataFrame): DataFrame =
+    mergeSpans(m.select(col("b").as("doc_id"), col("sb").as("s"),
         (col("sb") + col("match_len")).as("e"))
-      .distinct()
+      .distinct())
+
+  /** Gaps-and-islands merge of (doc_id, s, e) half-open intervals to
+    * maximal per-document spans (touching intervals merge) — the
+    * per-document running-max window shared by the removal-spans and
+    * decontamination paths. Returns (doc_id, span_start, span_end,
+    * span_len). */
+  private def mergeSpans(spans: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("s"), col("e"))
     val prevMax = max(col("e")).over(

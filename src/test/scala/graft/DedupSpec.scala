@@ -793,6 +793,42 @@ class DedupSpec extends SparkSpec {
     assert(g1.nonEmpty)
   }
 
+  test("cross-corpus substring decontamination flags the leaked train doc with merged spans") {
+    import spark.implicits._
+    val leak1 = "this exact benchmark passage must never appear in training data"  // 63 chars
+    val leak2 = "a second evaluation answer string that is long enough to count" // 62 chars
+    val d = Seq(
+      // train side (src1): doc 1 leaks BOTH bench passages, doc 2 is clean
+      (1L, "intro words " + leak1 + " middle filler words " + leak2 + " outro", "en", "src1"),
+      (2L, "completely clean training document with no overlap at all here okay", "en", "src1"),
+      // bench side (src0)
+      (10L, leak1, "en", "src0"),
+      (11L, "prefix " + leak2, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = Dedup.substringMatchesAcross(
+      d.filter(col("source") === "src1"), d.filter(col("source") === "src0"),
+      minLen = 30, k = 16, w = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // leak2's match extends one char LEFT of the leak: both sides precede
+    // it with a space, and maximal extension is exact about that
+    assert(m.toSet == Set((1L, 10L, leak1.length.toLong), (1L, 11L, leak2.length + 1L)),
+      s"got: ${m.toSeq}")
+    val rep = Dedup.decontaminateSubstring(d, isBench = col("source") === "src0",
+      minLen = 30, k = 16, w = 15).collect()
+    assert(rep.length == 1 && rep.head.getLong(0) == 1L, s"only doc 1 flagged: ${rep.toSeq}")
+    val r = rep.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L, s"two matches from two bench docs: $r")
+    assert(r.getLong(3) == leak1.length.toLong, s"max match len: $r")
+    // spans don't touch (filler between them): dup_chars = both leaks plus
+    // leak2's extended leading space
+    assert(r.getLong(4) == (leak1.length + leak2.length + 1).toLong, s"merged chars: $r")
+    // a doc present on BOTH sides never matches itself
+    val self = Dedup.substringMatchesAcross(
+      d.filter(col("doc_id") === 10L), d.filter(col("doc_id") === 10L),
+      minLen = 30, k = 16, w = 15).collect()
+    assert(self.isEmpty, s"self pair must be excluded: ${self.toSeq}")
+  }
+
   test("substringMatches guards the hot-anchor quadratic and rejects uncovered geometry") {
     import spark.implicits._
     val boiler = "this exact boilerplate license header repeats in every single file"
