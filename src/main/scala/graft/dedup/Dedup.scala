@@ -1664,6 +1664,15 @@ object Dedup {
     val train = docs.filter(!isBench)
     val m = substringMatchesAcross(train, docs.filter(isBench),
       minLen, k, w, maxPostingGuard)
+    val out = contaminationReportFromMatches(m, train)
+    m.unpersist()
+    out
+  }
+
+  /** The per-train-doc aggregation of [[decontaminateSubstring]],
+    * factored so the serve path ([[decontaminateSubstringAgainst]]) and
+    * the streaming gate share it with the direct path. */
+  private def contaminationReportFromMatches(m: DataFrame, train: DataFrame): DataFrame = {
     val merged = mergeSpans(
       m.select(col("a").as("doc_id"), col("sa").as("s"),
         (col("sa") + col("match_len")).as("e")).distinct())
@@ -1681,7 +1690,46 @@ object Dedup {
         round(col("dup_chars").cast("double") / col("len"), 6).as("contaminated_frac"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    m.unpersist()
+    out
+  }
+
+  /** SERVE path of [[decontaminateSubstring]]: the benchmark side enters
+    * as its PERSISTED anchor table plus the benchmark corpus (for the
+    * extension's text attach) — the benchmark is anchored once at index
+    * build and never re-hashed per incoming shard, the same
+    * build-once/serve-many contract as [[substringMatchesFrom]]. The
+    * caller owns geometry consistency: `minLen`/`k`/`w` must be the ones
+    * the persisted anchors were built with (k + w - 1 <= minLen is
+    * re-checked). The incoming side is anchored fresh per call — this is
+    * the per-shard work of the streaming gate. */
+  def decontaminateSubstringAgainst(incoming: DataFrame, benchAnchors: DataFrame,
+                                    benchDocs: DataFrame, minLen: Int = 30,
+                                    k: Int = 24, w: Int = 7,
+                                    maxPostingGuard: Int = 20000): DataFrame = {
+    require(k >= 2 && w >= 1 && k + w - 1 <= minLen,
+      s"anchor geometry must cover every match: need k + w - 1 <= minLen, " +
+      s"got k=$k w=$w minLen=$minLen")
+    val width = incoming.sparkSession.sessionState.conf.numShufflePartitions
+    val anL = substringAnchors(incoming, k, w).repartition(width, col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxPostingGuard > 0) {
+      val hottest = Option(anL.groupBy("h").agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (hottest > maxPostingGuard) {
+        anL.unpersist()
+        throw new IllegalArgumentException(
+          s"decontaminateSubstringAgainst: hottest incoming anchor has $hottest " +
+          s"occurrences (> guard $maxPostingGuard); shard the batch or raise " +
+          s"maxPostingGuard deliberately.")
+      }
+    }
+    val cand = anL.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(benchAnchors.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "pa", "b", "pb")
+    val m = extendMatches(cand, incoming, benchDocs, minLen, width)
+    val out = contaminationReportFromMatches(m, incoming)
+    m.unpersist(); anL.unpersist()
     out
   }
 

@@ -415,6 +415,59 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming decontamination gate flags each shard exactly like the batch query") {
+    import graft.streaming.{DedupStream, DeconStream}
+    import graft.dedup.Dedup
+    val watch = java.nio.file.Files.createTempDirectory("graft-decon-stream")
+    val refDir = java.nio.file.Files.createTempDirectory("graft-decon-ref")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-decon-out").resolve("flagged")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decon-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val isBench = col("source") === "src0"
+    // benchmark anchors + corpus built ONCE and persisted (the
+    // build-once/serve-many contract); incoming = non-bench docs in two
+    // shard drops
+    Dedup.substringAnchors(all.filter(isBench), 24, 7)
+      .write.mode("overwrite").parquet(refDir.resolve("anchors").toString)
+    all.filter(isBench)
+      .write.mode("overwrite").parquet(refDir.resolve("docs").toString)
+    val benchAnchors = spark.read.parquet(refDir.resolve("anchors").toString)
+    val benchDocs = spark.read.parquet(refDir.resolve("docs").toString)
+    def drop(name: String, parity: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-decon-stage")
+      all.filter(!isBench && pmod(col("doc_id"), lit(2L)) === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    drop("a.parquet", 0L)
+    val q = DeconStream.gate(DedupStream.readStream(spark, watch.toString),
+      benchAnchors, benchDocs, outDir.toString, ckpt.toString)
+    q.processAllAvailable()
+    drop("b.parquet", 1L)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    val streamed = DeconStream.flagged(spark, outDir.toString).collect().map(key).toSet
+    val batch = Dedup.decontaminateSubstring(all, isBench).collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream reports must equal the batch query (${streamed.size} vs ${batch.size})")
+    assert(streamed.nonEmpty, "sf0.001 has known cross-source leaks; empty means a dead join")
+    // replay idempotence: re-gating an already-committed batch replaces
+    // its partition instead of appending duplicate report rows
+    DeconStream.gateBatch(
+        all.filter(!isBench && pmod(col("doc_id"), lit(2L)) === 0L), benchAnchors, benchDocs)
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outDir.toString)
+    val after = DeconStream.flagged(spark, outDir.toString).collect().map(key)
+    assert(after.toSet == batch && after.length == after.toSet.size,
+      "replaying batch 0 must leave the flagged table unchanged")
+    Seq(watch, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("streaming novelty triage scores each shard exactly like the batch query") {
     import graft.streaming.{DedupStream, NoveltyStream}
     import graft.dedup.Dedup
