@@ -95,6 +95,17 @@ object SparkEntry {
       dir
     })
 
+  /** Benchmark-side anchor index (src0 docs only) — the static half of
+    * the decontamination serve path and the [[graft.streaming.DeconStream]]
+    * gate; same build-once lifecycle and shutdown-cleaned root. */
+  private def benchAnchorIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#bench-substr", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#bench-substr")).toString
+      graft.dedup.Dedup.writeSubstringIndex(
+        Collocations.documents(s, d).filter(col("source") === "src0"), dir)
+      dir
+    })
+
   /** Persisted BPE merge-table model — the tokenizer's build-once/
     * serve-many lifecycle, same shutdown-cleaned root. */
   private def bpeModelDir(s: SparkSession, d: String): String =
@@ -125,6 +136,7 @@ object SparkEntry {
     winnowIndexDirHalf(spark, sfDir)
     substringIndexDir(spark, sfDir)
     substringIndexDirHalf(spark, sfDir)
+    benchAnchorIndexDir(spark, sfDir)
     bpeModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
@@ -2116,6 +2128,20 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.decontaminateSubstring(Collocations.documents(s, d),
           isBench = col("source") === "src0", minLen = 30),
+      Some(OracleSqlExt.decontaminateSubstringSql("source = 'src0'", 30))),
+
+    // serve twin: the benchmark side reads its PERSISTED anchor index
+    // (anchored once at build, never re-hashed per run) — the static
+    // half of the DeconStream gate; the SAME oracle as the direct path
+    // proves serve-equals-rebuild
+    ("decontaminate_substring_indexed",
+      (s: SparkSession, d: String) => {
+        val docs = Collocations.documents(s, d)
+        graft.dedup.Dedup.decontaminateSubstringAgainst(
+          docs.filter(col("source") =!= "src0"),
+          s.read.parquet(s"${benchAnchorIndexDir(s, d)}/substring_anchors"),
+          docs.filter(col("source") === "src0"), minLen = 30)
+      },
       Some(OracleSqlExt.decontaminateSubstringSql("source = 'src0'", 30))),
 
     // the 100 TB form of the same check: a compact benchmark-shingle bloom
