@@ -390,7 +390,7 @@ object OracleSqlExt {
        |),
        |m AS (
        |  SELECT gt2.doc_id AS a, gb2.doc_id AS b, gt2.pos AS pa, gb2.pos AS pb
-       |  FROM gt2 JOIN gb2 ON gt2.gram = gb2.gram AND gt2.doc_id != gb2.doc_id
+       |  FROM gt2 JOIN gb2 ON gt2.gram = gb2.gram
        |),
        |isl AS (
        |  SELECT a, b, pb - pa AS delta, pa, pb,

@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
   * evidence that runtime grows ~linearly with corpus size, i.e. no hidden
   * quadratic join blowup. */
 object ScaleProbe {
+  /** m substitution-ciphered replicas of `base` with shifted doc_ids —
+    * shared by the substring growth and geometry probes, so both measure
+    * the SAME corpus construction (a fix to the cipher or the id offset
+    * cannot silently diverge the two probes' cost comparisons). */
+  private def cipheredReplicas(base: org.apache.spark.sql.DataFrame, m: Int) = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    (0 until m).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"), col("lang"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     // --lsh-only: run just the LSH dedup family section (the flagship /
     // clean-corpus / passage / ntile curves were recorded in earlier
@@ -259,12 +272,7 @@ object ScaleProbe {
         // internal match structure, so matches, anchors, candidates and
         // wall time must all grow ~linearly in m if no stage hides a
         // corpus-quadratic term.
-        val alpha = "abcdefghijklmnopqrstuvwxyz"
-        val sub = (0 until m).map { i =>
-          val rot = alpha.drop(i % 26) + alpha.take(i % 26)
-          base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-            translate(col("text"), alpha, rot).as("text"), col("lang"))
-        }.reduce(_ unionByName _)
+        val sub = cipheredReplicas(base, m)
         val t0 = System.nanoTime()
         val nAn = graft.dedup.Dedup.substringAnchors(sub, 24, 7).count()
         val tAn = (System.nanoTime() - t0) / 1e9
@@ -286,12 +294,7 @@ object ScaleProbe {
         // nearly every position and the anchor table itself balloons.
         // Same ciphered replicas as --substring-only, so the duplicate
         // structure is m copies of the base corpus's internal one.
-        val alpha = "abcdefghijklmnopqrstuvwxyz"
-        val sub = (0 until m).map { i =>
-          val rot = alpha.drop(i % 26) + alpha.take(i % 26)
-          base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-            translate(col("text"), alpha, rot).as("text"), col("lang"))
-        }.reduce(_ unionByName _)
+        val sub = cipheredReplicas(base, m)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sub.count()
         val minLen = 30

@@ -1606,10 +1606,16 @@ object Dedup {
     * grid-aligned passage hashing misses shifted copies).
     *
     * Same three stages as [[substringMatches]], with the pair join
-    * ACROSS the two anchor tables (no a < b — the sides are distinct
-    * roles; a doc present in both sides never matches itself). The
-    * posting guard bounds the hottest anchor across BOTH sides, the
-    * same loud-failure contract as the self-join. */
+    * ACROSS the two anchor tables and NO identity filter: the two sides
+    * have independent id spaces (an external benchmark knows nothing of
+    * the training corpus's ids), so `a != b` would silently drop real
+    * contamination between two DIFFERENT documents that coincidentally
+    * share an id. Callers carving both sides from ONE table (the
+    * registry's source split) get disjoint id sets for free; a caller
+    * that passes the same physical document on both sides will see it
+    * match itself wholesale — which is the correct answer to the
+    * question asked. The posting guard bounds the hottest anchor across
+    * BOTH sides, the same loud-failure contract as the self-join. */
   def substringMatchesAcross(left: DataFrame, right: DataFrame, minLen: Int = 30,
                              k: Int = 24, w: Int = 7,
                              maxPostingGuard: Int = 20000): DataFrame = {
@@ -1637,7 +1643,6 @@ object Dedup {
     }
     val cand = anL.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
       .join(anR.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
-      .filter(col("a") =!= col("b"))
       .select("a", "pa", "b", "pb")
     val out = extendMatches(cand, left, right, minLen, width)
     anL.unpersist(); anR.unpersist()
@@ -1713,19 +1718,25 @@ object Dedup {
     val anL = substringAnchors(incoming, k, w).repartition(width, col("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxPostingGuard > 0) {
-      val hottest = Option(anL.groupBy("h").agg(count(lit(1)).as("pn"))
-        .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
-      if (hottest > maxPostingGuard) {
+      // BOTH sides guard, same as the direct path: writeSubstringIndex
+      // applies no guard at build time, so a boilerplate-hot benchmark
+      // anchor must fail loudly here — not silently go quadratic on
+      // every serve call / micro-batch (the substringMatchesFrom
+      // precedent, which re-guards its persisted table per call)
+      def hottest(an: DataFrame): Long =
+        Option(an.groupBy("h").agg(count(lit(1)).as("pn"))
+          .agg(max(col("pn"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      val h = math.max(hottest(anL), hottest(benchAnchors))
+      if (h > maxPostingGuard) {
         anL.unpersist()
         throw new IllegalArgumentException(
-          s"decontaminateSubstringAgainst: hottest incoming anchor has $hottest " +
-          s"occurrences (> guard $maxPostingGuard); shard the batch or raise " +
-          s"maxPostingGuard deliberately.")
+          s"decontaminateSubstringAgainst: hottest anchor has $h occurrences " +
+          s"on one side (> guard $maxPostingGuard); shard the batch / rebuild " +
+          s"the benchmark index, or raise maxPostingGuard deliberately.")
       }
     }
     val cand = anL.select(col("h"), col("doc_id").as("a"), col("pos").as("pa"))
       .join(benchAnchors.select(col("h"), col("doc_id").as("b"), col("pos").as("pb")), Seq("h"))
-      .filter(col("a") =!= col("b"))
       .select("a", "pa", "b", "pb")
     val m = extendMatches(cand, incoming, benchDocs, minLen, width)
     val out = contaminationReportFromMatches(m, incoming)

@@ -65,9 +65,20 @@ object Sinks {
       }
     val staging = Paths.get(dir + ".staging")
     val old     = Paths.get(dir + ".old")
+    val target0 = Paths.get(dir)
+    // CRASH RECOVERY before touching anything: a prior publish that died
+    // between its two renames leaves target missing and `.old` holding
+    // the only good model — restore it FIRST. Deleting `.old` up front
+    // would otherwise destroy that last surviving copy before the new
+    // write has even succeeded (a failed write would then leave no model
+    // at all).
+    if (!Files.exists(target0) && Files.exists(old))
+      Files.move(old, target0, StandardCopyOption.ATOMIC_MOVE)
     rmTree(staging)
-    rmTree(old)
     write(staging.toString)
+    // only now — with the new artifact fully materialized — is the old
+    // fallback disposable
+    rmTree(old)
     val target = Paths.get(dir)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)

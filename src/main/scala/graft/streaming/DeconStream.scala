@@ -13,9 +13,10 @@ import graft.dedup.Dedup
   * benchmark leak is flagged before the document enters the corpus.
   *
   * Same stream-STATIC join pattern as [[NoveltyStream]]: the static side
-  * is a plain table re-read per micro-batch — no watermark, no join
-  * state — and a benchmark refresh is an atomic swap of the parquet
-  * directory ([[graft.sources.Sinks.publishSwap]]). A document arrives
+  * is a plain DIRECTORY re-read (fresh file listing) per micro-batch —
+  * no watermark, no join state — and a benchmark refresh is an atomic
+  * swap of the parquet directory
+  * ([[graft.sources.Sinks.publishSwap]]). A document arrives
   * WHOLE inside one shard, so the report is per-batch-atomic via
   * `foreachBatch`; replayed batches overwrite their own `ingest_batch`
   * partition (the [[DedupStream]] idempotence contract).
@@ -36,19 +37,32 @@ object DeconStream {
     * [[DedupStream.readStream]] source are checked against the static
     * benchmark anchors and the per-doc contamination reports append
     * (idempotently) under `outDir`. Clean documents produce no row —
-    * the downstream corpus writer anti-joins this table. */
-  def gate(stream: DataFrame, benchAnchors: DataFrame, benchDocs: DataFrame,
+    * the downstream corpus writer anti-joins this table.
+    *
+    * The benchmark sides come in as DIRECTORIES, re-read inside every
+    * micro-batch: a DataFrame captured at start() would pin its file
+    * listing, so the first batch after a publishSwap benchmark refresh
+    * would scan deleted files and kill the query. The anchor table is
+    * benchmark-sized (not collectable like a one-row model) and a swap
+    * can bite at action time, so the whole idempotent batch is the
+    * retry unit, with attempts = 2 — one retry covers the microsecond
+    * rename window without re-running real failures four times. */
+  def gate(stream: DataFrame, benchAnchorsDir: String, benchDocsDir: String,
            outDir: String, checkpoint: String,
            minLen: Int = 30, k: Int = 24, w: Int = 7): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        gateBatch(batch, benchAnchors, benchDocs, minLen, k, w)
-          .withColumn("ingest_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_batch")
-          .parquet(outDir)
+        graft.sources.Sinks.readRetry(attempts = 2) {
+          val s = batch.sparkSession
+          gateBatch(batch, s.read.parquet(benchAnchorsDir),
+              s.read.parquet(benchDocsDir), minLen, k, w)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(outDir)
+        }
       }
       .start()
 

@@ -53,7 +53,14 @@ object DiffStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // readRetry: survive the two-rename window of a concurrent
         // publishSwap rebase (batch write is dynamic-overwrite idempotent).
-        graft.sources.Sinks.readRetry() {
+        // The base digest table is corpus-sized — it cannot be collected
+        // eagerly like QualityStream's one-row model, and a swap can bite
+        // at ACTION time (delisted files), so the whole idempotent batch
+        // is the retry unit — but with attempts = 2: the rename window is
+        // microseconds, one retry covers it, and a deterministic batch
+        // failure (corrupt shard, schema drift) costs one extra run
+        // instead of four.
+        graft.sources.Sinks.readRetry(attempts = 2) {
           deltaBatch(batch, readBase(batch.sparkSession, baseDir))
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")

@@ -69,17 +69,24 @@ object QualityStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // readRetry: a concurrent publishSwap leaves a two-rename window in
-        // which the model path transiently resolves empty; retrying the
-        // (idempotent, dynamic-overwrite) batch beats killing the query.
-        graft.sources.Sinks.readRetry() {
-          scoreBatch(batch, readModel(batch.sparkSession, modelDir))
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(outDir)
+        // readRetry around the MODEL READ ONLY, with the one-row model
+        // collected eagerly inside it: the retry then covers both points
+        // a concurrent publishSwap can bite (listing during the rename
+        // window AND a post-swap scan of delisted files), while the
+        // scoring job itself — which can fail for real, deterministic
+        // reasons — never re-runs on a transient-read budget.
+        val model = graft.sources.Sinks.readRetry() {
+          val df = readModel(batch.sparkSession, modelDir)
+          val rows = df.collect()
+          batch.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), df.schema)
         }
+        scoreBatch(batch, model)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outDir)
       }
       .start()
 

@@ -822,11 +822,15 @@ class DedupSpec extends SparkSpec {
     // spans don't touch (filler between them): dup_chars = both leaks plus
     // leak2's extended leading space
     assert(r.getLong(4) == (leak1.length + leak2.length + 1).toLong, s"merged chars: $r")
-    // a doc present on BOTH sides never matches itself
+    // the sides are independent id spaces: NO identity filter, so the
+    // same physical document passed on both sides matches itself
+    // wholesale — and two DIFFERENT docs sharing an id (external
+    // benchmark vs training ids) are never silently dropped
     val self = Dedup.substringMatchesAcross(
       d.filter(col("doc_id") === 10L), d.filter(col("doc_id") === 10L),
       minLen = 30, k = 16, w = 15).collect()
-    assert(self.isEmpty, s"self pair must be excluded: ${self.toSeq}")
+    assert(self.length == 1 && self.head.getLong(4) == leak1.length.toLong,
+      s"same doc on both sides is a full-length match: ${self.toSeq}")
   }
 
   test("substringMatches guards the hot-anchor quadratic and rejects uncovered geometry") {

@@ -225,6 +225,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((1L, 1L, 1L, 1L)))
   }
 
+  test("publishSwap recovers the last good model after a crash between its renames") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft-swap")
+    val dir = root.resolve("model").toString
+    def publish(v: String): Unit =
+      graft.sources.Sinks.publishSwap(dir) { staging =>
+        Files.createDirectories(Paths.get(staging))
+        Files.writeString(Paths.get(staging, "part"), v)
+      }
+    def served: String = Files.readString(Paths.get(dir, "part"))
+    publish("v1"); assert(served == "v1")
+    publish("v2"); assert(served == "v2")
+    assert(!Files.exists(Paths.get(dir + ".old")) &&
+           !Files.exists(Paths.get(dir + ".staging")), "publish must clean up")
+    // simulate a death between the two renames: target moved aside,
+    // staging never moved in — `.old` holds the ONLY good model
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"), StandardCopyOption.ATOMIC_MOVE)
+    // a next publish whose WRITE FAILS must not have destroyed that
+    // fallback first: the serving path is restored before staging runs
+    intercept[RuntimeException] {
+      graft.sources.Sinks.publishSwap(dir) { _ => throw new RuntimeException("disk full") }
+    }
+    assert(served == "v2", "crash recovery must restore the last good model")
+    // and a subsequent successful publish proceeds normally
+    publish("v3"); assert(served == "v3")
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("corpus diff shuffles digests, not document bodies") {
     import graft.pipelines.CorpusDiff
     import spark.implicits._

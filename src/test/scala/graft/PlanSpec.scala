@@ -403,6 +403,19 @@ class PlanSpec extends SparkSpec {
     def expandCached(p: SparkPlan): Seq[SparkPlan] =
       p +: p.collect { case s: InMemoryTableScanExec => stripAqe(s.relation.cachedPlan) }
         .flatMap(expandCached).toSeq
+    // structural row-count boundedness: limits and aggregates bound their
+    // output, a multi-child node is bounded only if every child is, narrow
+    // unary nodes inherit from their child, and leaf scans are unbounded
+    def bounded(p: SparkPlan): Boolean = stripAqe(p) match {
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: BaseAggregateExec => true
+      case s: InMemoryTableScanExec => bounded(stripAqe(s.relation.cachedPlan))
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val bad = expandCached(physicalPlan(q(spark, sf))).flatMap { p =>
         p.collect { case _: CartesianProductExec => "CartesianProduct" }.toSeq ++
@@ -416,17 +429,15 @@ class PlanSpec extends SparkSpec {
             "BroadcastNestedLoopJoin with unbounded build side"
         } ++
         p.collect {
-          // a partition-less window is bounded iff its input provably is:
-          // an aggregate below (vocabulary/metadata-sized groups) or a
-          // LIMIT below (top-N lists — the hybrid-RRF rank windows) both
-          // qualify; a window directly over raw table rows never does
-          case w: WindowExec if w.partitionSpec.isEmpty &&
-            w.child.collect { case a: BaseAggregateExec => a }.isEmpty &&
-            w.child.collect {
-              case l: org.apache.spark.sql.execution.GlobalLimitExec => l
-              case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
-              case c: org.apache.spark.sql.execution.CollectLimitExec => c
-            }.isEmpty =>
+          // a partition-less window is bounded iff its input provably is.
+          // `bounded` walks the subtree STRUCTURALLY: limits and
+          // aggregates bound their output; a join/union is bounded only
+          // if EVERY child is (a limit on one side of a join must not
+          // exempt a window whose other side is the raw corpus); narrow
+          // nodes inherit; leaf scans never qualify. The hybrid-RRF rank
+          // windows (over a join/union of two top-N lists) stay legal;
+          // a window over `50-row list JOIN corpus` is flagged.
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
             "global Window over raw rows"
         }
       }

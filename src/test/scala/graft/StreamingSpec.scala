@@ -442,8 +442,11 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.copy(part, watch.resolve(name))
     }
     drop("a.parquet", 0L)
+    // the gate takes DIRECTORIES, re-read per micro-batch — a captured
+    // DataFrame would pin its file listing across a publishSwap refresh
     val q = DeconStream.gate(DedupStream.readStream(spark, watch.toString),
-      benchAnchors, benchDocs, outDir.toString, ckpt.toString)
+      refDir.resolve("anchors").toString, refDir.resolve("docs").toString,
+      outDir.toString, ckpt.toString)
     q.processAllAvailable()
     drop("b.parquet", 1L)
     q.processAllAvailable(); q.stop()
