@@ -29,8 +29,8 @@ object ScaleProbe {
     val known = Set("--lsh-only", "--index-only", "--pq-only", "--chunk-only",
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
-      "--substring-only", "--substring-geom-only", "--classifier-only",
-      "--diff-only", "--overlap-only")
+      "--substring-only", "--substring-geom-only", "--decon-substring-only",
+      "--classifier-only", "--diff-only", "--overlap-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -46,6 +46,7 @@ object ScaleProbe {
     val winnowOnly = flags.contains("--winnow-only")
     val substringOnly = flags.contains("--substring-only")
     val substringGeomOnly = flags.contains("--substring-geom-only")
+    val deconSubstringOnly = flags.contains("--decon-substring-only")
     val classifierOnly = flags.contains("--classifier-only")
     val diffOnly = flags.contains("--diff-only")
     val overlapOnly = flags.contains("--overlap-only")
@@ -327,6 +328,34 @@ object ScaleProbe {
           println(f"SCALE-SUBSTRING-GEOM m=$m%2d k=$k%2d w=$w%2d anchors=$nAn%9d $tAn%6.2f s   cand=$nCand%9d $tCand%6.2f s   matches=$nM%7d extend $tEx%6.2f s")
         }
         sub.unpersist()
+      } else if (deconSubstringOnly) {
+        // cross-corpus decontamination growth: the BENCH side (src0 docs
+        // + their anchor table) is FIXED while the incoming side grows
+        // m-fold as plain id-shifted replicas — deliberately NOT
+        // ciphered: every replica must keep its real matches against the
+        // unciphered bench, so true contamination (flagged docs) must
+        // grow exactly linearly in m, and so must anchor extraction and
+        // the pair join (bench postings constant, incoming postings
+        // m x base). Anything superlinear exposes a hidden
+        // incoming-quadratic stage in the serve path.
+        val bench = base.filter(col("source") === "src0")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val benchAnchors = graft.dedup.Dedup.substringAnchors(bench, 24, 7)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        benchAnchors.count()
+        val incoming = (0 until m).map(i =>
+          base.filter(col("source") =!= "src0")
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val nIn = incoming.count()
+        val t0 = System.nanoTime()
+        val rep = graft.dedup.Dedup.decontaminateSubstringAgainst(
+          incoming, benchAnchors, bench, minLen = 30, maxPostingGuard = 200000)
+        val nFlag = rep.count()
+        val tD = (System.nanoTime() - t0) / 1e9
+        rep.unpersist(); benchAnchors.unpersist(); bench.unpersist()
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-DECON-SUBSTRING m=$m%2d incoming=$nIn%7d flagged=$nFlag%6d serve $tD%6.2f s")
       } else if (winnowOnly) {
         // winnowing under clone skew: m-fold replication multiplies every
         // fingerprint posting list by m, so UNCAPPED pair volume grows
