@@ -369,8 +369,8 @@ object OracleSqlExt {
     * selects the benchmark side), maximal cross spans per (a, b,
     * delta), the per-TRAIN-doc merged-span chars, and the three match
     * aggregates joined with the document's length for the fraction. */
-  def decontaminateSubstringSql(benchPred: String, minLen: Int): String =
-    s"""WITH gt AS (
+  private def crossSubstringSpanCtes(benchPred: String, minLen: Int): String =
+    s"""gt AS (
        |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
        |  FROM documents WHERE NOT ($benchPred) AND len(text) >= $minLen
        |),
@@ -418,7 +418,10 @@ object OracleSqlExt {
        |sp2 AS (
        |  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
        |  FROM mi GROUP BY doc_id, isl2
-       |),
+       |)""".stripMargin
+
+  def decontaminateSubstringSql(benchPred: String, minLen: Int): String =
+    s"""WITH ${crossSubstringSpanCtes(benchPred, minLen)},
        |spc AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_chars FROM sp2 GROUP BY doc_id),
        |agg AS (
        |  SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
@@ -430,6 +433,30 @@ object OracleSqlExt {
        |       round(CAST(dup_chars AS DOUBLE) / len(d.text), 6) AS contaminated_frac
        |FROM agg JOIN spc ON agg.doc_id = spc.doc_id
        |JOIN documents d ON agg.doc_id = d.doc_id""".stripMargin
+
+  /** Mirror of [[graft.dedup.Dedup.scrubContaminated]]: the cross-side
+    * merged-span chain, then the same headpieces/tail scrub join as
+    * [[scrubSubstringSql]] — restricted to the TRAINING side (benchmark
+    * docs are not output rows). */
+  def scrubContaminatedSql(benchPred: String, minLen: Int): String =
+    s"""WITH ${crossSubstringSpanCtes(benchPred, minLen)},
+       |kp AS (
+       |  SELECT doc_id, s, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ps
+       |  FROM sp2
+       |),
+       |agg AS (
+       |  SELECT kp.doc_id,
+       |         string_agg(substr(d.text, CAST(ps AS INT), CAST(s - ps AS INT)), '' ORDER BY s) AS headpieces,
+       |         max(e) AS maxe, CAST(sum(e - s) AS BIGINT) AS removed
+       |  FROM kp JOIN documents d ON kp.doc_id = d.doc_id GROUP BY kp.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CASE WHEN a.doc_id IS NULL THEN d.text
+       |            ELSE coalesce(a.headpieces, '') || substr(d.text, CAST(a.maxe AS INT)) END AS clean_text,
+       |       coalesce(a.removed, CAST(0 AS BIGINT)) AS n_removed_chars
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE NOT ($benchPred)""".stripMargin
 
   /** Mirror of [[graft.dedup.Dedup.passageDupStats]]: fixed `w`-token
     * passages, md5 per passage, first-occurrence rank over

@@ -2130,6 +2130,16 @@ object SparkEntry {
           isBench = col("source") === "src0", minLen = 30),
       Some(OracleSqlExt.decontaminateSubstringSql("source = 'src0'", 30))),
 
+    // the rewrite step — scrub instead of drop: leaked benchmark spans
+    // cut out of each training document (merged, so overlaps cut once),
+    // training corpus back row-for-row; same single cross anchor/
+    // extension pass, same row-local cut fold as scrub_substring_dups
+    ("scrub_contaminated",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.scrubContaminated(Collocations.documents(s, d),
+          isBench = col("source") === "src0", minLen = 30),
+      Some(OracleSqlExt.scrubContaminatedSql("source = 'src0'", 30))),
+
     // serve twin: the benchmark side reads its PERSISTED anchor index
     // (anchored once at build, never re-hashed per run) — the static
     // half of the DeconStream gate; the SAME oracle as the direct path

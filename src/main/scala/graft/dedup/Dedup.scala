@@ -1899,6 +1899,18 @@ object Dedup {
   def scrubSubstringDups(docs: DataFrame, minLen: Int = 30, k: Int = 24, w: Int = 7,
                          maxPostingGuard: Int = 20000): DataFrame = {
     val spans = substringRemovalSpans(docs, minLen, k, w, maxPostingGuard)
+    val out = cutSpans(docs, spans)
+    spans.unpersist()
+    out
+  }
+
+  /** Row-local span cut shared by the dedup scrub and the contamination
+    * scrub: `spans` is a merged (doc_id, span_start, span_end, span_len)
+    * table; each doc's spans collapse to one sorted array and a single
+    * fold cuts them out — one pass over the text, no per-span joins.
+    * Docs without spans pass through unchanged. Returns the persisted
+    * (doc_id, clean_text, n_removed_chars) table. */
+  private def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))).as("sp"),
         sum(col("span_len")).as("removed"))
@@ -1917,7 +1929,28 @@ object Dedup {
         coalesce(col("removed"), lit(0L)).as("n_removed_chars"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    spans.unpersist()
+    out
+  }
+
+  /** The REWRITE step of [[decontaminateSubstring]] — scrub instead of
+    * drop: every verbatim >= minLen benchmark leak is cut out of its
+    * training document (merged spans, so overlapping leaks cut once) and
+    * the TRAINING corpus comes back row-for-row as (doc_id, clean_text,
+    * n_removed_chars); benchmark documents are not rows of the output
+    * (they are the eval set, not the corpus). Same one cross-corpus
+    * anchor/extension pass as the report, same row-local cut fold as
+    * [[scrubSubstringDups]]. */
+  def scrubContaminated(docs: DataFrame, isBench: Column, minLen: Int = 30,
+                        k: Int = 24, w: Int = 7,
+                        maxPostingGuard: Int = 20000): DataFrame = {
+    val train = docs.filter(!isBench)
+    val m = substringMatchesAcross(train, docs.filter(isBench),
+      minLen, k, w, maxPostingGuard)
+    val merged = mergeSpans(
+      m.select(col("a").as("doc_id"), col("sa").as("s"),
+        (col("sa") + col("match_len")).as("e")).distinct())
+    val out = cutSpans(train, merged)
+    m.unpersist()
     out
   }
 

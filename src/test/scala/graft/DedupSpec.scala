@@ -822,6 +822,18 @@ class DedupSpec extends SparkSpec {
     // spans don't touch (filler between them): dup_chars = both leaks plus
     // leak2's extended leading space
     assert(r.getLong(4) == (leak1.length + leak2.length + 1).toLong, s"merged chars: $r")
+    // the REWRITE step: both leaks (incl. leak2's extended space) cut
+    // from doc 1, doc 2 untouched, bench docs absent, length conserved
+    val scrub = Dedup.scrubContaminated(d, isBench = col("source") === "src0",
+      minLen = 30, k = 16, w = 15).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(scrub.keySet == Set(1L, 2L), s"train rows only: ${scrub.keySet}")
+    assert(scrub(2L)._2 == 0L && scrub(2L)._1.nonEmpty, s"clean doc untouched: ${scrub(2L)}")
+    val orig = "intro words " + leak1 + " middle filler words " + leak2 + " outro"
+    assert(scrub(1L)._2 == (leak1.length + leak2.length + 1).toLong, s"${scrub(1L)}")
+    assert(scrub(1L)._1.length == orig.length - scrub(1L)._2, "length conservation")
+    assert(!scrub(1L)._1.contains(leak1) && !scrub(1L)._1.contains(leak2),
+      s"leaks must be gone: ${scrub(1L)._1}")
     // the sides are independent id spaces: NO identity filter, so the
     // same physical document passed on both sides matches itself
     // wholesale — and two DIFFERENT docs sharing an id (external
