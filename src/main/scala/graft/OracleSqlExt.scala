@@ -1741,6 +1741,59 @@ object OracleSqlExt {
   def tokenizeBpePackSqlFromLastModel(windowSize: Long): Option[String] =
     graft.text.TextAnalysis.lastBpeMerges.map(tokenizeBpePackSql(_, windowSize))
 
+  /** Mirror of [[graft.text.TextAnalysis.tokenizeUnigramWith]]: the
+    * Viterbi-best piece count per distinct word as a recursive-CTE DP
+    * over codepoint positions, then the same occurrence-join per-doc
+    * aggregation as the BPE oracle. The (piece, packedVal) model is
+    * injected as parallel literal lists — both engines sum the SAME
+    * driver-quantized integers (see UnigramCountExpr's packing
+    * contract), so the DP is exact integer arithmetic here too. The dp
+    * CTE carries one row per (word, prefix length): `best[j+1]` is the
+    * packed optimum for the length-j prefix, each step appends the max
+    * over piece lengths 1..maxPieceLen, with the UNK fallback only at
+    * l = 1 (a missing longer piece contributes NULL, which list-max
+    * ignores). */
+  def tokenizeUnigramSql(model: Seq[(String, Long)], maxPieceLen: Int): String = {
+    val piecesLit = model.map { case (p, _) => "'" + p.replace("'", "''") + "'" }
+      .mkString("[", ", ", "]")
+    val valsLit = model.map { case (_, v) => v.toString }.mkString("[", ", ", "]")
+    val unk = graft.functions.UnigramEncode.unkVal
+    s"""WITH RECURSIVE $tclCte,
+       |occ AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest(tl) AS w FROM tcl) GROUP BY doc_id, w
+       |),
+       |wl AS (SELECT DISTINCT w FROM occ),
+       |dp AS (
+       |  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM wl
+       |  UNION ALL
+       |  SELECT w, i + 1,
+       |         best || [list_aggregate(
+       |           list_transform(range(1, least($maxPieceLen, i + 1) + 1),
+       |             l -> best[CAST(i - l + 2 AS INT)] + coalesce(
+       |                    ($valsLit::BIGINT[])[
+       |                      nullif(list_position($piecesLit, w[CAST(i - l + 2 AS INT):CAST(i + 1 AS INT)]), 0)],
+       |                    CASE WHEN l = 1 THEN CAST($unk AS BIGINT) END)),
+       |           'max')]
+       |  FROM dp WHERE i < length(w)
+       |),
+       |fin AS (
+       |  SELECT w, ((-(best[CAST(length(w) + 1 AS INT)])) % 1024 + 1024) % 1024 AS n_sub
+       |  FROM dp WHERE i = length(w)
+       |)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * n_sub) AS BIGINT) AS n_unigram_tokens,
+       |       round(CAST(sum(n * n_sub) AS DOUBLE) / sum(n), 6) AS pieces_per_word
+       |FROM occ JOIN fin USING (w) GROUP BY doc_id""".stripMargin
+  }
+
+  def tokenizeUnigramSqlFromLastModel(maxPieceLen: Int): Option[String] =
+    graft.text.TextAnalysis.lastUnigramModel.map(tokenizeUnigramSql(_, maxPieceLen))
+
+  /** Oracle SQL for the serve-only indexed twin, from its OWN stash. */
+  def tokenizeUnigramSqlFromIndexedModel(maxPieceLen: Int): Option[String] =
+    graft.text.TextAnalysis.lastUnigramModelIndexed.map(tokenizeUnigramSql(_, maxPieceLen))
+
   /** raw -> s CTE chain shared by [[urlCanonicalSql]] and
     * [[urlDomainStatsSql]]: the deterministic messy-URL derivation (the
     * scrub_pii pattern — testdata has no url column, so one is built

@@ -115,6 +115,15 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted unigram-LM piece model — same lifecycle as the BPE merge
+    * table. */
+  private def unigramModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#unigram", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#unigram")).toString
+      graft.text.TextAnalysis.writeUnigramModel(Collocations.documents(s, d), dir)
+      dir
+    })
+
   /** Persisted IVF centroid model — same lifecycle and cleaned root. */
   private def ivfModelDir(s: SparkSession, d: String): String =
     dedupIndexDirs.getOrElseUpdate(d + "#ivf", {
@@ -138,6 +147,7 @@ object SparkEntry {
     substringIndexDirHalf(spark, sfDir)
     benchAnchorIndexDir(spark, sfDir)
     bpeModelDir(spark, sfDir)
+    unigramModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
@@ -1076,6 +1086,29 @@ object SparkEntry {
           .select(col("doc_id"), col("n_bpe_tokens").as("n_chars"))
         graft.pipelines.Packing.packSequences(lens, windowSize = 256)
           .withColumnRenamed("n_chars", "n_bpe_tokens")
+      },
+      None),
+
+    // unigram-LM tokenizer APPLY (Kudo 2018): Viterbi piece counts
+    // against a hard-EM-trained piece model — the second of the two
+    // standard subword tokenizers (BPE above). Same scale shape: bounded
+    // driver-side training, compiled integer-DP encode over DISTINCT
+    // words, occurrence-join back per doc. DYNAMIC oracle: the run
+    // stashes the (piece, packedVal) model and oracleSql injects it into
+    // a recursive-CTE position DP — both engines sum the same
+    // driver-quantized integers, so no float drift can split them.
+    ("tokenize_unigram",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.tokenizeUnigram(Collocations.documents(s, d)),
+      None),
+
+    // serve-only twin: the piece model reads back from the persisted
+    // parquet (build-once per process) into its OWN stash
+    ("tokenize_unigram_indexed",
+      (s: SparkSession, d: String) => {
+        val model = graft.text.TextAnalysis.readUnigramModel(s, unigramModelDir(s, d))
+        graft.text.TextAnalysis.lastUnigramModelIndexed = Some(model)
+        graft.text.TextAnalysis.tokenizeUnigramWith(Collocations.documents(s, d), model)
       },
       None),
 
@@ -2435,6 +2468,8 @@ object SparkEntry {
       OracleSqlExt.tokenizeBpeSqlFromLastModel.map("tokenize_bpe" -> _) ++
       OracleSqlExt.tokenizeBpeSqlFromIndexedModel.map("tokenize_bpe_indexed" -> _) ++
       OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
+      OracleSqlExt.tokenizeUnigramSqlFromLastModel(4).map("tokenize_unigram" -> _) ++
+      OracleSqlExt.tokenizeUnigramSqlFromIndexedModel(4).map("tokenize_unigram_indexed" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++
       OracleSqlExt.qualityClassifierCalibrationSqlFromLastModel.map("quality_classifier_calibration" -> _) ++

@@ -379,6 +379,178 @@ object TextAnalysis {
     spark.read.parquet(dir).orderBy("rank").collect()
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
 
+  /** Last trained unigram-LM piece model (piece → packed integer DP
+    * value), stashed by [[tokenizeUnigram]] for the dynamic oracle —
+    * the [[lastBpeMerges]] discipline, one stash per registry entry. */
+  @volatile var lastUnigramModel: Option[Seq[(String, Long)]] = None
+  @volatile var lastUnigramModelIndexed: Option[Seq[(String, Long)]] = None
+
+  /** Deterministic unigram-LM tokenizer training (Kudo 2018) as Viterbi
+    * hard-EM on the corpus's bounded word-frequency table — the
+    * [[bpeTrain]] shape: the trainer sees a vocabulary SAMPLE (top
+    * `maxVocab` words by freq DESC, word ASC) driver-side, while the
+    * apply runs distributed over every word. Kudo's full EM uses
+    * forward-backward expectations; the Viterbi (hard-count) E-step is
+    * the documented approximation and is exactly reproducible: every
+    * quantity in the loop is an integer (frequency-weighted piece usage)
+    * or a quantized micro-nat score, and DP ties cannot perturb usage
+    * totals beyond the fixed smaller-piece-first argmax rule pinned
+    * here.
+    *
+    * Seed vocabulary: every single codepoint seen (coverage guarantee)
+    * plus the top `2 * vocabSize` multi-codepoint substrings of length
+    * ≤ `maxPieceLen` by frequency-weighted count. Each EM iteration
+    * re-segments every sampled word under the current scores, counts
+    * usage, drops unused multi-char pieces, prunes to the `vocabSize`
+    * best by (usage DESC, piece ASC), and re-quantizes scores; single
+    * codepoints are never pruned (usage floored at 1) so segmentation
+    * always exists. Returns (piece, packedVal) sorted by piece, where
+    * packedVal = round(ln(usage/total)·1e6)·1024 − 1 — see
+    * [[graft.functions.UnigramCountExpr]] for the packing contract. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 160, maxPieceLen: Int = 4,
+                   nIters: Int = 3, maxVocab: Int = 5000): Seq[(String, Long)] = {
+    require(vocabSize > 0 && maxPieceLen >= 1 && nIters >= 1 && maxVocab > 0)
+    val wf = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def cps(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out += w.substring(i, i + n); i += n
+      }
+      out.toArray
+    }
+    val words = wf.map { case (w, c) => (cps(w), c) }
+    // seed counts: all substrings of length <= maxPieceLen, freq-weighted
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (syms, c) =>
+      var i = 0
+      while (i < syms.length) {
+        val sb = new StringBuilder
+        var l = 0
+        while (l < maxPieceLen && i + l < syms.length) {
+          sb.append(syms(i + l))
+          val p = sb.toString
+          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = seedCounts.keysIterator.filter(p => p.codePointCount(0, p.length) == 1).toVector.sorted
+    var vocab: Map[String, Long] = {
+      val multis = seedCounts.iterator
+        .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+        .toSeq.sortBy { case (p, c) => (-c, p) }.take(2 * vocabSize)
+      (singles.map(p => p -> seedCounts(p)) ++ multis).toMap
+    }
+    def quantize(counts: Map[String, Long]): Map[String, Long] = {
+      val total = counts.valuesIterator.sum.toDouble
+      counts.map { case (p, c) =>
+        p -> (math.round(math.log(c / total) * 1e6) * 1024L - 1L)
+      }
+    }
+    // Viterbi segmentation under packed values — the same DP as
+    // UnigramEncode.countPieces, with a backpointer and the pinned
+    // smaller-piece-first argmax (strict > to replace)
+    def segment(syms: Array[String], vals: Map[String, Long]): Seq[String] = {
+      val n = syms.length
+      val best = new Array[Long](n + 1)
+      val back = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        var b = Long.MinValue
+        var bl = 1
+        val lmax = math.min(maxPieceLen, i)
+        var l = 1
+        while (l <= lmax) {
+          val piece = syms.slice(i - l, i).mkString
+          val pv = vals.get(piece) match {
+            case Some(v) => v
+            case None => if (l == 1) graft.functions.UnigramEncode.unkVal else Long.MinValue
+          }
+          if (pv != Long.MinValue) {
+            val cand = best(i - l) + pv
+            if (cand > b) { b = cand; bl = l }
+          }
+          l += 1
+        }
+        best(i) = b; back(i) = bl
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = n
+      while (j > 0) { out += syms.slice(j - back(j), j).mkString; j -= back(j) }
+      out.reverse.toSeq
+    }
+    var it = 0
+    while (it < nIters) {
+      val vals = quantize(vocab)
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, c) =>
+        segment(syms, vals).foreach(p => usage.update(p, usage.getOrElse(p, 0L) + c))
+      }
+      val multis = usage.iterator
+        .filter { case (p, u) => p.codePointCount(0, p.length) > 1 && u > 0 }
+        .toSeq.sortBy { case (p, u) => (-u, p) }.take(vocabSize)
+      vocab = (singles.map(p => p -> math.max(usage.getOrElse(p, 0L), 1L)) ++ multis).toMap
+      it += 1
+    }
+    quantize(vocab).toSeq.sortBy(_._1)
+  }
+
+  /** Unigram tokenizer APPLY: per-document Viterbi piece counts against
+    * the [[unigramTrain]]ed model — same scale shape as [[tokenizeBpe]]
+    * (compiled DP over DISTINCT words only, occurrence-join back). */
+  def tokenizeUnigram(docs: DataFrame, vocabSize: Int = 160,
+                      maxPieceLen: Int = 4): DataFrame = {
+    val model = unigramTrain(docs, vocabSize, maxPieceLen)
+    lastUnigramModel = Some(model)
+    tokenizeUnigramWith(docs, model, maxPieceLen)
+  }
+
+  /** APPLY-only twin of [[tokenizeUnigram]] for a given piece model —
+    * the serve path of the persisted-tokenizer lifecycle. */
+  def tokenizeUnigramWith(docs: DataFrame, model: Seq[(String, Long)],
+                          maxPieceLen: Int = 4): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val enc = occ.select("w").distinct()
+      .withColumn("n_sub",
+        graft.functions.UnigramEncode.countCol(col("w"), model, maxPieceLen))
+    occ.join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_unigram_tokens"))
+      .withColumn("pieces_per_word",
+        round(col("n_unigram_tokens") / col("n_words"), 6))
+      .select("doc_id", "n_words", "n_unigram_tokens", "pieces_per_word")
+  }
+
+  /** Persist the trained unigram piece model under `dir` as
+    * (piece, packed_val) — the [[writeBpeModel]] lifecycle (staged
+    * publish via publishSwap). */
+  def writeUnigramModel(docs: DataFrame, dir: String, vocabSize: Int = 160,
+                        maxPieceLen: Int = 4): Unit = {
+    val model = unigramTrain(docs, vocabSize, maxPieceLen)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      model.toDF("piece", "packed_val")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Read a persisted piece model back in piece order — a bounded model
+    * collect (≤ singles + vocabSize rows), never data. */
+  def readUnigramModel(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[(String, Long)] =
+    spark.read.parquet(dir).orderBy("piece").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("packed_val"))).toSeq
+
   /** Bigram language-model scoring — the LM-perplexity-style quality
     * signal: each document's mean log-probability of its bigrams under
     * the corpus's own add-one-smoothed bigram model,

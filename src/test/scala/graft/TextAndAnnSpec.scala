@@ -710,6 +710,61 @@ class TextAndAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("unigram DP: max packed score with fewest-pieces tie-break, UNK fallback") {
+    import graft.functions.UnigramEncode
+    // hand-built packed model: score("ab") = -1e6 micro-nats, singles -2e6
+    // each — "abab" best = [ab, ab] (2 pieces, score -2e6) beats
+    // [a,b,a,b] (score -8e6); count must read 2
+    def packed(scoreMicroNats: Long): Long = scoreMicroNats * 1024L - 1L
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    m.put("ab", packed(-1000000L))
+    m.put("a", packed(-2000000L))
+    m.put("b", packed(-2000000L))
+    assert(UnigramEncode.countPieces("abab", m, 4) == 2L)
+    assert(UnigramEncode.countPieces("aab", m, 4) == 2L)   // a + ab
+    assert(UnigramEncode.countPieces("a", m, 4) == 1L)
+    assert(UnigramEncode.countPieces("", m, 4) == 0L)
+    // unknown codepoint segments via the pinned UNK value, never throws
+    assert(UnigramEncode.countPieces("axb", m, 4) == 3L)
+    // fewest-pieces tie-break: make [ab] and [a,b] score equal — the
+    // packed -1-per-piece term must pick the single piece
+    val t = new java.util.HashMap[String, java.lang.Long]()
+    t.put("ab", packed(-4000000L))
+    t.put("a", packed(-2000000L))
+    t.put("b", packed(-2000000L))
+    assert(UnigramEncode.countPieces("ab", t, 4) == 1L)
+  }
+
+  test("unigram training is deterministic and the model segments its own corpus") {
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val m1 = TextAnalysis.unigramTrain(docs, vocabSize = 40, maxPieceLen = 3)
+    val m2 = TextAnalysis.unigramTrain(docs, vocabSize = 40, maxPieceLen = 3)
+    assert(m1 == m2, "two trains over the same corpus must be identical")
+    assert(m1.exists(_._1.length > 1), "training must retain multi-char pieces")
+    val r = TextAnalysis.tokenizeUnigramWith(docs, m1, maxPieceLen = 3).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nw, np) = (row.getLong(1), row.getLong(2))
+      assert(np >= nw, "every word is at least one piece")
+      assert(np > 0)
+    }
+  }
+
+  test("persisted unigram model round-trips: serve equals rebuild") {
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-model")
+    TextAnalysis.writeUnigramModel(docs, dir.toString, vocabSize = 40)
+    val served = TextAnalysis.readUnigramModel(spark, dir.toString)
+    assert(served == TextAnalysis.unigramTrain(docs, vocabSize = 40),
+      "read-back model must equal a fresh deterministic train")
+    val a = TextAnalysis.tokenizeUnigramWith(docs, served)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = TextAnalysis.tokenizeUnigram(docs, vocabSize = 40)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b, "serve path must reproduce the train-and-apply output")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("keywords: rare terms outrank common ones, k bounds per doc, ties break on term") {
     import spark.implicits._
     // "common" appears in every doc (idf ~ 0); each doc also has unique terms
