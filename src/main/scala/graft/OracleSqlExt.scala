@@ -838,6 +838,39 @@ object OracleSqlExt {
        |FROM asg LEFT JOIN comp ON asg.vec_id = comp.vec_id""".stripMargin
   }
 
+  /** Mirror of [[graft.similarity.Ann.clusterCapSampleWith]]: literal
+    * centroid argmax assignment (the semanticDedupSql asg pattern —
+    * d DESC, cid ASC matches IvfCell's strict-> first-best rule), then
+    * a cid-partitioned row_number/count window and the cap filter. */
+  def clusterCapSampleSql(cents: Seq[(Int, Array[Double])], cap: Int): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, cid, ${dotSql("v", "cv")} AS d FROM e CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |win AS (
+       |  SELECT vec_id, cid,
+       |         CAST(row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS BIGINT) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cell_n
+       |  FROM asg
+       |)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, rk, cell_n
+       |FROM win WHERE rk <= $cap""".stripMargin
+  }
+
+  def clusterCapSampleSqlFromLastModel: Option[String] =
+    graft.similarity.Ann.lastClusterCapModel.map { case (cents, cap) =>
+      clusterCapSampleSql(cents, cap)
+    }
+
   /** Oracle SQL for the last-trained semantic-dedup model, if the query
     * has run (Verify's run-before-dump contract, as with the IVF/PQ
     * oracles). */
@@ -2071,6 +2104,37 @@ object OracleSqlExt {
        |  CAST(len(regexp_extract_all(props, '$digitsPattern', 0)) AS BIGINT) AS n_nums
        |FROM events""".stripMargin
   }
+
+  /** Mirror of [[graft.text.TextAnalysis.piiReport]] — same regexes, same
+    * bounded group-key aggregation. */
+  val piiReportSql: String = {
+    import graft.text.TextAnalysis.{digitsPattern, emailPattern}
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |         CAST(len(regexp_extract_all(props, '$emailPattern', 0)) AS BIGINT) AS ne,
+       |         CAST(len(regexp_extract_all(props, '$digitsPattern', 0)) AS BIGINT) AS nn
+       |  FROM events
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(ne) AS BIGINT) AS n_emails,
+       |       CAST(sum(nn) AS BIGINT) AS n_nums,
+       |       CAST(sum(CASE WHEN ne + nn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_with_pii,
+       |       round(CAST(sum(CASE WHEN ne + nn > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_frac
+       |FROM c GROUP BY event_type""".stripMargin
+  }
+
+  /** Mirror of [[graft.sources.Bucketing.fileLayoutPlan]]. */
+  def fileLayoutPlanSql(targetBytes: Long): String =
+    s"""WITH a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(length(text)) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY source
+       |)
+       |SELECT source, n_docs, total_chars,
+       |       CAST(greatest(1, ceil(CAST(total_chars AS DOUBLE) / $targetBytes)) AS BIGINT) AS n_files,
+       |       CAST(ceil(CAST(n_docs AS DOUBLE) /
+       |                 greatest(1, ceil(CAST(total_chars AS DOUBLE) / $targetBytes))) AS BIGINT) AS docs_per_file
+       |FROM a""".stripMargin
 
   /** Bigram-LM score mirror of [[graft.text.TextAnalysis.lmScore]]. The
     * per-term DECIMAL cast before the sum matches the Spark side, making

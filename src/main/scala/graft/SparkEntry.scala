@@ -1615,6 +1615,23 @@ object SparkEntry {
       },
       Some(OracleSqlExt.scrubSql)),
 
+    // PII audit report — the aggregate release gate the per-row scrub
+    // feeds: where the exposure concentrates, per event_type, before a
+    // scrub-vs-drop decision. Bounded group key, one aggregation
+    ("pii_report",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.piiReport(s.read.parquet(s"$d/events.parquet")),
+      Some(OracleSqlExt.piiReportSql)),
+
+    // compaction/layout planner — per-partition-key file counts sized
+    // to a byte target (the write-side answer to the small-files
+    // problem); a few output rows per key from one bounded aggregation
+    ("layout_file_plan",
+      (s: SparkSession, d: String) =>
+        graft.sources.Bucketing.fileLayoutPlan(
+          Collocations.documents(s, d), targetBytes = 32768),
+      Some(OracleSqlExt.fileLayoutPlanSql(32768))),
+
     // URL canonicalization — the web-curation key (per-domain dedup,
     // crawl-feed overlap, domain mixing all key on canonical urls).
     // Testdata has no url column, so one is derived deterministically
@@ -2132,6 +2149,19 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), batchSize = 8, trainStride = 8),
       None),
 
+    // cluster-balanced corpus cap — the curation step between
+    // SemDeDup's within-cluster dedup and D4's density pruning: at most
+    // `cap` vectors kept per trained cluster (deterministic vec_id
+    // order), so no single mode of the embedding distribution dominates
+    // the training mix; cell_n rides along to show the cut. Assignment
+    // is the narrow literal-model map; the only shuffle is the
+    // cid-partitioned window. DYNAMIC centroid-injected oracle
+    ("sample_cluster_cap",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Ann.clusterCapSample(
+          s.read.parquet(s"$d/embeddings.parquet"), cap = 20, trainStride = 8),
+      None),
+
     // hard-negative mining for contrastive training: each query's top-k
     // most-similar candidates from a DIFFERENT trained cluster —
     // multi-probe sign-LSH candidates + literal-model cluster
@@ -2462,6 +2492,7 @@ object SparkEntry {
       OracleSqlExt.annRecallEvalSqlFromModel.map("ann_recall_eval" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
+      OracleSqlExt.clusterCapSampleSqlFromLastModel.map("sample_cluster_cap" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++
       OracleSqlExt.hardNegativesSqlFromLastModel.map("hard_negatives" -> _) ++

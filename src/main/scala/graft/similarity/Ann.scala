@@ -407,6 +407,49 @@ object Ann {
       .drop("_n_total")
   }
 
+  /** The most recently trained cluster-cap model: (centroids, cap). */
+  @volatile private[graft] var lastClusterCapModel: Option[(Seq[(Int, Array[Double])], Int)] = None
+
+  /** Cluster-balanced corpus cap — the curation step between SemDeDup's
+    * within-cluster dedup and D4's density pruning: assign every vector
+    * to its trained cluster and keep at most `cap` per cluster
+    * (deterministic keep order: vec_id ASC), so no single mode of the
+    * embedding distribution can dominate the training mix. Over-dense
+    * clusters (boilerplate, templated content) are truncated; rare
+    * clusters pass through whole — `cell_n` rides along so the caller
+    * can see exactly how much each cluster was cut.
+    *
+    * Scale shape: training is the bounded-sample Lloyd; assignment is
+    * the narrow literal-model map (no join); the only shuffle is the
+    * cid-PARTITIONED window (nCells partitions, each corpus/nCells —
+    * grow nCells with the corpus exactly like [[graft.dedup.Dedup
+    * .semanticDedup]]'s knob, which also keeps the per-cluster cap
+    * meaningful). Returns kept rows (vec_id, cid, rk, cell_n). */
+  def clusterCapSample(emb: DataFrame, cap: Int = 20, nCells: Int = 16,
+                       iters: Int = 2, trainStride: Int = 1): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val cents = ivfCentroids(emb, nCells, iters, trainStride)
+    lastClusterCapModel = Some((cents, cap))
+    clusterCapSampleWith(emb, cents, cap)
+  }
+
+  /** APPLY-only twin of [[clusterCapSample]] for a given centroid model
+    * — the serve path (stashing is the caller's job, the ivfTopKWith
+    * discipline). */
+  def clusterCapSampleWith(emb: DataFrame, cents: Seq[(Int, Array[Double])],
+                           cap: Int): DataFrame = {
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), ivfCell(col("v"), cents).as("cid"))
+      .withColumn("rk", row_number().over(byCell.orderBy("vec_id")).cast("long"))
+      .withColumn("cell_n", count(lit(1)).over(byCell).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("rk"), col("cell_n"))
+  }
+
   /** The most recently trained prototypicality model:
     * (centroids-with-norms, loP, hiP). */
   @volatile private[graft] var lastProtoModel: Option[(Seq[(Int, Array[Double], Double)], Double, Double)] = None

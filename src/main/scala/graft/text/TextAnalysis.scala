@@ -898,6 +898,25 @@ object TextAnalysis {
     (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
       size(regexp_extract_all(text, lit(digitsPattern), lit(0))).cast("long"))
 
+  /** PII audit report — the aggregate release gate the per-row [[scrub]]
+    * feeds: per event_type, how many rows carry any PII and how many
+    * matches of each class, so a corpus owner sees WHERE the exposure
+    * concentrates before deciding scrub-vs-drop (the
+    * decontaminate-substring report shape, for PII). One partial+final
+    * aggregation over a bounded group key; the regex work is the same
+    * codegen'd row-local scan the scrub runs. */
+  def piiReport(events: DataFrame): DataFrame = {
+    val (ne, nn) = scrubCounts(col("props"))
+    events.select(col("event_type"), ne.as("ne"), nn.as("nn"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("nn")).as("n_nums"),
+        sum(when(col("ne") + col("nn") > 0, 1L).otherwise(0L)).as("n_rows_with_pii"))
+      .withColumn("pii_frac", round(col("n_rows_with_pii") / col("n_rows"), 6))
+      .select("event_type", "n_rows", "n_emails", "n_nums", "n_rows_with_pii", "pii_frac")
+  }
+
   /** Language-ID character-n-gram profiles. The synthetic corpus is
     * English-like regardless of label, so this demonstrates the operator
     * shape (profile scoring + deterministic argmax), not linguistics. */

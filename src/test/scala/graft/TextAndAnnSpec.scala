@@ -710,6 +710,27 @@ class TextAndAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("cluster cap: at most cap per cluster, rare clusters whole, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Ann.clusterCapSample(emb, cap = 5, nCells = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    val byCell = r.groupBy(_._2)
+    byCell.foreach { case (cid, rows) =>
+      assert(rows.length <= 5, s"cell $cid kept ${rows.length} > cap")
+      val cellN = rows.head._4
+      assert(rows.forall(_._4 == cellN))
+      // under-cap cells pass through whole; capped cells keep exactly cap
+      if (cellN <= 5) assert(rows.length == cellN.toInt)
+      else assert(rows.length == 5)
+      // keep order is the vec_id-ascending prefix: ranks are 1..kept
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val r2 = Ann.clusterCapSample(emb, cap = 5, nCells = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSet == r2.toSet, "run-to-run deterministic")
+  }
+
   test("unigram DP: max packed score with fewest-pieces tie-break, UNK fallback") {
     import graft.functions.UnigramEncode
     // hand-built packed model: score("ab") = -1e6 micro-nats, singles -2e6
