@@ -1568,6 +1568,37 @@ object OracleSqlExt {
   def qualityClassifierCalibrationSqlFromLastModel: Option[String] =
     graft.text.QualityClassifier.lastWeights.map(qualityClassifierCalibrationSql(_))
 
+  /** Mirror of [[graft.text.QualityClassifier.aucScored]]: tie-averaged
+    * Mann-Whitney rank-sum AUC — integer cumulatives over the per-score
+    * tied-group table, DECIMAL(38,0) rank-sum accumulation, one final
+    * float division. */
+  def qualityClassifierAucSql(w: Seq[Double]): String =
+    s"""WITH ${qcScoredChain(w)},
+       |g AS (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS np
+       |  FROM qcp GROUP BY score
+       |),
+       |c AS (
+       |  SELECT n, np,
+       |         sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cumn
+       |  FROM g
+       |),
+       |a AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(n - np) AS BIGINT) AS n_neg,
+       |         sum(CAST(np * (2 * (cumn - n) + n + 1) AS DECIMAL(38,0))) AS s2
+       |  FROM c
+       |)
+       |SELECT n, n_pos, n_neg,
+       |  round(CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN CAST(s2 - CAST(n_pos * (n_pos + 1) AS DECIMAL(38,0)) AS DOUBLE) /
+       |         (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |    ELSE 0.5 END, 6) AS auc
+       |FROM a""".stripMargin
+
+  def qualityClassifierAucSqlFromLastModel: Option[String] =
+    graft.text.QualityClassifier.lastWeights.map(qualityClassifierAucSql)
+
   def qualityClassifierScoreSqlFromLastModel: Option[String] =
     graft.text.QualityClassifier.lastWeights.map(qualityClassifierScoreSql)
 
@@ -2104,6 +2135,21 @@ object OracleSqlExt {
        |  CAST(len(regexp_extract_all(props, '$digitsPattern', 0)) AS BIGINT) AS n_nums
        |FROM events""".stripMargin
   }
+
+  /** Mirror of [[graft.dedup.Dedup.hotGrams]]: every k-char gram at every
+    * offset, grouped, doc-frequency top-N with the full deterministic
+    * tie-break (gram is unique per group, so the order is total). */
+  def hotGramsSql(k: Int, topN: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(length(text) - ${k - 1}, 0) + 1),
+       |           i -> text[CAST(i AS INT):CAST(i + ${k - 1} AS INT)])) AS gram
+       |  FROM documents
+       |)
+       |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occ
+       |FROM g GROUP BY gram
+       |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT $topN""".stripMargin
 
   /** Mirror of [[graft.text.TextAnalysis.piiReport]] — same regexes, same
     * bounded group-key aggregation. */

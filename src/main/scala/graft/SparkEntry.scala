@@ -1452,6 +1452,15 @@ object SparkEntry {
         graft.text.QualityClassifier.evalScored(qcScored(s, d)),
       None),
 
+    // threshold-free ranking quality of the learned filter: exact
+    // tie-averaged Mann-Whitney AUC — integer rank-sums over the
+    // bounded per-score group table via the scale-safe global cumsum,
+    // one final float division. DYNAMIC weight-injected oracle
+    ("quality_classifier_auc",
+      (s: SparkSession, d: String) =>
+        graft.text.QualityClassifier.aucScored(qcScored(s, d)),
+      None),
+
     // score-decile reliability table — the calibration QA view of the
     // learned filter (bin boundaries cut on the round-6 score, so the
     // decile edges are engine-identical)
@@ -2181,6 +2190,15 @@ object SparkEntry {
           isBench = col("source") === "src0", minContainment = 0.3),
       Some(OracleSqlExt.decontaminateSql("source = 'src0'", 0.3))),
 
+    // hot-gram diagnostic for the substring-anchor posting guard: the
+    // top character k-grams by doc frequency — the boilerplate the
+    // guard's loud failure points at; what an operator reads before
+    // raising the bound or stripping the template
+    ("substring_hot_grams",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.hotGrams(Collocations.documents(s, d), k = 24, topN = 20),
+      Some(OracleSqlExt.hotGramsSql(24, 20))),
+
     // EXACT-substring decontamination (the Lee et al. shape): where the
     // shingle-containment check above is Jaccard-approximate, this
     // surfaces every verbatim >= 30-char leak of benchmark text into a
@@ -2503,6 +2521,7 @@ object SparkEntry {
       OracleSqlExt.tokenizeUnigramSqlFromIndexedModel(4).map("tokenize_unigram_indexed" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++
+      OracleSqlExt.qualityClassifierAucSqlFromLastModel.map("quality_classifier_auc" -> _) ++
       OracleSqlExt.qualityClassifierCalibrationSqlFromLastModel.map("quality_classifier_calibration" -> _) ++
       OracleSqlExt.prototypicalitySqlFromLastModel.map("embedding_prototypicality" -> _)
 }

@@ -1954,6 +1954,32 @@ object Dedup {
     out
   }
 
+  /** Hot-gram diagnostic for the substring-anchor posting guard: the
+    * top-N character k-grams by document frequency — exactly the byte
+    * content that floods the anchor pair join when it exceeds
+    * `maxPostingGuard` (boilerplate headers, license blocks, templated
+    * navigation). The guard fails loudly by design; THIS is the table an
+    * operator reads next, to decide whether to raise the bound or strip
+    * the boilerplate first. Gram generation is array-local (sequence +
+    * transform — no join, no per-offset shuffle stage); the two-level
+    * (gram, doc) → gram aggregation is the linear count-distinct plan,
+    * and the result is a bounded global top-N. Short documents
+    * (< k chars) contribute nothing — the empty-sequence guard, because
+    * Spark's `sequence(1, n)` generates DESCENDING sequences when
+    * n < 1. */
+  def hotGrams(docs: DataFrame, k: Int = 24, topN: Int = 20): DataFrame = {
+    require(k >= 1 && topN >= 1)
+    val nPos = greatest(length(col("text")) - (k - 1), lit(0))
+    docs.select(col("doc_id"), explode(
+        when(nPos >= 1, transform(sequence(lit(1), nPos),
+          i => col("text").substr(i, lit(k))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
+      .limit(topN)
+  }
+
   /** Top-N globally-closest embedding pairs by cosine (brute-force a < b;
     * the correctness baseline for [[embeddingLshPairs]] — do not run at
     * corpus scale). */

@@ -219,6 +219,37 @@ object QualityClassifier {
            trainMod: Int = 1): DataFrame =
     evalScored(score(docs, iters, ridge, trainMod))
 
+  /** One-row ROC-AUC over an already-scored frame, threshold-free — the
+    * rank statistic the 0.5-threshold [[eval]] metrics miss (a filter is
+    * deployed at a TUNED threshold, so ranking quality is the number
+    * that matters). Computed exactly as the tie-averaged Mann-Whitney
+    * rank sum: group by the (round-6) score — the tied-group table is
+    * bounded by the score domain (≤ 1e6 + 1 rows) regardless of corpus
+    * size — take the scale-safe [[graft.ops.Ranks.globalCumSum]] in
+    * score order, and fold the per-group average ranks into
+    * `s2 = 2 · Σ ranks(positives)` with every term an integer
+    * (DECIMAL(38,0)-summed so 100 TB counts can't overflow); the single
+    * final division is the only float op, identical on both engines.
+    * Degenerate one-class corpora pin AUC to 0.5. */
+  def aucScored(scored: DataFrame): DataFrame = {
+    val byScore = scored.groupBy("score")
+      .agg(count(lit(1L)).as("n"), sum(col("label")).as("np"))
+    val cum = graft.ops.Ranks.globalCumSum(
+      byScore, Seq((col("score"), true)), col("n"), out = "cumn")
+    cum.agg(
+        sum(col("n")).as("n"),
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum((col("np") * (lit(2L) * (col("cumn") - col("n")) + col("n") + lit(1L)))
+          .cast("decimal(38,0)")).as("s2"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("s2") - (col("n_pos") * (col("n_pos") + lit(1L))).cast("decimal(38,0)"))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .otherwise(lit(0.5)), 6).as("auc"))
+  }
+
   /** [[eval]] over an already-scored frame. */
   def evalScored(scored: DataFrame): DataFrame = {
     scored.agg(

@@ -962,4 +962,31 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact == Set((1L, 2L)))
   }
+
+  test("hot grams: shared boilerplate tops by doc frequency, short docs drop, bounded") {
+    import spark.implicits._
+    val boiler = "COMMON-HEADER-BOILERPLATE-XYZ" // 29 chars > k=24
+    val hd = Seq(
+      (1L, s"$boiler one unique tail"),
+      (2L, s"$boiler two other tail"),
+      (3L, s"$boiler three more tail"),
+      (4L, "entirely unrelated content that is long enough to gram"),
+      (5L, "short")) // < k chars: contributes nothing
+      .toDF("doc_id", "text")
+    val top = Dedup.hotGrams(hd, k = 24, topN = 10).collect()
+    assert(top.length == 10)
+    // the top gram is a window of the shared header(+following space),
+    // present in 3 docs; among the tied windows the lexicographically
+    // smallest wins
+    val head = top.head
+    assert((boiler + " ").contains(head.getString(0)),
+      s"top gram should be a window of the shared header: '${head.getString(0)}'")
+    assert(head.getAs[Long]("n_docs") == 3L)
+    // n_occ >= n_docs always; ordering is (n_docs desc, n_occ desc, gram asc)
+    top.foreach(r => assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs")))
+    val key = top.map(r => (-r.getAs[Long]("n_docs"), -r.getAs[Long]("n_occ"), r.getString(0)))
+    assert(key.sameElements(key.sorted), "result must arrive in the documented order")
+    // a doc shorter than k never produces a gram
+    assert(!top.exists(_.getString(0).contains("short")))
+  }
 }

@@ -65,6 +65,33 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("auc: tie-averaged rank-sum on a hand-computed case, bounds, degenerate 0.5") {
+    import spark.implicits._
+    // pairs: (.9+,.8-) win, (.9+,.1-) win, (.8+,.8-) tie=0.5, (.8+,.1-)
+    // win -> U = 3.5, AUC = 3.5 / (2*2) = 0.875
+    val scored = Seq(
+      (1L, 1L, 0.9), (2L, 0L, 0.8), (3L, 1L, 0.8), (4L, 0L, 0.1))
+      .toDF("doc_id", "label", "score")
+    val r = QualityClassifier.aucScored(scored).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L
+      && r.getAs[Long]("n_neg") == 2L)
+    assert(math.abs(r.getAs[Double]("auc") - 0.875) < 1e-9)
+    // perfect separation -> 1.0; inverted -> 0.0
+    val perfect = Seq((1L, 1L, 0.9), (2L, 1L, 0.8), (3L, 0L, 0.2), (4L, 0L, 0.1))
+      .toDF("doc_id", "label", "score")
+    assert(QualityClassifier.aucScored(perfect).collect().head.getAs[Double]("auc") == 1.0)
+    val inverted = Seq((1L, 0L, 0.9), (2L, 1L, 0.1)).toDF("doc_id", "label", "score")
+    assert(QualityClassifier.aucScored(inverted).collect().head.getAs[Double]("auc") == 0.0)
+    // one-class corpus pins 0.5 instead of dividing by zero
+    val oneClass = Seq((1L, 1L, 0.9), (2L, 1L, 0.1)).toDF("doc_id", "label", "score")
+    assert(QualityClassifier.aucScored(oneClass).collect().head.getAs[Double]("auc") == 0.5)
+    // the trained scorer on real data ranks better than chance
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val auc = QualityClassifier.aucScored(
+      QualityClassifier.score(docs, trainMod = 4)).collect().head.getAs[Double]("auc")
+    assert(auc > 0.5 && auc <= 1.0, s"trained AUC $auc should beat chance")
+  }
+
   test("scoreWith is a pure literal-weight map: no shuffle in the serve plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val served = QualityClassifier.scoreWith(
