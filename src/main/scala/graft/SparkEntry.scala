@@ -1533,6 +1533,15 @@ object SparkEntry {
         graft.text.TextAnalysis.lmScore(Collocations.documents(s, d)),
       Some(OracleSqlExt.lmScoreSql)),
 
+    // interpolated Kneser-Ney bigram LM — the smoothing the CCNet/KenLM
+    // perplexity filters actually use (continuation-count backoff
+    // instead of add-one's uniform prior); exact integer statistics,
+    // fixed-operation-order probability, per-term DECIMAL ln sums
+    ("text_lm_kn_score",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScoreKn(Collocations.documents(s, d)),
+      Some(OracleSqlExt.lmScoreKnSql(0.75))),
+
     // CCNet-style head/middle/tail perplexity terciles over the LM score
     // — dynamic corpus-own thresholds, single-row broadcast, round-6
     // boundary discipline

@@ -589,6 +589,56 @@ object TextAnalysis {
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995, the
+    * smoothing the CCNet/KenLM perplexity filters actually use — add-one
+    * [[lmScore]] systematically over-penalizes unseen-but-plausible
+    * continuations; KN backs off to CONTINUATION counts, "how many
+    * contexts does w2 follow", which is the right novelty prior for
+    * fluency filtering):
+    *
+    *   P(w2|w1) = (c12 − D)/ctx(w1) + D·N1+(w1·)/ctx(w1) · N1+(·w2)/N1+(··)
+    *
+    * with fixed discount D = 0.75. Every statistic is an exact integer
+    * aggregate of the bigram stream (context totals, forward/reverse
+    * continuation type counts, the global bigram-type count); scoring
+    * joins each bigram occurrence to its four counts (three
+    * vocabulary-keyed joins + one per-lang broadcast). Since only SEEN
+    * bigrams are scored (the occurrence join), c12 ≥ 1 > D and the
+    * max(·,0) clamp is vacuous. Cross-engine determinism is [[lmScore]]'s
+    * recipe: the probability expression is written in one fixed
+    * operation order (bit-identical IEEE on both engines), each `ln`
+    * term casts to DECIMAL(28,18) before the per-doc sum (exactly
+    * associative), and the ≤1-ulp `ln` drift dies in round-6. */
+  def lmScoreKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1) required: $discount")
+    val toks = docs.select(col("doc_id"), col("lang"), Normalize.tokensCol(col("text")).as("toks"))
+    val bg = toks
+      .select(col("doc_id"), col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // context totals and forward continuation types share one scan of the
+    // (already bounded) bigram-type table
+    val ctx = bgc.groupBy("lang", "w1")
+      .agg(sum(col("c12")).as("ctx"), count(lit(1)).as("n1f"))
+    val rev = bgc.groupBy("lang", "w2").agg(count(lit(1)).as("n1r"))
+    val all = bgc.groupBy("lang").agg(count(lit(1)).as("n1a"))
+    val d = lit(discount)
+    bg.join(bgc, Seq("lang", "w1", "w2"))
+      .join(ctx, Seq("lang", "w1"))
+      .join(rev, Seq("lang", "w2"))
+      .join(broadcast(all), Seq("lang"))
+      .withColumn("lp",
+        log((col("c12").cast("double") - d) / col("ctx").cast("double")
+          + d * col("n1f").cast("double") / col("ctx").cast("double")
+            * (col("n1r").cast("double") / col("n1a").cast("double")))
+          .cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing: split the corpus into head /
     * middle / tail terciles of the language-model score ([[lmScore]]'s
     * mean bigram log-prob — higher = more fluent = lower perplexity),

@@ -710,6 +710,29 @@ class TextAndAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("kneser-ney: hand-computed probabilities, continuation backoff, domain") {
+    import spark.implicits._
+    // bigrams: (a,b):3 (b,a):2 (a,c):1 -> ctx(a)=4 n1f(a)=2, ctx(b)=2
+    // n1f(b)=1; n1r(a)=n1r(b)=n1r(c)=1; n1a=3
+    val docs = Seq(
+      (1L, "a b a b", "en"),
+      (2L, "a b a c", "en"),
+      (3L, "solo", "en")) // <2 tokens: excluded like lmScore
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.lmScoreKn(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(!r.contains(3L))
+    val pAB = (3 - 0.75) / 4 + 0.75 * 2 / 4 * (1.0 / 3)  // 0.6875
+    val pBA = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1.0 / 3)  // 0.75
+    val pAC = (1 - 0.75) / 4 + 0.75 * 2 / 4 * (1.0 / 3)  // 0.1875
+    val exp1 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    val exp2 = (math.log(pAB) + math.log(pBA) + math.log(pAC)) / 3
+    assert(r(1L)._1 == 3L && math.abs(r(1L)._2 - exp1) < 1e-6, s"${r(1L)} vs $exp1")
+    assert(r(2L)._1 == 3L && math.abs(r(2L)._2 - exp2) < 1e-6, s"${r(2L)} vs $exp2")
+    // the rarer continuation scores lower than the frequent one
+    assert(r(2L)._2 < r(1L)._2)
+  }
+
   test("cluster cap: at most cap per cluster, rare clusters whole, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Ann.clusterCapSample(emb, cap = 5, nCells = 4).collect()
