@@ -737,4 +737,56 @@ class StreamingSpec extends SparkSpec {
     Seq(modelDir, watch, out, ckpt, tmp).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
+
+  test("streaming tokenizer monitor matches the batch serve path and flags gibberish") {
+    import graft.streaming.{DedupStream, TokenizerStream}
+    import graft.text.TextAnalysis
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-tok-model")
+    val watch = java.nio.file.Files.createTempDirectory("graft-tok-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-tok-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tok-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    TokenizerStream.buildModel(all, modelDir.toString, vocabSize = 40)
+    val model = TextAnalysis.readUnigramModel(spark, modelDir.toString)
+    assert(model.nonEmpty)
+
+    // shard = real docs + one injected gibberish doc of codepoints the
+    // corpus never contains (each segments as a solo UNK piece, so its
+    // pieces_per_word pins at the per-codepoint ceiling)
+    import spark.implicits._
+    val shard = all.filter(pmod(col("doc_id"), lit(4L)) === 1)
+      .select("doc_id", "text", "lang")
+      .union(Seq((999999L, "ñüñüñüñü ñüñüñü ñüñüñüñ", "en")).toDF("doc_id", "text", "lang"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tok-stage")
+    shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    java.nio.file.Files.copy(part, watch.resolve("a.parquet"))
+
+    // calibrate the gate from the batch serve path: midway between the
+    // median real document and the gibberish doc's per-codepoint ppw
+    val direct = TextAnalysis.tokenizeUnigramWith(shard, model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_unigram_tokens"), r.getAs[Double]("pieces_per_word")))).toMap
+    val realPpw = direct.collect { case (id, (_, p)) if id != 999999L => p }.toSeq.sorted
+    val med = realPpw(realPpw.size / 2)
+    val gib = direct(999999L)._2
+    assert(gib > med, "unsegmentable text must read above the median real doc")
+    val maxPpw = (med + gib) / 2
+
+    val q = TokenizerStream.monitor(DedupStream.readStream(spark, watch.toString),
+      modelDir.toString, out.toString, ckpt.toString, maxPpw = maxPpw)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = TokenizerStream.tokenLog(spark, out.toString)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_unigram_tokens"), r.getAs[Boolean]("gibberish")))).toMap
+    assert(streamed.view.mapValues(_._1).toMap == direct.view.mapValues(_._1).toMap,
+      "stream-logged token counts must equal the batch serve path on the same shard")
+    assert(streamed(999999L)._2, "unsegmentable text must flag as gibberish")
+    assert(streamed.count(_._2._2) < streamed.size / 2,
+      "real corpus documents must mostly pass the gate")
+    Seq(modelDir, watch, out, ckpt, tmp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
 }
