@@ -1931,6 +1931,61 @@ object OracleSqlExt {
        |       round(1.0 - CAST(count(DISTINCT canonical_url) AS DOUBLE) / count(*), 6) AS dup_ratio
        |FROM canon GROUP BY domain""".stripMargin
 
+  /** Shared CTEs of the text_normalize_* queries: the deterministic
+    * messy-text derivation (mirror of `SparkEntry.messyText` — chr()
+    * codes, so no escape sequence survives a JSON round-trip) and the
+    * fixed-order normalization chain (mirror of
+    * [[graft.text.TextNormalize.normalizeText]]): NFC, then CRLF/CR to
+    * LF, then zero-width removal, then NBSP to space, then C0/DEL strip
+    * keeping LF+TAB. RE2's \x{...} classes are the Java \u classes;
+    * nfc_normalize (utf8proc) and the JDK Normalizer both implement
+    * UAX #15 canonical composition, which is version-stable. */
+  private val textNormalizeCtes: String =
+    s"""rawt AS (
+       |  SELECT doc_id, lang,
+       |    substr(text, 1, 60) ||
+       |    (CASE doc_id % 4
+       |       WHEN 0 THEN ' cafe' || chr(769)
+       |       WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+       |       WHEN 2 THEN ' caf' || chr(233)
+       |       ELSE '' END) ||
+       |    (CASE doc_id % 3 WHEN 0 THEN chr(13) || chr(10)
+       |          WHEN 1 THEN chr(13) ELSE chr(10) END) ||
+       |    'tail' || chr(160) || 'x' ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN chr(8203) || 'zw' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END) AS raw
+       |  FROM documents
+       |),
+       |norm AS (
+       |  SELECT doc_id, lang, raw,
+       |    regexp_replace(
+       |      replace(
+       |        regexp_replace(
+       |          regexp_replace(nfc_normalize(raw), '\\r\\n?', chr(10), 'g'),
+       |          '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+       |        chr(160), ' '),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS text_norm
+       |  FROM rawt
+       |)""".stripMargin
+
+  /** Mirror of the text_normalize_unicode registry entry. */
+  def textNormalizeUnicodeSql: String =
+    s"""WITH $textNormalizeCtes
+       |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len, text_norm,
+       |       CAST(length(text_norm) AS BIGINT) AS norm_len,
+       |       CAST(length(raw) - length(text_norm) AS BIGINT) AS n_removed,
+       |       CAST(CASE WHEN raw <> text_norm THEN 1 ELSE 0 END AS BIGINT) AS changed
+       |FROM norm""".stripMargin
+
+  /** Mirror of the text_normalize_stats registry entry: per-lang doc
+    * and removed-char totals. */
+  def textNormalizeStatsSql: String =
+    s"""WITH $textNormalizeCtes
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN raw <> text_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |       CAST(sum(length(raw) - length(text_norm)) AS BIGINT) AS chars_removed
+       |FROM norm GROUP BY lang""".stripMargin
+
   /** Mirror of [[graft.dedup.Dedup.noveltyScores]] with even doc_ids as
     * the reference corpus: distinct reference shingles, a shingle-keyed
     * membership probe, round-6 novelty. */

@@ -204,6 +204,30 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
     lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
 
+  /** Deterministic messy text from existing columns (the [[messyUrl]]
+    * pattern — testdata text is clean ASCII, so the dirt every real
+    * crawl carries is derived reproducibly): decomposed combining
+    * sequences (NFC must compose), a precomposed accent (NFC fixpoint),
+    * CRLF/CR/LF line ends, NBSP, a zero-width space, a control char —
+    * one branch per [[graft.text.TextNormalize.normalizeText]] rule;
+    * mirrored verbatim by the oracle's `rawt` CTE (chr() codes there,
+    * `toChar` here — no escape-sequence round-trip ambiguity). */
+  private def messyText: org.apache.spark.sql.Column = concat(
+    substring(col("text"), 1, 60),
+    element_at(array(
+      lit(" cafe" + 0x0301.toChar),                                  // e + COMBINING ACUTE
+      lit(" A" + 0x030A.toChar + "ngstro" + 0x0308.toChar + "m"),    // decomposed ring/diaeresis
+      lit(" caf" + 0x00E9.toChar),                                   // precomposed, NFC fixpoint
+      lit("")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+    element_at(array(lit("\r\n"), lit("\r"), lit("\n")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+    lit("tail" + 0x00A0.toChar + "x"),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit(0x200B.toChar.toString + "zw")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit(0x0007.toChar.toString)).otherwise(lit("")))
+
   /** Per-process trained-weight cache for the quality-classifier queries
     * (the dedupIndexDirs build-once pattern): training is deterministic
     * given (dataset, params), so every classifier entry — score, eval,
@@ -1680,6 +1704,42 @@ object SparkEntry {
           .withColumn("dup_ratio",
             round(lit(1.0) - col("n_unique_urls").cast("double") / col("n_docs"), 6)),
       Some(OracleSqlExt.urlDomainStatsSql)),
+
+    // Unicode/whitespace canonicalization — the transform a corpus
+    // pipeline runs FIRST (dedup, shingling, winnowing, tokenization
+    // all key on text bytes; decomposed vs precomposed accents must be
+    // the same document). NFC is a codegen'd Catalyst expression with
+    // an ASCII fast path; the rest is built-in string algebra — all
+    // row-local, zero shuffles. Oracle: DuckDB nfc_normalize (utf8proc)
+    // vs JDK Normalizer, byte-identical on the version-stable canonical
+    // compositions.
+    ("text_normalize_unicode",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d).select(col("doc_id"), messyText.as("raw"))
+          .select(col("doc_id"), col("raw"),
+            graft.text.TextNormalize.normalizeText(col("raw")).as("text_norm"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("raw_len"),
+            col("text_norm"),
+            length(col("text_norm")).cast("long").as("norm_len"),
+            (length(col("raw")) - length(col("text_norm"))).cast("long").as("n_removed"),
+            (col("raw") =!= col("text_norm")).cast("long").as("changed")),
+      Some(OracleSqlExt.textNormalizeUnicodeSql)),
+
+    // its rollup: per-lang normalization pressure (docs touched, chars
+    // dropped) — the before/after accounting a cleaning pass reports;
+    // ONE hash aggregation on lang
+    ("text_normalize_stats",
+      (s: SparkSession, d: String) =>
+        Collocations.documents(s, d)
+          .select(col("lang"), messyText.as("raw"))
+          .select(col("lang"), col("raw"),
+            graft.text.TextNormalize.normalizeText(col("raw")).as("nt"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("raw") =!= col("nt")).cast("long")).as("n_changed"),
+            sum((length(col("raw")) - length(col("nt"))).cast("long")).as("chars_removed")),
+      Some(OracleSqlExt.textNormalizeStatsSql)),
 
     ("text_rolling_hash",
       (s: SparkSession, d: String) =>

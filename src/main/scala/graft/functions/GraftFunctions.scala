@@ -48,7 +48,10 @@ object GraftFunctions {
         val bounds = Cast(es(1), ArrayType(DoubleType)).eval()
           .asInstanceOf[ArrayData].toDoubleArray()
         SearchSortedCount(es.head, bounds.toIndexedSeq, es(2).eval().asInstanceOf[Boolean])
-      }))
+      }),
+    ("graft_nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
 
   /** Install the functions into a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -15,6 +15,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
       .collect().head.getDouble(0)
     assert(d == 32.0)
+    // NFC: 'e' + combining acute composes to precomposed é (the char is
+    // inlined into the SQL text: Spark's chr() is byte-valued, not
+    // codepoint-valued like DuckDB's)
+    val nfc = spark.sql(
+      s"SELECT graft_nfc_normalize('cafe${0x0301.toChar}') AS n, graft_nfc_normalize('ascii') AS a")
+      .collect().head
+    assert(nfc.getString(0) == "caf" + 0x00E9.toChar && nfc.getString(1) == "ascii")
     // literal bounds fold at resolution into the binary-search model;
     // integer literals cast to the double[] the expression carries
     // strictly-before counting: a value EQUAL to a bound stays in the

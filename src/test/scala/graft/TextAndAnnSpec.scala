@@ -855,6 +855,35 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r9.getAs[Double]("top4_frac") == 0.0 && r9.getAs[Double]("dup10_frac") == 0.0)
   }
 
+  test("unicode normalization pins every rule and is idempotent") {
+    import spark.implicits._
+    import graft.text.TextNormalize.normalizeText
+    val acute = 0x0301.toChar; val eAcute = 0x00E9.toChar
+    val nbsp = 0x00A0.toChar; val zwsp = 0x200B.toChar; val bel = 0x0007.toChar
+    val rows = Seq(
+      1L -> s"cafe$acute",              // decomposed -> composed
+      2L -> s"caf$eAcute",              // precomposed: NFC fixpoint
+      3L -> "a\r\nb\rc\nd",             // CRLF and CR -> LF
+      4L -> s"x${zwsp}y${nbsp}z",       // zero-width dropped, NBSP -> space
+      5L -> s"k${bel}eep\tme\n",        // BEL stripped, TAB and LF kept
+      6L -> "plain ascii")
+    val out = rows.toDF("id", "t")
+      .select(col("id"), normalizeText(col("t")).as("n"),
+        normalizeText(normalizeText(col("t"))).as("nn"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == s"caf$eAcute" && out(2L)._1 == s"caf$eAcute")
+    assert(out(3L)._1 == "a\nb\nc\nd")
+    assert(out(4L)._1 == "xy z")
+    assert(out(5L)._1 == "keep\tme\n")
+    assert(out(6L)._1 == "plain ascii")
+    // idempotent: a normalized corpus re-normalizes to itself
+    assert(out.values.forall { case (n, nn) => n == nn })
+    // null-safe through the codegen'd NFC expression
+    val nul = Seq((1L, Option.empty[String])).toDF("id", "t")
+      .select(normalizeText(col("t"))).collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("prototypicality flags quantile-sized core and tail slices, deterministically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = graft.similarity.Ann.prototypicality(emb, trainStride = 4)
