@@ -124,6 +124,16 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted Kneser-Ney LM model (the bigram-type TABLE — joined
+    * distributively at serve time, never collected) — same lifecycle
+    * and cleaned root. */
+  private def knModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#knlm", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#knlm")).toString
+      graft.text.TextAnalysis.writeKnModel(Collocations.documents(s, d), dir)
+      dir
+    })
+
   /** Persisted IVF centroid model — same lifecycle and cleaned root. */
   private def ivfModelDir(s: SparkSession, d: String): String =
     dedupIndexDirs.getOrElseUpdate(d + "#ivf", {
@@ -148,6 +158,7 @@ object SparkEntry {
     benchAnchorIndexDir(spark, sfDir)
     bpeModelDir(spark, sfDir)
     unigramModelDir(spark, sfDir)
+    knModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
@@ -1564,6 +1575,21 @@ object SparkEntry {
     ("text_lm_kn_score",
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.lmScoreKn(Collocations.documents(s, d)),
+      Some(OracleSqlExt.lmScoreKnSql(0.75))),
+
+    // its persisted-model serve twin — the CCNet deployment (train the
+    // LM once on a reference corpus, score every incoming shard
+    // forever): the bigram-TYPE table is the model's entire state,
+    // vocabulary²-bounded and joined distributively at serve time
+    // (never a driver collect — this model is a TABLE, unlike the
+    // piece/merge/centroid artifacts); the serve path derives the
+    // context/continuation statistics from the persisted table without
+    // touching the training corpus; gated by the SAME oracle —
+    // serve-equals-rebuild
+    ("text_lm_kn_indexed",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScoreKnWith(
+          Collocations.documents(s, d), knModelDir(s, d)),
       Some(OracleSqlExt.lmScoreKnSql(0.75))),
 
     // CCNet-style head/middle/tail perplexity terciles over the LM score

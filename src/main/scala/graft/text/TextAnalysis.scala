@@ -610,14 +610,28 @@ object TextAnalysis {
     * term casts to DECIMAL(28,18) before the per-doc sum (exactly
     * associative), and the ≤1-ulp `ln` drift dies in round-6. */
   def lmScoreKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount in (0,1) required: $discount")
-    val toks = docs.select(col("doc_id"), col("lang"), Normalize.tokensCol(col("text")).as("toks"))
-    val bg = toks
-      .select(col("doc_id"), col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
-      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = knBigrams(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lmScoreKnOver(bg, bgc, discount)
+  }
+
+  /** The per-occurrence bigram stream of `docs` — feeds both KN model
+    * training ([[writeKnModel]]) and scoring. */
+  private def knBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The interpolated-KN scoring algebra over an occurrence stream `bg`
+    * and a bigram-TYPE table `bgc` — shared verbatim by the
+    * train-and-score path ([[lmScoreKn]]) and the persisted-model serve
+    * path ([[lmScoreKnWith]]), so serve-equals-rebuild is algebraic,
+    * not coincidental. */
+  private def lmScoreKnOver(bg: DataFrame, bgc: DataFrame,
+                            discount: Double): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1) required: $discount")
     // context totals and forward continuation types share one scan of the
     // (already bounded) bigram-type table
     val ctx = bgc.groupBy("lang", "w1")
@@ -638,6 +652,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
   }
+
+  /** Persist the KN language model under `dir` — the CCNet deployment
+    * shape (the LM trains ONCE on a reference corpus and scores every
+    * incoming shard thereafter). The model's entire state is the
+    * (lang, w1, w2, c12) bigram-TYPE table: context totals, both
+    * continuation-type counts, and the global type count all derive
+    * from it by bounded aggregations, so persisting the one table
+    * persists the LM. Vocabulary²-bounded — a TABLE artifact joined
+    * distributively at serve time, never a driver collect (unlike the
+    * piece/merge models). Staged publish via
+    * [[graft.sources.Sinks.publishSwap]]. */
+  def writeKnModel(docs: DataFrame, dir: String): Unit =
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      knBigrams(docs).groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+        .write.mode("overwrite").parquet(staging)
+    }
+
+  /** Score `docs` against the KN model persisted at `modelDir` — the
+    * serve path: the training corpus is never touched; the incoming
+    * documents' bigram stream joins the persisted type table and the
+    * three statistics tables derived from it. Same algebra, same
+    * oracle, as [[lmScoreKn]]. */
+  def lmScoreKnWith(docs: DataFrame, modelDir: String,
+                    discount: Double = 0.75): DataFrame =
+    lmScoreKnOver(knBigrams(docs),
+      docs.sparkSession.read.parquet(modelDir), discount)
 
   /** CCNet-style perplexity bucketing: split the corpus into head /
     * middle / tail terciles of the language-model score ([[lmScore]]'s

@@ -738,6 +738,55 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming KN perplexity gate matches the batch serve path and flags zero-coverage text") {
+    import graft.streaming.{DedupStream, LmStream}
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-lm-model")
+    val watch = java.nio.file.Files.createTempDirectory("graft-lm-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-lm-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lm-ckpt")
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    LmStream.buildModel(all, modelDir.toString)
+
+    // shard = real docs (model trained on the full corpus, so every
+    // real bigram is seen) + one injected doc whose tokens the corpus
+    // never contains — zero model coverage, the worst-case score a
+    // fluency gate must flag rather than drop
+    import spark.implicits._
+    val shard = all.filter(pmod(col("doc_id"), lit(4L)) === 2)
+      .select("doc_id", "text", "lang")
+      .union(Seq((999999L, "zzqx vvkj zzqx vvkj zzqx", "en")).toDF("doc_id", "text", "lang"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-stage")
+    shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+    java.nio.file.Files.copy(part, watch.resolve("a.parquet"))
+
+    // gate threshold below every real score, so ONLY zero-coverage flags
+    val direct = LmStream.scoreBatch(shard, modelDir.toString, minLp = -1e9)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.get(r.fieldIndex("avg_logprob"))).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("low_fluency")))).toMap
+    assert(direct(999999L)._1 == 0L && direct(999999L)._3,
+      "unseen-vocabulary text must read zero coverage and flag")
+
+    val q = LmStream.monitor(DedupStream.readStream(spark, watch.toString),
+      modelDir.toString, out.toString, ckpt.toString, minLp = -1e9)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = LmStream.scoreLog(spark, out.toString)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.get(r.fieldIndex("avg_logprob"))).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("low_fluency")))).toMap
+    assert(streamed == direct,
+      "stream-logged KN scores must equal the batch serve path on the same shard")
+    assert(streamed(999999L)._3 && streamed.count(_._2._3) == 1,
+      "exactly the zero-coverage document flags at a below-corpus threshold")
+    Seq(modelDir, watch, out, ckpt, tmp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("streaming tokenizer monitor matches the batch serve path and flags gibberish") {
     import graft.streaming.{DedupStream, TokenizerStream}
     import graft.text.TextAnalysis

@@ -731,6 +731,20 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r(2L)._1 == 3L && math.abs(r(2L)._2 - exp2) < 1e-6, s"${r(2L)} vs $exp2")
     // the rarer continuation scores lower than the frequent one
     assert(r(2L)._2 < r(1L)._2)
+
+    // persisted-model round-trip: serve equals rebuild, and scoring a
+    // disjoint shard against the model uses ONLY seen bigrams
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn")
+    TextAnalysis.writeKnModel(docs, dir.toString)
+    val served = TextAnalysis.lmScoreKnWith(docs, dir.toString).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(served == r, "serve path must equal the train-and-score path")
+    val shard = Seq((9L, "a b zz", "en")).toDF("doc_id", "text", "lang")
+    val s9 = TextAnalysis.lmScoreKnWith(shard, dir.toString).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // (a,b) seen, (b,zz) unseen -> 1 scored bigram at p(b|a)
+    assert(s9(9L)._1 == 1L && math.abs(s9(9L)._2 - math.log(pAB)) < 1e-6)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("cluster cap: at most cap per cluster, rare clusters whole, deterministic") {
