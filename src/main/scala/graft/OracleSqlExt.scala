@@ -1173,6 +1173,71 @@ object OracleSqlExt {
       prototypicalitySql(cents, lo, hi)
     }
 
+  /** Mirror of [[graft.similarity.Pca.pcaProject]] GIVEN the trained
+    * components: each pc is the SAME left-to-right literal fold as the
+    * engine's compiled dot (`list_reduce` order = the codegen'd loop)
+    * minus the same precomputed mean offset, so the doubles are
+    * bit-identical before round-6. Training (DECIMAL moments + driver
+    * Jacobi) is not SQL-mirrorable — the trained-model oracle
+    * discipline, like IVF/PQ/BPE. */
+  def pcaProjectSql(model: Seq[graft.similarity.Pca.Component]): String = {
+    // the literal array must parenthesize: dotSql subscripts `$b[i]`,
+    // and a bare `[..]::DOUBLE[][i]` is a DuckDB parse error
+    val cols = model.map { m =>
+      s"round(${dotSql("v", s"([${m.comp.mkString(", ")}]::DOUBLE[])")} - (${m.offset}), 6) AS pc${m.pc}"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+  }
+
+  /** Mirror of [[graft.similarity.Pca.pcaVariance]]: the projection CTE
+    * above, per-component exact integer-micro sums (the projections are
+    * round-6, so both engines sum identical integers), and the model's
+    * own eigenvalue/explained-share as the same pre-quantized literals
+    * the engine attached. */
+  def pcaVarianceSql(model: Seq[graft.similarity.Pca.Component]): String = {
+    val pcs = model.map(_.pc)
+    val eigq = model.map(m => math.rint(m.eigval * 1e6) / 1e6)
+    val shareq = model.map(m => math.rint(m.eigval / m.trace * 1e6) / 1e6)
+    s"""WITH proj AS (
+       |${pcaProjectSql(model)}
+       |),
+       |plong AS (
+       |  SELECT unnest([${pcs.mkString(", ")}]) AS pc,
+       |         unnest([${pcs.map(p => s"pc$p").mkString(", ")}]) AS p
+       |  FROM proj
+       |),
+       |g AS (
+       |  SELECT pc, CAST(count(*) AS BIGINT) AS n,
+       |         SUM(CAST(CAST(round(p * 1000000) AS BIGINT) AS DECIMAL(38,0))) AS s1,
+       |         SUM(CAST(CAST(round(p * 1000000) AS BIGINT) * CAST(round(p * 1000000) AS BIGINT) AS DECIMAL(38,0))) AS s2
+       |  FROM plong GROUP BY pc
+       |),
+       |e AS (
+       |  SELECT unnest([${pcs.mkString(", ")}]) AS pc,
+       |         unnest([${eigq.mkString(", ")}]::DOUBLE[]) AS eigq,
+       |         unnest([${shareq.mkString(", ")}]::DOUBLE[]) AS shareq
+       |)
+       |SELECT g.pc AS pc, n,
+       |       round(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean_pc,
+       |       round((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1e12, 6) AS var_pc,
+       |       round(eigq, 6) AS eigval,
+       |       round(shareq, 6) AS explained_frac
+       |FROM g JOIN e ON g.pc = e.pc
+       |ORDER BY pc""".stripMargin
+  }
+
+  def pcaProjectSqlFromLastModel: Option[String] =
+    graft.similarity.Pca.lastPcaModel.map(pcaProjectSql)
+
+  /** Oracle for the serve-only indexed twin, from its OWN stash. */
+  def pcaProjectSqlFromIndexedModel: Option[String] =
+    graft.similarity.Pca.lastPcaModelIndexed.map(pcaProjectSql)
+
+  def pcaVarianceSqlFromLastModel: Option[String] =
+    graft.similarity.Pca.lastPcaVarianceModel.map(pcaVarianceSql)
+
   /** Mirror of [[graft.similarity.Ann.diverseBatches]] GIVEN the trained
     * centroids: within-cluster rank, round-robin global position over
     * (rank, cid), integer-div batch chunking. */
@@ -2084,6 +2149,54 @@ object OracleSqlExt {
        |        AND alpha_frac >= 0.8 AND n_req_stops >= 2) AS pass_gopher
        |FROM sig""".stripMargin
   }
+
+  /** The retained-line lambda shared by the two C4 mirrors — same
+    * predicate order as [[graft.text.TextAnalysis]]'s `c4KeptLines`. */
+  private def c4KeptSql(minLineWords: Int): String =
+    s"""list_filter(l, x -> (ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!') OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '"'))
+       |      AND len(list_filter(string_split_regex(x, '\\s+'), y -> length(y) > 0)) >= $minLineWords
+       |      AND NOT contains(lower(x), 'javascript'))""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.c4Rules]] (minLineWords=3,
+    * minSentences=5): line splits, the retained-line predicate, terminal
+    * punctuation counts over the retained text via the same
+    * length-difference trick, and the page tells. */
+  val c4RulesSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split(text, chr(10)) AS l FROM documents
+       |),
+       |k AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(l) AS BIGINT) AS n_lines,
+       |    CAST(len(l) AS BIGINT) > 0 AS has_lines,
+       |    ${c4KeptSql(3)} AS kl
+       |  FROM base
+       |),
+       |s AS (
+       |  SELECT doc_id, n_lines, has_lines,
+       |    CAST(len(kl) AS BIGINT) AS n_kept,
+       |    CAST(length(kt) - length(replace(kt, '.', '')) AS BIGINT)
+       |      + CAST(length(kt) - length(replace(kt, '!', '')) AS BIGINT)
+       |      + CAST(length(kt) - length(replace(kt, '?', '')) AS BIGINT) AS n_sentences,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace
+       |  FROM (SELECT *, COALESCE(array_to_string(kl, chr(10)), '') AS kt FROM k)
+       |)
+       |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+       |       CASE WHEN has_lines THEN round(n_kept / n_lines, 6) ELSE 0.0 END AS kept_frac,
+       |       (NOT has_lorem AND NOT has_brace AND n_sentences >= 5 AND n_kept >= 1) AS pass_c4
+       |FROM s""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.scrubC4Lines]] (minLineWords=3). */
+  val scrubC4LinesSql: String =
+    s"""SELECT doc_id,
+       |       COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+       |       CAST(len(l) AS BIGINT) AS n_lines,
+       |       CAST(len(kl) AS BIGINT) AS n_kept
+       |FROM (
+       |  SELECT doc_id, l, ${c4KeptSql(3)} AS kl
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+       |)""".stripMargin
 
   /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with
     * `lang = 'en'` as the target slice and 1024 hash buckets: the same

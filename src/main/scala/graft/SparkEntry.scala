@@ -134,6 +134,15 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted PCA component model — same lifecycle and cleaned root. */
+  private def pcaModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#pca", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#pca")).toString
+      graft.similarity.Pca.writePcaModel(
+        s.read.parquet(s"$d/embeddings.parquet"), dir, k = 4, trainStride = 2)
+      dir
+    })
+
   /** Persisted IVF centroid model — same lifecycle and cleaned root. */
   private def ivfModelDir(s: SparkSession, d: String): String =
     dedupIndexDirs.getOrElseUpdate(d + "#ivf", {
@@ -160,6 +169,7 @@ object SparkEntry {
     unigramModelDir(spark, sfDir)
     knModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
+    pcaModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
 
@@ -1626,6 +1636,23 @@ object SparkEntry {
         graft.text.TextAnalysis.gopherRules(Collocations.documents(s, d)),
       Some(OracleSqlExt.gopherRulesSql)),
 
+    // the SECOND published rule battery — C4 (Raffel et al. 2020 §2.2):
+    // Gopher judges token-shape statistics, C4 judges line structure
+    // (terminal punctuation, >=3-word lines, no "javascript") and page
+    // tells (lorem ipsum, curly brace, >=5 sentences); all row-local
+    // string algebra, zero shuffles
+    ("quality_c4_rules",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.c4Rules(Collocations.documents(s, d)),
+      Some(OracleSqlExt.c4RulesSql)),
+
+    // its rewrite step: the corpus back with only retained lines — the
+    // scrub C4 applies before any page-level drop
+    ("scrub_c4_lines",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.scrubC4Lines(Collocations.documents(s, d)),
+      Some(OracleSqlExt.scrubC4LinesSql)),
+
     // DSIR-style hashed-unigram importance weights (Xie et al. 2023):
     // target = the lang='en' slice, model = 1024 hash buckets (fixed-size
     // regardless of vocabulary — the 100 TB property), broadcast-joined
@@ -2199,6 +2226,50 @@ object SparkEntry {
           s.read.parquet(s"$d/embeddings.parquet"), trainStride = 8),
       None),
 
+    // PCA over the embedding column — the dimensionality-reduction step
+    // run BEFORE clustering/ANN/dedup at corpus scale: DECIMAL-exact
+    // sampled moment aggregation, driver-side deterministic Jacobi
+    // eigensolve, then projection as k literal array-local dots (a
+    // narrow map — vectors never move). DYNAMIC oracle like ann_ivf_topk:
+    // the run stashes the components and the generated DuckDB query
+    // re-projects with the same literal folds
+    ("embedding_pca",
+      (s: SparkSession, d: String) => {
+        val (model, proj) = graft.similarity.Pca.pca(
+          s.read.parquet(s"$d/embeddings.parquet"), k = 4, trainStride = 2)
+        graft.similarity.Pca.lastPcaModel = Some(model)
+        proj
+      },
+      None),
+
+    // the spectrum report gating the TRAINING math end to end: per
+    // component, exact-integer-micro empirical mean/variance of the
+    // full-corpus projection beside the model's eigenvalue and
+    // explained-variance share — with trainStride = 1 empirical variance
+    // EQUALS the eigenvalue (spec-pinned), so a wrong covariance, a
+    // wrong eigensolve, or a wrong projection all break this row.
+    // DEDICATED stash (one slot per entry)
+    ("embedding_pca_variance",
+      (s: SparkSession, d: String) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val model = graft.similarity.Pca.pcaTrain(emb, k = 4, trainStride = 2)
+        graft.similarity.Pca.lastPcaVarianceModel = Some(model)
+        graft.similarity.Pca.pcaVariance(emb, model)
+      },
+      None),
+
+    // serve-only PCA twin: components read back from the persisted model
+    // and applied unchanged — the build-once/serve-many lifecycle every
+    // trained model here follows; DEDICATED stash for its dynamic oracle
+    ("embedding_pca_indexed",
+      (s: SparkSession, d: String) => {
+        val model = graft.similarity.Pca.readPcaModel(s, pcaModelDir(s, d))
+        graft.similarity.Pca.lastPcaModelIndexed = Some(model)
+        graft.similarity.Pca.pcaProject(
+          s.read.parquet(s"$d/embeddings.parquet"), model)
+      },
+      None),
+
     ("ann_ivf_topk",
       (s: SparkSession, d: String) =>
         graft.similarity.Ann.ivfTopK(
@@ -2618,5 +2689,8 @@ object SparkEntry {
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++
       OracleSqlExt.qualityClassifierAucSqlFromLastModel.map("quality_classifier_auc" -> _) ++
       OracleSqlExt.qualityClassifierCalibrationSqlFromLastModel.map("quality_classifier_calibration" -> _) ++
-      OracleSqlExt.prototypicalitySqlFromLastModel.map("embedding_prototypicality" -> _)
+      OracleSqlExt.prototypicalitySqlFromLastModel.map("embedding_prototypicality" -> _) ++
+      OracleSqlExt.pcaProjectSqlFromLastModel.map("embedding_pca" -> _) ++
+      OracleSqlExt.pcaProjectSqlFromIndexedModel.map("embedding_pca_indexed" -> _) ++
+      OracleSqlExt.pcaVarianceSqlFromLastModel.map("embedding_pca_variance" -> _)
 }

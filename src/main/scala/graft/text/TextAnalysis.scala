@@ -847,6 +847,64 @@ object TextAnalysis {
         col("n_req_stops") >= minReqStops)
   }
 
+  /** The retained-line predicate shared by [[c4Rules]] (the audit) and
+    * [[scrubC4Lines]] (the rewrite): a line survives iff it ends in
+    * terminal punctuation (after right-trim), carries at least
+    * `minLineWords` whitespace words, and does not mention "javascript"
+    * — the Raffel et al. 2020 §2.2 line battery, all array-local. */
+  private def c4KeptLines(lines: Column, minLineWords: Int): Column =
+    filter(lines, l =>
+      (rtrim(l).endsWith(".") || rtrim(l).endsWith("!") ||
+        rtrim(l).endsWith("?") || rtrim(l).endsWith("\"")) &&
+      size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+      !lower(l).contains("javascript"))
+
+  /** C4-style cleanup rules (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning...", §2.2) — the SECOND published rule battery
+    * beside [[gopherRules]]: Gopher judges token-shape statistics, C4
+    * judges line structure and page-level tells. Per document: line
+    * counts before/after the retained-line predicate, the sentence count
+    * of the retained text (terminal punctuation marks — the §2.2
+    * "at least five sentences" gate), the lorem-ipsum and curly-brace
+    * page tells, and the composite `pass_c4`. Everything is row-local
+    * string algebra inside whole-stage codegen — zero shuffles, the
+    * plan a 100 TB per-document filter must have. (The §2.2 bad-words
+    * list is deployment-supplied and intentionally not hardcoded;
+    * `scrub_pii` shows the pluggable-regex pattern it would use.) */
+  def c4Rules(docs: DataFrame, minLineWords: Int = 3,
+              minSentences: Int = 5): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = c4KeptLines(lines, minLineWords)
+    val keptText = array_join(kept, "\n")
+    val nSent = occurrences(keptText, ".") + occurrences(keptText, "!") +
+      occurrences(keptText, "?")
+    docs.select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        nSent.as("n_sentences"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"),
+        when(size(lines) > 0,
+          round(size(kept).cast("long") / size(lines).cast("long"), 6))
+          .otherwise(lit(0.0)).as("kept_frac"))
+      .withColumn("pass_c4",
+        !col("has_lorem") && !col("has_brace") &&
+        col("n_sentences") >= minSentences && col("n_kept") >= 1)
+  }
+
+  /** The C4 rewrite step: the document back with only its retained lines
+    * (newline-joined) — the line-level scrub §2.2 applies before any
+    * page-level drop. Row-local; pairs with [[c4Rules]] the way
+    * [[scrubSubstringDups]] pairs with its report. */
+  def scrubC4Lines(docs: DataFrame, minLineWords: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = c4KeptLines(lines, minLineWords)
+    docs.select(col("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
   /** Shannon entropy of each document's token distribution — the quality
     * signal that separates natural prose (high entropy) from keyword
     * stuffing, boilerplate and generative loops (low entropy relative to

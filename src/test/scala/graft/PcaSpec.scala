@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Pca
+
+/** PCA: planted-axis recovery, eigenvalue == projection variance,
+  * orthonormality, partitioning-independence of the trained model, and
+  * the persisted-model serve round-trip. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** dim-6 corpus with a planted dominant axis u and a weaker axis w
+    * (orthogonal), plus a constant mean shift — deterministic, no RNG. */
+  private def planted() = {
+    val u = Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0)
+    val w = Array(0.5, -0.5, 0.5, -0.5, 0.0, 0.0)
+    val mean = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    // full grid product of two MEAN-ZERO coefficient lists — independence
+    // by construction, so cov(a, b) = 0 exactly and the principal axes
+    // are u and w themselves; var(a) = 5/3 >> var(b) = 0.06
+    val as = (-4 to 4).map(_ * 0.5)
+    val bs = Seq(-0.3, 0.0, 0.3)
+    val rows = for { (a, ia) <- as.zipWithIndex; (b, ib) <- bs.zipWithIndex } yield {
+      val v = Array.tabulate(6)(d => (mean(d) + a * u(d) + b * w(d)).toFloat)
+      ((ia * 3 + ib).toLong, v.toSeq)
+    }
+    (u, w, rows.toDF("vec_id", "embedding"))
+  }
+
+  test("pca recovers the planted dominant axis, orthonormal components, ranked eigenvalues") {
+    val (u, w, emb) = planted()
+    val model = Pca.pcaTrain(emb, k = 3, trainStride = 1)
+    assert(model.map(_.pc) == Seq(0, 1, 2))
+    // eigenvalues descend
+    assert(model.sliding(2).forall(p => p.head.eigval >= p.last.eigval - 1e-12))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // pc0 is the planted dominant axis, pc1 the weak one (sign-canonical,
+    // so compare |cos|)
+    assert(math.abs(cos(model(0).comp, u)) > 0.999, s"pc0 vs u: ${cos(model(0).comp, u)}")
+    assert(math.abs(cos(model(1).comp, w)) > 0.999, s"pc1 vs w: ${cos(model(1).comp, w)}")
+    // orthonormal
+    model.foreach(m => assert(math.abs(math.sqrt(m.comp.map(x => x * x).sum) - 1.0) < 1e-9))
+    assert(math.abs(model(0).comp.zip(model(1).comp).map { case (x, y) => x * y }.sum) < 1e-9)
+    // the planted residual directions carry ~zero variance
+    assert(model(2).eigval < 1e-6, s"eig2=${model(2).eigval}")
+    // canonical sign: largest-|x| entry positive
+    model.foreach { m =>
+      val p = m.comp.indices.maxBy(i => (math.abs(m.comp(i)), -i))
+      assert(m.comp(p) >= 0)
+    }
+  }
+
+  test("projection variance equals the eigenvalue at trainStride=1; means are ~0") {
+    val (_, _, emb) = planted()
+    val model = Pca.pcaTrain(emb, k = 2, trainStride = 1)
+    val rows = Pca.pcaVariance(emb, model).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet == Set(0, 1))
+    rows.foreach { case (pc, (n, mean, vr, eig, share)) =>
+      assert(n == 27L)
+      assert(math.abs(mean) < 1e-4, s"pc$pc mean=$mean")
+      assert(math.abs(vr - eig) < 1e-4, s"pc$pc var=$vr eig=$eig")
+      assert(share > 0 && share <= 1.0)
+    }
+    // the two planted axes explain everything: shares sum to ~1
+    assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-4)
+  }
+
+  test("trained model is partitioning-independent (DECIMAL moments + fixed-order Jacobi)") {
+    val (_, _, emb) = planted()
+    val m1 = Pca.pcaTrain(emb, k = 3, trainStride = 1)
+    val m2 = Pca.pcaTrain(emb.repartition(7), k = 3, trainStride = 1)
+    m1.zip(m2).foreach { case (a, b) =>
+      assert(a.pc == b.pc && a.eigval == b.eigval && a.offset == b.offset
+        && a.trace == b.trace && a.comp.sameElements(b.comp),
+        s"model drifted across partitionings at pc${a.pc}")
+    }
+  }
+
+  test("persisted PCA model round-trips: serve equals rebuild on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-model")
+    Pca.writePcaModel(emb, dir.toString, k = 4, trainStride = 2)
+    val served = Pca.readPcaModel(spark, dir.toString)
+    val rebuilt = Pca.pcaTrain(emb, k = 4, trainStride = 2)
+    served.zip(rebuilt).foreach { case (a, b) =>
+      assert(a.pc == b.pc && a.eigval == b.eigval && a.offset == b.offset
+        && a.comp.sameElements(b.comp))
+    }
+    val x = Pca.pcaProject(emb, served).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    val y = Pca.pcaProject(emb, rebuilt).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(x == y, "serve path must reproduce the train-and-project output")
+    assert(x.nonEmpty && rebuilt.head.eigval > 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("projection plan is a narrow map: no joins, no shuffles") {
+    val (_, _, emb) = planted()
+    val model = Pca.pcaTrain(emb, k = 2, trainStride = 1)
+    val plan = physicalPlan(Pca.pcaProject(emb, model))
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(shuffles.isEmpty && joins.isEmpty,
+      s"projection must stay array-local: $plan")
+  }
+}

@@ -193,6 +193,33 @@ class TextAndAnnSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("mean_word_len") == 4.5) // "short"(5) "text"(4)
   }
 
+  test("c4 rules: line retention, sentence gate, page tells; scrub rewrite") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Good line one is here.\nshort line\nAnother good line stays!\nThis has javascript in it.\nNo terminal punct here"),
+      (2L, "lorem ipsum dolor sit amet.\nA perfectly fine line here."),
+      (3L, "code { return; }\nA fine line is here."),
+      (4L, "One. Two! Three? Four. Five sentences in one line, really."),
+      (5L, "nothing here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Rules(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc1: terminal-punct keeps lines 1+3; the javascript line and the
+    // punct-less lines drop; only 2 sentences -> fails the >=5 gate
+    assert(r(1L).getAs[Long]("n_lines") == 5 && r(1L).getAs[Long]("n_kept") == 2)
+    assert(r(1L).getAs[Long]("n_sentences") == 2 && !r(1L).getAs[Boolean]("pass_c4"))
+    assert(r(2L).getAs[Boolean]("has_lorem") && !r(2L).getAs[Boolean]("pass_c4"))
+    assert(r(3L).getAs[Boolean]("has_brace") && r(3L).getAs[Long]("n_kept") == 1)
+    // doc4: one kept line carrying 3 periods + 1 bang + 1 question = 5
+    assert(r(4L).getAs[Long]("n_sentences") == 5 && r(4L).getAs[Boolean]("pass_c4"))
+    // doc5: nothing survives -> zero counts, empty rewrite (not NULL)
+    assert(r(5L).getAs[Long]("n_kept") == 0 && r(5L).getAs[Long]("n_sentences") == 0)
+    val s = TextAnalysis.scrubC4Lines(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("clean_text")).toMap
+    assert(s(1L) == "Good line one is here.\nAnother good line stays!")
+    assert(s(5L) == "")
+  }
+
   test("dsir importance weights separate target-like from raw-like docs") {
     import spark.implicits._
     // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
