@@ -1916,6 +1916,41 @@ object OracleSqlExt {
        |FROM occ JOIN fin USING (w) GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[graft.text.TextAnalysis.tokenizerEval]] GIVEN the two
+    * persisted models: the BPE and unigram per-doc chains run as NESTED
+    * recursive CTEs (their occ/wl/fin names shadow safely inside their
+    * own scopes), the word/char totals come from one tcl pass, and the
+    * five ratios derive from the same exact integer totals. */
+  def tokenizerEvalSql(merges: Seq[(String, String)],
+                       model: Seq[(String, Long)], maxPieceLen: Int): String =
+    s"""WITH b AS (
+       |${tokenizeBpeSql(merges)}
+       |),
+       |u AS (
+       |${tokenizeUnigramSql(model, maxPieceLen)}
+       |),
+       |$tclCte,
+       |cw AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(length(w)) AS BIGINT) AS n_chars
+       |  FROM (SELECT unnest(tl) AS w FROM tcl)
+       |),
+       |bt AS (SELECT CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens FROM b),
+       |ut AS (SELECT CAST(sum(n_unigram_tokens) AS BIGINT) AS n_unigram_tokens FROM u)
+       |SELECT n_words, n_chars, n_bpe_tokens, n_unigram_tokens,
+       |       round(CAST(n_chars AS DOUBLE) / n_words, 6) AS chars_per_word,
+       |       round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS bpe_per_word,
+       |       round(CAST(n_unigram_tokens AS DOUBLE) / n_words, 6) AS pieces_per_word,
+       |       round(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) AS chars_per_bpe_token,
+       |       round(CAST(n_chars AS DOUBLE) / n_unigram_tokens, 6) AS chars_per_piece
+       |FROM cw CROSS JOIN bt CROSS JOIN ut""".stripMargin
+
+  def tokenizerEvalSqlFromLastModels(maxPieceLen: Int): Option[String] =
+    for {
+      m <- graft.text.TextAnalysis.lastEvalBpeMerges
+      u <- graft.text.TextAnalysis.lastEvalUnigramModel
+    } yield tokenizerEvalSql(m, u, maxPieceLen)
+
   def tokenizeUnigramSqlFromLastModel(maxPieceLen: Int): Option[String] =
     graft.text.TextAnalysis.lastUnigramModel.map(tokenizeUnigramSql(_, maxPieceLen))
 

@@ -1157,6 +1157,23 @@ object SparkEntry {
       },
       None),
 
+    // the table a tokenizer choice is MADE from: both persisted
+    // tokenizers applied side by side — one corpus row of exact integer
+    // word/char/subword/piece totals plus fertility (tokens per word)
+    // and compression (chars per token) for each. Costs one extra
+    // column on the distinct-word work the serve paths already do.
+    // DYNAMIC oracle from DEDICATED stashes for BOTH models
+    ("tokenizer_eval",
+      (s: SparkSession, d: String) => {
+        val merges = graft.text.TextAnalysis.readBpeModel(s, bpeModelDir(s, d))
+        val pieces = graft.text.TextAnalysis.readUnigramModel(s, unigramModelDir(s, d))
+        graft.text.TextAnalysis.lastEvalBpeMerges = Some(merges)
+        graft.text.TextAnalysis.lastEvalUnigramModel = Some(pieces)
+        graft.text.TextAnalysis.tokenizerEval(
+          Collocations.documents(s, d), merges, pieces)
+      },
+      None),
+
     // ------------------------------------------------- count-min sketch
     // Fixed-size (depth x width) frequency sketch over bigram
     // occurrences — the frequency pass for item spaces too wide to
@@ -2685,6 +2702,7 @@ object SparkEntry {
       OracleSqlExt.tokenizeBpePackSqlFromLastModel(256).map("pack_sequences_bpe" -> _) ++
       OracleSqlExt.tokenizeUnigramSqlFromLastModel(4).map("tokenize_unigram" -> _) ++
       OracleSqlExt.tokenizeUnigramSqlFromIndexedModel(4).map("tokenize_unigram_indexed" -> _) ++
+      OracleSqlExt.tokenizerEvalSqlFromLastModels(4).map("tokenizer_eval" -> _) ++
       OracleSqlExt.qualityClassifierScoreSqlFromLastModel.map("quality_classifier_score" -> _) ++
       OracleSqlExt.qualityClassifierEvalSqlFromLastModel.map("quality_classifier_eval" -> _) ++
       OracleSqlExt.qualityClassifierAucSqlFromLastModel.map("quality_classifier_auc" -> _) ++

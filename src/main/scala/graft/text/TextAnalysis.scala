@@ -551,6 +551,45 @@ object TextAnalysis {
     spark.read.parquet(dir).orderBy("piece").collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("packed_val"))).toSeq
 
+  /** Dedicated stashes for the `tokenizer_eval` registry entry (the
+    * one-slot-per-entry rule — its dynamic oracle must reflect exactly
+    * the two persisted models that entry's plan applied). */
+  @volatile var lastEvalBpeMerges: Option[Seq[(String, String)]] = None
+  @volatile var lastEvalUnigramModel: Option[Seq[(String, Long)]] = None
+
+  /** Side-by-side fertility/compression report for the two persisted
+    * tokenizers — the table a tokenizer choice is MADE from (fertility =
+    * tokens per word; compression = chars per token; Rust/SentencePiece
+    * eval reports publish exactly these): one corpus-level row with
+    * exact integer word/char/subword/piece totals and the five derived
+    * ratios. Scale shape is the tokenizers' own: both compiled encoders
+    * run over DISTINCT words only (the Sennrich vocabulary trick), the
+    * per-word char length rides the same distinct table, and one
+    * occurrence join + one grouping-free aggregation produce the row —
+    * adding the eval costs ONE extra column on work the serve paths
+    * already do. */
+  def tokenizerEval(docs: DataFrame, merges: Seq[(String, String)],
+                    pieces: Seq[(String, Long)], maxPieceLen: Int = 4): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val enc = occ.select("w").distinct()
+      .select(col("w"), length(col("w")).cast("long").as("wc"),
+        size(graft.functions.BpeEncode.encodeCol(col("w"), merges)).cast("long").as("nb"),
+        graft.functions.UnigramEncode.countCol(col("w"), pieces, maxPieceLen).as("nu"))
+    occ.join(enc, Seq("w"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("wc")).as("n_chars"),
+        sum(col("n") * col("nb")).as("n_bpe_tokens"),
+        sum(col("n") * col("nu")).as("n_unigram_tokens"))
+      .select(col("n_words"), col("n_chars"), col("n_bpe_tokens"),
+        col("n_unigram_tokens"),
+        round(col("n_chars").cast("double") / col("n_words"), 6).as("chars_per_word"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6).as("bpe_per_word"),
+        round(col("n_unigram_tokens").cast("double") / col("n_words"), 6).as("pieces_per_word"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6).as("chars_per_bpe_token"),
+        round(col("n_chars").cast("double") / col("n_unigram_tokens"), 6).as("chars_per_piece"))
+  }
+
   /** Bigram language-model scoring — the LM-perplexity-style quality
     * signal: each document's mean log-probability of its bigrams under
     * the corpus's own add-one-smoothed bigram model,

@@ -220,6 +220,36 @@ class TextAndAnnSpec extends SparkSpec {
     assert(s(5L) == "")
   }
 
+  test("tokenizer eval: totals equal the per-doc tokenizers' sums; ratios derive exactly") {
+    import spark.implicits._
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 8)
+    val pieces = TextAnalysis.unigramTrain(docs, vocabSize = 60)
+    val r = TextAnalysis.tokenizerEval(docs, merges, pieces).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nw, nc, nb, nu) = (row.getAs[Long]("n_words"), row.getAs[Long]("n_chars"),
+      row.getAs[Long]("n_bpe_tokens"), row.getAs[Long]("n_unigram_tokens"))
+    // totals must equal the per-doc serve paths' own sums
+    val b = TextAnalysis.tokenizeBpeWith(docs, merges)
+      .agg(sum("n_words"), sum("n_bpe_tokens")).collect().head
+    assert(b.getLong(0) == nw && b.getLong(1) == nb)
+    val u = TextAnalysis.tokenizeUnigramWith(docs, pieces)
+      .agg(sum("n_unigram_tokens")).collect().head
+    assert(u.getLong(0) == nu)
+    // every ratio derives from the same integer totals
+    def r6(x: Double) = // Spark round() semantics: HALF_UP on the decimal
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("chars_per_word") == r6(nc.toDouble / nw))
+    assert(row.getAs[Double]("bpe_per_word") == r6(nb.toDouble / nw))
+    assert(row.getAs[Double]("pieces_per_word") == r6(nu.toDouble / nw))
+    assert(row.getAs[Double]("chars_per_bpe_token") == r6(nc.toDouble / nb))
+    assert(row.getAs[Double]("chars_per_piece") == r6(nc.toDouble / nu))
+    // sanity: merging compresses (BPE tokens <= chars) and both
+    // tokenizers segment every word into >= 1 piece
+    assert(nb <= nc && nb >= nw && nu >= nw)
+  }
+
   test("dsir importance weights separate target-like from raw-like docs") {
     import spark.implicits._
     // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
