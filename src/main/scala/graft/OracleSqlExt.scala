@@ -1228,6 +1228,49 @@ object OracleSqlExt {
        |ORDER BY pc""".stripMargin
   }
 
+  /** Mirror of [[graft.similarity.Pca.driftEmbeddingPca]] GIVEN the
+    * persisted components (label groups, 10 exact-quantile bins,
+    * eps = 1e-4): the projection CTE, per-pc quantile edges, and the
+    * [[driftPsiQuantileSql]] PSI algebra keyed by (pc, label). */
+  def driftEmbeddingSql(model: Seq[graft.similarity.Pca.Component],
+                        nBins: Int, eps: Double): String = {
+    val pcs = model.map(_.pc)
+    val projCols = model.map { m =>
+      s"round(${dotSql("v", s"([${m.comp.mkString(", ")}]::DOUBLE[])")} - (${m.offset}), 6) AS pc${m.pc}"
+    }.mkString(",\n  ")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    s"""WITH proj AS (
+       |SELECT label,
+       |  $projCols
+       |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+       |),
+       |lng AS (
+       |  SELECT label, unnest([${pcs.mkString(", ")}]) AS pc,
+       |         unnest([${pcs.map(p => s"pc$p").mkString(", ")}]) AS x
+       |  FROM proj
+       |),
+       |e AS (SELECT pc, list_transform(quantile_cont(x, [$qs]), v -> round(v, 6)) AS le FROM lng GROUP BY pc),
+       |bb AS (SELECT label, lng.pc AS pc, CAST(len(list_filter(le, v -> x > v)) AS BIGINT) AS bin
+       |       FROM lng JOIN e ON lng.pc = e.pc),
+       |cur AS (SELECT pc, label, bin, count(*) AS cn FROM bb GROUP BY pc, label, bin),
+       |ref AS (SELECT pc, bin, sum(cn) AS rn FROM cur GROUP BY pc, bin),
+       |rt AS (SELECT pc, CAST(sum(rn) AS DOUBLE) AS rt FROM ref GROUP BY pc),
+       |refp AS (SELECT ref.pc AS pc, bin, rn / rt AS pr FROM ref JOIN rt ON ref.pc = rt.pc),
+       |ct AS (SELECT pc, label, CAST(sum(cn) AS DOUBLE) AS ct FROM cur GROUP BY pc, label),
+       |grid AS (SELECT ct.pc AS pc, label, ct, bin, pr FROM ct JOIN refp ON ct.pc = refp.pc),
+       |terms AS (
+       |  SELECT pc, label, pr, greatest(COALESCE(cn, 0) / ct, CAST($eps AS DOUBLE)) AS pq
+       |  FROM grid LEFT JOIN cur USING (pc, label, bin)
+       |)
+       |SELECT pc, label,
+       |       round(CAST(sum(CAST((pq - pr) * ln(pq / pr) AS DECIMAL(28,18))) AS DOUBLE), 6) AS psi,
+       |       CAST(count(*) AS BIGINT) AS n_bins
+       |FROM terms GROUP BY pc, label""".stripMargin
+  }
+
+  def driftEmbeddingSqlFromLastModel(nBins: Int, eps: Double): Option[String] =
+    graft.similarity.Pca.lastDriftModel.map(driftEmbeddingSql(_, nBins, eps))
+
   def pcaProjectSqlFromLastModel: Option[String] =
     graft.similarity.Pca.lastPcaModel.map(pcaProjectSql)
 

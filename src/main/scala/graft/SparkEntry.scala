@@ -2275,6 +2275,22 @@ object SparkEntry {
       },
       None),
 
+    // embedding drift — the vector-space monitoring leg beside the
+    // scalar PSI/KS pair: per (principal component, label group), PSI of
+    // the group's projection distribution vs the pooled reference; a
+    // shifted content mix or a new encoder version moves the
+    // high-variance axes first, exactly where this looks. Serves the
+    // PERSISTED components (a monitor must not retrain per delivery);
+    // DEDICATED stash for its dynamic oracle
+    ("drift_embedding",
+      (s: SparkSession, d: String) => {
+        val model = graft.similarity.Pca.readPcaModel(s, pcaModelDir(s, d))
+        graft.similarity.Pca.lastDriftModel = Some(model)
+        graft.similarity.Pca.driftEmbeddingPca(
+          s.read.parquet(s"$d/embeddings.parquet"), model)
+      },
+      None),
+
     // serve-only PCA twin: components read back from the persisted model
     // and applied unchanged — the build-once/serve-many lifecycle every
     // trained model here follows; DEDICATED stash for its dynamic oracle
@@ -2710,5 +2726,6 @@ object SparkEntry {
       OracleSqlExt.prototypicalitySqlFromLastModel.map("embedding_prototypicality" -> _) ++
       OracleSqlExt.pcaProjectSqlFromLastModel.map("embedding_pca" -> _) ++
       OracleSqlExt.pcaProjectSqlFromIndexedModel.map("embedding_pca_indexed" -> _) ++
-      OracleSqlExt.pcaVarianceSqlFromLastModel.map("embedding_pca_variance" -> _)
+      OracleSqlExt.pcaVarianceSqlFromLastModel.map("embedding_pca_variance" -> _) ++
+      OracleSqlExt.driftEmbeddingSqlFromLastModel(10, 1e-4).map("drift_embedding" -> _)
 }

@@ -213,6 +213,65 @@ object Pca {
       .orderBy("pc")
   }
 
+  /** Embedding drift — the vector-space monitoring leg the scalar PSI
+    * can't see: project every vector onto the persisted principal axes
+    * and run the [[graft.ops.TableProfile.driftPsiQuantile]] algebra per
+    * component — per (pc, group), the population-stability index of the
+    * group's projection distribution against the pooled reference, with
+    * exact per-pc quantile edges. A drifting embedding source (new
+    * encoder version, shifted content mix) moves along the HIGH-variance
+    * axes first, which is exactly where this looks; raw-dimension PSI
+    * would dilute the signal across d noisy coordinates.
+    *
+    * Scale shape: projection is the narrow literal map, the long form is
+    * k rows per vector (k = model size, not d), edges are k bounded rows
+    * broadcast back, and PSI runs over the bounded (pc × group × bin)
+    * count table — same DECIMAL(28,18) term accumulation as the scalar
+    * drift ops so partition order can't wiggle the sum. */
+  def driftEmbeddingPca(emb: DataFrame, model: Seq[Component],
+                        groupCol: String = "label", nBins: Int = 10,
+                        eps: Double = 1e-4): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of [2, 1000]: $nBins")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val v = col("embedding").cast("array<double>")
+    val proj = emb.select(col(groupCol) +: model.map { m =>
+      round(dot(v, array(m.comp.map(lit(_)): _*)) - lit(m.offset), 6).as(s"pc${m.pc}")
+    }: _*)
+    val longF = proj.select(col(groupCol), explode(array(model.map(m =>
+        struct(lit(m.pc).as("pc"), col(s"pc${m.pc}").as("x"))): _*)).as("s"))
+      .select(col("s.pc").as("pc"), col(groupCol), col("s.x").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
+    val edges = longF.groupBy("pc")
+      .agg(expr(s"transform(percentile(x, array($qs)), v -> round(v, 6))").as("le"))
+    val binned = longF.join(broadcast(edges), Seq("pc"))
+      .select(col("pc"), col(groupCol),
+        size(expr("filter(le, v -> x > v)")).cast("long").as("bin"))
+      .groupBy("pc", groupCol, "bin").agg(count(lit(1L)).as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = binned.groupBy("pc", "bin").agg(sum("cn").as("rn"))
+    val rt = ref.groupBy("pc").agg(sum("rn").as("rt"))
+    val refP = ref.join(broadcast(rt), Seq("pc"))
+      .select(col("pc"), col("bin"), (col("rn") / col("rt")).as("pr"))
+    val curTot = binned.groupBy("pc", groupCol).agg(sum("cn").as("ct"))
+    val out = curTot.join(broadcast(refP), Seq("pc"))
+      .join(binned, Seq("pc", groupCol, "bin"), "left")
+      .select(col("pc"), col(groupCol), col("pr"),
+        greatest(coalesce(col("cn"), lit(0L)) / col("ct"), lit(eps)).as("pq"))
+      .withColumn("term",
+        ((col("pq") - col("pr")) * log(col("pq") / col("pr"))).cast("decimal(28,18)"))
+      .groupBy("pc", groupCol)
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
+        count(lit(1L)).as("n_bins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the bounded result, then release upstream
+    longF.unpersist(); binned.unpersist()
+    out
+  }
+
+  /** Dedicated model stash for the `drift_embedding` registry entry. */
+  @volatile private[graft] var lastDriftModel: Option[Seq[Component]] = None
+
   /** Persist the PCA model under `dir` (staged publish) — one row per
     * component; the build-once half of the serve-many lifecycle. */
   def writePcaModel(emb: DataFrame, dir: String, k: Int = 4,

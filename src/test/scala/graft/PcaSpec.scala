@@ -100,6 +100,40 @@ class PcaSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("embedding drift: the shifted group lights up on the axis it shifted along") {
+    // three label groups in dim 4: groups 0 and 1 share a distribution,
+    // group 2 is translated +5 along the dominant axis u — its pc0 PSI
+    // must dwarf the identical groups'; the untouched w axis stays calm
+    val u = Array(1.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 1.0, 0.0, 0.0)
+    val as = (-4 to 4).map(_ * 0.5)
+    val bs = Seq(-0.3, 0.0, 0.3)
+    val rows = for {
+      g <- 0 to 2; (a, ia) <- as.zipWithIndex; (b, ib) <- bs.zipWithIndex
+    } yield {
+      val shift = if (g == 2) 5.0 else 0.0
+      val v = Array.tabulate(4)(d => ((a + shift) * u(d) + b * w(d)).toFloat)
+      ((g * 27 + ia * 3 + ib).toLong, v.toSeq, g)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val model = Pca.pcaTrain(emb, k = 2, trainStride = 1)
+    val r = Pca.driftEmbeddingPca(emb, model).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getDouble(2), x.getLong(3))).toMap
+    assert(r.keySet == (for (pc <- 0 to 1; g <- 0 to 2) yield (pc, g)).toSet)
+    // the shift axis dominates the trained pc0: the shifted group reads
+    // worst (the pooled reference makes the unshifted groups drift too —
+    // they're missing the far mode — but less), and the two IDENTICAL
+    // groups produce identical binned counts, hence identical psi
+    assert(r((0, 2))._1 > 2.0, s"shifted group pc0 psi: ${r((0, 2))}")
+    assert(r((0, 2))._1 > 1.5 * r((0, 0))._1,
+      s"shifted ${r((0, 2))} vs identical ${r((0, 0))}")
+    assert(r((0, 0))._1 == r((0, 1))._1,
+      s"identical groups must read identically: ${r((0, 0))} vs ${r((0, 1))}")
+    // the untouched axis is calm for everyone: every group's b-mix equals
+    // the pooled one, so pq == pr bin-for-bin and psi collapses to ~0
+    (0 to 2).foreach(g => assert(r((1, g))._1 < 0.1, s"pc1 psi g$g: ${r((1, g))}"))
+  }
+
   test("projection plan is a narrow map: no joins, no shuffles") {
     val (_, _, emb) = planted()
     val model = Pca.pcaTrain(emb, k = 2, trainStride = 1)
