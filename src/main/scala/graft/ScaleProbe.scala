@@ -30,7 +30,7 @@ object ScaleProbe {
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
       "--substring-only", "--substring-geom-only", "--decon-substring-only",
-      "--classifier-only", "--diff-only", "--overlap-only")
+      "--classifier-only", "--diff-only", "--overlap-only", "--pca-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -50,6 +50,7 @@ object ScaleProbe {
     val classifierOnly = flags.contains("--classifier-only")
     val diffOnly = flags.contains("--diff-only")
     val overlapOnly = flags.contains("--overlap-only")
+    val pcaOnly = flags.contains("--pca-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -238,6 +239,28 @@ object ScaleProbe {
         feats.unpersist()
         spark.sharedState.cacheManager.clearCache()
         println(f"SCALE-CLASSIFIER m=$m%2d docs=${5000 * m}%7d scored=$n%7d train(8 it)=$tTrain%6.2f s score=$tScore%6.2f s")
+      } else if (pcaOnly) {
+        // PCA: the training moment pass shuffles N·d(d+1)/2 DECIMAL
+        // cells (a large but dimension-bounded constant), so train wall
+        // must grow ~linearly in m at trainStride=1 (the worst case —
+        // production strides the sample); projection is a narrow literal
+        // map and the per-pc PSI drift runs over a bounded
+        // pc×group×bin table, so both must stay ~linear too.
+        val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val emb = (0 until m).map(i =>
+          embBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        val model = graft.similarity.Pca.pcaTrain(emb, k = 4, trainStride = 1)
+        val t1 = System.nanoTime()
+        val nproj = graft.similarity.Pca.pcaProject(emb, model).count()
+        val t2 = System.nanoTime()
+        val ndrift = graft.similarity.Pca.driftEmbeddingPca(emb, model).count()
+        val t3 = System.nanoTime()
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-PCA m=$m%2d vecs=$nproj%7d drift_rows=$ndrift%3d " +
+          f"train=${(t1 - t0) / 1e9}%6.2f s project=${(t2 - t1) / 1e9}%6.2f s " +
+          f"drift=${(t3 - t2) / 1e9}%6.2f s eig0=${model.head.eigval}%.4f")
       } else if (overlapOnly) {
         // cross-source overlap: shingle rows grow linearly in m while the
         // source dimension stays fixed (20), so the per-shingle source-set
