@@ -213,6 +213,14 @@ object Pca {
       .orderBy("pc")
   }
 
+  /** The (pc, x) long form of a projection — k rows per vector, shared
+    * by the batch drift operator and the streaming monitor. */
+  def pcaLong(emb: DataFrame, model: Seq[Component]): DataFrame =
+    pcaProject(emb, model)
+      .select(explode(array(model.map(m =>
+        struct(lit(m.pc).as("pc"), col(s"pc${m.pc}").as("x"))): _*)).as("s"))
+      .select(col("s.pc").as("pc"), col("s.x").as("x"))
+
   /** Embedding drift — the vector-space monitoring leg the scalar PSI
     * can't see: project every vector onto the persisted principal axes
     * and run the [[graft.ops.TableProfile.driftPsiQuantile]] algebra per

@@ -738,6 +738,65 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("streaming embedding-drift monitor flags a scaled delivery and passes an in-distribution one") {
+    import graft.streaming.EmbDriftStream
+    import graft.similarity.Pca
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-edrift-model")
+    val refDir = java.nio.file.Files.createTempDirectory("graft-edrift-ref")
+    val watch = java.nio.file.Files.createTempDirectory("graft-edrift-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-edrift-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-edrift-ckpt")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Pca.writePcaModel(emb, modelDir.toString, k = 4, trainStride = 1)
+    val model = Pca.readPcaModel(spark, modelDir.toString)
+    EmbDriftStream.buildReference(emb, model, refDir.toString, nBins = 10)
+    assert(EmbDriftStream.refBins(spark, refDir.toString).count() <= 40,
+      "reference bin table must be metadata-sized (k x nBins)")
+
+    def dropDf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-edrift-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val inShard = emb.filter(pmod(col("vec_id"), lit(3L)) === 0)
+    dropDf(inShard, "a.parquet")
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+    val q = EmbDriftStream.monitor(stream, modelDir.toString, refDir.toString,
+      out.toString, ckpt.toString)
+    q.processAllAvailable()
+    // delivery 2: the same vectors scaled 4x — projections blow past the
+    // reference edges, mass piles into the extreme bins on every axis
+    dropDf(inShard.withColumn("embedding",
+      transform(col("embedding"), e => e * lit(4.0f))), "b.parquet")
+    q.processAllAvailable(); q.stop()
+
+    val log = EmbDriftStream.driftLog(spark, out.toString)
+      .collect().map(r => (r.getAs[Number]("ingest_batch").longValue, r.getAs[Int]("pc")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("psi"))).toMap
+    assert(log.keySet == (for (b <- 0 to 1; pc <- 0 to 3) yield (b.toLong, pc)).toSet,
+      s"k psi rows per delivery: ${log.keySet}")
+    val inMax = (0 to 3).map(pc => log((0L, pc))._2).max
+    val shiftMax = (0 to 3).map(pc => log((1L, pc))._2).max
+    assert(shiftMax > 1.0, s"scaled delivery must flag hard: $shiftMax")
+    assert(inMax < 0.5 && inMax < shiftMax / 4,
+      s"in-distribution subset must score far below the scaled one: $inMax vs $shiftMax")
+    // the logged rows ARE the batch scorer's output — same code path
+    val direct = EmbDriftStream.psiBatch(inShard, model,
+      EmbDriftStream.edges(spark, refDir.toString),
+      EmbDriftStream.refBins(spark, refDir.toString))
+      .collect().map(r => r.getAs[Int]("pc") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("psi"))).toMap
+    (0 to 3).foreach(pc => assert(direct(pc) == log((0L, pc)),
+      s"stream-logged pc$pc must equal the direct batch scorer"))
+    Seq(modelDir, refDir, watch, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
+
   test("streaming KN perplexity gate matches the batch serve path and flags zero-coverage text") {
     import graft.streaming.{DedupStream, LmStream}
     val modelDir = java.nio.file.Files.createTempDirectory("graft-lm-model")
