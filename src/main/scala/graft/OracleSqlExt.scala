@@ -1181,15 +1181,21 @@ object OracleSqlExt {
     * Jacobi) is not SQL-mirrorable — the trained-model oracle
     * discipline, like IVF/PQ/BPE. */
   def pcaProjectSql(model: Seq[graft.similarity.Pca.Component]): String = {
-    // the literal array must parenthesize: dotSql subscripts `$b[i]`,
-    // and a bare `[..]::DOUBLE[][i]` is a DuckDB parse error
-    val cols = model.map { m =>
-      s"round(${dotSql("v", s"([${m.comp.mkString(", ")}]::DOUBLE[])")} - (${m.offset}), 6) AS pc${m.pc}"
-    }.mkString(",\n  ")
     s"""SELECT vec_id,
-       |  $cols
+       |  ${pcaProjColsSql(model)}
        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
   }
+
+  /** The per-component projection column list shared by every PCA
+    * oracle ([[pcaProjectSql]], [[pcaVarianceSql]] via it, and
+    * [[driftEmbeddingSql]]) — ONE definition of the literal fold, so
+    * the mirrors cannot drift apart. The literal array must
+    * parenthesize: dotSql subscripts `$$b[i]`, and a bare
+    * `[..]::DOUBLE[][i]` is a DuckDB parse error. */
+  private def pcaProjColsSql(model: Seq[graft.similarity.Pca.Component]): String =
+    model.map { m =>
+      s"round(${dotSql("v", s"([${m.comp.mkString(", ")}]::DOUBLE[])")} - (${m.offset}), 6) AS pc${m.pc}"
+    }.mkString(",\n  ")
 
   /** Mirror of [[graft.similarity.Pca.pcaVariance]]: the projection CTE
     * above, per-component exact integer-micro sums (the projections are
@@ -1235,13 +1241,10 @@ object OracleSqlExt {
   def driftEmbeddingSql(model: Seq[graft.similarity.Pca.Component],
                         nBins: Int, eps: Double): String = {
     val pcs = model.map(_.pc)
-    val projCols = model.map { m =>
-      s"round(${dotSql("v", s"([${m.comp.mkString(", ")}]::DOUBLE[])")} - (${m.offset}), 6) AS pc${m.pc}"
-    }.mkString(",\n  ")
     val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
     s"""WITH proj AS (
        |SELECT label,
-       |  $projCols
+       |  ${pcaProjColsSql(model)}
        |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
        |),
        |lng AS (

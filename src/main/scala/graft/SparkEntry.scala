@@ -2259,19 +2259,21 @@ object SparkEntry {
       },
       None),
 
-    // the spectrum report gating the TRAINING math end to end: per
+    // the spectrum report gating the projection + aggregation math: per
     // component, exact-integer-micro empirical mean/variance of the
     // full-corpus projection beside the model's eigenvalue and
-    // explained-variance share — with trainStride = 1 empirical variance
-    // EQUALS the eigenvalue (spec-pinned), so a wrong covariance, a
-    // wrong eigensolve, or a wrong projection all break this row.
+    // explained-variance share (PcaSpec pins variance == eigenvalue at
+    // trainStride = 1). Serves the PERSISTED model — training is
+    // deterministic (DECIMAL moments + fixed-order Jacobi, spec-pinned
+    // partitioning-independence), so re-training here would recompute
+    // the identical component table at full moment-pass cost.
     // DEDICATED stash (one slot per entry)
     ("embedding_pca_variance",
       (s: SparkSession, d: String) => {
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-        val model = graft.similarity.Pca.pcaTrain(emb, k = 4, trainStride = 2)
+        val model = graft.similarity.Pca.readPcaModel(s, pcaModelDir(s, d))
         graft.similarity.Pca.lastPcaVarianceModel = Some(model)
-        graft.similarity.Pca.pcaVariance(emb, model)
+        graft.similarity.Pca.pcaVariance(
+          s.read.parquet(s"$d/embeddings.parquet"), model)
       },
       None),
 

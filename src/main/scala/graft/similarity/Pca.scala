@@ -161,12 +161,15 @@ object Pca {
     * k literal left-to-right dots minus the precomputed mean offset,
     * each rounded to 6dp. A narrow map (no joins, no shuffles); columns
     * `pc0..pc{k-1}`. */
+  /** The single projection expression both surfaces share: one literal
+    * left-to-right dot minus the precomputed mean offset, round-6. */
+  private def projCol(m: Component): org.apache.spark.sql.Column =
+    round(dot(col("embedding").cast("array<double>"),
+      array(m.comp.map(lit(_)): _*)) - lit(m.offset), 6).as(s"pc${m.pc}")
+
   def pcaProject(emb: DataFrame, model: Seq[Component]): DataFrame = {
     require(model.nonEmpty, "pcaProject: empty model")
-    val v = col("embedding").cast("array<double>")
-    emb.select(col("vec_id") +: model.map { m =>
-      round(dot(v, array(m.comp.map(lit(_)): _*)) - lit(m.offset), 6).as(s"pc${m.pc}")
-    }: _*)
+    emb.select(col("vec_id") +: model.map(projCol): _*)
   }
 
   /** Train-and-project in one call (the rebuild registry entry).
@@ -214,12 +217,18 @@ object Pca {
   }
 
   /** The (pc, x) long form of a projection — k rows per vector, shared
-    * by the batch drift operator and the streaming monitor. */
-  def pcaLong(emb: DataFrame, model: Seq[Component]): DataFrame =
-    pcaProject(emb, model)
-      .select(explode(array(model.map(m =>
-        struct(lit(m.pc).as("pc"), col(s"pc${m.pc}").as("x"))): _*)).as("s"))
-      .select(col("s.pc").as("pc"), col("s.x").as("x"))
+    * by the batch drift operator and the streaming monitor. `keep`
+    * columns pass through unchanged (the batch operator carries its
+    * group column), so the two surfaces can never diverge on the
+    * projection itself. */
+  def pcaLong(emb: DataFrame, model: Seq[Component],
+              keep: Seq[String] = Nil): DataFrame = {
+    require(model.nonEmpty, "pcaLong: empty model")
+    emb.select(keep.map(col) ++ model.map(projCol): _*)
+      .select(keep.map(col) :+ explode(array(model.map(m =>
+        struct(lit(m.pc).as("pc"), col(s"pc${m.pc}").as("x"))): _*)).as("s"): _*)
+      .select(col("s.pc").as("pc") +: keep.map(col) :+ col("s.x").as("x"): _*)
+  }
 
   /** Embedding drift — the vector-space monitoring leg the scalar PSI
     * can't see: project every vector onto the persisted principal axes
@@ -241,13 +250,7 @@ object Pca {
                         eps: Double = 1e-4): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"nBins out of [2, 1000]: $nBins")
     require(eps > 0, s"eps must be positive, got $eps")
-    val v = col("embedding").cast("array<double>")
-    val proj = emb.select(col(groupCol) +: model.map { m =>
-      round(dot(v, array(m.comp.map(lit(_)): _*)) - lit(m.offset), 6).as(s"pc${m.pc}")
-    }: _*)
-    val longF = proj.select(col(groupCol), explode(array(model.map(m =>
-        struct(lit(m.pc).as("pc"), col(s"pc${m.pc}").as("x"))): _*)).as("s"))
-      .select(col("s.pc").as("pc"), col(groupCol), col("s.x").as("x"))
+    val longF = pcaLong(emb, model, keep = Seq(groupCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = (1 until nBins).map(i => i.toDouble / nBins).mkString(", ")
     val edges = longF.groupBy("pc")

@@ -47,8 +47,15 @@ object DriftStream {
     val binned = base.crossJoin(broadcast(edgesDf))
       .select(size(expr("filter(le, v -> x > v)")).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1L)).as("rn"))
-    binned.crossJoin(broadcast(binned.agg(sum("rn").as("rt"))))
-      .select(col("bin"), (col("rn") / col("rt")).as("pr"))
+    // write the FULL 0..nBins-1 grid, not just occupied bins: heavily
+    // tied reference values collapse quantile edges and leave bins
+    // empty, and a drifted shard landing in such a bin must still be
+    // representable — pr = 0 there, clamped to eps at score time
+    val grid = edgesDf.select(
+      explode(sequence(lit(0L), lit((nBins - 1).toLong))).as("bin"))
+    grid.join(binned, Seq("bin"), "left")
+      .crossJoin(broadcast(binned.agg(sum("rn").as("rt"))))
+      .select(col("bin"), (coalesce(col("rn"), lit(0L)) / col("rt")).as("pr"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bins")
     base.unpersist()
   }
@@ -60,10 +67,11 @@ object DriftStream {
     spark.read.parquet(s"$dir/bins")
 
   /** One micro-batch's PSI against the static reference — a single
-    * (n_rows, psi) row. The bin universe is the REFERENCE's bins (the
-    * full grid), so batch-missing bins clamp to `eps` and penalize
-    * instead of silently dropping — identical semantics to the batch
-    * scorer's grid. */
+    * (n_rows, psi) row. The bin universe is the FULL 0..nBins-1 grid
+    * (including reference bins with zero mass, which collapsed quantile
+    * edges can produce), so batch-missing bins clamp `pc` to `eps` and
+    * reference-missing bins clamp `pr` to `eps` — both penalize instead
+    * of silently dropping mass on either side. */
   def psiBatch(batch: DataFrame, column: String, edgesDf: DataFrame,
                bins: DataFrame, eps: Double = 1e-4): DataFrame = {
     val binned = batch.filter(col(column).isNotNull)
@@ -74,7 +82,7 @@ object DriftStream {
     val tot = binned.agg(sum("cn").as("ct"))
     bins.crossJoin(broadcast(tot))
       .join(binned, Seq("bin"), "left")
-      .select(col("pr"),
+      .select(greatest(col("pr"), lit(eps)).as("pr"),
         greatest(coalesce(col("cn"), lit(0L)) / col("ct"), lit(eps)).as("pc"),
         coalesce(col("cn"), lit(0L)).as("cn"))
       .agg(sum("cn").as("n_rows"),

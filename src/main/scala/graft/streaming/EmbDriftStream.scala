@@ -19,8 +19,11 @@ import graft.similarity.Pca
   * Same stream-static discipline as [[DriftStream]]: reference tables
   * are metadata-sized (k edge rows, k·nBins proportion rows) and re-read
   * per micro-batch inside `readRetry` (a concurrent republish is
-  * survived), the bin universe is the REFERENCE grid so batch-missing
-  * bins clamp to eps and penalize instead of silently dropping, and the
+  * survived), the bin universe is the FULL 0..nBins-1 grid — including
+  * reference bins with zero mass, which tied quantile edges can
+  * produce — so batch-missing bins clamp pq to eps and
+  * reference-missing bins clamp pr to eps: both penalize instead of
+  * silently dropping mass on either side, and the
   * `foreachBatch` + dynamic-partition-overwrite write is
   * replay-idempotent per `ingest_batch`. */
 object EmbDriftStream {
@@ -42,8 +45,16 @@ object EmbDriftStream {
       val binned = lng.join(broadcast(edgesDf), Seq("pc"))
         .select(col("pc"), size(expr("filter(le, v -> x > v)")).cast("long").as("bin"))
         .groupBy("pc", "bin").agg(count(lit(1L)).as("rn"))
-      binned.join(broadcast(binned.groupBy("pc").agg(sum("rn").as("rt"))), Seq("pc"))
-        .select(col("pc"), col("bin"), (col("rn") / col("rt")).as("pr"))
+      // write the FULL 0..nBins-1 grid, not just occupied bins: tied
+      // quantile edges can leave reference bins empty, and a drifted
+      // shard landing in such a bin must still be representable —
+      // pr = 0 there, clamped to eps at score time like pq
+      val grid = edgesDf.select(col("pc"),
+        explode(sequence(lit(0L), lit((nBins - 1).toLong))).as("bin"))
+      grid.join(binned, Seq("pc", "bin"), "left")
+        .join(broadcast(binned.groupBy("pc").agg(sum("rn").as("rt"))), Seq("pc"))
+        .select(col("pc"), col("bin"),
+          (coalesce(col("rn"), lit(0L)) / col("rt")).as("pr"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/bins")
       lng.unpersist()
     }
@@ -68,7 +79,7 @@ object EmbDriftStream {
     val tot = binned.groupBy("pc").agg(sum("cn").as("ct"))
     bins.join(broadcast(tot), Seq("pc"))
       .join(binned, Seq("pc", "bin"), "left")
-      .select(col("pc"), col("pr"),
+      .select(col("pc"), greatest(col("pr"), lit(eps)).as("pr"),
         greatest(coalesce(col("cn"), lit(0L)) / col("ct"), lit(eps)).as("pq"),
         coalesce(col("cn"), lit(0L)).as("cn"))
       .groupBy("pc")

@@ -11,11 +11,12 @@ import graft.text.TextAnalysis
   * the bigram-type table ([[TextAnalysis.writeKnModel]], staged
   * publish), and every incoming shard's documents score against it as
   * they land. Documents are flagged when their mean bigram log-prob
-  * falls below `minLp` — OR when NONE of their bigrams exist in the
-  * model (zero coverage: the inner scoring join yields no rows, which
-  * is the score a fluency filter must treat as worst-case, not
-  * missing-at-random; encoding garbage and wrong-language text land
-  * here).
+  * falls below `minLp` — OR when the fraction of their bigrams the
+  * model has seen falls below `minCoverage` (the KN average runs over
+  * SEEN bigrams only, so coverage is the signal that catches garbage
+  * carrying one fluent-looking seen bigram among hundreds of unseen
+  * ones; zero coverage — no seen bigrams at all — is the worst case
+  * and always flags, since the score itself comes back NULL).
   *
   * Model lifecycle nuance vs [[QualityStream]]/[[TokenizerStream]]:
   * this model is a TABLE joined distributively, not a bounded
@@ -34,28 +35,45 @@ object LmStream {
     * column — the batch serve algebra
     * ([[TextAnalysis.lmScoreKnWith]]) left-joined back onto the shard
     * so zero-coverage documents surface with a flag instead of
-    * silently dropping out of the scored set. */
+    * silently dropping out of the scored set.
+    *
+    * The KN score averages over model-SEEN bigrams only, so a garbage
+    * document with ONE seen bigram among hundreds would read as a
+    * fluent 1-bigram text — the gate therefore also computes
+    * `coverage` = seen / total bigrams (the total is a row-local token
+    * count, no extra pass) and flags anything under `minCoverage`:
+    * wrong-language and encoding-garbage text lands at low coverage
+    * long before its seen-bigram average looks bad. */
   def scoreBatch(batch: DataFrame, modelDir: String, minLp: Double,
-                 discount: Double = 0.75): DataFrame =
-    batch.select(col("doc_id"), col("lang"))
+                 discount: Double = 0.75,
+                 minCoverage: Double = 0.5): DataFrame =
+    batch.select(col("doc_id"), col("lang"),
+        greatest(size(graft.ops.Normalize.tokensCol(col("text"))) - 1, lit(0))
+          .cast("long").as("n_total_bigrams"))
       .join(TextAnalysis.lmScoreKnWith(batch, modelDir, discount),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
+        col("n_total_bigrams"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logprob"),
-        (col("avg_logprob").isNull || col("avg_logprob") < minLp)
-          .as("low_fluency"))
+        round(when(col("n_total_bigrams") > 0,
+          coalesce(col("n_bigrams"), lit(0L)).cast("double") / col("n_total_bigrams"))
+          .otherwise(lit(0.0)), 6).as("coverage"))
+      .withColumn("low_fluency",
+        col("avg_logprob").isNull || col("avg_logprob") < minLp ||
+        col("coverage") < minCoverage)
 
   /** Start the gate: every shard dropped under the watched source is
     * scored and logged under `outDir`, keyed by micro-batch id. */
   def monitor(stream: DataFrame, modelDir: String, outDir: String,
               checkpoint: String, minLp: Double,
-              discount: Double = 0.75): StreamingQuery =
+              discount: Double = 0.75,
+              minCoverage: Double = 0.5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.readRetry() {
-          scoreBatch(batch, modelDir, minLp, discount)
+          scoreBatch(batch, modelDir, minLp, discount, minCoverage)
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

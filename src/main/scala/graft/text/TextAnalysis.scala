@@ -570,9 +570,12 @@ object TextAnalysis {
     * already do. */
   def tokenizerEval(docs: DataFrame, merges: Seq[(String, String)],
                     pieces: Seq[(String, Long)], maxPieceLen: Int = 4): DataFrame = {
-    val occ = docs.select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-    val enc = occ.select("w").distinct()
+    // corpus-level word counts, NOT per-doc: the eval's one output row
+    // never needs doc_id, so grouping by the word alone shuffles a
+    // vocabulary-sized table instead of an n_docs-times-larger one
+    val occ = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val enc = occ.select("w")
       .select(col("w"), length(col("w")).cast("long").as("wc"),
         size(graft.functions.BpeEncode.encodeCol(col("w"), merges)).cast("long").as("nb"),
         graft.functions.UnigramEncode.countCol(col("w"), pieces, maxPieceLen).as("nu"))

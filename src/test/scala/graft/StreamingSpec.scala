@@ -808,40 +808,52 @@ class StreamingSpec extends SparkSpec {
 
     // shard = real docs (model trained on the full corpus, so every
     // real bigram is seen) + one injected doc whose tokens the corpus
-    // never contains — zero model coverage, the worst-case score a
-    // fluency gate must flag rather than drop
+    // never contains (zero coverage — the worst case a fluency gate
+    // must flag rather than drop) + one injected doc that is REAL text
+    // followed by a long unseen tail: its seen-bigram average looks
+    // fluent, so only the coverage gate can catch it
     import spark.implicits._
+    val sampleText = all.orderBy("doc_id").select("text").head.getString(0)
+    val partial = sampleText +
+      (" zzqx vvkj" * (sampleText.split("\\s+").length * 3))
     val shard = all.filter(pmod(col("doc_id"), lit(4L)) === 2)
       .select("doc_id", "text", "lang")
-      .union(Seq((999999L, "zzqx vvkj zzqx vvkj zzqx", "en")).toDF("doc_id", "text", "lang"))
+      .union(Seq((999999L, "zzqx vvkj zzqx vvkj zzqx", "en"),
+        (999998L, partial, "en")).toDF("doc_id", "text", "lang"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-stage")
     shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp)
       .filter(p => p.toString.endsWith(".parquet")).findFirst().get
     java.nio.file.Files.copy(part, watch.resolve("a.parquet"))
 
-    // gate threshold below every real score, so ONLY zero-coverage flags
-    val direct = LmStream.scoreBatch(shard, modelDir.toString, minLp = -1e9)
-      .collect().map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_bigrams"),
+    // lp threshold below every real score, so ONLY coverage can flag
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_total_bigrams"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("coverage"),
           Option(r.get(r.fieldIndex("avg_logprob"))).map(_.asInstanceOf[Double]),
           r.getAs[Boolean]("low_fluency")))).toMap
-    assert(direct(999999L)._1 == 0L && direct(999999L)._3,
+    val direct = rowsOf(LmStream.scoreBatch(shard, modelDir.toString, minLp = -1e9))
+    assert(direct(999999L)._2 == 0L && direct(999999L)._3 == 0.0 && direct(999999L)._5,
       "unseen-vocabulary text must read zero coverage and flag")
+    // the evasion case: fluent seen bigrams (non-null, corpus-level avg)
+    // but most of the document is unseen — only the coverage gate fires
+    assert(direct(999998L)._4.isDefined && direct(999998L)._3 < 0.5 && direct(999998L)._5,
+      s"partial-coverage text must flag on coverage alone: ${direct(999998L)}")
+    // real corpus docs: every bigram seen, full coverage, pass
+    assert(direct.filterNot(kv => kv._1 >= 999998L).values
+      .forall(v => v._3 == 1.0 && !v._5),
+      "model-corpus documents must read full coverage and pass")
 
     val q = LmStream.monitor(DedupStream.readStream(spark, watch.toString),
       modelDir.toString, out.toString, ckpt.toString, minLp = -1e9)
     q.processAllAvailable(); q.stop()
 
-    val streamed = LmStream.scoreLog(spark, out.toString)
-      .collect().map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_bigrams"),
-          Option(r.get(r.fieldIndex("avg_logprob"))).map(_.asInstanceOf[Double]),
-          r.getAs[Boolean]("low_fluency")))).toMap
+    val streamed = rowsOf(LmStream.scoreLog(spark, out.toString))
     assert(streamed == direct,
       "stream-logged KN scores must equal the batch serve path on the same shard")
-    assert(streamed(999999L)._3 && streamed.count(_._2._3) == 1,
-      "exactly the zero-coverage document flags at a below-corpus threshold")
+    assert(streamed.count(_._2._5) == 2,
+      "exactly the zero- and partial-coverage documents flag at a below-corpus threshold")
     Seq(modelDir, watch, out, ckpt, tmp).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
