@@ -1274,6 +1274,73 @@ object OracleSqlExt {
   def driftEmbeddingSqlFromLastModel(nBins: Int, eps: Double): Option[String] =
     graft.similarity.Pca.lastDriftModel.map(driftEmbeddingSql(_, nBins, eps))
 
+  /** Mirror of [[graft.similarity.Pca.pcaRecallEval]] GIVEN the
+    * components: the original-space brute-force truth chain, the
+    * reduced-space chain over the projection CTE (k-element list
+    * columns, [[dotSqlN]] folds — the engine's compiled dot walks the
+    * same k elements left to right), the original-cosine re-score of
+    * the reduced picks, and the [[annRecallEvalSql]] report tail. */
+  def pcaRecallEvalSql(model: Seq[graft.similarity.Pca.Component],
+                       stride: Int, k: Int): String = {
+    val pk = model.length
+    val vecExpr = model.map(m => s"pc${m.pc}").mkString("[", ", ", "]")
+    def cosN(a: String, b: String) =
+      s"${dotSqlN(a, b, pk)} / (sqrt(${dotSqlN(a, a, pk)}) * sqrt(${dotSqlN(b, b, pk)}))"
+    s"""WITH proj AS (
+       |SELECT vec_id,
+       |  ${pcaProjColsSql(model)}
+       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")})
+       |),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
+       |tscored AS (
+       |  SELECT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM q JOIN c ON n_id != q_id
+       |),
+       |truth AS (
+       |  SELECT q_id, n_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM tscored
+       |  ) WHERE rn <= $k
+       |),
+       |pq AS (SELECT vec_id AS q_id, $vecExpr::DOUBLE[] AS qv FROM proj WHERE vec_id % $stride = 0 AND sqrt(${dotSqlN("qv", "qv", pk)}) > 0),
+       |pc2 AS (SELECT vec_id AS n_id, $vecExpr::DOUBLE[] AS nv FROM proj WHERE sqrt(${dotSqlN("nv", "nv", pk)}) > 0),
+       |ascored AS (
+       |  SELECT q_id, n_id, round(${cosN("qv", "nv")}, 6) AS rcos
+       |  FROM pq JOIN pc2 ON n_id != q_id
+       |),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rcos DESC, n_id ASC) AS rn FROM ascored
+       |  ) WHERE rn <= $k
+       |),
+       |resc AS (
+       |  SELECT a.q_id, a.n_id, round(${cosineSql("eq.v", "en.v")}, 6) AS cos
+       |  FROM approx a
+       |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) eq ON a.q_id = eq.vec_id
+       |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) en ON a.n_id = en.vec_id
+       |),
+       |j AS (
+       |  SELECT t.cos AS tcos, r.cos AS acos
+       |  FROM truth t FULL JOIN resc r ON t.q_id = r.q_id AND t.n_id = r.n_id
+       |),
+       |m AS (
+       |  SELECT CAST(count(tcos) AS BIGINT) AS n_truth,
+       |         CAST(count(acos) AS BIGINT) AS n_approx,
+       |         CAST(count(CASE WHEN tcos IS NOT NULL AND acos IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+       |         CAST(sum(CAST(round(tcos * 1000000) AS BIGINT)) AS DOUBLE) AS tsum,
+       |         CAST(sum(CAST(round(acos * 1000000) AS BIGINT)) AS DOUBLE) AS asum
+       |  FROM j
+       |)
+       |SELECT n_truth, n_approx, n_hit,
+       |       round(CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS recall,
+       |       round(CASE WHEN n_truth > 0 THEN tsum / 1e6 / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS truth_mean_cos,
+       |       round(CASE WHEN n_approx > 0 THEN asum / 1e6 / n_approx ELSE CAST(0 AS DOUBLE) END, 6) AS approx_mean_cos
+       |FROM m""".stripMargin
+  }
+
+  def pcaRecallEvalSqlFromModel(stride: Int, k: Int): Option[String] =
+    graft.similarity.Pca.lastPcaRecallModel.map(pcaRecallEvalSql(_, stride, k))
+
   def pcaProjectSqlFromLastModel: Option[String] =
     graft.similarity.Pca.lastPcaModel.map(pcaProjectSql)
 

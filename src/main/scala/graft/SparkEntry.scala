@@ -2293,6 +2293,22 @@ object SparkEntry {
       },
       None),
 
+    // the reduce-then-index decision table: exact original-space top-k
+    // truth vs exact top-k in the PCA-reduced space (picks re-scored by
+    // original cosine), one row of counts/recall/mean-cos gap — what
+    // the projection COSTS in retrieval quality, run before committing
+    // a component count at corpus scale (the ANN twin of
+    // ann_recall_eval, which tunes the IVF geometry the same way).
+    // Serves the persisted model; DEDICATED stash
+    ("ann_pca_recall_eval",
+      (s: SparkSession, d: String) => {
+        val model = graft.similarity.Pca.readPcaModel(s, pcaModelDir(s, d))
+        graft.similarity.Pca.lastPcaRecallModel = Some(model)
+        graft.similarity.Pca.pcaRecallEval(
+          s.read.parquet(s"$d/embeddings.parquet"), model, stride = 100, k = 5)
+      },
+      None),
+
     // serve-only PCA twin: components read back from the persisted model
     // and applied unchanged — the build-once/serve-many lifecycle every
     // trained model here follows; DEDICATED stash for its dynamic oracle
@@ -2729,5 +2745,6 @@ object SparkEntry {
       OracleSqlExt.pcaProjectSqlFromLastModel.map("embedding_pca" -> _) ++
       OracleSqlExt.pcaProjectSqlFromIndexedModel.map("embedding_pca_indexed" -> _) ++
       OracleSqlExt.pcaVarianceSqlFromLastModel.map("embedding_pca_variance" -> _) ++
-      OracleSqlExt.driftEmbeddingSqlFromLastModel(10, 1e-4).map("drift_embedding" -> _)
+      OracleSqlExt.driftEmbeddingSqlFromLastModel(10, 1e-4).map("drift_embedding" -> _) ++
+      OracleSqlExt.pcaRecallEvalSqlFromModel(100, 5).map("ann_pca_recall_eval" -> _)
 }

@@ -35,13 +35,22 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT fixed locals: a plan stage with many graft_dot
+      // nodes inlines many copies of this snippet into ONE generated
+      // function, and fixed `n`/`s`/`i` redefine — janino rejects the
+      // class and the whole stage silently falls back to interpreted
+      // eval (first seen on the 8-dot PCA recall-eval probe filter)
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-         |${ev.value} = s;
-       """.stripMargin)
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -283,6 +283,91 @@ object Pca {
   /** Dedicated model stash for the `drift_embedding` registry entry. */
   @volatile private[graft] var lastDriftModel: Option[Seq[Component]] = None
 
+  /** The reduce-then-index decision table — [[pcaVariance]] says how
+    * much variance the projection keeps, THIS says what that costs in
+    * retrieval quality: exact top-k in ORIGINAL space (truth) vs exact
+    * top-k in the REDUCED space, with the reduced picks re-scored by
+    * their original cosine, as one report row of counts, recall, and
+    * the truth-vs-approx original-cosine means (exact integer micros —
+    * the [[Ann.recallEval]] discipline). Run before committing a
+    * component count for a 100 TB reduce-then-index ANN deployment.
+    *
+    * Scale shape: both probe sets are bounded literal models (the
+    * [[Ann.bruteForceTopK]] contract — stride bounds them); the reduced
+    * chain scores k-wide arrays, not d-wide; the original-cosine
+    * re-score joins the tiny approx pair set back to the corpus
+    * broadcast. Truth's per-query top-k maximizes original cosine by
+    * definition, so truth_mean_cos >= approx_mean_cos always —
+    * spec-pinned. */
+  def pcaRecallEval(emb: DataFrame, model: Seq[Component],
+                    stride: Int = 100, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val truth = Ann.bruteForceTopK(emb, stride, k)
+      .select(col("q_id"), col("n_id"), col("cos").as("tcos"))
+    // reduced-space brute force: same literal-probe shape over the
+    // round-6 projections. TWO guards: vectors with no defined ORIGINAL
+    // cosine leave the eval entirely (a zero vector still projects to
+    // -offset, so the original guard must come first), and zero-norm
+    // PROJECTIONS drop like the original chain's zero-norm vectors (a
+    // nonzero vector can project to zero when it lies in the discarded
+    // subspace)
+    val ovec = col("embedding").cast("array<double>")
+    val asVec = array(model.map(m => col(s"pc${m.pc}")): _*)
+    val proj = pcaProject(emb.filter(sqrt(dot(ovec, ovec)) > 0), model)
+      .select(col("vec_id"), asVec.as("v"))
+    val probes = proj.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v")))).filter(col("nrm") > 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(probes.length <= 4096,
+      s"${probes.length} probes exceed 4096: raise stride for this corpus")
+    val probeStructs = probes.map { case (id, vec, nrm) =>
+      struct(lit(id).as("q_id"), array(vec.map(lit(_)): _*).as("q_vec"),
+        lit(nrm).as("q_nrm"))
+    }
+    val scored = proj
+      .select(col("vec_id").as("n_id"), col("v").as("n_vec"),
+        sqrt(dot(col("v"), col("v"))).as("n_nrm"))
+      .filter(col("n_nrm") > 0)
+      .select(col("n_id"), col("n_vec"), col("n_nrm"),
+        explode(array(probeStructs: _*)).as("q"))
+      .filter(col("n_id") =!= col("q.q_id"))
+      .withColumn("rcos",
+        round(dot(col("q.q_vec"), col("n_vec")) / (col("q.q_nrm") * col("n_nrm")), 6))
+    val approx = graft.ops.TopK.topKPerGroup(
+      scored.select(col("q.q_id").as("q_id"), col("n_id"), col("rcos")),
+      Seq(col("q_id")), Seq(col("rcos").desc, col("n_id").asc), k)
+    // re-score the reduced picks by their ORIGINAL cosine — the metric
+    // the truth side ranks by, so the two means are comparable
+    val orig = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("ov"))
+      .withColumn("on", sqrt(dot(col("ov"), col("ov"))))
+    val rescored = broadcast(approx)
+      .join(orig.select(col("vec_id").as("q_id"), col("ov").as("qv"), col("on").as("qn")), Seq("q_id"))
+      .join(orig.select(col("vec_id").as("n_id"), col("ov").as("nv"), col("on").as("nn")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("acos"))
+    val joined = truth.join(rescored, Seq("q_id", "n_id"), "full_outer")
+    val micros = (c: org.apache.spark.sql.Column) => round(c * lit(1000000L)).cast("long")
+    joined.agg(
+        count(col("tcos")).as("n_truth"),
+        count(col("acos")).as("n_approx"),
+        count(when(col("tcos").isNotNull && col("acos").isNotNull, lit(1))).as("n_hit"),
+        sum(micros(col("tcos"))).as("tsum"),
+        sum(micros(col("acos"))).as("asum"))
+      .select(col("n_truth"), col("n_approx"), col("n_hit"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(lit(0.0)), 6).as("recall"),
+        round(when(col("n_truth") > 0,
+          col("tsum").cast("double") / lit(1e6) / col("n_truth")).otherwise(lit(0.0)), 6)
+          .as("truth_mean_cos"),
+        round(when(col("n_approx") > 0,
+          col("asum").cast("double") / lit(1e6) / col("n_approx")).otherwise(lit(0.0)), 6)
+          .as("approx_mean_cos"))
+  }
+
+  /** Dedicated model stash for the `ann_pca_recall_eval` entry. */
+  @volatile private[graft] var lastPcaRecallModel: Option[Seq[Component]] = None
+
   /** Persist the PCA model under `dir` (staged publish) — one row per
     * component; the build-once half of the serve-many lifecycle. */
   def writePcaModel(emb: DataFrame, dir: String, k: Int = 4,

@@ -134,6 +134,27 @@ class PcaSpec extends SparkSpec {
     (0 to 2).foreach(g => assert(r((1, g))._1 < 0.1, s"pc1 psi g$g: ${r((1, g))}"))
   }
 
+  test("pca recall eval: sane counts, bounded recall, truth dominates on original cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pca.pcaTrain(emb, k = 4, trainStride = 2)
+    val take = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("n_truth"), r.getAs[Long]("n_approx"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall"), r.getAs[Double]("truth_mean_cos"),
+        r.getAs[Double]("approx_mean_cos"))
+    val r = take(Pca.pcaRecallEval(emb, model, stride = 50, k = 3).collect().head)
+    val (nt, na, nh, recall, tm, am) = r
+    // no zero-norm vectors in this corpus, so both sides field the same
+    // probe and candidate sets: equal counts, hits bounded by either
+    assert(nt == na && nt > 0, s"counts: $r")
+    assert(nh >= 0 && nh <= nt && recall >= 0.0 && recall <= 1.0)
+    // truth's per-query top-k maximizes original cosine by definition,
+    // so its mean dominates the reduced picks' re-scored mean
+    assert(tm >= am - 1e-6, s"truth $tm must dominate approx $am")
+    // deterministic end to end (DECIMAL moments, fixed Jacobi, round-6
+    // scoring, deterministic tie-breaks)
+    assert(take(Pca.pcaRecallEval(emb, model, stride = 50, k = 3).collect().head) == r)
+  }
+
   test("projection plan is a narrow map: no joins, no shuffles") {
     val (_, _, emb) = planted()
     val model = Pca.pcaTrain(emb, k = 2, trainStride = 1)
