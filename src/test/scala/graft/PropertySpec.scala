@@ -274,4 +274,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("pca on arbitrary corpora: orthonormal axes, trace preserved, spectrum bounds variance") {
+    import spark.implicits._
+    import graft.similarity.Pca
+    val corpusGen = for {
+      n <- Gen.choose(6, 24)
+      d <- Gen.choose(3, 6)
+      rows <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-8, 8).map(_ * 0.25)))
+    } yield rows
+    Gen.listOfN(6, corpusGen).sample.get.foreach { rows =>
+      val d = rows.head.length
+      val emb = rows.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val model = Pca.pcaTrain(emb, k = d, trainStride = 1)
+      // orthonormal axes
+      model.foreach(m =>
+        assert(math.abs(math.sqrt(m.comp.map(x => x * x).sum) - 1.0) < 1e-8))
+      for (a <- model; b <- model if a.pc < b.pc)
+        assert(math.abs(a.comp.zip(b.comp).map { case (x, y) => x * y }.sum) < 1e-8,
+          s"pc${a.pc} not orthogonal to pc${b.pc}")
+      // full-rank spectrum sums to the trace (rotation preserves variance)
+      assert(math.abs(model.map(_.eigval).sum - model.head.trace) < 1e-8 * (1 + model.head.trace))
+      // eigenvalues descend and are (numerically) non-negative
+      assert(model.sliding(2).forall(p => p.head.eigval >= p.last.eigval - 1e-12))
+      assert(model.forall(_.eigval > -1e-9))
+      // each projection's empirical variance equals its eigenvalue
+      // (float32 input quantization + round-6 projections + micro sums
+      // keep this within ~1e-4)
+      Pca.pcaVariance(emb, model).collect().foreach { r =>
+        assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-3,
+          s"pc${r.getInt(0)}: var ${r.getDouble(3)} vs eig ${r.getDouble(4)}")
+      }
+    }
+  }
 }
