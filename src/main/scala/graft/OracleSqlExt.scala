@@ -1492,6 +1492,39 @@ object OracleSqlExt {
       |       round((sqrt(sum_chars) / z) / (sum_chars / total_chars), 6) AS boost
       |FROM per CROSS JOIN den""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.mixTokenBudget]] (α = 0.5):
+    * whitespace-token availability per source, the temperatureMixSql
+    * ordered-fold normalizer, and the cap arithmetic on the same
+    * round-then-CAST path (budget and maxEpochs are the same literals
+    * in both engines; round-6 p_alpha × budget steps in 0.1s at this
+    * budget, so no representable half-tie can split the engines). */
+  def mixTokenBudgetSql(budgetTokens: Long, maxEpochs: Double): String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0))) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source
+       |),
+       |den AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), array_agg(sqrt(avail_tokens) ORDER BY source)),
+       |                     (x, y) -> x + y) AS z
+       |  FROM per
+       |),
+       |p AS (
+       |  SELECT source, n_docs, avail_tokens,
+       |         round(sqrt(avail_tokens) / z, 6) AS p_alpha
+       |  FROM per CROSS JOIN den
+       |),
+       |t AS (
+       |  SELECT *, CAST(round(p_alpha * CAST($budgetTokens AS DOUBLE)) AS BIGINT) AS target_tokens,
+       |         CAST(round($maxEpochs * avail_tokens) AS BIGINT) AS cap
+       |  FROM p
+       |)
+       |SELECT source, n_docs, avail_tokens, p_alpha, target_tokens,
+       |       round(CAST(target_tokens AS DOUBLE) / avail_tokens, 6) AS epochs,
+       |       target_tokens > cap AS over_cap,
+       |       least(target_tokens, cap) AS alloc_tokens
+       |FROM t""".stripMargin
+
   // ------------------------------------------------------------ text
 
   val tokenStatsSql: String =

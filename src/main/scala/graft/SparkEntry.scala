@@ -1692,6 +1692,17 @@ object SparkEntry {
         graft.text.TextAnalysis.temperatureMix(Collocations.documents(s, d)),
       Some(OracleSqlExt.temperatureMixSql)),
 
+    // the step between temperature_mix's probabilities and a training
+    // run: per source, the α-mix token grant out of a total budget, the
+    // implied epochs, and the max-epoch repeat cap (one-shot cap, the
+    // surplus reported not redistributed); budget chosen so both cap
+    // branches are exercised on the gate corpus
+    ("mix_token_budget",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.mixTokenBudget(
+          Collocations.documents(s, d), budgetTokens = 100000L),
+      Some(OracleSqlExt.mixTokenBudgetSql(100000L, 4.0))),
+
     // overlapping token-window chunking (RAG/embedding prep): array-local
     // explode, zero shuffles; every doc emits >= 1 chunk (row-preserving)
     ("chunk_documents",

@@ -1076,6 +1076,48 @@ object TextAnalysis {
         round((w(col("sum_chars")) / col("z")) / (col("sum_chars") / col("total_chars")), 6).as("boost"))
   }
 
+  /** Token-budget allocation — the step between [[temperatureMix]]'s
+    * sampling probabilities and an actual training run: given a total
+    * token budget, per source the α-mix target tokens, the implied
+    * epochs over its available tokens, and the `maxEpochs` repeat cap
+    * (repeating a small source too often hurts more than it helps —
+    * the data-constrained-scaling result), with `alloc_tokens` the
+    * capped grant. One-shot cap: the capped surplus is reported, not
+    * redistributed (redistribution is an iterative driver-side loop a
+    * deployment runs over this table's output).
+    *
+    * Available tokens are WHITESPACE tokens (the [[tokenStats]]
+    * `ws_tokens` definition) so the allocation unit is
+    * tokenizer-independent; same ordered-fold normalizer discipline as
+    * [[temperatureMix]] (α = 0.5 through correctly-rounded sqrt).
+    * Everything is metadata-sized after one aggregation on `source`. */
+  def mixTokenBudget(docs: DataFrame, budgetTokens: Long,
+                     alpha: Double = 0.5, maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val w: Column => Column =
+      if (alpha == 0.5) sqrt(_) else c => pow(c, lit(alpha))
+    val wsTokens = size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long")
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(wsTokens).as("avail_tokens"))
+    val den = per.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source").as("src"), w(col("avail_tokens")).as("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    val cap = round(lit(maxEpochs) * col("avail_tokens")).cast("long")
+    per.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        round(w(col("avail_tokens")) / col("z"), 6).as("p_alpha"))
+      .withColumn("target_tokens",
+        round(col("p_alpha") * lit(budgetTokens.toDouble)).cast("long"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"), col("p_alpha"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("avail_tokens"), 6).as("epochs"),
+        (col("target_tokens") > cap).as("over_cap"),
+        least(col("target_tokens"), cap).as("alloc_tokens"))
+  }
+
   /** PII-style scrubbing: redact email addresses and long digit runs.
     * Pure `Column` regex work (codegen'd, shuffle-free); the character
     * classes used agree between Java regex and RE2, so the DuckDB oracle

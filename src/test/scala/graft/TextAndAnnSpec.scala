@@ -250,6 +250,26 @@ class TextAndAnnSpec extends SparkSpec {
     assert(nb <= nc && nb >= nw && nu >= nw)
   }
 
+  test("mix token budget: sqrt allocation, epoch arithmetic, repeat cap") {
+    import spark.implicits._
+    // sqrt(160) = 4*sqrt(10), so p = 4/5 vs 1/5 EXACTLY — every number
+    // below is hand-checkable integer arithmetic
+    val docs = Seq(
+      (1L, ("w " * 160).trim, "a_big"),
+      (2L, ("w " * 10).trim, "b_small")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixTokenBudget(docs, budgetTokens = 400L)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    val b = r("a_big"); val s = r("b_small")
+    assert(b.getAs[Long]("avail_tokens") == 160 && s.getAs[Long]("avail_tokens") == 10)
+    assert(b.getAs[Double]("p_alpha") == 0.8 && s.getAs[Double]("p_alpha") == 0.2)
+    // big: 320 of 400, 2 epochs, under the 4-epoch cap
+    assert(b.getAs[Long]("target_tokens") == 320 && b.getAs[Double]("epochs") == 2.0)
+    assert(!b.getAs[Boolean]("over_cap") && b.getAs[Long]("alloc_tokens") == 320)
+    // small: 80 target over 10 available = 8 epochs -> capped at 4*10
+    assert(s.getAs[Long]("target_tokens") == 80 && s.getAs[Double]("epochs") == 8.0)
+    assert(s.getAs[Boolean]("over_cap") && s.getAs[Long]("alloc_tokens") == 40)
+  }
+
   test("dsir importance weights separate target-like from raw-like docs") {
     import spark.implicits._
     // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
