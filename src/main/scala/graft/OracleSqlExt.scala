@@ -1498,8 +1498,11 @@ object OracleSqlExt {
     * round-then-CAST path (budget and maxEpochs are the same literals
     * in both engines; round-6 p_alpha × budget steps in 0.1s at this
     * budget, so no representable half-tie can split the engines). */
-  def mixTokenBudgetSql(budgetTokens: Long, maxEpochs: Double): String =
-    s"""WITH per AS (
+  /** per → den → p → t CTE chain shared by [[mixTokenBudgetSql]] and
+    * [[sampleTokenBudgetSql]] (the allocator and its executor must gate
+    * against the same allocation arithmetic). */
+  private def mixBudgetCtes(budgetTokens: Long, maxEpochs: Double): String =
+    s"""per AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0))) AS BIGINT) AS avail_tokens
        |  FROM documents GROUP BY source
@@ -1518,12 +1521,40 @@ object OracleSqlExt {
        |  SELECT *, CAST(round(p_alpha * CAST($budgetTokens AS DOUBLE)) AS BIGINT) AS target_tokens,
        |         CAST(round($maxEpochs * avail_tokens) AS BIGINT) AS cap
        |  FROM p
-       |)
+       |)""".stripMargin
+
+  def mixTokenBudgetSql(budgetTokens: Long, maxEpochs: Double): String =
+    s"""WITH ${mixBudgetCtes(budgetTokens, maxEpochs)}
        |SELECT source, n_docs, avail_tokens, p_alpha, target_tokens,
        |       round(CAST(target_tokens AS DOUBLE) / avail_tokens, 6) AS epochs,
        |       target_tokens > cap AS over_cap,
        |       least(target_tokens, cap) AS alloc_tokens
        |FROM t""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.sampleTokenBudget]]: the same
+    * allocation chain, md5-half content keys (the corpus_shuffle
+    * discipline), and ONE per-source inclusive running sum ordered by
+    * (bucket, x, y, doc_id) — exactly the total the engine's two-level
+    * bucketed form computes, since integer sums are associative. */
+  def sampleTokenBudgetSql(budgetTokens: Long, maxEpochs: Double,
+                           nBuckets: Int): String =
+    s"""WITH ${mixBudgetCtes(budgetTokens, maxEpochs)},
+       |alloc AS (SELECT source, least(target_tokens, cap) AS alloc_tokens FROM t),
+       |k AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), q -> length(q) > 0)) AS BIGINT) AS doc_tokens,
+       |    CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS x,
+       |    CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) AS y
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, source, doc_tokens,
+       |    CAST(sum(doc_tokens) OVER (PARTITION BY source ORDER BY x % $nBuckets, x, y, doc_id
+       |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM k
+       |)
+       |SELECT doc_id, source, doc_tokens, cum_tokens
+       |FROM c JOIN alloc USING (source) WHERE cum_tokens <= alloc_tokens""".stripMargin
 
   // ------------------------------------------------------------ text
 

@@ -1703,6 +1703,17 @@ object SparkEntry {
           Collocations.documents(s, d), budgetTokens = 100000L),
       Some(OracleSqlExt.mixTokenBudgetSql(100000L, 4.0))),
 
+    // EXECUTE the budget: per source, the deterministic content-ordered
+    // whole-document prefix whose running token total fits the capped
+    // allocation — no per-source data-bearing window (two-level bucketed
+    // running sum, the globalCumSum construction per group). Budget
+    // chosen so most sources CUT mid-corpus and some keep everything
+    ("sample_token_budget",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.sampleTokenBudget(
+          Collocations.documents(s, d), budgetTokens = 26000L),
+      Some(OracleSqlExt.sampleTokenBudgetSql(26000L, 4.0, 64))),
+
     // overlapping token-window chunking (RAG/embedding prep): array-local
     // explode, zero shuffles; every doc emits >= 1 chunk (row-preserving)
     ("chunk_documents",

@@ -1118,6 +1118,53 @@ object TextAnalysis {
         least(col("target_tokens"), cap).as("alloc_tokens"))
   }
 
+  /** EXECUTE the token budget — the sampling step [[mixTokenBudget]]'s
+    * table plans: per source, keep the deterministic content-ordered
+    * prefix of whole documents whose inclusive running token total fits
+    * the source's capped allocation. Content order (md5-half keys, the
+    * [[graft.pipelines.CleanCorpus.corpusShuffle]] discipline) makes the
+    * sample a pure function of document bytes — reruns, retries, and
+    * repartitionings select the same documents.
+    *
+    * Scale shape: NO per-source data-bearing window — a 100 TB source
+    * would serialize through one partition. The running sum is two-level:
+    * an inclusive window inside (source, content-bucket) — raise
+    * `nBuckets` with the cluster — plus per-source EXCLUSIVE bucket
+    * offsets from a metadata-sized (sources × nBuckets) aggregate, the
+    * [[graft.ops.Ranks.globalCumSum]] construction applied per group.
+    * Integer token sums, so the two-level total is exactly the
+    * single-window one the oracle computes. */
+  def sampleTokenBudget(docs: DataFrame, budgetTokens: Long,
+                        alpha: Double = 0.5, maxEpochs: Double = 4.0,
+                        nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val alloc = mixTokenBudget(docs, budgetTokens, alpha, maxEpochs)
+      .select(col("source"), col("alloc_tokens"))
+    val wsTokens = size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long")
+    val keyed = docs
+      .select(col("doc_id"), col("source"), wsTokens.as("doc_tokens"),
+        md5(col("text")).as("m"))
+      .select(col("doc_id"), col("source"), col("doc_tokens"),
+        graft.dedup.Dedup.md5Half(col("m"), 1).as("x"),
+        graft.dedup.Dedup.md5Half(col("m"), 8).as("y"))
+      .withColumn("b", pmod(col("x"), lit(nBuckets.toLong)))
+    val local = keyed.withColumn("lc",
+      sum("doc_tokens").over(Window.partitionBy("source", "b")
+        .orderBy(col("x"), col("y"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = keyed.groupBy("source", "b").agg(sum("doc_tokens").as("bt"))
+      .withColumn("off", coalesce(
+        sum("bt").over(Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "b", "off")
+    local.join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("cum_tokens", col("off") + col("lc"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("cum_tokens") <= col("alloc_tokens"))
+      .select(col("doc_id"), col("source"), col("doc_tokens"), col("cum_tokens"))
+  }
+
   /** PII-style scrubbing: redact email addresses and long digit runs.
     * Pure `Column` regex work (codegen'd, shuffle-free); the character
     * classes used agree between Java regex and RE2, so the DuckDB oracle

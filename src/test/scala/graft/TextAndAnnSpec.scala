@@ -270,6 +270,31 @@ class TextAndAnnSpec extends SparkSpec {
     assert(s.getAs[Boolean]("over_cap") && s.getAs[Long]("alloc_tokens") == 40)
   }
 
+  test("sample token budget: prefix fits the allocation, content-deterministic across partitionings") {
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.sampleTokenBudget(docs, budgetTokens = 1000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val alloc = TextAnalysis.mixTokenBudget(docs, budgetTokens = 1000L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("n_docs"))).toMap
+    val bySrc = out.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      // the inclusive running total never exceeds the source's grant, and
+      // the max cum equals the kept token sum (the two-level cumsum is
+      // internally consistent)
+      assert(rows.map(_._4).max <= alloc(src)._1, s"$src overdrawn")
+      assert(rows.map(_._4).max == rows.map(_._3).sum, s"$src cumsum inconsistent")
+    }
+    // the budget is far below availability: every source is cut mid-corpus
+    assert(bySrc.forall { case (src, rows) => rows.length < alloc(src)._2 },
+      "a 1000-token budget must cut every source")
+    // content-keyed order: the selected SET is partitioning-independent
+    val out2 = TextAnalysis.sampleTokenBudget(docs.repartition(7), budgetTokens = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == out2.toSet, "sample must be a pure function of content")
+  }
+
   test("dsir importance weights separate target-like from raw-like docs") {
     import spark.implicits._
     // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
