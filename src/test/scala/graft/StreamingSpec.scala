@@ -738,6 +738,34 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
+  test("drift reference grid keeps empty bins: a shard landing past collapsed edges still counts") {
+    import graft.streaming.DriftStream
+    import spark.implicits._
+    val refDir = java.nio.file.Files.createTempDirectory("graft-grid-ref")
+    // CONSTANT reference column: every quantile edge collapses to 7.0,
+    // so only bin 0 has reference mass — bins 1..9 exist only because
+    // buildReference writes the full grid (the pre-fix table dropped
+    // them, and any shard mass beyond the edges vanished from n_rows
+    // and contributed no PSI term)
+    val ref = (1L to 40L).map(i => (i, 7.0)).toDF("doc_id", "x")
+    DriftStream.buildReference(ref, "x", refDir.toString, nBins = 10, exact = true)
+    val bins = DriftStream.refBins(spark, refDir.toString).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Double]("pr")).toMap
+    assert(bins.keySet == (0L to 9L).toSet, s"full grid required: ${bins.keySet}")
+    assert(bins(0L) == 1.0 && (1L to 9L).forall(b => bins(b) == 0.0))
+    // a delivery entirely ABOVE the collapsed edges lands in bin 9
+    val shard = (1L to 20L).map(i => (i, 99.0)).toDF("doc_id", "x")
+    val r = DriftStream.psiBatch(shard, "x",
+      DriftStream.edges(spark, refDir.toString),
+      DriftStream.refBins(spark, refDir.toString)).collect().head
+    assert(r.getAs[Long]("n_rows") == 20L,
+      "shard mass in a reference-empty bin must be counted, not dropped")
+    // all batch mass sits where the reference has (clamped) eps weight:
+    // PSI must read catastrophic, not calm
+    assert(r.getAs[Double]("psi") > 5.0, s"psi: ${r.getAs[Double]("psi")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(refDir.toFile)
+  }
+
   test("streaming embedding-drift monitor flags a scaled delivery and passes an in-distribution one") {
     import graft.streaming.EmbDriftStream
     import graft.similarity.Pca
