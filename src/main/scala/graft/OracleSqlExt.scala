@@ -2195,6 +2195,50 @@ object OracleSqlExt {
        |)""".stripMargin
 
   /** Mirror of the url_canonical registry entry. */
+  /** Mirror of the `extract_html_text` query: the deterministic page
+    * derivation (mirror of `SparkEntry.messyHtml`) and the SAME
+    * fixed-order extraction chain as
+    * [[graft.text.TextAnalysis.extractHtmlText]] — lazy `(?s)` block
+    * removal, tag strip, entity decode with `&amp;` last, whitespace
+    * collapse; RE2's leftmost-shortest lazy match equals Java's, so the
+    * strings agree byte-for-byte. */
+  val extractHtmlSql: String = {
+    val esc = "regexp_replace(regexp_replace(regexp_replace(text, '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g')"
+    val html =
+      s"""'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |      '</title><style type="text/css">p {{ margin: 0; }}</style>' ||
+         |      '<script>var t = "<p>not text</p>"; if (1 < 2) {{ t = t; }}</script></head><body>' ||
+         |      CASE WHEN doc_id % 2 = 0 THEN '<h1 class="hd">Heading &amp; intro</h1>' ELSE '' END ||
+         |      '<!-- boilerplate' || chr(10) || 'nav -->' ||
+         |      '<p id="main">' || $esc || '</p><br/>' ||
+         |      '<div><span>tail&nbsp;note &#39;quoted&#39;</span></div>' ||
+         |      '</body></html>'""".stripMargin.replace("{{", "{").replace("}}", "}")
+    s"""WITH raw AS (
+       |  SELECT doc_id, $html AS html FROM documents
+       |),
+       |nb AS (
+       |  SELECT doc_id, html,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?s)<!--.*?-->', ' ', 'g') AS s1
+       |  FROM raw
+       |),
+       |dec AS (
+       |  SELECT doc_id, html,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(s1, '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+       |      '&#39;', CAST(chr(39) AS VARCHAR), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS s2
+       |  FROM nb
+       |)
+       |SELECT doc_id,
+       |       CAST(length(html) AS BIGINT) AS n_chars_html,
+       |       CAST(length(trim(regexp_replace(s2, '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_text,
+       |       trim(regexp_replace(s2, '\\s+', ' ', 'g')) AS clean_text
+       |FROM dec""".stripMargin
+  }
+
   def urlCanonicalSql: String =
     s"""WITH $urlCtes
        |SELECT doc_id, url, canonical_url, domain FROM canon""".stripMargin

@@ -225,6 +225,29 @@ object SparkEntry {
     when(pmod(col("doc_id"), lit(5)) === 0, lit("&ref=home")).otherwise(lit("")),
     lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
 
+  /** Deterministic HTML page from existing columns (the [[messyUrl]]
+    * derivation pattern — testdata has no html column, so one is built
+    * exercising every extraction rule): title/style/script head — the
+    * script carrying markup INSIDE a string and a bare `<` in code —
+    * a multi-line comment, an entity-escaped body paragraph, a
+    * doc_id-gated h1 with a literal `&amp;`, and an nbsp/&#39; tail.
+    * Mirrored verbatim by the oracle's `raw` CTE. */
+  private def messyHtml: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">p { margin: 0; }</style>"),
+      lit("<script>var t = \"<p>not text</p>\"; if (1 < 2) { t = t; }</script></head><body>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("<h1 class=\"hd\">Heading &amp; intro</h1>")).otherwise(lit("")),
+      lit("<!-- boilerplate\nnav -->"),
+      lit("<p id=\"main\">"), esc, lit("</p><br/>"),
+      lit("<div><span>tail&nbsp;note &#39;quoted&#39;</span></div>"),
+      lit("</body></html>"))
+  }
+
   /** Deterministic messy text from existing columns (the [[messyUrl]]
     * pattern — testdata text is clean ASCII, so the dirt every real
     * crawl carries is derived reproducibly): decomposed combining
@@ -1773,6 +1796,24 @@ object SparkEntry {
     // purpose: mixed scheme/host case, www toggles, DEFAULT and
     // NON-default ports, trailing slashes, tracking params, fragments.
     // Row-local string algebra, zero shuffles.
+    // HTML -> text extraction — step 1 of web-corpus building, run
+    // before anything keys on text bytes: script/style/comment blocks
+    // drop WHOLE (markup inside script strings must vanish with its
+    // block), remaining tags strip to spaces, the five core entities
+    // decode with &amp; last, whitespace collapses. Row-local regex
+    // chain, zero shuffles; the page is derived deterministically from
+    // existing columns (the messyUrl pattern), exercising every rule
+    ("extract_html_text",
+      (s: SparkSession, d: String) => {
+        val raw = Collocations.documents(s, d).select(col("doc_id"), messyHtml.as("html"))
+        raw.select(col("doc_id"),
+          length(col("html")).cast("long").as("n_chars_html"),
+          graft.text.TextAnalysis.extractHtmlText(col("html")).as("clean_text"))
+          .withColumn("n_chars_text", length(col("clean_text")).cast("long"))
+          .select("doc_id", "n_chars_html", "n_chars_text", "clean_text")
+      },
+      Some(OracleSqlExt.extractHtmlSql)),
+
     ("url_canonical",
       (s: SparkSession, d: String) => {
         val raw = Collocations.documents(s, d).select(col("doc_id"), messyUrl.as("url"))

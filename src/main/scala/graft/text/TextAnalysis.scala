@@ -1076,6 +1076,33 @@ object TextAnalysis {
         round((w(col("sum_chars")) / col("z")) / (col("sum_chars") / col("total_chars")), 6).as("boost"))
   }
 
+  /** HTML → text extraction — step 1 of building a web corpus, before
+    * any quality rule or dedup key ever sees a byte: drop script/style
+    * blocks and comments WHOLE (a tag-stripper alone would leak
+    * "var t = ..." and CSS into the training text — and markup inside
+    * script strings must vanish with its block, not be parsed), then
+    * strip remaining tags to spaces, decode the five core entities with
+    * `&amp;` LAST (so the double-escape `&amp;lt;` correctly yields the
+    * literal `&lt;`), and collapse whitespace. A fixed-order
+    * `regexp_replace` chain — row-local, codegen'd, zero shuffles; the
+    * lazy `(?s)` block patterns mean leftmost-shortest in both Java
+    * regex and RE2, so the oracle reproduces the output byte-for-byte.
+    * (Documented limit of the regex extractor: no nested same-tag
+    * script blocks and no unclosed-block recovery — the trade every
+    * regex-based extractor makes; a full parser is a library concern.) */
+  def extractHtmlText(html: Column): Column = {
+    val noBlocks = Seq(
+      "(?s)<script[^>]*>.*?</script>",
+      "(?s)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->").foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST
+    ).foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Token-budget allocation — the step between [[temperatureMix]]'s
     * sampling probabilities and an actual training run: given a total
     * token budget, per source the α-mix target tokens, the implied

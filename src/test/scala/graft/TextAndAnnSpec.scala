@@ -295,6 +295,28 @@ class TextAndAnnSpec extends SparkSpec {
     assert(out.toSet == out2.toSet, "sample must be a pure function of content")
   }
 
+  test("html extraction: blocks drop whole, entities decode in order, whitespace collapses") {
+    import spark.implicits._
+    val cases = Seq(
+      // markup inside a script STRING vanishes with its block; code `<` too
+      (1L, "<body><script>var t = \"<p>leak</p>\"; if (1 < 2) {}</script><p>Real text.</p></body>",
+        "Real text."),
+      // style + multi-line comment + tag-as-space word separation
+      (2L, "<style>p{color:red}</style><h1>Title</h1><!-- x\ny --><p>Body</p>", "Title Body"),
+      // entity order: &amp;lt; is the LITERAL string "&lt;", not a tag
+      (3L, "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp;lt; &amp; g</p>",
+        "a <b> \"c\" 'd' e f &lt; & g"),
+      // two script blocks: lazy matching removes each, not the span between
+      (4L, "<script>a</script>keep<script>b</script>", "keep"),
+      // whitespace runs and tag boundaries collapse to single spaces
+      (5L, "<div>x</div>\n\n   <div>y</div>", "x y")
+    ).toDF("doc_id", "html", "want")
+    val got = cases.select(col("doc_id"), col("want"),
+        TextAnalysis.extractHtmlText(col("html")).as("got")).collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"doc ${r.getLong(0)}: '${r.getString(2)}' != '${r.getString(1)}'"))
+  }
+
   test("dsir importance weights separate target-like from raw-like docs") {
     import spark.implicits._
     // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
