@@ -1526,7 +1526,9 @@ object OracleSqlExt {
   def mixTokenBudgetSql(budgetTokens: Long, maxEpochs: Double): String =
     s"""WITH ${mixBudgetCtes(budgetTokens, maxEpochs)}
        |SELECT source, n_docs, avail_tokens, p_alpha, target_tokens,
-       |       round(CAST(target_tokens AS DOUBLE) / avail_tokens, 6) AS epochs,
+       |       CASE WHEN avail_tokens > 0
+       |            THEN round(CAST(target_tokens AS DOUBLE) / avail_tokens, 6)
+       |            ELSE CAST(0 AS DOUBLE) END AS epochs,
        |       target_tokens > cap AS over_cap,
        |       least(target_tokens, cap) AS alloc_tokens
        |FROM t""".stripMargin
@@ -2219,8 +2221,8 @@ object OracleSqlExt {
        |nb AS (
        |  SELECT doc_id, html,
        |    regexp_replace(regexp_replace(regexp_replace(html,
-       |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-       |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
        |      '(?s)<!--.*?-->', ' ', 'g') AS s1
        |  FROM raw
        |),

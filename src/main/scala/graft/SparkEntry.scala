@@ -1789,13 +1789,6 @@ object SparkEntry {
           Collocations.documents(s, d), targetBytes = 32768),
       Some(OracleSqlExt.fileLayoutPlanSql(32768))),
 
-    // URL canonicalization — the web-curation key (per-domain dedup,
-    // crawl-feed overlap, domain mixing all key on canonical urls).
-    // Testdata has no url column, so one is derived deterministically
-    // from existing columns (the scrub_pii pattern), built messy on
-    // purpose: mixed scheme/host case, www toggles, DEFAULT and
-    // NON-default ports, trailing slashes, tracking params, fragments.
-    // Row-local string algebra, zero shuffles.
     // HTML -> text extraction — step 1 of web-corpus building, run
     // before anything keys on text bytes: script/style/comment blocks
     // drop WHOLE (markup inside script strings must vanish with its
@@ -1814,6 +1807,13 @@ object SparkEntry {
       },
       Some(OracleSqlExt.extractHtmlSql)),
 
+    // URL canonicalization — the web-curation key (per-domain dedup,
+    // crawl-feed overlap, domain mixing all key on canonical urls).
+    // Testdata has no url column, so one is derived deterministically
+    // from existing columns (the scrub_pii pattern), built messy on
+    // purpose: mixed scheme/host case, www toggles, DEFAULT and
+    // NON-default ports, trailing slashes, tracking params, fragments.
+    // Row-local string algebra, zero shuffles.
     ("url_canonical",
       (s: SparkSession, d: String) => {
         val raw = Collocations.documents(s, d).select(col("doc_id"), messyUrl.as("url"))

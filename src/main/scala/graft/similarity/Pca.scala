@@ -313,30 +313,15 @@ object Pca {
     // subspace)
     val ovec = col("embedding").cast("array<double>")
     val asVec = array(model.map(m => col(s"pc${m.pc}")): _*)
+    // the reduced chain IS Ann.bruteForceTopK over the projected frame
+    // (same literal-probe model, norm guards, round-6 scoring,
+    // deterministic tie-break, maxProbes require, and the empty-probe
+    // typed-empty return) — one definition, so the two spaces' chains
+    // cannot drift apart
     val proj = pcaProject(emb.filter(sqrt(dot(ovec, ovec)) > 0), model)
-      .select(col("vec_id"), asVec.as("v"))
-    val probes = proj.filter(pmod(col("vec_id"), lit(stride.toLong)) === 0)
-      .withColumn("nrm", sqrt(dot(col("v"), col("v")))).filter(col("nrm") > 0)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(probes.length <= 4096,
-      s"${probes.length} probes exceed 4096: raise stride for this corpus")
-    val probeStructs = probes.map { case (id, vec, nrm) =>
-      struct(lit(id).as("q_id"), array(vec.map(lit(_)): _*).as("q_vec"),
-        lit(nrm).as("q_nrm"))
-    }
-    val scored = proj
-      .select(col("vec_id").as("n_id"), col("v").as("n_vec"),
-        sqrt(dot(col("v"), col("v"))).as("n_nrm"))
-      .filter(col("n_nrm") > 0)
-      .select(col("n_id"), col("n_vec"), col("n_nrm"),
-        explode(array(probeStructs: _*)).as("q"))
-      .filter(col("n_id") =!= col("q.q_id"))
-      .withColumn("rcos",
-        round(dot(col("q.q_vec"), col("n_vec")) / (col("q.q_nrm") * col("n_nrm")), 6))
-    val approx = graft.ops.TopK.topKPerGroup(
-      scored.select(col("q.q_id").as("q_id"), col("n_id"), col("rcos")),
-      Seq(col("q_id")), Seq(col("rcos").desc, col("n_id").asc), k)
+      .select(col("vec_id"), asVec.as("embedding"))
+    val approx = Ann.bruteForceTopK(proj, stride, k)
+      .select(col("q_id"), col("n_id"))
     // re-score the reduced picks by their ORIGINAL cosine — the metric
     // the truth side ranks by, so the two means are comparable
     val orig = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("ov"))

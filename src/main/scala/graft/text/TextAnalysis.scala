@@ -1092,8 +1092,10 @@ object TextAnalysis {
     * regex-based extractor makes; a full parser is a library concern.) */
   def extractHtmlText(html: Column): Column = {
     val noBlocks = Seq(
-      "(?s)<script[^>]*>.*?</script>",
-      "(?s)<style[^>]*>.*?</style>",
+      // (?is): real crawls carry <SCRIPT>/<Style> — a case-sensitive
+      // pattern would leak those blocks' bodies into the clean text
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
       "(?s)<!--.*?-->").foldLeft(html)((c, p) => regexp_replace(c, p, " "))
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = Seq(
@@ -1124,7 +1126,7 @@ object TextAnalysis {
     require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
     val w: Column => Column =
       if (alpha == 0.5) sqrt(_) else c => pow(c, lit(alpha))
-    val wsTokens = size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long")
+    val wsTokens = wsTokenCount(col("text"))
     val per = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(wsTokens).as("avail_tokens"))
     val den = per.agg(
@@ -1140,7 +1142,11 @@ object TextAnalysis {
         round(col("p_alpha") * lit(budgetTokens.toDouble)).cast("long"))
       .select(col("source"), col("n_docs"), col("avail_tokens"), col("p_alpha"),
         col("target_tokens"),
-        round(col("target_tokens").cast("double") / col("avail_tokens"), 6).as("epochs"),
+        // degenerate all-empty-text source: avail 0 -> Spark's non-ANSI
+        // divide NULLs while DuckDB IEEE-divides, so both engines pin 0.0
+        when(col("avail_tokens") > 0,
+          round(col("target_tokens").cast("double") / col("avail_tokens"), 6))
+          .otherwise(lit(0.0)).as("epochs"),
         (col("target_tokens") > cap).as("over_cap"),
         least(col("target_tokens"), cap).as("alloc_tokens"))
   }
@@ -1168,7 +1174,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val alloc = mixTokenBudget(docs, budgetTokens, alpha, maxEpochs)
       .select(col("source"), col("alloc_tokens"))
-    val wsTokens = size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long")
+    val wsTokens = wsTokenCount(col("text"))
     val keyed = docs
       .select(col("doc_id"), col("source"), wsTokens.as("doc_tokens"),
         md5(col("text")).as("m"))

@@ -309,7 +309,9 @@ class TextAndAnnSpec extends SparkSpec {
       // two script blocks: lazy matching removes each, not the span between
       (4L, "<script>a</script>keep<script>b</script>", "keep"),
       // whitespace runs and tag boundaries collapse to single spaces
-      (5L, "<div>x</div>\n\n   <div>y</div>", "x y")
+      (5L, "<div>x</div>\n\n   <div>y</div>", "x y"),
+      // real crawls shout: mixed-case block tags must drop whole too
+      (6L, "<SCRIPT>var leak = 1;</SCRIPT><Style>p{}</STYLE><p>ok</p>", "ok")
     ).toDF("doc_id", "html", "want")
     val got = cases.select(col("doc_id"), col("want"),
         TextAnalysis.extractHtmlText(col("html")).as("got")).collect()
