@@ -2197,6 +2197,58 @@ object OracleSqlExt {
        |)""".stripMargin
 
   /** Mirror of the url_canonical registry entry. */
+  /** Derived multi-line page (mirror of `SparkEntry.pageText`):
+    * corpus-wide banner, per-source nav, short repeated line, unique
+    * body, doc_id-gated footer — `concat_ws` skips the NULL branch in
+    * both engines. */
+  private val pageTextCte: String =
+    s"""pg AS (
+       |  SELECT doc_id, concat_ws(chr(10),
+       |    'Subscribe to our newsletter today!',
+       |    'Navigation for ' || source || ': home | about | contact',
+       |    'ok',
+       |    text,
+       |    CASE WHEN doc_id % 3 = 0 THEN '(c) Example Site - all rights reserved' ELSE NULL END) AS text
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.boilerplateLines]] over the
+    * derived page: distinct (doc, trimmed line) pass, df count,
+    * deterministic (df desc, line asc) top-k. */
+  def boilerplateLinesSql(minDf: Long, minLineChars: Int, topK: Int): String =
+    s"""WITH $pageTextCte,
+       |pl AS (
+       |  SELECT DISTINCT doc_id, trim(raw) AS line
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS raw FROM pg)
+       |  WHERE length(trim(raw)) >= $minLineChars
+       |)
+       |SELECT line, CAST(count(*) AS BIGINT) AS df
+       |FROM pl GROUP BY line HAVING count(*) >= $minDf
+       |ORDER BY df DESC, line ASC LIMIT $topK""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.scrubBoilerplateLines]]: the
+    * same df set, then an ARRAY-LOCAL filter per document (order
+    * preserved, original bytes kept — equal to the engine's
+    * anti-join + pos-sorted reassembly). */
+  def scrubBoilerplateLinesSql(minDf: Long, minLineChars: Int): String =
+    s"""WITH $pageTextCte,
+       |pl AS (
+       |  SELECT DISTINCT doc_id, trim(raw) AS line
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS raw FROM pg)
+       |  WHERE length(trim(raw)) >= $minLineChars
+       |),
+       |bp AS (
+       |  -- COALESCE: an empty boilerplate set must keep every line
+       |  -- (list_contains on NULL would NULL the lambda and drop all)
+       |  SELECT COALESCE(list(line), []::VARCHAR[]) AS bl
+       |  FROM (SELECT line FROM pl GROUP BY line HAVING count(*) >= $minDf)
+       |)
+       |SELECT doc_id,
+       |       COALESCE(array_to_string(list_filter(l, x -> NOT list_contains(bl, trim(x))), chr(10)), '') AS clean_text,
+       |       CAST(len(l) AS BIGINT) AS n_lines,
+       |       CAST(len(list_filter(l, x -> NOT list_contains(bl, trim(x)))) AS BIGINT) AS n_kept_lines
+       |FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM pg) CROSS JOIN bp""".stripMargin
+
   /** Mirror of the `extract_html_text` query: the deterministic page
     * derivation (mirror of `SparkEntry.messyHtml`) and the SAME
     * fixed-order extraction chain as

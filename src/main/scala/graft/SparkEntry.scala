@@ -248,6 +248,24 @@ object SparkEntry {
       lit("</body></html>"))
   }
 
+  /** Deterministic multi-line page from existing columns (the
+    * [[messyUrl]] derivation pattern — testdata documents are
+    * single-line with no cross-document repeats, so the boilerplate
+    * every real crawl carries is planted reproducibly): a corpus-wide
+    * banner (df = all docs), a per-source nav line (df = docs/source),
+    * a SHORT repeated line under the length floor (must survive the
+    * scrub), the real single-line body (unique), and a doc_id-gated
+    * footer; `concat_ws` skips the NULL branch in BOTH engines.
+    * Mirrored verbatim by the oracle's `pg` CTE. */
+  private def pageText: org.apache.spark.sql.Column = concat_ws("\n",
+    lit("Subscribe to our newsletter today!"),
+    concat(lit("Navigation for "), col("source"), lit(": home | about | contact")),
+    lit("ok"),
+    col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      lit("(c) Example Site - all rights reserved"))
+      .otherwise(lit(null).cast("string")))
+
   /** Deterministic messy text from existing columns (the [[messyUrl]]
     * pattern — testdata text is clean ASCII, so the dirt every real
     * crawl carries is derived reproducibly): decomposed combining
@@ -1806,6 +1824,27 @@ object SparkEntry {
           .select("doc_id", "n_chars_html", "n_chars_text", "clean_text")
       },
       Some(OracleSqlExt.extractHtmlSql)),
+
+    // cross-document boilerplate lines — the RefinedWeb line-frequency
+    // step the LOCAL C4 rules can't do: a trimmed line appearing in
+    // minDf+ distinct documents is navigation/banner boilerplate. The
+    // multi-line page is derived deterministically (planted corpus-wide
+    // banner, per-source nav, a short repeated line under the length
+    // floor, unique body, gated footer), so every branch is live
+    ("boilerplate_lines",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.boilerplateLines(
+          Collocations.documents(s, d).select(col("doc_id"), pageText.as("text"))),
+      Some(OracleSqlExt.boilerplateLinesSql(2, 10, 50))),
+
+    // its rewrite: documents back row-for-row with boilerplate lines cut
+    // — matched on the trimmed form, original bytes kept for survivors;
+    // the short repeated line survives (never boilerplate-eligible)
+    ("scrub_boilerplate_lines",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.scrubBoilerplateLines(
+          Collocations.documents(s, d).select(col("doc_id"), pageText.as("text"))),
+      Some(OracleSqlExt.scrubBoilerplateLinesSql(2, 10))),
 
     // URL canonicalization — the web-curation key (per-domain dedup,
     // crawl-feed overlap, domain mixing all key on canonical urls).

@@ -1076,6 +1076,62 @@ object TextAnalysis {
         round((w(col("sum_chars")) / col("z")) / (col("sum_chars") / col("total_chars")), 6).as("boost"))
   }
 
+  /** Cross-document boilerplate lines — the RefinedWeb line-frequency
+    * step the LOCAL C4 rules cannot do: a line whose trimmed form
+    * appears in `minDf`+ distinct documents is navigation/footer/
+    * cookie-banner boilerplate, whatever its punctuation looks like.
+    * Report form: the top `topK` offenders by document frequency with
+    * a deterministic (df desc, line asc) order — one distinct pass,
+    * one line-keyed count aggregation (map-side combined), global
+    * top-k via TakeOrderedAndProject, never a sort of the line table.
+    * (At 100 TB the join/group key would be a line HASH with the text
+    * kept as a payload sample — same plan, narrower shuffle; the text
+    * key keeps the oracle byte-comparable here.) */
+  def boilerplateLines(docs: DataFrame, minDf: Long = 2,
+                       minLineChars: Int = 10, topK: Int = 50): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would flag every line: $minDf")
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) >= minLineChars)
+      .distinct() // a line repeated WITHIN one doc counts once toward df
+    perDoc.groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("line").asc).limit(topK)
+  }
+
+  /** The rewrite: every document back (row-preserving) with its
+    * boilerplate lines removed — matching on the TRIMMED form but
+    * cutting the ORIGINAL line text, so kept lines pass through
+    * byte-identical. Short lines (< `minLineChars` trimmed) are never
+    * boilerplate-eligible and always survive. Reassembly is a per-doc
+    * sort_array over (pos, line) structs — array-local, no window. */
+  def scrubBoilerplateLines(docs: DataFrame, minDf: Long = 2,
+                            minLineChars: Int = 10): DataFrame = {
+    val bp = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) >= minLineChars)
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+    val exploded = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
+    val kept = exploded.join(bp, trim(exploded("raw")) === bp("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("raw")))),
+        s => s.getField("raw")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept_lines"))
+    docs.select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
+  }
+
   /** HTML → text extraction — step 1 of building a web corpus, before
     * any quality rule or dedup key ever sees a byte: drop script/style
     * blocks and comments WHOLE (a tag-stripper alone would leak

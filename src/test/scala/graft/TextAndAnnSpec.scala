@@ -319,6 +319,29 @@ class TextAndAnnSpec extends SparkSpec {
       s"doc ${r.getLong(0)}: '${r.getString(2)}' != '${r.getString(1)}'"))
   }
 
+  test("boilerplate lines: cross-doc frequency detection and byte-preserving scrub") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Banner Line Here\nunique body one\nok"),
+      (2L, "The Banner Line Here\nunique body two is longer\nok"),
+      (3L, "  The Banner Line Here  \nunique body three\nFooter Line Repeats\nok"),
+      (4L, "Footer Line Repeats\nunique body four")
+    ).toDF("doc_id", "text")
+    // detection keys on the TRIMMED form (doc 3's padded banner counts);
+    // "ok" repeats in 3 docs but sits under the 10-char floor
+    val bp = TextAnalysis.boilerplateLines(docs, minDf = 2, minLineChars = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp == Map("The Banner Line Here" -> 3L, "Footer Line Repeats" -> 2L), s"$bp")
+    val s = TextAnalysis.scrubBoilerplateLines(docs, minDf = 2, minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(s(1L) == (("unique body one\nok", 3L, 2L)))
+    assert(s(2L) == (("unique body two is longer\nok", 3L, 2L)))
+    // the padded banner was REMOVED via its trimmed form; survivors keep
+    // their original bytes and order
+    assert(s(3L) == (("unique body three\nok", 4L, 2L)))
+    assert(s(4L) == (("unique body four", 2L, 1L)))
+  }
+
   test("dsir importance weights separate target-like from raw-like docs") {
     import spark.implicits._
     // target slice speaks 'alpha beta'; raw background speaks 'zeta eta'.
