@@ -1830,7 +1830,7 @@ object OracleSqlExt {
        |a AS (
        |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos,
        |         CAST(sum(n - np) AS BIGINT) AS n_neg,
-       |         sum(CAST(np * (2 * (cumn - n) + n + 1) AS DECIMAL(38,0))) AS s2
+       |         CAST(sum(CAST(np AS HUGEINT) * (2 * (cumn - n) + n + 1)) AS DECIMAL(38,0)) AS s2
        |  FROM c
        |)
        |SELECT n, n_pos, n_neg,
@@ -2086,7 +2086,9 @@ object OracleSqlExt {
        |  FROM dp WHERE i < length(w)
        |),
        |fin AS (
-       |  SELECT w, ((-(best[CAST(length(w) + 1 AS INT)])) % 1024 + 1024) % 1024 AS n_sub
+       |  SELECT w, CASE WHEN length(w) >= 1024 THEN CAST(length(w) AS BIGINT)
+       |              ELSE ((-(best[CAST(length(w) + 1 AS INT)])) % 1024 + 1024) % 1024
+       |            END AS n_sub
        |  FROM dp WHERE i = length(w)
        |)
        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,

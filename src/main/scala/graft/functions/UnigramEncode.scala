@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `score * 1024 − 1`. Both engines then run the SAME integer-sum DP —
   * no float log/exp in either hot path, so no cross-engine ULP drift —
   * maximizing `1024 · totalScore − nPieces`, i.e. max total score with a
-  * fewest-pieces tie-break (valid while nPieces < 1024, which bounds
-  * word length — enforced by the trainer's maxVocab word source). The
+  * fewest-pieces tie-break (valid while nPieces < 1024; words of ≥ 1024
+  * codepoints — possible on the unbounded apply path even though the
+  * trainer's word source is capped — short-circuit to the per-codepoint
+  * ceiling in BOTH engines instead of wrapping). The
   * best piece count is recovered from the packed value alone
   * (`floorMod(−best, 1024)`), so DP argmax ties — which can differ in
   * PATH but never in packed value — cannot perturb the output.
@@ -90,6 +92,15 @@ object UnigramEncode {
     var n = 0
     var ci = 0
     while (ci < chars) { ci += Character.charCount(w.codePointAt(ci)); n += 1 }
+    // The packed (score·1024 − pieces) encoding can only represent piece
+    // counts < 1024, and while the TRAINER's word source is bounded, the
+    // apply path runs over every distinct corpus word — a whitespace-free
+    // ≥1024-codepoint token (long URL, base64 run) is expected at scale,
+    // and floorMod would silently wrap its count. Return the
+    // per-codepoint ceiling n instead (the worst legal segmentation —
+    // for such junk tokens Viterbi is within noise of it anyway);
+    // mirrored by the oracle DP's length(w) >= 1024 CASE.
+    if (n >= 1024) return n.toLong
     val idx = new Array[Int](n + 1)
     ci = 0
     var p = 0

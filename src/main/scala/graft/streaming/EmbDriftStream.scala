@@ -100,7 +100,12 @@ object EmbDriftStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        graft.sources.Sinks.readRetry() {
+        // attempts = 2: the retry wraps the ENTIRE per-batch score+write, so
+        // it exists only to survive the publisher's two-rename swap window
+        // — a deterministic batch failure (corrupt shard, schema drift)
+        // must not re-run the heavy scoring job five times. Matches the
+        // DiffStream/DeconStream discipline for the same table-model shape.
+        graft.sources.Sinks.readRetry(attempts = 2) {
           val model = Pca.readPcaModel(spark, modelDir)
           psiBatch(batch, model, edges(spark, refDir), refBins(spark, refDir), eps)
             .withColumn("ingest_batch", lit(batchId))

@@ -72,7 +72,12 @@ object LmStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.Sinks.readRetry() {
+        // attempts = 2: the retry wraps the ENTIRE per-batch score+write, so
+        // it exists only to survive the publisher's two-rename swap window
+        // — a deterministic batch failure (corrupt shard, schema drift)
+        // must not re-run the heavy scoring job five times. Matches the
+        // DiffStream/DeconStream discipline for the same table-model shape.
+        graft.sources.Sinks.readRetry(attempts = 2) {
           scoreBatch(batch, modelDir, minLp, discount, minCoverage)
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")

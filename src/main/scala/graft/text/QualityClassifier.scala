@@ -240,8 +240,14 @@ object QualityClassifier {
         sum(col("n")).as("n"),
         sum(col("np")).as("n_pos"),
         sum(col("n") - col("np")).as("n_neg"),
-        sum((col("np") * (lit(2L) * (col("cumn") - col("n")) + col("n") + lit(1L)))
-          .cast("decimal(38,0)")).as("s2"))
+        // np is cast to DECIMAL(38,0) BEFORE the multiply: with a heavy
+        // tie group at 100 TB row counts, np · 2·cumn exceeds Long range
+        // and would wrap silently under non-ANSI eval if the product were
+        // computed in LongType and only the result cast. The rank factor
+        // is decimal-cast too so the whole term is decimal arithmetic.
+        sum(col("np").cast("decimal(38,0)") *
+            (lit(2L) * (col("cumn") - col("n")) + col("n") + lit(1L)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("s2"))
       .select(col("n"), col("n_pos"), col("n_neg"),
         round(when(col("n_pos") > 0 && col("n_neg") > 0,
           (col("s2") - (col("n_pos") * (col("n_pos") + lit(1L))).cast("decimal(38,0)"))

@@ -1105,7 +1105,15 @@ object TextAnalysis {
     * cutting the ORIGINAL line text, so kept lines pass through
     * byte-identical. Short lines (< `minLineChars` trimmed) are never
     * boilerplate-eligible and always survive. Reassembly is a per-doc
-    * sort_array over (pos, line) structs — array-local, no window. */
+    * sort_array over (pos, line) structs — array-local, no window.
+    *
+    * The anti-join is keyed on `xxhash64(line)` — at 100 TB the
+    * shuffle/sort key must be 8 bytes, not arbitrary-length line text.
+    * The text still rides as a payload and is compared EXACTLY inside
+    * each hash bucket via the `<= && >=` residual pair (deliberately not
+    * `===`, which Catalyst would extract as a second equi-key and put
+    * the full text back on the shuffle key) — so a 64-bit collision can
+    * never scrub an innocent line. */
   def scrubBoilerplateLines(docs: DataFrame, minDf: Long = 2,
                             minLineChars: Int = 10): DataFrame = {
     val bp = docs
@@ -1115,10 +1123,13 @@ object TextAnalysis {
       .distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select("line")
+      .select(xxhash64(col("line")).as("line_h"), col("line"))
     val exploded = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
-    val kept = exploded.join(bp, trim(exploded("raw")) === bp("line"), "left_anti")
+    val kept = exploded.join(bp,
+        xxhash64(trim(exploded("raw"))) === bp("line_h") &&
+          trim(exploded("raw")) <= bp("line") && trim(exploded("raw")) >= bp("line"),
+        "left_anti")
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("raw")))),

@@ -940,6 +940,12 @@ class TextAndAnnSpec extends SparkSpec {
     t.put("a", packed(-2000000L))
     t.put("b", packed(-2000000L))
     assert(UnigramEncode.countPieces("ab", t, 4) == 1L)
+    // ≥1024-codepoint words (long URLs / base64 runs on the unbounded
+    // apply path) exceed the packed counter's modulus — the guard must
+    // return the per-codepoint ceiling, never a wrapped count. 1025 of
+    // "a": wrapped floorMod would read 1, the guard reads 1025.
+    assert(UnigramEncode.countPieces("a" * 1025, m, 4) == 1025L)
+    assert(UnigramEncode.countPieces("a" * 1023, m, 4) == 1023L) // below guard: DP still exact
   }
 
   test("unigram training is deterministic and the model segments its own corpus") {
