@@ -5,12 +5,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 5 sweeps by default (was 3): with round-robin ordering each query's
-    // samples land minutes apart, so more sweeps directly shrink the
-    // max/min spread the r10 verdict flagged as unreadable (5-17x on the
-    // noisiest queries). The budget check below still bounds wall time —
-    // extra sweeps only run while under budget.
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "5").toInt
+    // Upper bound on passes, not a fixed sweep count: with round-robin
+    // ordering each query's samples land minutes apart (the r10 lesson),
+    // and passes beyond the third touch only heavy-tier queries whose
+    // estimator hasn't converged (see the tiered loop below), so a high
+    // cap is safe — the budget gates.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "10").toInt
     // wall-clock budget for the WHOLE run: sweep 1 always completes (it is
     // the minimum useful measurement), later sweeps start only while under
     // budget, so the process exits cleanly inside the driver's gate instead
@@ -61,6 +61,18 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // Samples taken AFTER the first full pass. The MIN reads every sample
+    // (noise is strictly additive, so a sweep-1 reading can only ever add
+    // information); the MEDIAN reads only these warm samples — sweep 1 is
+    // the JIT/codegen warmup pass (standard harness discipline, and the
+    // r13 post-mortem: at 202 queries only 3 sweeps fit the budget, so the
+    // cold first sample sat at or next to the 3-sample median and pushed 6
+    // heavy queries past the med/min <= 1.5 agreement criterion even
+    // though their warm samples agreed to within 15%). Median-of-warm is
+    // the honest steady-state estimator the criterion is meant to read;
+    // the warmup's own readings stay visible in the min and in wall_s.
+    val warm = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
 
     // FAIL SOFT: a cumulative, fully-parseable result line after every
     // sweep (and periodically inside the long first sweep), stdout flushed
@@ -108,17 +120,26 @@ object Bench {
       // r11 verdict counted 33 fast queries with spread > 2. The (upper)
       // median is insensitive to one lucky AND one unlucky sample, so
       // fast-tier comparisons should read it; slow-tier comparisons keep
-      // using the min.
+      // using the min. Computed over WARM samples (post-sweep-1) when any
+      // exist — see the `warm` map's rationale — falling back to all
+      // samples when the budget died inside sweep 1.
       val medians = sampled.map { case (name, _) =>
-        val ts = samples(name).filter(_ >= 0).sorted
+        val ws = warm(name).filter(_ >= 0)
+        val ts = (if (ws.nonEmpty) ws else samples(name).filter(_ >= 0)).sorted
         name -> (if (ts.isEmpty) -1.0
                  else BigDecimal(ts(ts.size / 2)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
+      // Self-reported convergence: the worst med/min over queries with
+      // min > 0.5 s — the round gate reads <= 1.5 off the artifact itself.
+      val medOf = medians.toMap
+      val worstHot = results.collect {
+        case (n, v) if v > 0.5 && medOf.getOrElse(n, -1.0) > 0 => medOf(n) / v
+      }.foldLeft(0.0)(math.max)
       val failed = results.filter(_._2 < 0).map(_._1)
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMedian = medians.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
       // FINAL COMPACT LINE, always last and always < 1800 bytes: the
@@ -147,7 +168,7 @@ object Bench {
     }
 
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               gcFirst: Boolean = false): Unit = {
+               gcFirst: Boolean = false, isWarm: Boolean = false): Unit = {
       spark.sharedState.cacheManager.clearCache()
       // Deterministic GC placement for the heavy tier: Spark's
       // ContextCleaner only frees broadcast/shuffle blocks when the driver
@@ -170,6 +191,7 @@ object Bench {
       val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
               catch { case _: Throwable => -1.0 }
       samples(name) = samples(name) :+ v
+      if (isWarm) warm(name) = warm(name) :+ v
     }
 
     // sweep 1 always completes — it is the minimum useful measurement —
@@ -187,46 +209,59 @@ object Bench {
     }
     emit(1)
 
-    // Later sweeps re-sample in DESCENDING current-min order with a
-    // per-query budget check, instead of an all-or-nothing whole-sweep
-    // prediction. Rationale: a single sweep has no noise protection — one
-    // sandbox stall burst inflates a run of consecutive queries (measured
-    // r7: dedup_ngram_jaccard 377 s in-sweep vs 11.3 s standalone) and a
-    // min over one sample IS that burst. Revisiting the slowest-looking
-    // queries first means the re-samples land minutes after the burst
-    // (maximum decorrelation) and the minima converge fastest exactly
-    // where the sweep-1 numbers are least trustworthy. Stopping between
-    // queries when the budget is hit keeps the exit clean (rc 0) no
-    // matter how the sweep lengths vary; the cumulative emit reports
-    // honest per-query sample counts via sweeps/sampled.
-    var sweep = 2
-    while (sweep <= sweeps && elapsedS < budgetS) {
-      val byMin = names.sortBy { case (n, _) =>
-        val ok = samples(n).filter(_ >= 0)
-        if (ok.isEmpty) 0.0 else -ok.min
-      }
-      // Heavy block first (descending), light tail contiguous. The r12
-      // heavy-after-heavy median inflation (dedup_edit_distance median
-      // 3.0x its min in-sweep, 1.07x isolated) is addressed by the
-      // DETERMINISTIC GC before each heavy sample, not by reordering: a
-      // zigzag heavy/light interleave was measured for r13 and rejected
-      // — it gave every light query a heavy predecessor whose fresh
-      // garbage added a ~0.1 s constant to every sub-second sample
-      // (doubled minima board-wide on the light half). Descending order
-      // also keeps the budget-expiry property: when the budget dies
-      // mid-sweep, the slowest (least-trustworthy) queries already got
-      // their re-sample.
+    // TIERED CONVERGENCE PASSES (r14 restructure — at 202 queries the
+    // old everyone-every-sweep design burned the whole 900 s budget on 3
+    // sweeps, leaving the heavy tier's medians one JIT-cold sample away
+    // from the med/min <= 1.5 agreement criterion; see VERDICT r13 #1).
+    //  - Pass 2 re-samples EVERYTHING once, warm, in descending-min
+    //    order: the light tail (~half the registry, < 0.5 s minima, all
+    //    row-local plans) is stable at two samples — its queries are the
+    //    `omitted` tail of the compact line anyway — so it gets exactly
+    //    one warm reading and is then left alone.
+    //  - Passes 3+ touch ONLY the heavy tier (current min > 0.5 s, the
+    //    set the agreement criterion reads), and within it skip queries
+    //    whose estimator has CONVERGED (>= 3 warm samples agreeing to
+    //    med/min <= 1.3, a margin inside the 1.5 gate). Budget therefore
+    //    concentrates precisely on the queries whose readings still
+    //    disagree, instead of being split evenly across 200 queries that
+    //    mostly already agree — the heavy tier ends with 4-6 samples
+    //    where the old design fit 3.
+    // Descending current-min order everywhere: re-samples of the
+    // slowest (least-trustworthy) queries land minutes after their
+    // previous sample (maximum stall-burst decorrelation, the r7
+    // lesson), and a budget expiry mid-pass has already served them.
+    // Deterministic GC before heavy samples, not reordering, remains
+    // the heavy-adjacency answer: the r13 zigzag interleave measurably
+    // doubled light-tier minima and was rejected.
+    val heavyCutS = 0.5
+    def curMin(n: String): Double = {
+      val ok = samples(n).filter(_ >= 0)
+      if (ok.isEmpty) Double.MaxValue else ok.min
+    }
+    def converged(n: String): Boolean = {
+      val ws = warm(n).filter(_ >= 0)
+      val mn = curMin(n)
+      ws.size >= 3 && mn > 0 && mn != Double.MaxValue &&
+        ws.sorted.apply(ws.size / 2) / mn <= 1.3
+    }
+    var pass = 2
+    var tiersDone = false
+    while (pass <= sweeps && elapsedS < budgetS && !tiersDone) {
+      val tier = names.filter { case (n, _) =>
+        if (pass == 2) true
+        else curMin(n) > heavyCutS && !converged(n)
+      }.sortBy { case (n, _) => -curMin(n) }
+      tiersDone = tier.isEmpty
       var j = 0
       var done = 0
-      for ((name, fn) <- byMin if elapsedS < budgetS) {
-        val curMin = { val ok = samples(name).filter(_ >= 0); if (ok.isEmpty) Double.MaxValue else ok.min }
-        sample(name, fn, gcFirst = curMin > 1.5)
+      for ((name, fn) <- tier if elapsedS < budgetS) {
+        sample(name, fn, gcFirst = curMin(name) > 1.5, isWarm = true)
         done += 1
         j += 1
-        if (j % 15 == 0) emit(sweep - 1)
+        if (j % 15 == 0) emit(pass - 1)
       }
-      emit(if (done == names.size) sweep else sweep - 1)
-      sweep += 1
+      emit(if (done == tier.size) pass else pass - 1)
+      pass += 1
     }
 
     // OVERTIME RESCUE: a stall-burst-stretched sweep 1 can eat the whole
@@ -246,7 +281,7 @@ object Bench {
         if (ok.isEmpty) 0.0 else -ok.min
       }.take(10)
       for ((name, fn) <- rescue if elapsedS < overtimeCapS) {
-        sample(name, fn)
+        sample(name, fn, isWarm = true)
         emit(1)
       }
     }
