@@ -694,6 +694,48 @@ object OracleSqlExt {
        |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.simhash, r.simhash)) <= $maxHamming""".stripMargin
 
+  /** Luminance (r+g+b, an integer) of grid cell (gx, gy) in the
+    * generator-re-derived pixel string `px`: the same nearest-neighbor
+    * index map as [[resizePpmSql]] onto an 11-wide × 6-high grid. */
+  private def ppmLumSql(gx: String, gy: String): String = {
+    val base = s"((($gy) * h // 6) * w + (($gx) * w // 11)) * 3"
+    s"(unicode(substr(px, CAST($base + 1 AS INT), 1)) + " +
+      s"unicode(substr(px, CAST($base + 2 AS INT), 1)) + " +
+      s"unicode(substr(px, CAST($base + 3 AS INT), 1)))"
+  }
+
+  /** Perceptual-hash near-dup image pairs (mirrors
+    * [[graft.dedup.Dedup.imagePhashPairs]]): re-derive the P6 pixel plane
+    * from the generator's inputs (the Spark side parses the payload
+    * bytes), resample to the 11×6 luminance grid, pack the 60 dHash bits
+    * (bit k set iff lum(k%10+1, k/10) > lum(k%10, k/10)) into one
+    * BIGINT, then the same 4×15-bit band join + exact bit_count verify
+    * as [[simhashPairsSql]]. */
+  def imagePhashPairsSql(maxHamming: Int): String =
+    s"""WITH pb AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % 5 + 2 AS INTEGER) AS w,
+       |         CAST(doc_id % 3 + 2 AS INTEGER) AS h,
+       |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
+       |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3 AS INTEGER), 'x') AS px
+       |  FROM documents
+       |),
+       |ph AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(0, 60), k ->
+       |           CASE WHEN ${ppmLumSql("k % 10 + 1", "k // 10")} > ${ppmLumSql("k % 10", "k // 10")}
+       |                THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM pb
+       |),
+       |banded AS (
+       |  SELECT doc_id, phash, band, (phash >> (15 * band)) % 32768 AS bits
+       |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |       CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+       |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.phash, r.phash)) <= $maxHamming""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** Left-to-right dot product over 64 dims (mirrors zip_with+aggregate). */

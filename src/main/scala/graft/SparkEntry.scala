@@ -2271,6 +2271,15 @@ object SparkEntry {
         graft.dedup.Dedup.simhashPairs(Collocations.documents(s, d), maxHamming = 3),
       Some(OracleSqlExt.simhashPairsSql(3))),
 
+    // perceptual IMAGE dedup — the modality the text family doesn't
+    // cover: dHash over the decoded, nearest-neighbor-resampled P6
+    // luminance plane (partition-parallel byte parse, zero shuffle),
+    // then the same 4x15-bit pigeonhole band join as the simhash pairs
+    ("dedup_image_phash",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.imagePhashPairs(Collocations.documents(s, d), maxHamming = 3),
+      Some(OracleSqlExt.imagePhashPairsSql(3))),
+
     // NOTE: the all-pairs `closestEmbeddingPairs` baseline is deliberately
     // NOT a registry query — its O(n²) BroadcastNestedLoop plan must never
     // ship as a runnable surface. It survives as the recall oracle for the

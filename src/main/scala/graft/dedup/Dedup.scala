@@ -761,19 +761,54 @@ object Dedup {
     * `bit_count(xor)` filter removes false candidates. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), (shiftright(col("simhash"), 15 * b) % 32768L).as("bits"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val l = banded.select(col("band"), col("bits"), col("doc_id").as("a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("band"), col("bits"), col("doc_id").as("b"), col("simhash").as("sh_b"))
-    val out = l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val out = bandedHammingPairs(fp, "simhash", maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (tiny) pair table, release the fingerprint cache;
     // the caller owns the returned result's cache
+    out.count()
+    fp.unpersist()
+    out
+  }
+
+  /** The pigeonhole hamming band join shared by the simhash and
+    * perceptual-image pairings: a 60-bit fingerprint column splits into 4
+    * bands of 15 bits, any pair within hamming distance 3 agrees on at
+    * least one full band (4 flips can miss all 4 bands — hence the
+    * require), an equi self-join on (band, band-bits) surfaces the
+    * candidates, and an exact `bit_count(xor)` filter removes the false
+    * ones. Pairs agreeing on several bands collapse via distinct. */
+  private def bandedHammingPairs(fp: DataFrame, fpCol: String,
+                                 maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands of 15 bits guarantee recall only to hamming 3: $maxHamming")
+    val banded = fp.select(col("doc_id"), col(fpCol),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), (shiftright(col(fpCol), 15 * b) % 32768L).as("bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col(fpCol), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val l = banded.select(col("band"), col("bits"), col("doc_id").as("a"), col(fpCol).as("fp_a"))
+    val r = banded.select(col("band"), col("bits"), col("doc_id").as("b"), col(fpCol).as("fp_b"))
+    l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Perceptual near-duplicate IMAGE pairs (a < b) within `maxHamming`
+    * dHash bit flips — the modality the text dedup family doesn't cover:
+    * two re-encodes of the same image differ in bytes (so `dedup_exact`
+    * on the payload misses them) but not in resampled luminance
+    * STRUCTURE. Pure composition of shipped parts: the partition-parallel
+    * decode → resample → dHash of
+    * [[graft.multimodal.Multimodal.imagePhash]] (narrow map, zero
+    * shuffle) feeds the same 4×15-bit pigeonhole band join the simhash
+    * pairing proved — never an all-pairs compare. Invalid payloads drop
+    * before pairing (a malformed image is nobody's duplicate). */
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = graft.multimodal.Multimodal.imagePhash(docs).toDF()
+      .filter(col("valid")).select(col("doc_id"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandedHammingPairs(fp, "phash", maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     fp.unpersist()
     out

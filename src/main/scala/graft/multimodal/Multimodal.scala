@@ -327,6 +327,66 @@ object Multimodal {
       .flatMap(p => framesPpm(p.doc_id, p.payload, nFrames))
   }
 
+  // ------------------------------------------------- perceptual hash
+
+  case class PpmPhash(doc_id: Long, valid: Boolean, phash: Long)
+
+  /** dHash over the DECODED, resampled luminance plane: parse the P6
+    * payload bytes, nearest-neighbor-resample to a (gw+1) × gh luminance
+    * grid (lum = r + g + b — an integer, no division, so both engines
+    * compare identical ints), then bit k (k = y·gw + x) is set iff
+    * lum(x+1, y) > lum(x, y) — the classic difference hash: invariant to
+    * global brightness shifts and robust to small pixel noise, exactly
+    * what byte-identical hashing (dedup_exact on the payload) cannot
+    * give. gw·gh = 60 bits packs into one non-negative BIGINT, reusing
+    * the 4×15-bit pigeonhole banding proven by [[graft.dedup.Dedup]]'s
+    * simhash pairing. Malformed payloads route to `valid = false`. */
+  private[graft] def phashPpm(id: Long, bytes: Array[Byte],
+                              gw: Int, gh: Int): PpmPhash =
+    try {
+      val hd = parsePpmHeader(bytes)
+      val tw = gw + 1
+      val lum = new Array[Int](gh * tw)
+      var y = 0
+      while (y < gh) {
+        val sy = y * hd.h / gh
+        var x = 0
+        while (x < tw) {
+          val sx = x * hd.w / tw
+          val base = hd.pixOff + (sy * hd.w + sx) * 3
+          lum(y * tw + x) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+            (bytes(base + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      var ph = 0L
+      var k = 0
+      while (k < gw * gh) {
+        val yy = k / gw
+        val xx = k % gw
+        if (lum(yy * tw + xx + 1) > lum(yy * tw + xx)) ph |= 1L << k
+        k += 1
+      }
+      PpmPhash(id, valid = true, ph)
+    } catch {
+      case _: IllegalArgumentException => PpmPhash(id, valid = false, 0L)
+    }
+
+  /** Partition-parallel perceptual hash — the same narrow-map batch shape
+    * as [[decodePpm]] (one codec per partition, zero shuffle, fixed-width
+    * output): the hash comes from parsing the payload BYTES while the
+    * oracle re-derives the grid from the generator's inputs, so parity
+    * proves encode → binary → parse → resample → hash end to end. */
+  def imagePhash(docs: DataFrame, gw: Int = 10, gh: Int = 6): Dataset[PpmPhash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(gw >= 1 && gh >= 1 && gw * gh <= 60,
+      s"phash grid must fit 60 bits: ${gw}x$gh")
+    withPpmPayload(docs).select("doc_id", "payload").as[Payload]
+      .mapPartitions(it => it.map(p => phashPpm(p.doc_id, p.payload, gw, gh)))
+  }
+
   /** Nearest-neighbor byte "resize" to `target` samples: keep every
     * (len div target)-th byte. Emits the resized length + rolling-hash
     * feature (the real pixel resample replaces the char picks). */

@@ -106,6 +106,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
   }
 
+  test("image phash: banded pairs equal the all-pairs truth; invalid payloads drop") {
+    import spark.implicits._
+    // doc_ids 1/16/31 are congruent mod 15 -> identical 3x3 image dims;
+    // 16 shares 1's full pixel plane (first 27 bytes of text) -> a planted
+    // near-dup IMAGE pair at hamming 0; 31 nudges one plane byte
+    val base = "brightness ramp 0123456789 abcdefghijklmnop"
+    val imgs = Seq(
+      (1L, base),
+      (16L, base + " trailing bytes beyond the pixel plane differ"),
+      (31L, base.updated(5, 'Z')),
+      (4L, "completely different pixel content ZZZZ!!!! 00000 @@@@")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val fp = graft.multimodal.Multimodal.imagePhash(imgs).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(16L)) == 0L, "same plane -> same dHash")
+    // the pigeonhole theorem under test: the banded join must surface
+    // EXACTLY the all-pairs <= 3 truth (any pair within hamming 3 shares
+    // at least one of the 4 bands)
+    val ids = fp.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      h = ham(fp(a), fp(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(expected.contains((1L, 16L)))
+    val got = Dedup.imagePhashPairs(imgs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"banded pairs must equal all-pairs truth: got=$got expected=$expected")
+    // malformed payloads route to valid=false (never pair, never throw)
+    assert(!graft.multimodal.Multimodal.phashPpm(9L, Array[Byte]('P', '5'), 10, 6).valid)
+  }
+
   test("connected components merge chains transitively") {
     import spark.implicits._
     // chain 1-2-3, pair 7-9, chain 4-5-6-8
