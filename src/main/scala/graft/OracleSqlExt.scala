@@ -1431,48 +1431,158 @@ object OracleSqlExt {
     * contributions in sub order via array_agg(ORDER BY sub) +
     * list_reduce — matching Spark's left-assoc `reduce(_ + _)`; a plain
     * SUM would be scan-order-dependent. */
-  def annPqSql(books: Seq[graft.similarity.Pq.Codebook], subDim: Int,
-               stride: Int, k: Int): String = {
+  /** The encode + LUT + ADC + top-k CTE chain GIVEN trained codebooks —
+    * shared (with a CTE-name prefix, so two chains can coexist in one
+    * query) by the plain-PQ, OPQ and quantizer-recall oracles, mirroring
+    * the engine's shared [[graft.similarity.Pq.adcTopK]]. `cand` must
+    * expose (n_id, nv), `probe` (q_id, qv); the chain ends in `${p}top`
+    * with (q_id, n_id, adc). */
+  private def pqAdcCtes(p: String, cand: String, probe: String,
+                        books: Seq[graft.similarity.Pq.Codebook],
+                        subDim: Int, k: Int): String = {
     val cbRows = books.zipWithIndex.flatMap { case (cb, s) =>
       cb.map { case (cid, arr, half) =>
         s"SELECT $s AS sub, $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv, CAST($half AS DOUBLE) AS half"
       }
     }.mkString("\n  UNION ALL ")
-    s"""WITH c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
-       |cb AS (
+    s"""${p}cb AS (
        |  $cbRows
        |),
-       |sv AS (
+       |${p}sv AS (
        |  SELECT n_id, sub, cid, half, cv,
        |         list_slice(nv, sub * $subDim + 1, sub * $subDim + $subDim) AS svec
-       |  FROM c CROSS JOIN cb
+       |  FROM $cand CROSS JOIN ${p}cb
        |),
-       |enc AS (
+       |${p}enc AS (
        |  SELECT n_id, sub, cid AS code FROM (
        |    SELECT n_id, sub, cid,
        |           row_number() OVER (PARTITION BY n_id, sub
        |                              ORDER BY (${dotSqlN("svec", "cv", subDim)} - half) DESC, cid ASC) AS rn
-       |    FROM sv
+       |    FROM ${p}sv
        |  ) WHERE rn = 1
        |),
-       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
-       |      WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
-       |lut AS (
+       |${p}lut AS (
        |  SELECT q_id, sub, cid,
        |         ${dotSqlN(s"list_slice(qv, sub * $subDim + 1, sub * $subDim + $subDim)", "cv", subDim)} AS d
-       |  FROM q CROSS JOIN cb
+       |  FROM $probe CROSS JOIN ${p}cb
        |),
-       |scored AS (
+       |${p}scored AS (
        |  SELECT q_id, n_id,
-       |         round(list_reduce(array_agg(d ORDER BY enc.sub), (x, y) -> x + y), 6) AS adc
-       |  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.cid
+       |         round(list_reduce(array_agg(d ORDER BY ${p}enc.sub), (x, y) -> x + y), 6) AS adc
+       |  FROM ${p}enc JOIN ${p}lut ON ${p}enc.sub = ${p}lut.sub AND ${p}enc.code = ${p}lut.cid
        |  WHERE n_id != q_id
        |  GROUP BY q_id, n_id
-       |)
-       |SELECT q_id, n_id, adc FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS rn FROM scored
-       |) WHERE rn <= $k""".stripMargin
+       |),
+       |${p}top AS (
+       |  SELECT q_id, n_id, adc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id ASC) AS rn FROM ${p}scored
+       |  ) WHERE rn <= $k
+       |)""".stripMargin
   }
+
+  def annPqSql(books: Seq[graft.similarity.Pq.Codebook], subDim: Int,
+               stride: Int, k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |      WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
+       |${pqAdcCtes("", "c", "q", books, subDim, k)}
+       |SELECT q_id, n_id, adc FROM top""".stripMargin
+
+  /** The reduced-space vector as a literal projection list — the same
+    * round-6 left-fold dots as [[pcaProjColsSql]], assembled into one
+    * DOUBLE[] so the PQ chain can slice it like an embedding. */
+  private def pcaProjListSql(model: Seq[graft.similarity.Pca.Component],
+                             v: String): String =
+    model.map { m =>
+      s"round(${dotSql(v, s"([${m.comp.mkString(", ")}]::DOUBLE[])")} - (${m.offset}), 6)"
+    }.mkString("[", ",\n    ", "]")
+
+  /** Mirror of [[graft.similarity.Pq.opqTopK]] GIVEN the trained halves:
+    * project every vector with the injected PCA components (bit-identical
+    * round-6 folds), then run the injected-codebook ADC chain in the
+    * reduced space. The probe guard is on the REDUCED norm — the chain
+    * serves where it scores. */
+  def annOpqSql(pcaModel: Seq[graft.similarity.Pca.Component],
+                books: Seq[graft.similarity.Pq.Codebook], subDim: Int,
+                stride: Int, k: Int): String = {
+    val kDim = pcaModel.length
+    s"""WITH red AS (
+       |  SELECT vec_id, ${pcaProjListSql(pcaModel, "v")}::DOUBLE[] AS rv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |),
+       |c AS (SELECT vec_id AS n_id, rv AS nv FROM red),
+       |q AS (SELECT vec_id AS q_id, rv AS qv FROM red
+       |      WHERE vec_id % $stride = 0 AND sqrt(${dotSqlN("qv", "qv", kDim)}) > 0),
+       |${pqAdcCtes("", "c", "q", books, subDim, k)}
+       |SELECT q_id, n_id, adc FROM top""".stripMargin
+  }
+
+  def annOpqSqlFromLastModel: Option[String] =
+    graft.similarity.Pq.lastOpqModel.map { case (pcaModel, books, subDim, stride, k) =>
+      annOpqSql(pcaModel, books, subDim, stride, k)
+    }
+
+  /** Mirror of [[graft.similarity.Pq.quantRecallEval]]: exact brute-force
+    * truth over the zero-norm-guarded corpus, the plain-PQ and OPQ ADC
+    * chains (prefixes p/o) over the same corpus, picks re-scored by
+    * original round-6 cosine, one labeled row per method. */
+  def annQuantRecallEvalSql(pcaModel: Seq[graft.similarity.Pca.Component],
+                            opqBooks: Seq[graft.similarity.Pq.Codebook], opqSubDim: Int,
+                            pqBooks: Seq[graft.similarity.Pq.Codebook], pqSubDim: Int,
+                            stride: Int, k: Int): String = {
+    val kDim = pcaModel.length
+    def rescoreAgg(p: String, method: String): String =
+      s"""${p}rs AS (
+         |  SELECT t.q_id, t.n_id, round(${cosineSql("a.v", "b.v")}, 6) AS acos
+         |  FROM ${p}top t JOIN nz a ON a.vec_id = t.q_id JOIN nz b ON b.vec_id = t.n_id
+         |),
+         |${p}j AS (
+         |  SELECT t.tcos AS tcos, a.acos AS acos
+         |  FROM truth t FULL JOIN ${p}rs a ON t.q_id = a.q_id AND t.n_id = a.n_id
+         |),
+         |${p}m AS (
+         |  SELECT CAST(count(tcos) AS BIGINT) AS n_truth,
+         |         CAST(count(acos) AS BIGINT) AS n_approx,
+         |         CAST(count(CASE WHEN tcos IS NOT NULL AND acos IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+         |         CAST(sum(CAST(round(tcos * 1000000) AS BIGINT)) AS DOUBLE) AS tsum,
+         |         CAST(sum(CAST(round(acos * 1000000) AS BIGINT)) AS DOUBLE) AS asum
+         |  FROM ${p}j
+         |),
+         |${p}row AS (
+         |  SELECT '$method' AS method, n_truth, n_approx, n_hit,
+         |         round(CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS recall,
+         |         round(CASE WHEN n_truth > 0 THEN tsum / 1e6 / n_truth ELSE CAST(0 AS DOUBLE) END, 6) AS truth_mean_cos,
+         |         round(CASE WHEN n_approx > 0 THEN asum / 1e6 / n_approx ELSE CAST(0 AS DOUBLE) END, 6) AS approx_mean_cos
+         |  FROM ${p}m
+         |)""".stripMargin
+    s"""WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |c AS (SELECT vec_id AS n_id, v AS nv FROM nz),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM nz WHERE vec_id % $stride = 0),
+       |tscored AS (
+       |  SELECT q_id, n_id, round(${cosineSql("qv", "nv")}, 6) AS cos
+       |  FROM q JOIN c ON n_id != q_id
+       |),
+       |truth AS (
+       |  SELECT q_id, n_id, cos AS tcos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn FROM tscored
+       |  ) WHERE rn <= $k
+       |),
+       |${pqAdcCtes("p", "c", "q", pqBooks, pqSubDim, k)},
+       |red AS (SELECT vec_id, ${pcaProjListSql(pcaModel, "v")}::DOUBLE[] AS rv FROM nz),
+       |oc AS (SELECT vec_id AS n_id, rv AS nv FROM red),
+       |oq AS (SELECT vec_id AS q_id, rv AS qv FROM red
+       |       WHERE vec_id % $stride = 0 AND sqrt(${dotSqlN("qv", "qv", kDim)}) > 0),
+       |${pqAdcCtes("o", "oc", "oq", opqBooks, opqSubDim, k)},
+       |${rescoreAgg("p", "pq")},
+       |${rescoreAgg("o", "opq")}
+       |SELECT * FROM prow UNION ALL SELECT * FROM orow""".stripMargin
+  }
+
+  def annQuantRecallEvalSqlFromModel: Option[String] =
+    graft.similarity.Pq.lastQuantRecallModel.map {
+      case (pcaModel, opqBooks, opqSubDim, pqBooks, pqSubDim, stride, k) =>
+        annQuantRecallEvalSql(pcaModel, opqBooks, opqSubDim, pqBooks, pqSubDim, stride, k)
+    }
 
   /** Oracle SQL for the last-trained PQ model (same Verify contract as
     * [[annIvfSqlFromLastModel]]). */

@@ -2623,6 +2623,31 @@ object SparkEntry {
           m = 4, codes = 8, iters = 2, stride = 100, k = 5, trainStride = 4),
       None),
 
+    // OPQ composition — the production reduce-then-quantize pattern:
+    // PCA-rotate/reduce to 16 dims, then PQ in the reduced space (codes
+    // shrink with the subvector width, and the rotation decorrelates
+    // the subspaces the independent codebooks quantize). DYNAMIC oracle
+    // from a DEDICATED stash: projection + encode + ADC given both
+    // trained halves is SQL-expressible (OracleSqlExt.annOpqSql)
+    ("ann_opq_topk",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Pq.opqTopK(
+          s.read.parquet(s"$d/embeddings.parquet"),
+          kDim = 16, m = 4, codes = 8, iters = 2, stride = 100, k = 5, trainStride = 4),
+      None),
+
+    // the quantizer decision table: plain-PQ and OPQ recall side by side
+    // against brute-force truth, picks re-scored by original cosine —
+    // the measure-before-commit report read before choosing the 100 TB
+    // index (the ann_pca_recall_eval pattern, two methods in one table).
+    // DYNAMIC oracle from its own stash (both models injected)
+    ("ann_quant_recall_eval",
+      (s: SparkSession, d: String) =>
+        graft.similarity.Pq.quantRecallEval(
+          s.read.parquet(s"$d/embeddings.parquet"),
+          kDim = 16, m = 4, codes = 8, iters = 2, stride = 100, k = 5, trainStride = 4),
+      None),
+
     // custom Catalyst Expressions surfaced through SQL: GraftFunctions
     // registers graft_dot / graft_rolling_hash into the session's function
     // registry (GraftExtensions does the same via spark.sql.extensions for
@@ -2837,6 +2862,8 @@ object SparkEntry {
       OracleSqlExt.annIvfSqlFromIndexedModel.map("ann_ivf_indexed" -> _) ++
       OracleSqlExt.annRecallEvalSqlFromModel.map("ann_recall_eval" -> _) ++
       OracleSqlExt.annPqSqlFromLastModel.map("ann_pq_topk" -> _) ++
+      OracleSqlExt.annOpqSqlFromLastModel.map("ann_opq_topk" -> _) ++
+      OracleSqlExt.annQuantRecallEvalSqlFromModel.map("ann_quant_recall_eval" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.clusterCapSampleSqlFromLastModel.map("sample_cluster_cap" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++

@@ -139,7 +139,18 @@ object Pq {
 
     val books = codebooks(emb, m, codes, iters, trainStride, subDim)
     lastPqModel = Some((books, subDim, stride, k))
+    adcTopK(emb, books, subDim, stride, k, maxProbes)
+  }
 
+  /** The ADC serve path GIVEN trained codebooks — shared by the plain PQ,
+    * the OPQ composition (which calls it in the reduced space) and the
+    * recall eval, so the three surfaces cannot drift apart. Encode is a
+    * shuffle-free map against the literal books; the bounded probe set
+    * ships with driver-precomputed LUTs; scoring is m lookups + adds. */
+  private[similarity] def adcTopK(emb: DataFrame, books: Seq[Codebook], subDim: Int,
+                                  stride: Int, k: Int, maxProbes: Int): DataFrame = {
+    val m = books.length
+    val base = emb.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("v"))
     val probes = Ann.queries(emb, stride).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(probes.length <= maxProbes,
@@ -173,5 +184,118 @@ object Pq {
       scored.select(col("q.q_id").as("q_id"), col("n_id"), col("adc")),
       Seq(col("q_id")),
       Seq(col("adc").desc, col("n_id").asc), k)
+  }
+
+  /** OPQ model stash: (pca components, codebooks, subDim, stride, k) —
+    * DEDICATED slot, never shared with `ann_pq_topk`'s. */
+  @volatile private[graft] var lastOpqModel:
+    Option[(Seq[Pca.Component], Seq[Codebook], Int, Int, Int)] = None
+
+  /** OPQ-style composed index — the production reduce-then-quantize
+    * pattern (Ge et al.'s OPQ simplified to its PCA initialization, the
+    * form most deployments ship): rotate/reduce every vector with a
+    * trained PCA model FIRST, then product-quantize in the reduced
+    * space. The PCA rotation decorrelates dimensions so the independent
+    * per-subspace codebooks waste fewer centroids on correlated axes,
+    * and the PQ codes shrink with kDim (here kDim/m-wide subvectors vs
+    * dim/m) — the memory story compounds: 64 doubles → kDim round-6
+    * doubles → m code ids. Both halves are shipped parts
+    * ([[Pca.pcaTrain]]/[[Pca.pcaProject]], [[codebooks]]/[[adcTopK]]);
+    * this is pure composition, serving from the same narrow-map encode +
+    * literal-LUT probe shape — zero extra shuffles over plain PQ.
+    * ADC scores approximate the REDUCED-space inner product; retrieval
+    * quality vs plain PQ is measured by [[quantRecallEval]]. */
+  def opqTopK(emb: DataFrame, kDim: Int = 16, m: Int = 4, codes: Int = 8,
+              iters: Int = 2, stride: Int = 100, k: Int = 5,
+              trainStride: Int = 1, maxProbes: Int = 4096): DataFrame = {
+    require(kDim % m == 0, s"reduced dim $kDim not divisible by m=$m subspaces")
+    val subDim = kDim / m
+    val pcaModel = Pca.pcaTrain(emb, kDim, trainStride)
+    val reduced = Pca.pcaProject(emb, pcaModel)
+      .select(col("vec_id"), array(pcaModel.map(c => col(s"pc${c.pc}")): _*).as("embedding"))
+    val books = codebooks(reduced, m, codes, iters, trainStride, subDim)
+    lastOpqModel = Some((pcaModel, books, subDim, stride, k))
+    adcTopK(reduced, books, subDim, stride, k, maxProbes)
+  }
+
+  /** Dedicated stash for [[quantRecallEval]]'s dynamic oracle:
+    * (pca components, opq books, opq subDim, pq books, pq subDim,
+    * stride, k). */
+  @volatile private[graft] var lastQuantRecallModel:
+    Option[(Seq[Pca.Component], Seq[Codebook], Int, Seq[Codebook], Int, Int, Int)] = None
+
+  /** One recall row for `picks` against `truth`, both keyed (q_id, n_id):
+    * picks re-scored by ORIGINAL round-6 cosine (the metric truth ranks
+    * by), counts/means as exact integer micros — the
+    * [[Pca.pcaRecallEval]] discipline with a method label. */
+  private def recallRow(truth: DataFrame, picks: DataFrame, orig: DataFrame,
+                        method: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val rescored = broadcast(picks)
+      .join(orig.select(col("vec_id").as("q_id"), col("ov").as("qv"), col("on").as("qn")), Seq("q_id"))
+      .join(orig.select(col("vec_id").as("n_id"), col("ov").as("nv"), col("on").as("nn")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("acos"))
+    val joined = truth.join(rescored, Seq("q_id", "n_id"), "full_outer")
+    val micros = (c: Column) => round(c * lit(1000000L)).cast("long")
+    joined.agg(
+        count(col("tcos")).as("n_truth"),
+        count(col("acos")).as("n_approx"),
+        count(when(col("tcos").isNotNull && col("acos").isNotNull, lit(1))).as("n_hit"),
+        sum(micros(col("tcos"))).as("tsum"),
+        sum(micros(col("acos"))).as("asum"))
+      .select(lit(method).as("method"), col("n_truth"), col("n_approx"), col("n_hit"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(lit(0.0)), 6).as("recall"),
+        round(when(col("n_truth") > 0,
+          col("tsum").cast("double") / lit(1e6) / col("n_truth")).otherwise(lit(0.0)), 6)
+          .as("truth_mean_cos"),
+        round(when(col("n_approx") > 0,
+          col("asum").cast("double") / lit(1e6) / col("n_approx")).otherwise(lit(0.0)), 6)
+          .as("approx_mean_cos"))
+  }
+
+  /** The quantizer decision table: plain-PQ and OPQ recall side by side
+    * against the exact brute-force truth — the measure-before-commit row
+    * a 100 TB deployment reads before choosing its index (the
+    * [[Pca.pcaRecallEval]] / Ann.recallEval pattern, extended to compare
+    * TWO methods in one report). Zero-norm originals leave the eval
+    * entirely (no defined cosine on the truth side), so both chains and
+    * the truth run over the same guarded corpus and the rows are
+    * comparable. Everything downstream of training is bounded: truth and
+    * both pick sets are stride-bounded literal-probe top-k tables. */
+  def quantRecallEval(emb: DataFrame, kDim: Int = 16, m: Int = 4,
+                      codes: Int = 8, iters: Int = 2, stride: Int = 100,
+                      k: Int = 5, trainStride: Int = 1,
+                      maxProbes: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    require(kDim % m == 0, s"reduced dim $kDim not divisible by m=$m subspaces")
+    val ovec = col("embedding").cast("array<double>")
+    val nz = emb.filter(sqrt(dot(ovec, ovec)) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = nz.select(size(ovec).as("n")).limit(1).collect().head.getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val truth = Ann.bruteForceTopK(nz, stride, k)
+        .select(col("q_id"), col("n_id"), col("cos").as("tcos"))
+      val pqBooks = codebooks(nz, m, codes, iters, trainStride, dim / m)
+      val pcaModel = Pca.pcaTrain(nz, kDim, trainStride)
+      val reduced = Pca.pcaProject(nz, pcaModel)
+        .select(col("vec_id"), array(pcaModel.map(c => col(s"pc${c.pc}")): _*).as("embedding"))
+      val opqBooks = codebooks(reduced, m, codes, iters, trainStride, kDim / m)
+      lastQuantRecallModel =
+        Some((pcaModel, opqBooks, kDim / m, pqBooks, dim / m, stride, k))
+      val orig = nz.select(col("vec_id"), ovec.as("ov"))
+        .withColumn("on", sqrt(dot(col("ov"), col("ov"))))
+      val pqRow = recallRow(truth,
+        adcTopK(nz, pqBooks, dim / m, stride, k, maxProbes).select("q_id", "n_id"),
+        orig, "pq")
+      val opqRow = recallRow(truth,
+        adcTopK(reduced, opqBooks, kDim / m, stride, k, maxProbes).select("q_id", "n_id"),
+        orig, "opq")
+      val out = pqRow.union(opqRow)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      out
+    } finally nz.unpersist()
   }
 }

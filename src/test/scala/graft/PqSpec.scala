@@ -61,6 +61,50 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("opq composes PCA reduce with PQ and keeps same-cluster neighbors") {
+    import spark.implicits._
+    // same 4-orthogonal-cluster layout: after PCA to 16 dims the cluster
+    // axes dominate the spectrum, so reduced-space ADC must still pair
+    // queries with their own cluster
+    val emb = (0 until 40).map { i =>
+      val cluster = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(cluster * 10) = 1.0f
+      v(cluster * 10 + 1) = 0.05f * (i / 4)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val top = Pq.opqTopK(emb, kDim = 16, m = 4, codes = 8, iters = 2, stride = 10, k = 3).collect()
+    assert(top.map(_.getLong(0)).toSet == Set(0L, 10L, 20L, 30L))
+    top.foreach { r =>
+      assert(r.getLong(1) % 4 == r.getLong(0) % 4,
+        s"opq: query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+    // dedicated stash: the OPQ run must never overwrite plain PQ's slot
+    assert(Pq.lastOpqModel.isDefined)
+    val (pcaModel, books, subDim, _, _) = Pq.lastOpqModel.get
+    assert(pcaModel.length == 16 && books.length == 4 && subDim == 4)
+  }
+
+  test("quant recall eval reports one labeled row per method with sane bounds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Pq.quantRecallEval(emb, kDim = 16, m = 4, codes = 8, iters = 2,
+        stride = 100, k = 5, trainStride = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(rows.keySet == Set("pq", "opq"))
+    rows.foreach { case (m, (nT, nA, nHit, recall, tMean, aMean)) =>
+      assert(nT > 0 && nA > 0, s"$m: empty eval")
+      assert(nHit <= math.min(nT, nA), s"$m: hits exceed a side")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m: recall out of range")
+      // truth maximizes original cosine by definition
+      assert(tMean >= aMean - 1e-9, s"$m: truth mean below approx mean")
+    }
+    // both methods are judged against the SAME truth
+    assert(rows("pq")._1 == rows("opq")._1)
+    assert(OracleSqlExt.annQuantRecallEvalSqlFromModel.isDefined)
+  }
+
   test("chunking semantics: overlap, short tail, empty doc") {
     import spark.implicits._
     val docs = Seq(
