@@ -2861,6 +2861,45 @@ object OracleSqlExt {
        |JOIN alltypes USING (lang)
        |GROUP BY doc_id""".stripMargin
 
+  /** Mirror of [[graft.text.TextAnalysis.lmScoreKnPruned]]: the same
+    * rebuild with a HAVING count-threshold on the type table (the serve
+    * model trains on the same corpus, so rebuild == pruned persisted
+    * model), statistics derived from the SURVIVING rows only, and the
+    * coverage wrapper — every ≥2-token doc keeps its row, NULL
+    * avg_logprob when nothing survives. */
+  def lmScoreKnPrunedSql(minCount: Long, discount: Double): String =
+    s"""WITH ${OracleSql.toksCte},
+       |bg AS (
+       |  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+       |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total_bigrams FROM bg GROUP BY doc_id),
+       |bgc AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY lang, w1, w2
+       |        HAVING count(*) >= $minCount),
+       |ctx AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS ctx, CAST(count(*) AS BIGINT) AS n1f
+       |        FROM bgc GROUP BY lang, w1),
+       |rev AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS n1r FROM bgc GROUP BY lang, w2),
+       |alltypes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n1a FROM bgc GROUP BY lang),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         round(CAST(sum(CAST(ln(
+       |           (CAST(c12 AS DOUBLE) - $discount) / CAST(ctx AS DOUBLE)
+       |           + $discount * CAST(n1f AS DOUBLE) / CAST(ctx AS DOUBLE)
+       |             * (CAST(n1r AS DOUBLE) / CAST(n1a AS DOUBLE))
+       |         ) AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6) AS avg_logprob
+       |  FROM bg
+       |  JOIN bgc USING (lang, w1, w2)
+       |  JOIN ctx USING (lang, w1)
+       |  JOIN rev USING (lang, w2)
+       |  JOIN alltypes USING (lang)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       t.n_total_bigrams,
+       |       round(CAST(COALESCE(sc.n_bigrams, 0) AS DOUBLE) / t.n_total_bigrams, 6) AS coverage,
+       |       sc.avg_logprob
+       |FROM tot t LEFT JOIN sc ON t.doc_id = sc.doc_id""".stripMargin
+
   /** TF-IDF mirror of [[graft.text.TextAnalysis.tfidf]]. */
   val tfidfSql: String =
     s"""WITH ${OracleSql.toksCte},

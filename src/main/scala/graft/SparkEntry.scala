@@ -1660,6 +1660,17 @@ object SparkEntry {
           Collocations.documents(s, d), knModelDir(s, d)),
       Some(OracleSqlExt.lmScoreKnSql(0.75))),
 
+    // the pruned serve — KenLM/CCNet ships count-pruned models: singleton
+    // bigram types drop from the persisted table, every statistic
+    // re-derives from the SURVIVORS (rebuild-on-pruned-table, same shared
+    // algebra), and the coverage drop is reported per doc, never silent
+    // (left join from full totals; NULL avg_logprob when nothing scores)
+    ("text_lm_kn_pruned",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScoreKnPruned(
+          Collocations.documents(s, d), knModelDir(s, d), minCount = 2),
+      Some(OracleSqlExt.lmScoreKnPrunedSql(2, 0.75))),
+
     // CCNet-style head/middle/tail perplexity terciles over the LM score
     // — dynamic corpus-own thresholds, single-row broadcast, round-6
     // boundary discipline

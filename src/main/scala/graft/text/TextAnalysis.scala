@@ -721,6 +721,42 @@ object TextAnalysis {
     lmScoreKnOver(knBigrams(docs),
       docs.sparkSession.read.parquet(modelDir), discount)
 
+  /** Score against a COUNT-PRUNED persisted KN model — the shape the
+    * CCNet deployment actually serves (KenLM models prune singleton
+    * n-grams before shipping; the full type table is vocabulary²-bounded
+    * but its long tail is singletons that cost storage and serve-join
+    * width while contributing the least reliable statistics). Pruning
+    * semantics are rebuild-on-the-pruned-table: every statistic (context
+    * totals, both continuation-type counts, the global type count)
+    * re-derives from the SURVIVING rows via the shared [[lmScoreKnOver]]
+    * algebra — as if the model had only ever contained them — so
+    * serve-equals-rebuild stays algebraic.
+    *
+    * Pruning makes seen-but-pruned bigrams UNSCORABLE, so the coverage
+    * drop is REPORTED, never silent: every ≥2-token doc keeps its row
+    * (left join from the full per-doc bigram totals), with
+    * n_bigrams-scored, n_total_bigrams, their ratio, and a NULL
+    * avg_logprob when nothing survives — the LmStream gate reads
+    * coverage exactly so a fluent-looking score over 3% of a doc's
+    * bigrams can't pass it. */
+  def lmScoreKnPruned(docs: DataFrame, modelDir: String, minCount: Long = 2,
+                      discount: Double = 0.75): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val pruned = docs.sparkSession.read.parquet(modelDir)
+      .filter(col("c12") >= minCount)
+    val bg = knBigrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = lmScoreKnOver(bg, pruned, discount)
+    bg.groupBy("doc_id").agg(count(lit(1)).as("n_total_bigrams"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_total_bigrams"),
+        round(coalesce(col("n_bigrams"), lit(0L)).cast("double") /
+          col("n_total_bigrams"), 6).as("coverage"),
+        col("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing: split the corpus into head /
     * middle / tail terciles of the language-model score ([[lmScore]]'s
     * mean bigram log-prob — higher = more fluent = lower perplexity),

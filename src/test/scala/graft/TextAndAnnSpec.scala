@@ -893,6 +893,27 @@ class TextAndAnnSpec extends SparkSpec {
       .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
     // (a,b) seen, (b,zz) unseen -> 1 scored bigram at p(b|a)
     assert(s9(9L)._1 == 1L && math.abs(s9(9L)._2 - math.log(pAB)) < 1e-6)
+
+    // COUNT-PRUNED serve (minCount=2 drops the singleton type (a,c)):
+    // statistics re-derive from the survivors — ctx(a)=3, n1f(a)=1,
+    // n1r over survivors, n1a=2 — and the coverage drop is REPORTED:
+    // doc 2 keeps its row with 2/3 scored, never silently shrinks
+    val pr = TextAnalysis.lmScoreKnPruned(docs, dir.toString, minCount = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    val pAB2 = (3 - 0.75) / 3 + 0.75 * 1 / 3 * (1.0 / 2)
+    val pBA2 = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1.0 / 2)
+    assert(pr(1L)._1 == 3L && pr(1L)._2 == 3L && pr(1L)._3 == 1.0)
+    assert(math.abs(pr(1L)._4.get - (2 * math.log(pAB2) + math.log(pBA2)) / 3) < 1e-6)
+    assert(pr(2L) == ((2L, 3L, 0.666667,
+      pr(2L)._4)), s"pruned coverage must be reported: ${pr(2L)}")
+    assert(math.abs(pr(2L)._4.get - (math.log(pAB2) + math.log(pBA2)) / 2) < 1e-6)
+    // a doc whose every bigram was pruned still has a row: NULL score,
+    // coverage 0 — the not-silent contract
+    val orphan = Seq((8L, "q q", "en")).toDF("doc_id", "text", "lang")
+    val po = TextAnalysis.lmScoreKnPruned(orphan, dir.toString, minCount = 2).collect()
+    assert(po.length == 1 && po.head.getLong(1) == 0L &&
+      po.head.getDouble(3) == 0.0 && po.head.isNullAt(4))
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
