@@ -2662,6 +2662,226 @@ object OracleSqlExt {
        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
        |)""".stripMargin
 
+  /** The full pretrain-pipeline CTE chain (mirrors
+    * [[graft.pipelines.PretrainCorpus]] stage for stage): the derived
+    * dirty page (`pp`, verbatim mirror of `dirtyPage`), the fixed-order
+    * unicode canonicalization (`nn`, the textNormalizeCtes chain), the C4
+    * line scrub (`c4`), the cross-document boilerplate scrub (`bp`), the
+    * keep-canonical dedup via the recursive exact closure over the
+    * scrubbed corpus (`ded`), the cross-side substring decontamination
+    * scrub (`dc`, the crossSubstringSpanCtes construction over `ded`),
+    * the α-mix token-budget sample (`smp`), and the packing input
+    * (`fin`/`pk`). Ends in pk(doc_id, source, n_chars, cum). */
+  private def pretrainChainCtes(benchPredSql: String, minLineWords: Int,
+                                bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
+                                budgetTokens: Long, maxEpochs: Double,
+                                nBuckets: Int): String = {
+    val leak = graft.pipelines.PretrainCorpus.LeakSentence
+    s"""pp AS (
+       |  SELECT doc_id, source,
+       |    'Subscribe to our newsletter today!' || chr(10) ||
+       |    'Navigation for ' || source || ': home | about | contact' || chr(10) ||
+       |    (CASE WHEN doc_id % 50 IN (7, 8)
+       |          THEN 'duplicate payload ' || CAST((doc_id // 50) * 50 AS VARCHAR) || ' quick brown fox jumps tonight'
+       |          ELSE text END) || ' cafe' || chr(769) || '.' ||
+       |    (CASE WHEN doc_id % 50 = 11 OR ($benchPredSql)
+       |          THEN chr(10) || 'Ref ' || CAST(doc_id AS VARCHAR) || ': $leak.'
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text
+       |  FROM documents
+       |),
+       |nn AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(
+       |      replace(
+       |        regexp_replace(
+       |          regexp_replace(nfc_normalize(text), '\\r\\n?', chr(10), 'g'),
+       |          '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+       |        chr(160), ' '),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS text
+       |  FROM pp
+       |),
+       |c4 AS MATERIALIZED (
+       |  SELECT doc_id, source, COALESCE(array_to_string(kl, chr(10)), '') AS text
+       |  FROM (SELECT doc_id, source, ${c4KeptSql(minLineWords)} AS kl
+       |        FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM nn))
+       |),
+       |pl AS (
+       |  SELECT DISTINCT doc_id, trim(raw) AS line
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS raw FROM c4)
+       |  WHERE length(trim(raw)) >= $bpMinLineChars
+       |),
+       |bpl AS (
+       |  SELECT COALESCE(list(line), []::VARCHAR[]) AS bl
+       |  FROM (SELECT line FROM pl GROUP BY line HAVING count(*) >= $bpMinDf)
+       |),
+       |bp AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         COALESCE(array_to_string(list_filter(l, x -> NOT list_contains(bl, trim(x))), chr(10)), '') AS text
+       |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM c4) CROSS JOIN bpl
+       |),
+       |${tclCteNamed("tclp", "(SELECT doc_id, 'x' AS lang, text FROM bp)")},
+       |${shCteFrom("shp", "tclp")},
+       |${mhCteFrom("p", "shp")},
+       |${bkCteFrom("p", "mhp")},
+       |candp AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bkp l JOIN bkp r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |),
+       |bidirp AS (SELECT a AS src, b AS dst FROM candp UNION SELECT b, a FROM candp),
+       |reachp(src, dst) AS (
+       |  SELECT src, src FROM bidirp
+       |  UNION
+       |  SELECT r.src, bd.dst FROM reachp r JOIN bidirp bd ON r.dst = bd.src
+       |),
+       |compp AS (SELECT src AS doc_id, min(dst) AS component FROM reachp GROUP BY src),
+       |ded AS MATERIALIZED (
+       |  SELECT bp.doc_id, bp.source, bp.text
+       |  FROM bp LEFT JOIN compp c ON bp.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL OR c.doc_id = c.component
+       |),
+       |gt AS (
+       |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |  FROM ded WHERE NOT ($benchPredSql) AND len(text) >= $minLen
+       |),
+       |gb AS (
+       |  SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |  FROM ded WHERE ($benchPredSql) AND len(text) >= $minLen
+       |),
+       |gt2 AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM gt
+       |),
+       |gb2 AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |         substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM gb
+       |),
+       |m AS (
+       |  SELECT gt2.doc_id AS a, gb2.doc_id AS b, gt2.pos AS pa, gb2.pos AS pb
+       |  FROM gt2 JOIN gb2 ON gt2.gram = gb2.gram
+       |),
+       |isl AS (
+       |  SELECT a, b, pb - pa AS delta, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY a, b, pb - pa ORDER BY pa) AS grp
+       |  FROM m
+       |),
+       |sp AS (
+       |  SELECT a, b, CAST(min(pa) AS BIGINT) AS sa,
+       |         CAST(max(pa) - min(pa) + $minLen AS BIGINT) AS match_len
+       |  FROM isl GROUP BY a, b, delta, grp
+       |),
+       |rs AS (SELECT DISTINCT a AS doc_id, sa AS s, sa + match_len AS e FROM sp),
+       |mk AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+       |              THEN 1 ELSE 0 END AS new_isl
+       |  FROM rs
+       |),
+       |mi AS (
+       |  SELECT doc_id, s, e,
+       |         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
+       |  FROM mk
+       |),
+       |sp2 AS (
+       |  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+       |  FROM mi GROUP BY doc_id, isl2
+       |),
+       |kp AS (
+       |  SELECT doc_id, s, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ps
+       |  FROM sp2
+       |),
+       |aggd AS (
+       |  SELECT kp.doc_id,
+       |         string_agg(substr(d.text, CAST(ps AS INT), CAST(s - ps AS INT)), '' ORDER BY s) AS headpieces,
+       |         max(e) AS maxe
+       |  FROM kp JOIN ded d ON kp.doc_id = d.doc_id GROUP BY kp.doc_id
+       |),
+       |dc AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source,
+       |         CASE WHEN a.doc_id IS NULL THEN d.text
+       |              ELSE coalesce(a.headpieces, '') || substr(d.text, CAST(a.maxe AS INT)) END AS text
+       |  FROM ded d LEFT JOIN aggd a ON d.doc_id = a.doc_id
+       |  WHERE NOT ($benchPredSql)
+       |),
+       |perp AS (
+       |  SELECT source, CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0))) AS BIGINT) AS avail_tokens
+       |  FROM dc GROUP BY source
+       |),
+       |denp AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), array_agg(sqrt(avail_tokens) ORDER BY source)),
+       |                     (x, y) -> x + y) AS z
+       |  FROM perp
+       |),
+       |alloc AS (
+       |  SELECT source, least(
+       |           CAST(round(round(sqrt(avail_tokens) / z, 6) * CAST($budgetTokens AS DOUBLE)) AS BIGINT),
+       |           CAST(round($maxEpochs * avail_tokens) AS BIGINT)) AS alloc_tokens
+       |  FROM perp CROSS JOIN denp
+       |),
+       |kk AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), q -> length(q) > 0)) AS BIGINT) AS doc_tokens,
+       |    CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) AS x,
+       |    CAST('0x' || substr(md5(text), 8, 7) AS BIGINT) AS y
+       |  FROM dc
+       |),
+       |cc AS (
+       |  SELECT doc_id, source, doc_tokens,
+       |    CAST(sum(doc_tokens) OVER (PARTITION BY source ORDER BY x % $nBuckets, x, y, doc_id
+       |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM kk
+       |),
+       |smp AS (SELECT doc_id, source, doc_tokens FROM cc JOIN alloc USING (source) WHERE cum_tokens <= alloc_tokens),
+       |fin AS (
+       |  SELECT dc.doc_id, dc.source, CAST(length(dc.text) AS BIGINT) AS n_chars
+       |  FROM dc JOIN smp ON dc.doc_id = smp.doc_id
+       |),
+       |pk AS (
+       |  SELECT doc_id, source, n_chars,
+       |         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM fin
+       |)""".stripMargin
+  }
+
+  /** Mirror of [[graft.pipelines.PretrainCorpus.pipeline]] end to end. */
+  def pretrainCorpusSql(benchPredSql: String, minLineWords: Int, bpMinDf: Long,
+                        bpMinLineChars: Int, minLen: Int, budgetTokens: Long,
+                        maxEpochs: Double, nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets)}
+       |SELECT doc_id, source, n_chars,
+       |       CAST((cum - n_chars) // $windowSize AS BIGINT) AS bin
+       |FROM pk""".stripMargin
+
+  /** Mirror of [[graft.pipelines.PretrainCorpus.report]]: per-stage doc
+    * and char survival counted from the same chain CTEs the engine's
+    * observe nodes ride, one row. */
+  def pretrainReportSql(benchPredSql: String, minLineWords: Int, bpMinDf: Long,
+                        bpMinLineChars: Int, minLen: Int, budgetTokens: Long,
+                        maxEpochs: Double, nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets)},
+       |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars_raw FROM pp),
+       |a2 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_nfc FROM nn),
+       |a3 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_c4 FROM c4),
+       |a4 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_bp FROM bp),
+       |a5 AS (SELECT CAST(count(*) AS BIGINT) AS docs_dedup, CAST(sum(length(text)) AS BIGINT) AS chars_dedup FROM ded),
+       |a6 AS (SELECT CAST(count(*) AS BIGINT) AS docs_decon, CAST(sum(length(text)) AS BIGINT) AS chars_decon FROM dc),
+       |a7 AS (SELECT CAST(count(*) AS BIGINT) AS docs_sampled, CAST(sum(doc_tokens) AS BIGINT) AS tokens_sampled FROM smp),
+       |a8 AS (SELECT CAST(max((cum - n_chars) // $windowSize) + 1 AS BIGINT) AS n_bins FROM pk),
+       |rep AS (
+       |  SELECT * FROM a1 CROSS JOIN a2 CROSS JOIN a3 CROSS JOIN a4
+       |  CROSS JOIN a5 CROSS JOIN a6 CROSS JOIN a7 CROSS JOIN a8
+       |)
+       |SELECT *,
+       |       round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) AS scrub_char_cut,
+       |       round(1.0 - CAST(docs_dedup AS DOUBLE) / n_docs, 6) AS dedup_doc_cut
+       |FROM rep""".stripMargin
+
   /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with
     * `lang = 'en'` as the target slice and 1024 hash buckets: the same
     * md5-prefix bucket, smoothed per-bucket log-ratio, and

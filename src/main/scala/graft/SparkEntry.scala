@@ -2587,6 +2587,28 @@ object SparkEntry {
           mBits = 1 << 17),
       Some(OracleSqlExt.decontaminateSql("source = 'src0'", 0.3))),
 
+    // ---------------------------------------- composed pretrain flagship
+    // the full cleanup ladder in ONE DAG — unicode canonicalization ->
+    // C4 line rules -> cross-document boilerplate scrub -> keep-canonical
+    // dedup -> exact-substring benchmark decontamination -> token-budget
+    // sampling -> sequence packing; every stage a shipped primitive, the
+    // derived dirty page makes every stage live on the gate corpus, and
+    // the oracle mirrors the chain end to end
+    ("pipeline_pretrain_corpus",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.PretrainCorpus.pipeline(Collocations.documents(s, d)),
+      Some(OracleSqlExt.pretrainCorpusSql("source = 'src0'", 3, 3, 10, 30,
+        20000L, 4.0, 64, 2048L))),
+
+    // its telemetry row: per-stage doc/char survival riding the single
+    // packing action as observe nodes (the pipeline_counters machinery),
+    // plus the two headline cuts — the release report a corpus owner reads
+    ("pipeline_pretrain_report",
+      (s: SparkSession, d: String) =>
+        graft.pipelines.PretrainCorpus.report(Collocations.documents(s, d)),
+      Some(OracleSqlExt.pretrainReportSql("source = 'src0'", 3, 3, 10, 30,
+        20000L, 4.0, 64, 2048L))),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>

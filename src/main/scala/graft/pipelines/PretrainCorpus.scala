@@ -1,0 +1,189 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{TextAnalysis, TextNormalize}
+
+/** The composed pretraining-corpus flagship — ONE lazy DAG running the
+  * full cleanup ladder a 100 TB pretraining corpus actually gets, in the
+  * order the stages depend on each other:
+  *
+  *   1. Unicode canonicalization ([[TextNormalize.normalizeText]] — NFC
+  *      first, because every later stage keys on text bytes);
+  *   2. C4 line rules (row-local structural line cuts);
+  *   3. cross-document boilerplate-line scrub (corpus-frequency cuts the
+  *      LOCAL rules can't see — and a prerequisite for dedup: shared
+  *      banners would otherwise glue unrelated documents into one LSH
+  *      component);
+  *   4. keep-canonical near-dup dedup (transitive-closure-exact, min-id
+  *      survivor — meaningful only AFTER the scrubs, which is the point
+  *      of composing);
+  *   5. exact-substring benchmark decontamination scrub (benchmark docs
+  *      leave the training corpus here; leaked verbatim spans are cut
+  *      from the survivors);
+  *   6. token-budget sampling (α-mix allocation, deterministic
+  *      content-ordered whole-document prefixes per source);
+  *   7. sequence packing (greedy offset bins over the FINAL text).
+  *
+  * Every stage is a shipped primitive operator; this file only wires
+  * them. Per-stage telemetry rides the single final action as `observe`
+  * nodes (the pipeline_counters machinery — zero extra corpus passes):
+  * documents and characters surviving each stage, the numbers a corpus
+  * owner reads per release.
+  *
+  * The input page is derived deterministically from existing columns
+  * (the pageText/messyText pattern — testdata documents are single-line
+  * unique ASCII, so the dirt each stage exists to remove is planted
+  * reproducibly, and every stage is LIVE on the gate corpus): a
+  * corpus-wide banner (survives C4, dies at boilerplate), a per-source
+  * nav line (dies at C4), the real body with a decomposed-accent NFC
+  * probe and a terminal period (survives the scrubs), an exact-dup pair
+  * body for doc_id % 50 ∈ {7, 8} (pair df = 2 stays under the
+  * boilerplate threshold, so the pair reaches dedup intact), a
+  * uniquely-prefixed benchmark leak line for doc_id % 50 == 11 and for
+  * every benchmark doc (unique trimmed line survives boilerplate; the
+  * shared ≥ 30-char sentence is exactly what decontamination cuts), and
+  * a doc_id-gated footer (df = n/3, dies at boilerplate). Mirrored
+  * verbatim by the oracle's `pp` CTE.
+  */
+object PretrainCorpus {
+
+  /** The verbatim benchmark sentence planted on both sides of the
+    * decontamination boundary (68 chars ≥ the minLen=30 contract). */
+  val LeakSentence = "this exact benchmark passage leaked verbatim into the training corpus"
+
+  /** The derived dirty page (requires doc_id, source, text in scope). */
+  private[graft] def dirtyPage: Column = {
+    val pairId = (floor(col("doc_id") / lit(50)) * 50).cast("long")
+    val body = concat(
+      when(pmod(col("doc_id"), lit(50)).isin(7, 8),
+        concat(lit("duplicate payload "), pairId.cast("string"),
+          lit(" quick brown fox jumps tonight")))
+        .otherwise(col("text")),
+      // DECOMPOSED e + combining acute: stage 1 composes it
+      lit(" cafe\u0301."))
+    concat_ws("\n",
+      lit("Subscribe to our newsletter today!"),
+      concat(lit("Navigation for "), col("source"), lit(": home | about | contact")),
+      body,
+      when(pmod(col("doc_id"), lit(50)) === 11 || col("source") === "src0",
+        concat(lit("Ref "), col("doc_id").cast("string"), lit(": "),
+          lit(LeakSentence), lit(".")))
+        .otherwise(lit(null).cast("string")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("(c) Example Site - all rights reserved."))
+        .otherwise(lit(null).cast("string")))
+  }
+
+  /** The staged chain plus its per-stage observations. */
+  private case class Staged(packed: DataFrame, obs: Seq[(String, Observation)])
+
+  private def obsOn(df: DataFrame, name: String, metrics: Column*): (DataFrame, Observation) =
+    graft.ops.Metrics.observed(df, name, metrics: _*)
+
+  private def build(docs: DataFrame, benchPred: Column, minLineWords: Int,
+                    bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
+                    budgetTokens: Long, windowSize: Long): Staged = {
+    val (page, oPage) = obsOn(
+      docs.select(col("doc_id"), col("source"), dirtyPage.as("text")),
+      "graft_pp_input", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    val (normed, oNfc) = obsOn(
+      page.select(col("doc_id"), col("source"),
+        TextNormalize.normalizeText(col("text")).as("text")),
+      "graft_pp_nfc", sum(length(col("text"))).as("chars"))
+    val (c4, oC4) = obsOn(
+      normed.select(col("doc_id"), col("source"),
+        array_join(TextAnalysis.c4KeptLines(split(col("text"), "\n"), minLineWords), "\n")
+          .as("text")),
+      "graft_pp_c4", sum(length(col("text"))).as("chars"))
+    // STAGE BOUNDARIES CUT LINEAGE (localCheckpoint = the local analog
+    // of the write-shard/read-shard staging a production pipeline does
+    // between stages): downstream stage functions reference their input
+    // several times (dedup labels, the decon match/cut joins, the
+    // budget's allocation + running sum), so without the cut the
+    // ANALYZED plan size multiplies per stage and every downstream
+    // action pays exponentially growing driver-side analysis — measured
+    // at sf0.1: 10 s -> 33 s -> 127 s per successive action with plain
+    // persist, 4-5 s total with the cuts. The eager checkpoint also
+    // fires each stage's observe metrics exactly once.
+    val c4p = c4.localCheckpoint()
+    val (bp, oBp) = obsOn(
+      TextAnalysis.scrubBoilerplateLines(c4p.select("doc_id", "text"),
+          minDf = bpMinDf, minLineChars = bpMinLineChars)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(c4p.select("doc_id", "source"), Seq("doc_id")),
+      "graft_pp_bp", sum(length(col("text"))).as("chars"))
+    val bpp = bp.localCheckpoint()
+    val (deduped, oDed) = obsOn(
+      bpp.join(Dedup.keepCanonical(bpp.select("doc_id", "text")).select("doc_id"),
+        Seq("doc_id")),
+      "graft_pp_dedup", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    val dedp = deduped.localCheckpoint()
+    val (decon, oDec) = obsOn(
+      Dedup.scrubContaminated(dedp, benchPred, minLen)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(dedp.select("doc_id", "source"), Seq("doc_id")),
+      "graft_pp_decon", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+    val dcp = decon.localCheckpoint()
+    val (sampled, oSmp) = obsOn(
+      TextAnalysis.sampleTokenBudget(dcp, budgetTokens),
+      "graft_pp_sample", count(lit(1)).as("n"), sum(col("doc_tokens")).as("tokens"))
+    val kept = dcp.join(sampled.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint()
+    val (packed, oPk) = obsOn(
+      Packing.packSequences(kept.select("doc_id", "n_chars"), windowSize)
+        .join(kept.select("doc_id", "source"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bin")),
+      "graft_pp_packed", max(col("bin")).as("max_bin"))
+    Staged(packed, Seq("input" -> oPage, "nfc" -> oNfc, "c4" -> oC4,
+      "bp" -> oBp, "dedup" -> oDed, "decon" -> oDec, "sample" -> oSmp,
+      "packed" -> oPk))
+  }
+
+  /** The end-to-end corpus: (doc_id, source, n_chars, bin) — the packed
+    * training sequences of the fully cleaned, decontaminated, sampled
+    * corpus. */
+  def pipeline(docs: DataFrame, benchPred: Column = col("source") === "src0",
+               minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+               minLen: Int = 30, budgetTokens: Long = 20000L,
+               windowSize: Long = 2048L): DataFrame =
+    build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars, minLen,
+      budgetTokens, windowSize).packed
+
+  /** Run the pipeline once and return the per-stage telemetry as ONE
+    * report row — document and character survival per stage plus the two
+    * headline cuts, every count an `observe` riding the single packing
+    * action. The composed twin of `pipeline_counters`. */
+  def report(docs: DataFrame, benchPred: Column = col("source") === "src0",
+             minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+             minLen: Int = 30, budgetTokens: Long = 20000L,
+             windowSize: Long = 2048L): DataFrame = {
+    val st = build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars,
+      minLen, budgetTokens, windowSize)
+    st.packed.count()
+    val m = st.obs.toMap
+    def g(stage: String, key: String): Long = {
+      val v = m(stage).get(key)
+      if (v == null) 0L else v.asInstanceOf[Number].longValue
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((g("input", "n"), g("input", "chars"), g("nfc", "chars"),
+        g("c4", "chars"), g("bp", "chars"),
+        g("dedup", "n"), g("dedup", "chars"),
+        g("decon", "n"), g("decon", "chars"),
+        g("sample", "n"), g("sample", "tokens"),
+        g("packed", "max_bin") + 1))
+      .toDF("n_docs", "chars_raw", "chars_nfc", "chars_c4", "chars_bp",
+        "docs_dedup", "chars_dedup", "docs_decon", "chars_decon",
+        "docs_sampled", "tokens_sampled", "n_bins")
+      .select(col("*"),
+        round(lit(1.0) - col("chars_bp").cast("double") / col("chars_raw"), 6)
+          .as("scrub_char_cut"),
+        round(lit(1.0) - col("docs_dedup").cast("double") / col("n_docs"), 6)
+          .as("dedup_doc_cut"))
+  }
+}

@@ -930,7 +930,7 @@ object TextAnalysis {
     * terminal punctuation (after right-trim), carries at least
     * `minLineWords` whitespace words, and does not mention "javascript"
     * — the Raffel et al. 2020 §2.2 line battery, all array-local. */
-  private def c4KeptLines(lines: Column, minLineWords: Int): Column =
+  private[graft] def c4KeptLines(lines: Column, minLineWords: Int): Column =
     filter(lines, l =>
       (rtrim(l).endsWith(".") || rtrim(l).endsWith("!") ||
         rtrim(l).endsWith("?") || rtrim(l).endsWith("\"")) &&

@@ -6,6 +6,65 @@ import graft.pipelines.Packing
 
 class PipelineOpsSpec extends SparkSpec {
 
+  test("pretrain pipeline: stage counts equal the standalone operators, plants fire") {
+    import graft.pipelines.PretrainCorpus
+    import graft.text.TextNormalize
+    import graft.dedup.Dedup
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val rep = PretrainCorpus.report(docs).collect().head
+    val r = rep.getValuesMap[Any](rep.schema.fieldNames)
+    def L(k: String) = r(k).asInstanceOf[Long]
+
+    // rebuild each stage STANDALONE and pin the composed counters to it
+    val page = docs.select(col("doc_id"), col("source"), PretrainCorpus.dirtyPage.as("text"))
+    assert(L("n_docs") == page.count())
+    val rawChars = page.agg(sum(length(col("text")))).head.getLong(0)
+    assert(L("chars_raw") == rawChars)
+    // NFC composes exactly ONE decomposed accent per doc: chars_nfc is
+    // chars_raw minus one char per document, exactly
+    assert(L("chars_nfc") == rawChars - L("n_docs"))
+    val normed = page.select(col("doc_id"), col("source"),
+      TextNormalize.normalizeText(col("text")).as("text"))
+    val c4 = TextAnalysis.scrubC4Lines(normed)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(L("chars_c4") == c4.agg(sum(length(col("text")))).head.getLong(0))
+    val srcOf = normed.select("doc_id", "source")
+    val bp = TextAnalysis.scrubBoilerplateLines(c4, minDf = 3)
+      .select(col("doc_id"), col("clean_text").as("text")).join(srcOf, Seq("doc_id"))
+    assert(L("chars_bp") == bp.agg(sum(length(col("text")))).head.getLong(0))
+    val ded = bp.join(Dedup.keepCanonical(bp.select("doc_id", "text")).select("doc_id"), Seq("doc_id"))
+    assert(L("docs_dedup") == ded.count())
+    val dc = Dedup.scrubContaminated(ded, col("source") === "src0", minLen = 30)
+      .select(col("doc_id"), col("clean_text").as("text")).join(srcOf, Seq("doc_id"))
+    assert(L("docs_decon") == dc.count())
+    assert(L("chars_decon") == dc.agg(sum(length(col("text")))).head.getLong(0))
+    val smp = TextAnalysis.sampleTokenBudget(dc, budgetTokens = 20000L)
+    assert(L("docs_sampled") == smp.count())
+    assert(L("tokens_sampled") == smp.agg(sum(col("doc_tokens"))).head.getLong(0))
+
+    // the planted behaviors, on the pipeline output itself
+    val out = PretrainCorpus.pipeline(docs).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // benchmark docs never reach the training output
+    assert(!out.values.exists(_._1 == "src0"))
+    // each planted dup pair keeps only its min id (7 survives, 8 never)
+    assert(!out.contains(8L) && !out.contains(58L), "pair max ids must dedup away")
+    // stage ladder is strictly live: every scrub removed characters
+    assert(L("chars_c4") < L("chars_nfc") && L("chars_bp") < L("chars_c4"))
+    assert(L("docs_dedup") < L("n_docs"))
+    // decon cut the leaked sentence from surviving leak docs: a doc with
+    // doc_id % 50 == 11 that survived everything is shorter than its
+    // pre-decon form (the leak line lost its >= 30-char verbatim core)
+    val preDecon = ded.filter(pmod(col("doc_id"), lit(50)) === 11)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val cut = out.collect { case (id, (_, n, _)) if preDecon.contains(id) => (id, preDecon(id) - n) }
+    assert(cut.nonEmpty && cut.forall(_._2 >= 30), s"leak spans must be cut: $cut")
+    // packing: bins are contiguous from 0 and n_bins matches max+1
+    val bins = out.values.map(_._3).toSet
+    assert(bins.min == 0L && L("n_bins") == bins.max + 1)
+  }
+
   test("url canonicalization: each rule on a hand-picked case") {
     import spark.implicits._
     val cases = Seq(
