@@ -2872,14 +2872,14 @@ object OracleSqlExt {
        |a5 AS (SELECT CAST(count(*) AS BIGINT) AS docs_dedup, CAST(sum(length(text)) AS BIGINT) AS chars_dedup FROM ded),
        |a6 AS (SELECT CAST(count(*) AS BIGINT) AS docs_decon, CAST(sum(length(text)) AS BIGINT) AS chars_decon FROM dc),
        |a7 AS (SELECT CAST(count(*) AS BIGINT) AS docs_sampled, CAST(sum(doc_tokens) AS BIGINT) AS tokens_sampled FROM smp),
-       |a8 AS (SELECT CAST(max((cum - n_chars) // $windowSize) + 1 AS BIGINT) AS n_bins FROM pk),
+       |a8 AS (SELECT COALESCE(CAST(max((cum - n_chars) // $windowSize) + 1 AS BIGINT), 0) AS n_bins FROM pk),
        |rep AS (
        |  SELECT * FROM a1 CROSS JOIN a2 CROSS JOIN a3 CROSS JOIN a4
        |  CROSS JOIN a5 CROSS JOIN a6 CROSS JOIN a7 CROSS JOIN a8
        |)
        |SELECT *,
-       |       round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) AS scrub_char_cut,
-       |       round(1.0 - CAST(docs_dedup AS DOUBLE) / n_docs, 6) AS dedup_doc_cut
+       |       CASE WHEN chars_raw > 0 THEN round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) END AS scrub_char_cut,
+       |       CASE WHEN n_docs > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / n_docs, 6) END AS dedup_doc_cut
        |FROM rep""".stripMargin
 
   /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with

@@ -83,6 +83,12 @@ object Multimodal {
     i = 2
     skipWs(); val w = parseInt()
     skipWs(); val h = parseInt()
+    // zero-dimension images satisfy every later length identity (0 == 0)
+    // but put the pixel-reading callers (phash/resample/frames) one index
+    // past the plane — reject here so a degenerate header routes to
+    // valid = false, never an ArrayIndexOutOfBoundsException that escapes
+    // the IllegalArgumentException-only catches and kills the task
+    if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
     skipWs(); val maxval = parseInt()
     if (i >= bytes.length || !isWs(bytes(i))) fail("missing header separator")
     i += 1

@@ -169,6 +169,13 @@ object PretrainCorpus {
       val v = m(stage).get(key)
       if (v == null) 0L else v.asInstanceOf[Number].longValue
     }
+    // `max_bin` over an EMPTY packed output observes null — that means 0
+    // bins, not bin 0 + 1: null-coercing through g() would fabricate
+    // n_bins = 1 on a corpus where every document died before packing
+    val nBins = {
+      val v = m("packed").get("max_bin")
+      if (v == null) 0L else v.asInstanceOf[Number].longValue + 1
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((g("input", "n"), g("input", "chars"), g("nfc", "chars"),
@@ -176,14 +183,19 @@ object PretrainCorpus {
         g("dedup", "n"), g("dedup", "chars"),
         g("decon", "n"), g("decon", "chars"),
         g("sample", "n"), g("sample", "tokens"),
-        g("packed", "max_bin") + 1))
+        nBins))
       .toDF("n_docs", "chars_raw", "chars_nfc", "chars_c4", "chars_bp",
         "docs_dedup", "chars_dedup", "docs_decon", "chars_decon",
         "docs_sampled", "tokens_sampled", "n_bins")
+      // ratio denominators guard the degenerate empty-input case
+      // explicitly (NULL, mirrored by the oracle's CASE) rather than
+      // relying on either engine's divide-by-zero convention
       .select(col("*"),
-        round(lit(1.0) - col("chars_bp").cast("double") / col("chars_raw"), 6)
-          .as("scrub_char_cut"),
-        round(lit(1.0) - col("docs_dedup").cast("double") / col("n_docs"), 6)
-          .as("dedup_doc_cut"))
+        when(col("chars_raw") > 0,
+          round(lit(1.0) - col("chars_bp").cast("double") / col("chars_raw"), 6))
+          .otherwise(lit(null).cast("double")).as("scrub_char_cut"),
+        when(col("n_docs") > 0,
+          round(lit(1.0) - col("docs_dedup").cast("double") / col("n_docs"), 6))
+          .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
   }
 }

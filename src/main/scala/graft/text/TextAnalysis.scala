@@ -747,7 +747,7 @@ object TextAnalysis {
     val bg = knBigrams(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = lmScoreKnOver(bg, pruned, discount)
-    bg.groupBy("doc_id").agg(count(lit(1)).as("n_total_bigrams"))
+    val out = bg.groupBy("doc_id").agg(count(lit(1)).as("n_total_bigrams"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -755,6 +755,13 @@ object TextAnalysis {
         round(coalesce(col("n_bigrams"), lit(0L)).cast("double") /
           col("n_total_bigrams"), 6).as("coverage"),
         col("avg_logprob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (doc-count-sized) result, release the bigram-stream
+    // cache so repeated registry/bench invocations don't accumulate it;
+    // the caller owns the returned result's cache (the simhashPairs trade)
+    out.count()
+    bg.unpersist()
+    out
   }
 
   /** CCNet-style perplexity bucketing: split the corpus into head /

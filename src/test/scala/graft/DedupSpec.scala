@@ -136,6 +136,14 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"banded pairs must equal all-pairs truth: got=$got expected=$expected")
     // malformed payloads route to valid=false (never pair, never throw)
     assert(!graft.multimodal.Multimodal.phashPpm(9L, Array[Byte]('P', '5'), 10, 6).valid)
+    // zero-dimension header: the plane-length identity holds (0 == 0) but
+    // any pixel read would be out of bounds — must route to valid=false,
+    // not an ArrayIndexOutOfBoundsException escaping the catch
+    val zeroDim = "P6 0 0 255\n".getBytes("US-ASCII")
+    assert(!graft.multimodal.Multimodal.phashPpm(9L, zeroDim, 10, 6).valid)
+    assert(!graft.multimodal.Multimodal.parsePpm(9L, zeroDim).valid)
+    assert(!graft.multimodal.Multimodal.resamplePpm(9L, zeroDim, 3, 2).valid)
+    assert(!graft.multimodal.Multimodal.framesPpm(9L, zeroDim, 2).next().valid)
   }
 
   test("connected components merge chains transitively") {

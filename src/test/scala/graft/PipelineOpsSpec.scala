@@ -65,6 +65,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bins.min == 0L && L("n_bins") == bins.max + 1)
   }
 
+  test("pretrain report: a corpus whose every doc dies pre-packing reports 0 bins") {
+    import graft.pipelines.PretrainCorpus
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    // budgetTokens = 1 starves the sampler (every per-source allocation
+    // is <= 1 token, below any document's own token count, so the
+    // running-sum prefix admits nothing): every document survives the
+    // scrubs but none reaches packing, so the packed max_bin observation
+    // is null — which means 0 bins, never the fabricated 1 of null+1
+    val rep = PretrainCorpus.report(docs, budgetTokens = 1L).collect().head
+    val r = rep.getValuesMap[Any](rep.schema.fieldNames)
+    assert(r("docs_sampled") == 0L && r("tokens_sampled") == 0L)
+    assert(r("n_bins") == 0L, s"empty packed output must report 0 bins: $r")
+    // the non-degenerate ratios still compute (chars_raw > 0 here)
+    assert(r("scrub_char_cut") != null && r("dedup_doc_cut") != null)
+    // and the pipeline output itself is empty, consistent with the report
+    assert(PretrainCorpus.pipeline(docs, budgetTokens = 1L).count() == 0L)
+  }
+
   test("url canonicalization: each rule on a hand-picked case") {
     import spark.implicits._
     val cases = Seq(
