@@ -736,6 +736,45 @@ object OracleSqlExt {
        |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
        |WHERE bit_count(xor(l.phash, r.phash)) <= $maxHamming""".stripMargin
 
+  /** Frame-energy audio fingerprint near-dup pairs (mirrors
+    * [[graft.dedup.Dedup.audioFingerprintPairs]]): re-derive the 8-bit PCM
+    * plane from the generator's inputs (the Spark side parses the RIFF
+    * payload bytes), sum 61 nearest-neighbor frames, set bit k on the
+    * sign of the energy delta between frames 37·(k+1) mod 61 and
+    * 37·k mod 61 (the permuted schedule — see the engine scaladoc for the
+    * measured adjacent-delta collapse it avoids), then the same 4×15-bit
+    * band join + exact bit_count verify as [[simhashPairsSql]]. */
+  def audioFingerprintPairsSql(maxHamming: Int): String =
+    s"""WITH pb AS (
+       |  SELECT doc_id,
+       |         CAST((doc_id % 41 + 4) * 2 AS INTEGER) AS dl,
+       |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
+       |              CAST((doc_id % 41 + 4) * 2 AS INTEGER), 'x') AS pcm
+       |  FROM documents
+       |),
+       |en AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 61), i ->
+       |      list_sum(list_transform(range(i * dl // 61, greatest((i + 1) * dl // 61, i * dl // 61 + 1)),
+       |        j -> unicode(substr(pcm, CAST(j + 1 AS INT), 1))))) AS e
+       |  FROM pb
+       |),
+       |afp0 AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 60), k ->
+       |      CASE WHEN e[CAST(((k + 1) * 37) % 61 + 1 AS INT)] > e[CAST((k * 37) % 61 + 1 AS INT)]
+       |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS afp
+       |  FROM en
+       |),
+       |banded AS (
+       |  SELECT doc_id, afp, band, (afp >> (15 * band)) % 32768 AS bits
+       |  FROM afp0, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |       CAST(bit_count(xor(l.afp, r.afp)) AS BIGINT) AS hamming
+       |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.afp, r.afp)) <= $maxHamming""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** Left-to-right dot product over 64 dims (mirrors zip_with+aggregate). */

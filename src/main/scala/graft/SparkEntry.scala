@@ -79,6 +79,22 @@ object SparkEntry {
       dir
     })
 
+  /** Perceptual image-phash index (full corpus / even half) — same
+    * build-once lifecycle and shutdown-cleaned root. */
+  private def imagePhashIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#phash", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#phash")).toString
+      graft.dedup.Dedup.writeImagePhashIndex(Collocations.documents(s, d), dir)
+      dir
+    })
+  private def imagePhashIndexDirHalf(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#phash-even", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#phash-even")).toString
+      graft.dedup.Dedup.writeImagePhashIndex(
+        Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
+      dir
+    })
+
   /** Substring-anchor index (full corpus / even half) — same
     * build-once lifecycle and shutdown-cleaned root. */
   private def substringIndexDir(s: SparkSession, d: String): String =
@@ -164,6 +180,8 @@ object SparkEntry {
     winnowIndexDirHalf(spark, sfDir)
     substringIndexDir(spark, sfDir)
     substringIndexDirHalf(spark, sfDir)
+    imagePhashIndexDir(spark, sfDir)
+    imagePhashIndexDirHalf(spark, sfDir)
     benchAnchorIndexDir(spark, sfDir)
     bpeModelDir(spark, sfDir)
     unigramModelDir(spark, sfDir)
@@ -2290,6 +2308,42 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.imagePhashPairs(Collocations.documents(s, d), maxHamming = 3),
       Some(OracleSqlExt.imagePhashPairsSql(3))),
+
+    // build-once/serve-many for the image modality: pairs served from
+    // the persisted (doc_id, phash) table alone — the serve plan never
+    // re-decodes the corpus (pinned in DedupSpec); same oracle as the
+    // direct path
+    ("dedup_image_indexed",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.imagePhashPairsFrom(
+          s.read.parquet(s"${imagePhashIndexDir(s, d)}/image_phash"), maxHamming = 3),
+      Some(OracleSqlExt.imagePhashPairsSql(3))),
+
+    // incremental ingest: the persisted index covers the even-doc_id
+    // half; odd-half hashes union on top WITHOUT re-decoding the old
+    // corpus (the dHash is a pure per-doc function of the payload
+    // bytes), and the SAME full-corpus oracle proves ingest-equals-rebuild
+    ("dedup_image_incremental",
+      (s: SparkSession, d: String) => {
+        val idx = s.read.parquet(s"${imagePhashIndexDirHalf(s, d)}/image_phash")
+        val fresh = graft.multimodal.Multimodal.imagePhash(
+            Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1)).toDF()
+          .filter(col("valid")).select(col("doc_id"), col("phash"))
+        graft.dedup.Dedup.imagePhashPairsFrom(idx.unionByName(fresh), maxHamming = 3)
+      },
+      Some(OracleSqlExt.imagePhashPairsSql(3))),
+
+    // perceptual AUDIO dedup — the second non-text modality, closing the
+    // family: frame-energy fingerprint over the decoded RIFF/WAVE PCM
+    // bytes (61 nearest-neighbor frames, sign-of-delta bits under the
+    // fixed 37·k mod 61 comparison schedule — adjacent deltas tie
+    // structurally on short payloads and collapse unrelated fingerprints,
+    // measured 105,739 vs 403 pairs at sf0.1), then the same 4x15-bit
+    // pigeonhole band join as the simhash/phash pairs
+    ("dedup_audio_fingerprint",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.audioFingerprintPairs(Collocations.documents(s, d), maxHamming = 3),
+      Some(OracleSqlExt.audioFingerprintPairsSql(3))),
 
     // NOTE: the all-pairs `closestEmbeddingPairs` baseline is deliberately
     // NOT a registry query — its O(n²) BroadcastNestedLoop plan must never

@@ -803,11 +803,51 @@ object Dedup {
     * shuffle) feeds the same 4×15-bit pigeonhole band join the simhash
     * pairing proved — never an all-pairs compare. Invalid payloads drop
     * before pairing (a malformed image is nobody's duplicate). */
-  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = graft.multimodal.Multimodal.imagePhash(docs).toDF()
-      .filter(col("valid")).select(col("doc_id"), col("phash"))
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    imagePhashPairsFrom(
+      graft.multimodal.Multimodal.imagePhash(docs).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("phash")),
+      maxHamming)
+
+  /** [[imagePhashPairs]] served from a persisted (doc_id, phash) table —
+    * the serve plan never decodes the corpus. */
+  def imagePhashPairsFrom(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fpc = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandedHammingPairs(fpc, "phash", maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandedHammingPairs(fp, "phash", maxHamming)
+    out.count()
+    fpc.unpersist()
+    out
+  }
+
+  /** Build-once perceptual-image index: the (doc_id, phash) table
+    * persisted as parquet. The dHash is a pure per-document function of
+    * the payload bytes (decode → resample → sign bits, no cross-document
+    * term), so fresh shards UNION onto the index without re-decoding the
+    * existing corpus — the same incremental-ingest contract as the
+    * minhash/winnow/substring indexes. Staged publish via
+    * [[graft.sources.Sinks.publishSwap]]. */
+  def writeImagePhashIndex(docs: DataFrame, dir: String): Unit =
+    graft.sources.Sinks.publishSwap(s"$dir/image_phash") { staging =>
+      graft.multimodal.Multimodal.imagePhash(docs).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("phash"))
+        .write.mode("overwrite").parquet(staging)
+    }
+
+  /** Perceptual near-duplicate AUDIO pairs (a < b) within `maxHamming`
+    * fingerprint bit flips — the second non-text modality, closing the
+    * family: two re-encodes of the same clip differ in bytes but not in
+    * frame-energy STRUCTURE. Pure composition of shipped parts: the
+    * partition-parallel decode → frame-energy → permuted sign-delta of
+    * [[graft.multimodal.Multimodal.audioFingerprint]] (narrow map, zero
+    * shuffle) feeds the same 4×15-bit pigeonhole band join as the
+    * simhash/phash pairings — never an all-pairs compare. Invalid
+    * payloads drop before pairing. */
+  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = graft.multimodal.Multimodal.audioFingerprint(docs).toDF()
+      .filter(col("valid")).select(col("doc_id"), col("afp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandedHammingPairs(fp, "afp", maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     fp.unpersist()

@@ -146,6 +146,76 @@ class DedupSpec extends SparkSpec {
     assert(!graft.multimodal.Multimodal.framesPpm(9L, zeroDim, 2).next().valid)
   }
 
+  test("image phash index serves identical pairs; incremental equals rebuild; no decode in serve plan") {
+    import spark.implicits._
+    val base = "brightness ramp 0123456789 abcdefghijklmnop"
+    val imgs = Seq(
+      (1L, base),
+      (16L, base + " trailing bytes beyond the pixel plane differ"),
+      (31L, base.updated(5, 'Z')),
+      (4L, "completely different pixel content ZZZZ!!!! 00000 @@@@"),
+      (2L, "some other even-id filler document content here")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val direct = Dedup.imagePhashPairs(imgs, maxHamming = 3).collect().map(key).toSet
+    assert(direct.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash-spec").toString
+    Dedup.writeImagePhashIndex(imgs, dir)
+    val idx = spark.read.parquet(s"$dir/image_phash")
+    val served = Dedup.imagePhashPairsFrom(idx, maxHamming = 3).collect().map(key).toSet
+    assert(served == direct, "index serve must equal the direct path")
+    // serve plan reads ONLY the index parquet — never re-decodes payloads
+    val p = Dedup.imagePhashPairsFrom(idx, maxHamming = 3).queryExecution.executedPlan.toString
+    assert(p.contains("graft-phash-spec"), s"serve plan must scan the index:\n$p")
+    assert(!p.toLowerCase.contains("mappartitions") && !p.contains("SerializeFromObject"),
+      s"serve plan must not re-run the payload decode:\n$p")
+    // incremental: even-half index + fresh odd-half hashes = full rebuild
+    val evenDir = java.nio.file.Files.createTempDirectory("graft-phash-even").toString
+    Dedup.writeImagePhashIndex(imgs.filter(pmod(col("doc_id"), lit(2L)) === 0), evenDir)
+    val merged = spark.read.parquet(s"$evenDir/image_phash").unionByName(
+      graft.multimodal.Multimodal.imagePhash(
+          imgs.filter(pmod(col("doc_id"), lit(2L)) === 1)).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("phash")))
+    val incr = Dedup.imagePhashPairsFrom(merged, maxHamming = 3).collect().map(key).toSet
+    assert(incr == direct, "incremental ingest must equal the from-scratch rebuild")
+  }
+
+  test("audio fingerprint: banded pairs equal all-pairs truth; re-encode robustness; invalid payloads drop") {
+    import spark.implicits._
+    // doc_ids 37/78 are congruent mod 41 -> identical 82-byte PCM planes
+    // up to content; 78 perturbs ONE byte of 37's plane (a re-encode-
+    // style local change: >= 61 frames over 82 bytes put that byte in
+    // exactly one frame, which feeds exactly two permuted comparisons,
+    // so hamming <= 2); 119 (also ≡ 37 mod 41) rewrites half the plane
+    val base = "low low low HIGH low low LOUD quiet quiet loud LOUD soft mid mid soft peak dip a"
+    val wavs = Seq(
+      (37L, base),
+      (78L, base.updated(20, 'Q')),
+      (119L, base.take(40) + "ZZZZ!!!! completely different tail @@@ ###"),
+      (4L, "another unrelated clip with its own energy profile entirely x")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val fp = graft.multimodal.Multimodal.audioFingerprint(wavs).collect()
+      .map(w => w.doc_id -> w.afp).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(37L), fp(78L)) <= 2,
+      s"one perturbed PCM byte flips at most its frame's two comparisons: ${ham(fp(37L), fp(78L))}")
+    assert(ham(fp(37L), fp(119L)) > 3, "a half-rewritten plane is no near-dup")
+    // pigeonhole: the banded join surfaces EXACTLY the all-pairs <= 3 truth
+    val ids = fp.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      h = ham(fp(a), fp(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(expected.contains((37L, 78L)))
+    val got = Dedup.audioFingerprintPairs(wavs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"banded pairs must equal all-pairs truth: got=$got expected=$expected")
+    // malformed payloads route to valid=false (never pair, never throw):
+    // truncated header, and a zero-length data chunk whose frame reads
+    // would otherwise run out of bounds
+    assert(!graft.multimodal.Multimodal.audioFpWav(9L, Array[Byte]('R', 'I')).valid)
+  }
+
   test("connected components merge chains transitively") {
     import spark.implicits._
     // chain 1-2-3, pair 7-9, chain 4-5-6-8
