@@ -3159,6 +3159,82 @@ object OracleSqlExt {
        |       sc.avg_logprob
        |FROM tot t LEFT JOIN sc ON t.doc_id = sc.doc_id""".stripMargin
 
+  /** Shared trigram-KN statistics CTE chain (no leading WITH): the
+    * occurrence stream `tg`, the type table `tgc` (optionally
+    * count-pruned), and the five vocabulary-bounded statistics tables of
+    * [[graft.text.TextAnalysis.lmScoreKn3Over]]. */
+  private def kn3Ctes(havingMin: Option[Long]): String = {
+    val having = havingMin.map(m => s"\n        HAVING count(*) >= $m").getOrElse("")
+    s"""${OracleSql.toksCte},
+       |tg AS (
+       |  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2, c.w AS w3
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+       |),
+       |tgc AS (SELECT lang, w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+       |        FROM tg GROUP BY lang, w1, w2, w3$having),
+       |ctx12 AS (SELECT lang, w1, w2, CAST(sum(c123) AS BIGINT) AS ctx, CAST(count(*) AS BIGINT) AS n1f12
+       |          FROM tgc GROUP BY lang, w1, w2),
+       |cont23 AS (SELECT lang, w2, w3, CAST(count(*) AS BIGINT) AS n1r23 FROM tgc GROUP BY lang, w2, w3),
+       |mid2 AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS m2, CAST(count(DISTINCT w3) AS BIGINT) AS n1f2
+       |         FROM tgc GROUP BY lang, w2),
+       |cw3 AS (SELECT lang, w3, CAST(count(DISTINCT w2) AS BIGINT) AS n1r3 FROM tgc GROUP BY lang, w3),
+       |all23 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n1a
+       |          FROM (SELECT DISTINCT lang, w2, w3 FROM tgc) GROUP BY lang)""".stripMargin
+  }
+
+  /** The KN3 per-occurrence log-probability expression — one fixed
+    * operation order, identical to the engine's Column tree. */
+  private def kn3LpSql(discount: Double): String =
+    s"""ln(
+       |           (CAST(c123 AS DOUBLE) - $discount) / CAST(ctx AS DOUBLE)
+       |           + $discount * CAST(n1f12 AS DOUBLE) / CAST(ctx AS DOUBLE)
+       |             * ((CAST(n1r23 AS DOUBLE) - $discount) / CAST(m2 AS DOUBLE)
+       |               + $discount * CAST(n1f2 AS DOUBLE) / CAST(m2 AS DOUBLE)
+       |                 * (CAST(n1r3 AS DOUBLE) / CAST(n1a AS DOUBLE)))
+       |         )""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.lmScoreKn3]]: the same exact
+    * integer order-3 KN statistics (all read off the trigram-type table),
+    * the probability expression in the same fixed operation order,
+    * per-term DECIMAL(28,18) ln casts. */
+  def lmScoreKn3Sql(discount: Double): String =
+    s"""WITH ${kn3Ctes(None)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       round(CAST(sum(CAST(${kn3LpSql(discount)} AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6) AS avg_logprob
+       |FROM tg
+       |JOIN tgc USING (lang, w1, w2, w3)
+       |JOIN ctx12 USING (lang, w1, w2)
+       |JOIN cont23 USING (lang, w2, w3)
+       |JOIN mid2 USING (lang, w2)
+       |JOIN cw3 USING (lang, w3)
+       |JOIN all23 USING (lang)
+       |GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[graft.text.TextAnalysis.lmScoreKn3Pruned]]: rebuild on
+    * the count-pruned type table, coverage reported per ≥3-token doc. */
+  def lmScoreKn3PrunedSql(minCount: Long, discount: Double): String =
+    s"""WITH ${kn3Ctes(Some(minCount))},
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total_trigrams FROM tg GROUP BY doc_id),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |         round(CAST(sum(CAST(${kn3LpSql(discount)} AS DECIMAL(28,18))) AS DOUBLE) / count(*), 6) AS avg_logprob
+       |  FROM tg
+       |  JOIN tgc USING (lang, w1, w2, w3)
+       |  JOIN ctx12 USING (lang, w1, w2)
+       |  JOIN cont23 USING (lang, w2, w3)
+       |  JOIN mid2 USING (lang, w2)
+       |  JOIN cw3 USING (lang, w3)
+       |  JOIN all23 USING (lang)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |       t.n_total_trigrams,
+       |       round(CAST(COALESCE(sc.n_trigrams, 0) AS DOUBLE) / t.n_total_trigrams, 6) AS coverage,
+       |       sc.avg_logprob
+       |FROM tot t LEFT JOIN sc ON t.doc_id = sc.doc_id""".stripMargin
+
   /** TF-IDF mirror of [[graft.text.TextAnalysis.tfidf]]. */
   val tfidfSql: String =
     s"""WITH ${OracleSql.toksCte},

@@ -150,6 +150,15 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted trigram KN model (the order-3 type TABLE — joined
+    * distributively at serve time) — same lifecycle and cleaned root. */
+  private def kn3ModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#kn3lm", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#kn3lm")).toString
+      graft.text.TextAnalysis.writeKn3Model(Collocations.documents(s, d), dir)
+      dir
+    })
+
   /** Persisted PCA component model — same lifecycle and cleaned root. */
   private def pcaModelDir(s: SparkSession, d: String): String =
     dedupIndexDirs.getOrElseUpdate(d + "#pca", {
@@ -186,6 +195,7 @@ object SparkEntry {
     bpeModelDir(spark, sfDir)
     unigramModelDir(spark, sfDir)
     knModelDir(spark, sfDir)
+    kn3ModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
     pcaModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
@@ -1688,6 +1698,24 @@ object SparkEntry {
         graft.text.TextAnalysis.lmScoreKnPruned(
           Collocations.documents(s, d), knModelDir(s, d), minCount = 2),
       Some(OracleSqlExt.lmScoreKnPrunedSql(2, 0.75))),
+
+    // the order-3 KN form a KenLM-shape deployment serves: interpolated
+    // trigram probabilities backing off through continuation statistics
+    // all read off ONE trigram-type table — exact integer stats, fixed
+    // operation order, per-term DECIMAL(28,18) ln casts
+    ("text_lm_kn3_score",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScoreKn3(Collocations.documents(s, d)),
+      Some(OracleSqlExt.lmScoreKn3Sql(0.75))),
+
+    // its count-pruned persisted-model serve twin: rebuild-on-the-pruned-
+    // table semantics, coverage REPORTED per >=3-token doc (never a
+    // silently fluent score over 3% of a doc's trigrams)
+    ("text_lm_kn3_pruned",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScoreKn3Pruned(
+          Collocations.documents(s, d), kn3ModelDir(s, d), minCount = 2),
+      Some(OracleSqlExt.lmScoreKn3PrunedSql(2, 0.75))),
 
     // CCNet-style head/middle/tail perplexity terciles over the LM score
     // — dynamic corpus-own thresholds, single-row broadcast, round-6

@@ -52,4 +52,16 @@ object Normalize {
       transform(sequence(lit(1), n - 1),
         i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
   }
+
+  /** Adjacent-triple (trigram) generation from a cleaned token array —
+    * the order-3 sibling of [[bigramsCol]], same array-local shape (zero
+    * shuffle). Returns NULL for arrays with <3 tokens; `explode` skips
+    * NULL, so only docs with at least one full trigram contribute. */
+  def trigramsCol(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 3,
+      transform(sequence(lit(1), n - 2),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+  }
 }

@@ -764,6 +764,129 @@ object TextAnalysis {
     out
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM LM scoring — the order-3 form a
+    * KenLM-shape deployment actually serves (bigram KN is the teaching
+    * case; production perplexity filters back off through ≥3 orders).
+    * Every statistic derives from the one trigram-TYPE table
+    * t(lang, w1, w2, w3, c123) — the same single-artifact model contract
+    * as the bigram LM, so persisting that table persists the LM:
+    *
+    *   P(w3|w1w2) = (c123 − D)/ctx(w1w2)
+    *              + D·N1+(w1w2·)/ctx(w1w2) · Pc(w3|w2)
+    *   Pc(w3|w2)  = (N1+(·w2w3) − D)/N1+(·w2·)
+    *              + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/N1+(··)
+    *
+    * with the lower-order (continuation) statistics read off the trigram
+    * types: N1+(·w2w3) = distinct w1 per (w2,w3); N1+(·w2·) = distinct
+    * (w1,w3) per w2; N1+(w2·) = distinct w3 per w2; N1+(·w3) = distinct
+    * w2 per w3; N1+(··) = distinct (w2,w3) types — the model is defined
+    * entirely over interior trigram positions, self-consistently on both
+    * engines. Only SEEN trigrams score (the occurrence join), so every
+    * numerator is ≥ 1 > D and the log argument is positive. Cross-engine
+    * determinism is [[lmScoreKn]]'s recipe: exact integer statistics, one
+    * fixed operation order, DECIMAL(28,18) per-term ln casts. */
+  def lmScoreKn3(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val tg = knTrigrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgc = tg.groupBy("lang", "w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = lmScoreKn3Over(tg, tgc, discount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tg.unpersist(); tgc.unpersist()
+    out
+  }
+
+  /** The per-occurrence trigram stream of `docs` — feeds both KN3 model
+    * training ([[writeKn3Model]]) and scoring. */
+  private def knTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), Normalize.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), explode(Normalize.trigramsCol(col("toks"))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+
+  /** The interpolated-KN3 scoring algebra over an occurrence stream `tg`
+    * and a trigram-TYPE table `tgc` — shared verbatim by the
+    * train-and-score path and the persisted-model serve paths, so
+    * serve-equals-rebuild stays algebraic. All five statistics tables are
+    * vocabulary-bounded aggregates of `tgc`. */
+  private def lmScoreKn3Over(tg: DataFrame, tgc: DataFrame,
+                             discount: Double): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1) required: $discount")
+    val ctx12 = tgc.groupBy("lang", "w1", "w2")
+      .agg(sum(col("c123")).as("ctx"), count(lit(1)).as("n1f12"))
+    val cont23 = tgc.groupBy("lang", "w2", "w3").agg(count(lit(1)).as("n1r23"))
+    val mid2 = tgc.groupBy("lang", "w2")
+      .agg(count(lit(1)).as("m2"), countDistinct(col("w3")).as("n1f2"))
+    val cw3 = tgc.groupBy("lang", "w3").agg(countDistinct(col("w2")).as("n1r3"))
+    val all23 = tgc.select("lang", "w2", "w3").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n1a"))
+    val d = lit(discount)
+    tg.join(tgc, Seq("lang", "w1", "w2", "w3"))
+      .join(ctx12, Seq("lang", "w1", "w2"))
+      .join(cont23, Seq("lang", "w2", "w3"))
+      .join(mid2, Seq("lang", "w2"))
+      .join(cw3, Seq("lang", "w3"))
+      .join(broadcast(all23), Seq("lang"))
+      .withColumn("lp",
+        log((col("c123").cast("double") - d) / col("ctx").cast("double")
+          + d * col("n1f12").cast("double") / col("ctx").cast("double")
+            * ((col("n1r23").cast("double") - d) / col("m2").cast("double")
+              + d * col("n1f2").cast("double") / col("m2").cast("double")
+                * (col("n1r3").cast("double") / col("n1a").cast("double"))))
+          .cast("decimal(28,18)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Persist the trigram KN model under `dir` — the single
+    * (lang, w1, w2, w3, c123) TYPE table, joined distributively at serve
+    * time like the bigram model ([[writeKnModel]]). Staged publish via
+    * [[graft.sources.Sinks.publishSwap]]. */
+  def writeKn3Model(docs: DataFrame, dir: String): Unit =
+    graft.sources.Sinks.publishSwap(dir) { staging =>
+      knTrigrams(docs).groupBy("lang", "w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        .write.mode("overwrite").parquet(staging)
+    }
+
+  /** Score `docs` against the trigram KN model persisted at `modelDir` —
+    * the serve path: the training corpus is never touched. Same algebra,
+    * same oracle, as [[lmScoreKn3]]. */
+  def lmScoreKn3With(docs: DataFrame, modelDir: String,
+                     discount: Double = 0.75): DataFrame =
+    lmScoreKn3Over(knTrigrams(docs),
+      docs.sparkSession.read.parquet(modelDir), discount)
+
+  /** Score against a COUNT-PRUNED persisted trigram KN model — the
+    * KenLM prune-before-ship deployment at order 3, with
+    * [[lmScoreKnPruned]]'s contract verbatim: rebuild-on-the-pruned-table
+    * semantics (every statistic re-derives from the surviving rows) and
+    * the coverage drop REPORTED, never silent — every ≥3-token doc keeps
+    * its row with n_trigrams scored / total / ratio and a NULL
+    * avg_logprob when nothing survives. */
+  def lmScoreKn3Pruned(docs: DataFrame, modelDir: String, minCount: Long = 2,
+                       discount: Double = 0.75): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val pruned = docs.sparkSession.read.parquet(modelDir)
+      .filter(col("c123") >= minCount)
+    val tg = knTrigrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = lmScoreKn3Over(tg, pruned, discount)
+    val out = tg.groupBy("doc_id").agg(count(lit(1)).as("n_total_trigrams"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("n_total_trigrams"),
+        round(coalesce(col("n_trigrams"), lit(0L)).cast("double") /
+          col("n_total_trigrams"), 6).as("coverage"),
+        col("avg_logprob"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tg.unpersist()
+    out
+  }
+
   /** CCNet-style perplexity bucketing: split the corpus into head /
     * middle / tail terciles of the language-model score ([[lmScore]]'s
     * mean bigram log-prob — higher = more fluent = lower perplexity),

@@ -917,6 +917,60 @@ class TextAndAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("trigram kneser-ney: hand-computed probabilities, backoff chain, pruned coverage") {
+    import spark.implicits._
+    // trigram types: (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    val docs = Seq(
+      (1L, "a b c a b c", "en"),
+      (2L, "a b d", "en"),
+      (3L, "x y", "en")) // <3 tokens: no trigram, excluded
+      .toDF("doc_id", "text", "lang")
+    val D = 0.75
+    // stats read off the type table:
+    //   ctx(a,b)=3 n1f12(a,b)=2; ctx(b,c)=ctx(c,a)=1, n1f12=1
+    //   cont23: every (w2,w3) type has exactly 1 distinct predecessor
+    //   m2(b)=2 n1f2(b)=2; m2(c)=m2(a)=1, n1f2=1
+    //   n1r3 = 1 for every w3; n1a = 4 distinct (w2,w3) types
+    def pc(n1r23: Double, m2: Double, n1f2: Double, n1r3: Double) =
+      (n1r23 - D) / m2 + D * n1f2 / m2 * (n1r3 / 4.0)
+    val pABC = (2 - D) / 3 + D * 2 / 3 * pc(1, 2, 2, 1)
+    val pBCA = (1 - D) / 1 + D * 1 / 1 * pc(1, 1, 1, 1)
+    val pCAB = (1 - D) / 1 + D * 1 / 1 * pc(1, 1, 1, 1)
+    val pABD = (1 - D) / 3 + D * 2 / 3 * pc(1, 2, 2, 1)
+    val r = TextAnalysis.lmScoreKn3(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(!r.contains(3L))
+    val exp1 = (2 * math.log(pABC) + math.log(pBCA) + math.log(pCAB)) / 4
+    assert(r(1L)._1 == 4L && math.abs(r(1L)._2 - exp1) < 1e-6, s"${r(1L)} vs $exp1")
+    assert(r(2L)._1 == 1L && math.abs(r(2L)._2 - math.log(pABD)) < 1e-6)
+    // the rarer continuation scores lower
+    assert(r(2L)._2 < r(1L)._2)
+
+    // persisted-model round-trip + disjoint shard uses only seen trigrams
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn3")
+    TextAnalysis.writeKn3Model(docs, dir.toString)
+    val served = TextAnalysis.lmScoreKn3With(docs, dir.toString).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(served == r, "serve path must equal the train-and-score path")
+    val shard = Seq((9L, "a b c zz", "en")).toDF("doc_id", "text", "lang")
+    val s9 = TextAnalysis.lmScoreKn3With(shard, dir.toString).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // (a,b,c) seen, (b,c,zz) unseen -> 1 scored trigram at p(c|a,b)
+    assert(s9(9L)._1 == 1L && math.abs(s9(9L)._2 - math.log(pABC)) < 1e-6)
+
+    // COUNT-PRUNED serve (minCount=2 keeps only (a,b,c)): statistics
+    // re-derive from the lone survivor — ctx(a,b)=2, n1f12=1, every
+    // continuation stat 1, n1a=1 — so p'(c|a,b) = 0.625 + 0.375 = 1.0
+    // exactly; coverage is REPORTED (doc 1: 2/4, doc 2: 0/1 with NULL)
+    val pr = TextAnalysis.lmScoreKn3Pruned(docs, dir.toString, minCount = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    assert(pr(1L)._1 == 2L && pr(1L)._2 == 4L && pr(1L)._3 == 0.5)
+    assert(math.abs(pr(1L)._4.get - 0.0) < 1e-6, s"ln(1.0) trigrams: ${pr(1L)}")
+    assert(pr(2L) == ((0L, 1L, 0.0, None)), s"all-pruned doc keeps its row: ${pr(2L)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("cluster cap: at most cap per cluster, rare clusters whole, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Ann.clusterCapSample(emb, cap = 5, nCells = 4).collect()
