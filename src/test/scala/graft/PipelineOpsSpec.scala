@@ -65,6 +65,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bins.min == 0L && L("n_bins") == bins.max + 1)
   }
 
+  test("pretrain v2: PII + trained gate compose between the scrubs and dedup, plants fire") {
+    import graft.pipelines.PretrainCorpus
+    import graft.text.{QualityClassifier, TextAnalysis}
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    // train the same model the registry gate uses (trainMod=4 slice)
+    val feats = QualityClassifier.features(docs)
+    val w = QualityClassifier.train(feats.filter(pmod(col("doc_id"), lit(4)) === 0))
+    val thr = 0.28
+    val rep = PretrainCorpus.reportV2(docs, w, thr).collect().head
+    val r = rep.getValuesMap[Any](rep.schema.fieldNames)
+    def L(k: String) = r(k).asInstanceOf[Long]
+    // the two inserted stages are LIVE: the PII scrub cut characters and
+    // the gate cut documents, in order, between bp and dedup
+    assert(L("chars_pii") < L("chars_bp"), s"PII scrub must be live: $r")
+    assert(L("docs_quality") < L("n_docs") && L("docs_quality") > 0, s"gate must cut a tail: $r")
+    // dedup stays LIVE after the gate (strictly fewer docs than its input)
+    assert(L("docs_dedup") < L("docs_quality") && L("docs_decon") <= L("docs_dedup"))
+    assert(L("n_bins") > 0 && L("docs_sampled") > 0)
+
+    // plants survive the new stages: pair max ids dedup away (the min may
+    // still be cut later by the token-budget sampler — v1 contract),
+    // benchmark docs bypass the gate and never ship
+    val out = PretrainCorpus.pipelineV2(docs, w, thr).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(!out.values.exists(_._1 == "src0"))
+    assert(!out.contains(8L) && !out.contains(58L), "pair max ids must dedup away")
+
+    // the PII stage semantics on the v2 page: a planted contact line
+    // (doc_id % 3 == 1, non-pair) scrubs to <EMAIL>/<NUM> and stays
+    // unique per doc via the letters token
+    import spark.implicits._
+    val probe = Seq((4L, "some body text here", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), TextAnalysis.scrub(PretrainCorpus.dirtyPageV2).as("t"))
+      .collect().head.getString(1)
+    assert(probe.contains("<EMAIL>") && probe.contains("<NUM>"), probe)
+    assert(probe.contains("Contact ue at"), s"letters token must survive the scrub: $probe")
+    assert(!probe.contains("user4@"), s"the raw email must be gone: $probe")
+  }
+
   test("pretrain report: a corpus whose every doc dies pre-packing reports 0 bins") {
     import graft.pipelines.PretrainCorpus
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
