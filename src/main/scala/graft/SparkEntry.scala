@@ -95,6 +95,22 @@ object SparkEntry {
       dir
     })
 
+  /** Audio-fingerprint index (full corpus / even half) — same
+    * build-once lifecycle and shutdown-cleaned root. */
+  private def audioFpIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#audiofp", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#audiofp")).toString
+      graft.dedup.Dedup.writeAudioFpIndex(Collocations.documents(s, d), dir)
+      dir
+    })
+  private def audioFpIndexDirHalf(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#audiofp-even", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#audiofp-even")).toString
+      graft.dedup.Dedup.writeAudioFpIndex(
+        Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
+      dir
+    })
+
   /** Substring-anchor index (full corpus / even half) — same
     * build-once lifecycle and shutdown-cleaned root. */
   private def substringIndexDir(s: SparkSession, d: String): String =
@@ -191,6 +207,8 @@ object SparkEntry {
     substringIndexDirHalf(spark, sfDir)
     imagePhashIndexDir(spark, sfDir)
     imagePhashIndexDirHalf(spark, sfDir)
+    audioFpIndexDir(spark, sfDir)
+    audioFpIndexDirHalf(spark, sfDir)
     benchAnchorIndexDir(spark, sfDir)
     bpeModelDir(spark, sfDir)
     unigramModelDir(spark, sfDir)
@@ -1729,6 +1747,15 @@ object SparkEntry {
         graft.text.TextAnalysis.lmScoreKn3(Collocations.documents(s, d)),
       Some(OracleSqlExt.lmScoreKn3Sql(0.75))),
 
+    // persisted-model serve twin: the training corpus is never touched,
+    // the incoming docs' trigram stream joins the persisted type table —
+    // the SAME oracle proves serve-equals-rebuild
+    ("text_lm_kn3_indexed",
+      (s: SparkSession, d: String) =>
+        graft.text.TextAnalysis.lmScoreKn3With(
+          Collocations.documents(s, d), kn3ModelDir(s, d)),
+      Some(OracleSqlExt.lmScoreKn3Sql(0.75))),
+
     // its count-pruned persisted-model serve twin: rebuild-on-the-pruned-
     // table semantics, coverage REPORTED per >=3-token doc (never a
     // silently fluent score over 3% of a doc's trigrams)
@@ -2392,6 +2419,25 @@ object SparkEntry {
     ("dedup_audio_fingerprint",
       (s: SparkSession, d: String) =>
         graft.dedup.Dedup.audioFingerprintPairs(Collocations.documents(s, d), maxHamming = 3),
+      Some(OracleSqlExt.audioFingerprintPairsSql(3))),
+
+    // build-once/serve-many + incremental ingest for the audio modality —
+    // the same lifecycle pair every other dedup family ships, same
+    // full-corpus oracle proving serve/ingest-equals-rebuild
+    ("dedup_audio_indexed",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.audioFingerprintPairsFrom(
+          s.read.parquet(s"${audioFpIndexDir(s, d)}/audio_fp"), maxHamming = 3),
+      Some(OracleSqlExt.audioFingerprintPairsSql(3))),
+
+    ("dedup_audio_incremental",
+      (s: SparkSession, d: String) => {
+        val idx = s.read.parquet(s"${audioFpIndexDirHalf(s, d)}/audio_fp")
+        val fresh = graft.multimodal.Multimodal.audioFingerprint(
+            Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1)).toDF()
+          .filter(col("valid")).select(col("doc_id"), col("afp"))
+        graft.dedup.Dedup.audioFingerprintPairsFrom(idx.unionByName(fresh), maxHamming = 3)
+      },
       Some(OracleSqlExt.audioFingerprintPairsSql(3))),
 
     // NOTE: the all-pairs `closestEmbeddingPairs` baseline is deliberately

@@ -843,16 +843,34 @@ object Dedup {
     * shuffle) feeds the same 4×15-bit pigeonhole band join as the
     * simhash/phash pairings — never an all-pairs compare. Invalid
     * payloads drop before pairing. */
-  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = graft.multimodal.Multimodal.audioFingerprint(docs).toDF()
-      .filter(col("valid")).select(col("doc_id"), col("afp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandedHammingPairs(fp, "afp", maxHamming)
+  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    audioFingerprintPairsFrom(
+      graft.multimodal.Multimodal.audioFingerprint(docs).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("afp")),
+      maxHamming)
+
+  /** [[audioFingerprintPairs]] served from a persisted (doc_id, afp)
+    * table — the serve plan never decodes the corpus. */
+  def audioFingerprintPairsFrom(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fpc = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandedHammingPairs(fpc, "afp", maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    fp.unpersist()
+    fpc.unpersist()
     out
   }
+
+  /** Build-once audio-fingerprint index — the [[writeImagePhashIndex]]
+    * lifecycle for the audio modality: the fingerprint is a pure
+    * per-document function of the payload bytes, so fresh shards UNION
+    * onto the index without re-decoding the existing corpus. Staged
+    * publish via [[graft.sources.Sinks.publishSwap]]. */
+  def writeAudioFpIndex(docs: DataFrame, dir: String): Unit =
+    graft.sources.Sinks.publishSwap(s"$dir/audio_fp") { staging =>
+      graft.multimodal.Multimodal.audioFingerprint(docs).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("afp"))
+        .write.mode("overwrite").parquet(staging)
+    }
 
   /** Connected components over the near-duplicate candidate graph —
     * iterative min-label propagation to a fixpoint. Greedy drop-the-larger

@@ -214,6 +214,29 @@ class DedupSpec extends SparkSpec {
     // truncated header, and a zero-length data chunk whose frame reads
     // would otherwise run out of bounds
     assert(!graft.multimodal.Multimodal.audioFpWav(9L, Array[Byte]('R', 'I')).valid)
+
+    // index lifecycle: serve-from-parquet equals the direct path and
+    // never re-decodes the corpus; even-half index + fresh odd-half
+    // fingerprints equal the full rebuild
+    val dir = java.nio.file.Files.createTempDirectory("graft-audiofp-spec").toString
+    Dedup.writeAudioFpIndex(wavs, dir)
+    val idx = spark.read.parquet(s"$dir/audio_fp")
+    val served = Dedup.audioFingerprintPairsFrom(idx, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(served == expected, "index serve must equal the direct path")
+    val p = Dedup.audioFingerprintPairsFrom(idx, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-audiofp-spec") && !p.toLowerCase.contains("mappartitions"),
+      s"serve plan must scan the index, not re-decode:\n$p")
+    val evenDir = java.nio.file.Files.createTempDirectory("graft-audiofp-even").toString
+    Dedup.writeAudioFpIndex(wavs.filter(pmod(col("doc_id"), lit(2L)) === 0), evenDir)
+    val merged = spark.read.parquet(s"$evenDir/audio_fp").unionByName(
+      graft.multimodal.Multimodal.audioFingerprint(
+          wavs.filter(pmod(col("doc_id"), lit(2L)) === 1)).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("afp")))
+    val incr = Dedup.audioFingerprintPairsFrom(merged, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(incr == expected, "incremental ingest must equal the from-scratch rebuild")
   }
 
   test("connected components merge chains transitively") {
