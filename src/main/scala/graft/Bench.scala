@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   *    killed run leaves a strictly-better estimator for the next one.
   *
   * Fingerprint: md5 of the optimized logical plan text normalized for
-  * every JVM-volatile token class (see [[fingerprintOf]]'s comment — the
+  * every JVM-volatile token class (see [[normalizePlan]] — the
   * canonicalized plan is NOT cross-JVM stable). Plans that hide their
   * upstream behind a checkpoint/RDD scan (`LogicalRDD`/`ExistingRDD` —
   * the composed pretrain pipelines) would be BLIND to upstream code
@@ -41,6 +41,56 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private case class Carried(fp: String, samples: Vector[Double], warm: Vector[Double])
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plan text normalized for every JVM-volatile token class — each
+    * class below was found by diffing full-registry optimized-plan dumps
+    * from two JVMs, iterating until zero diffs:
+    *  - expression ids (#123L), monotonic plan/codegen/AQE-stage ids,
+    *    object identity hashes, serialized lambda identities;
+    *  - filesystem paths (index/model roots are per-process temp dirs);
+    *  - distinct-aggregate gid assignment order (RewriteDistinctAggregates
+    *    iterates an identity-ordered expression set): gid-bearing lines
+    *    reduce to their sorted token multiset with digits neutralized;
+    *  - line order overall (sorted before hashing) — the same rewrite
+    *    also permutes projection lists.
+    * Sorting lines weakens structure sensitivity slightly; the failure
+    * mode (a stale carried timing) is self-healing because every run
+    * cold-samples every query and re-measures on med/min disagreement. */
+  private[graft] def normalizePlan(raw: String): String = {
+    val scrubbed = raw
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\$\\$+Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+      .replaceAll("QueryStage \\d+", "QueryStage x")
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
+      .replaceAll("@[0-9a-fA-F]{4,}", "@x")
+      .replaceAll("cte\\w*\\d+", "cteX")
+      .replaceAll("file:[^\\s,\\])}]+", "<path>")
+      .replaceAll("/[A-Za-z0-9_./-]*(tmp|testdata)[A-Za-z0-9_./-]*", "<path>")
+    scrubbed.split('\n').map { l0 =>
+      val l = l0.trim
+      if (l.contains("gid#"))
+        l.replaceAll("\\b\\d+\\b", "n").split("[\\s,\\[\\]()]+").sorted.mkString(" ")
+      else l
+    }.sorted.mkString("\n")
+  }
+
+  /** Cross-JVM-stable fingerprint of a query's optimized plan. Plans
+    * that hide their upstream behind a checkpoint/RDD scan would be
+    * blind to upstream code changes — `srcHash` (a hash of the source
+    * tree) folds into those. */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
+                                     srcHash: String): String = {
+    val raw = df.queryExecution.optimizedPlan.toString
+    val base = md5(normalizePlan(raw))
+    if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD"))
+      base + "+" + srcHash
+    else base
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,52 +146,8 @@ object Bench {
         }
       } catch { case _: Throwable => "nosrc" }
 
-    def md5(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-    // Fingerprint = md5 over the NORMALIZED optimized-plan text. The
-    // canonicalized plan is NOT cross-JVM stable (its commutative-operand
-    // ordering keys on identity hashCodes), so the raw plan is used with
-    // every JVM-volatile token class scrubbed — each class below was
-    // found by diffing full-registry plan dumps from two JVMs, iterating
-    // until zero diffs:
-    //  - expression ids (#123L), monotonic plan/codegen/AQE-stage ids,
-    //    object identity hashes, serialized lambda identities;
-    //  - filesystem paths (index/model roots are per-process temp dirs);
-    //  - distinct-aggregate gid assignment order (RewriteDistinctAggregates
-    //    iterates an identity-ordered expression set): gid-bearing lines
-    //    reduce to their sorted token multiset with digits neutralized;
-    //  - line order overall (sorted before hashing) — the same rewrite
-    //    also permutes projection lists.
-    // Sorting lines weakens structure sensitivity slightly; the failure
-    // mode (a stale carried timing) is self-healing because every run
-    // cold-samples every query and re-measures on med/min disagreement.
-    def fingerprintOf(df: org.apache.spark.sql.DataFrame): String = {
-      val raw = df.queryExecution.optimizedPlan.toString
-      val scrubbed = raw
-        .replaceAll("#\\d+L?", "#x")
-        .replaceAll("plan_id=\\d+", "plan_id=x")
-        .replaceAll("\\$\\$+Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
-        .replaceAll("QueryStage \\d+", "QueryStage x")
-        .replaceAll("\\*\\(\\d+\\)", "*(x)")
-        .replaceAll("@[0-9a-fA-F]{4,}", "@x")
-        .replaceAll("cte\\w*\\d+", "cteX")
-        .replaceAll("file:[^\\s,\\])}]+", "<path>")
-        .replaceAll("/[A-Za-z0-9_./-]*(tmp|testdata)[A-Za-z0-9_./-]*", "<path>")
-      val lines = scrubbed.split('\n').map { l0 =>
-        val l = l0.trim
-        if (l.contains("gid#"))
-          l.replaceAll("\\b\\d+\\b", "n").split("[\\s,\\[\\]()]+").sorted.mkString(" ")
-        else l
-      }.sorted
-      val base = md5(lines.mkString("\n"))
-      // plans that hide their upstream behind a checkpoint/RDD scan would
-      // be blind to upstream code changes — fold in the source-tree hash
-      if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD"))
-        base + "+" + srcHash
-      else base
-    }
+    def fingerprintOf(df: org.apache.spark.sql.DataFrame): String =
+      planFingerprint(df, srcHash)
 
     // ---------------------------------------------------------- state I/O
     val statePath = java.nio.file.Paths.get(
