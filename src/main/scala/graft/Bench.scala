@@ -79,15 +79,23 @@ object Bench {
     }.sorted.mkString("\n")
   }
 
-  /** Cross-JVM-stable fingerprint of a query's optimized plan. Plans
-    * that hide their upstream behind a checkpoint/RDD scan would be
-    * blind to upstream code changes — `srcHash` (a hash of the source
-    * tree) folds into those. */
+  /** Cross-JVM-stable fingerprint of a query's optimized plan. Two plan
+    * shapes are BLIND to upstream code changes and fold in `srcHash` (a
+    * hash of the source tree) so any code change re-measures them:
+    * plans that hide their upstream behind a checkpoint/RDD scan
+    * (`LogicalRDD`/`ExistingRDD`), and plans whose ROOT is a
+    * LocalRelation — the driver computed the entire result before the
+    * frame existed (the observe-telemetry report rows), and LocalRelation
+    * text prints no row values. A LocalRelation merely INSIDE a plan (a
+    * broadcast literal model, a probe set) does not trigger the fold —
+    * the surrounding plan text still captures structure. */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
                                      srcHash: String): String = {
     val raw = df.queryExecution.optimizedPlan.toString
     val base = md5(normalizePlan(raw))
-    if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD"))
+    val rootIsLocal = raw.linesIterator.hasNext &&
+      raw.linesIterator.next().trim.startsWith("LocalRelation")
+    if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD") || rootIsLocal)
       base + "+" + srcHash
     else base
   }

@@ -58,5 +58,16 @@ class BenchSpec extends SparkSpec {
     assert(Bench.planFingerprint(cp, "S1") != Bench.planFingerprint(cp, "S2"))
     // while a transparent plan ignores it
     assert(Bench.planFingerprint(q1, "S1") == Bench.planFingerprint(q1, "S2"))
+    // a ROOT LocalRelation (driver-computed report row — LocalRelation
+    // text prints no row values, so the plan is blind to upstream code)
+    // also folds the source hash...
+    val report = Seq((42L, 0.5)).toDF("n_docs", "cut")
+    assert(Bench.planFingerprint(report, "S1") != Bench.planFingerprint(report, "S2"))
+    // ...but a LocalRelation merely INSIDE a plan (broadcast literal
+    // model / probe set) does not trigger the fold — the surrounding
+    // plan text still captures structure
+    val probed = li.join(broadcast(Seq((1, "N")).toDF("l_linenumber", "tag")), Seq("l_linenumber"))
+      .groupBy("tag").count()
+    assert(Bench.planFingerprint(probed, "S1") == Bench.planFingerprint(probed, "S2"))
   }
 }
