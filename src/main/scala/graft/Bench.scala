@@ -40,7 +40,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private case class Carried(fp: String, samples: Vector[Double], warm: Vector[Double])
+  /** `stale` counts CONSECUTIVE runs whose fresh samples never came
+    * within 1.4x of the carried floor — at 2 the sub-floor samples age
+    * out of the written state (see the aging note on `writeState`). */
+  private case class Carried(fp: String, samples: Vector[Double], warm: Vector[Double],
+                             stale: Int = 0)
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -95,9 +99,14 @@ object Bench {
     val base = md5(normalizePlan(raw))
     val rootIsLocal = raw.linesIterator.hasNext &&
       raw.linesIterator.next().trim.startsWith("LocalRelation")
-    if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD") || rootIsLocal)
-      base + "+" + srcHash
-    else base
+    if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD") || rootIsLocal) {
+      // a missing source tree must DISABLE carrying for exactly these
+      // plans (their text is blind to upstream code changes) — an empty
+      // fingerprint is the never-carry token everywhere downstream; a
+      // stable "nosrc" suffix would instead carry stale timings forever
+      // on a bare-classes deployment
+      if (srcHash == "nosrc") "" else base + "+" + srcHash
+    } else base
   }
 
   def main(args: Array[String]): Unit = {
@@ -181,7 +190,8 @@ object Bench {
                 val arr = q.path(field)
                 (0 until arr.size()).map(arr.get(_).asDouble()).toVector
               }
-              out(n) = Carried(q.path("fp").asText(""), vec("samples"), vec("warm"))
+              out(n) = Carried(q.path("fp").asText(""), vec("samples"), vec("warm"),
+                q.path("stale").asInt(0))
             }
             out.toMap
           }
@@ -242,6 +252,38 @@ object Bench {
       if (ok.isEmpty) Double.MaxValue else ok(math.min(1, ok.size - 1))
     }
 
+    // CROSS-ROUND FLOOR AGING: the mid-run `reset` only fires for queries
+    // that enter the convergence tier; a query converged under the
+    // reproduced floor (med/min2 <= 1.3) never re-enters it, so an
+    // irreproducible all-time MIN would otherwise persist forever and keep
+    // the raw min1 ratio inflated (measured r15: 2.01 vs the 1.36 gate).
+    // Decision per query, recomputed at every (crash-safe) state write
+    // from THIS run's fresh samples: if the carried floor sits below
+    // freshMin/1.4 — the same 1.4x JVM-floor-spread threshold the mid-run
+    // reset uses — the run is a stale vote (stale+1), else the counter
+    // clears. At 2 consecutive stale votes the sub-floor carried samples
+    // age out of the WRITTEN state (the in-memory estimator is untouched:
+    // this run still publishes the old min honestly; the NEXT run starts
+    // clean). A mid-run write may over-count by one vote if the run dies
+    // before its warm samples approach the floor — bounded, conservative
+    // (ages one round early), and corrected by the end-of-run write.
+    // Returns (staleOut, ageCutOpt).
+    def ageDecision(n: String): (Int, Option[Double]) = {
+      val freshOk = freshSamples(n).filter(_ >= 0)
+      val carriedOk = if (fpOk(n)) carried(n).samples.filter(_ >= 0) else Vector.empty
+      val staleBefore = if (fpOk(n)) carried(n).stale else 0
+      if (freshOk.isEmpty || carriedOk.isEmpty) (staleBefore, None)
+      else {
+        val cut = freshOk.min / 1.4
+        if (carriedOk.min < cut) {
+          val staleNow = staleBefore + 1
+          if (staleNow >= 2) (0, Some(cut)) else (staleNow, None)
+        } else (0, None)
+      }
+    }
+    def agedNames: Seq[String] =
+      names.collect { case (n, _) if ageDecision(n)._2.isDefined => n }
+
     def writeState(): Unit =
       try {
         val sb = new StringBuilder
@@ -249,15 +291,29 @@ object Bench {
         var first = true
         for ((n, _) <- names) {
           val fp = fpNow.getOrElse(n, if (fpOk(n)) carried(n).fp else "")
+          val (staleOut, ageCut) = ageDecision(n)
+          val ssAll = ageCut match {
+            case Some(cut) => allSamples(n).filter(v => v < 0 || v >= cut)
+            case None      => allSamples(n)
+          }
+          val wsAll = ageCut match {
+            case Some(cut) => warmSamples(n).filter(v => v < 0 || v >= cut)
+            case None      => warmSamples(n)
+          }
           // keep the last 20 samples per list — bounds file growth across
-          // arbitrarily many rounds without touching the estimator (the
-          // min can only have come from a kept-or-better reading)
-          val ss = allSamples(n).takeRight(20)
-          val ws = warmSamples(n).takeRight(20)
+          // arbitrarily many rounds — but never drop the retained MIN:
+          // truncation alone would let a query's published floor silently
+          // RISE once its oldest (fastest) sample fell off the window
+          val kept = ssAll.takeRight(20)
+          val okAll = ssAll.filter(_ >= 0)
+          val ss = if (okAll.nonEmpty && !kept.contains(okAll.min))
+                     okAll.min +: kept.takeRight(19)
+                   else kept
+          val ws = wsAll.takeRight(20)
           if (fp.nonEmpty && ss.nonEmpty) {
             if (!first) sb.append(",")
             first = false
-            sb.append(s""""$n":{"fp":"$fp","samples":[${ss.mkString(",")}],"warm":[${ws.mkString(",")}]}""")
+            sb.append(s""""$n":{"fp":"$fp","samples":[${ss.mkString(",")}],"warm":[${ws.mkString(",")}],"stale":$staleOut}""")
           }
         }
         sb.append("}}\n")
@@ -327,16 +383,25 @@ object Bench {
       val heavyWarmLt3 = results.count { case (n, v) =>
         v > 0.5 && warmSamples(n).count(_ >= 0) < 3
       }
+      // queries whose published min1 ratio exceeds the gate bar — named in
+      // the artifact so a floor the aging hasn't cleared yet is disclosed,
+      // never hidden behind the floor2 gate ratio
+      val min1Offenders = results.collect {
+        case (n, v) if v > 0.5 && medOf.getOrElse(n, -1.0) > 0 && medOf(n) / v > 1.5 => n
+      }
+      val min1OffendersJson = min1Offenders.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
       val carriedN = names.count { case (n, _) => fpOk(n) && carried(n).samples.nonEmpty }
+      // an EMPTY current fingerprint is "not validated", not "changed" —
+      // counting it as changed would misreport a transient sweep-1 failure
       val fpChangedList = names.collect { case (n, _)
-        if carried.contains(n) && fpNow.get(n).exists(_ != carried(n).fp) => n }
+        if carried.contains(n) && fpNow.get(n).exists(fp => fp.nonEmpty && fp != carried(n).fp) => n }
       val fpChanged = fpChangedList.size
       val fpChangedNames = fpChangedList.take(40).map("\"" + _ + "\"").mkString("[", ",", "]")
       val failed = results.filter(_._2 < 0).map(_._1)
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMedian = medians.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"fp_changed_queries":$fpChangedNames,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"ratio_denominator":"floor2","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"fp_changed_queries":$fpChangedNames,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
       writeState()
@@ -347,7 +412,7 @@ object Bench {
         .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       val slowestFirst = rounded.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","bench_schema":2,"ratio_denominator":"floor2","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
       val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0
@@ -386,10 +451,13 @@ object Bench {
       if (isWarm) freshWarm(name) = freshWarm(name) :+ v
       if (v < 0) failCount(name) += 1
       // fingerprint read off the already-executed frame: the optimizer has
-      // run, so this is a toString + md5 — measurement is undisturbed
-      if (!fpNow.contains(name))
-        fpNow(name) = if (df == null) "" else
-          (try fingerprintOf(df) catch { case _: Throwable => "" })
+      // run, so this is a toString + md5 — measurement is undisturbed.
+      // Recompute whenever the current value is EMPTY and this sample
+      // produced a frame: a sweep-1 failure must not pin "" forever (that
+      // would erase the query's carried history and delete its state
+      // entry even though a later retry validated the fingerprint)
+      if (fpNow.getOrElse(name, "").isEmpty && df != null)
+        fpNow(name) = try fingerprintOf(df) catch { case _: Throwable => "" }
     }
 
     // Sweep 1 always cold-samples EVERYTHING in alphabetical

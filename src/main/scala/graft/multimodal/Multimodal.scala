@@ -265,8 +265,13 @@ object Multimodal {
       val e = new Array[Long](nf)
       var i = 0
       while (i < nf) {
-        val s = i * n / nf
-        val t = math.max((i + 1) * n / nf, s + 1)
+        // Long arithmetic: i * n overflows Int for dataLen >= ~35.8 MB
+        // (Int.MaxValue / 60 — a ~3.5-minute 16-bit stereo WAV), and the
+        // negative offset would escape the IllegalArgumentException-only
+        // catch as an ArrayIndexOutOfBoundsException, killing the task
+        // for a WELL-FORMED input instead of routing it to valid=false
+        val s = (i.toLong * n / nf).toInt
+        val t = math.max(((i + 1).toLong * n / nf).toInt, s + 1)
         var sum = 0L; var j = s
         while (j < t) { sum += bytes(44 + j) & 0xff; j += 1 }
         e(i) = sum

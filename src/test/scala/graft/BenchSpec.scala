@@ -69,5 +69,12 @@ class BenchSpec extends SparkSpec {
     val probed = li.join(broadcast(Seq((1, "N")).toDF("l_linenumber", "tag")), Seq("l_linenumber"))
       .groupBy("tag").count()
     assert(Bench.planFingerprint(probed, "S1") == Bench.planFingerprint(probed, "S2"))
+    // a bare-classes deployment (missing source tree → "nosrc") must make
+    // opaque plans NON-CARRYING, not identically-carrying: the empty
+    // fingerprint is the never-carry token everywhere downstream
+    assert(Bench.planFingerprint(cp, "nosrc") == "")
+    assert(Bench.planFingerprint(report, "nosrc") == "")
+    // transparent plans don't need the source hash and still carry
+    assert(Bench.planFingerprint(q1, "nosrc").nonEmpty)
   }
 }
