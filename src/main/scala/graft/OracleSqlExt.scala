@@ -682,17 +682,47 @@ object OracleSqlExt {
        |       CASE WHEN f.assigned = 'holdout' AND ht.has_train = 1 THEN 'train' ELSE f.assigned END AS split
        |FROM f JOIN ht ON f.component = ht.component""".stripMargin
 
+  /** Shared tail of the guarded pigeonhole band-join oracles — the exact
+    * mirror of [[graft.dedup.Dedup.bandedHammingPairs]]'s two scale
+    * guards, expecting a CTE `base(doc_id, <fpCol>)` in scope: identical
+    * fingerprints collapse to their min-doc_id representative and the
+    * other members attach by star edges at hamming 0; only
+    * representatives band, (band, bits) buckets above `cap` distinct
+    * fingerprints drop before the self-join, and cross-fingerprint pairs
+    * relate representatives. Stars and representative pairs are disjoint
+    * by construction (a star's b is never a representative), so UNION ALL
+    * is exact. */
+  private def hammingBandTailSql(fpCol: String, maxHamming: Int, cap: Int): String =
+    s"""reps AS (
+       |  SELECT $fpCol, min(doc_id) AS doc_id FROM base GROUP BY $fpCol
+       |),
+       |stars AS (
+       |  SELECT r.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+       |  FROM base b JOIN reps r ON b.$fpCol = r.$fpCol AND b.doc_id <> r.doc_id
+       |),
+       |banded AS (
+       |  SELECT doc_id, $fpCol, band, ($fpCol >> (15 * band)) % 32768 AS bits
+       |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bucket_n FROM banded
+       |  ) t WHERE bucket_n <= $cap
+       |),
+       |reppairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |         CAST(bit_count(xor(l.$fpCol, r.$fpCol)) AS BIGINT) AS hamming
+       |  FROM capped l JOIN capped r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.$fpCol, r.$fpCol)) <= $maxHamming
+       |)
+       |SELECT a, b, hamming FROM reppairs
+       |UNION ALL
+       |SELECT a, b, hamming FROM stars""".stripMargin
+
   /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
   def simhashPairsSql(maxHamming: Int): String =
     s"""WITH base AS ($simhashSql),
-       |banded AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (15 * band)) % 32768 AS bits
-       |  FROM base, (SELECT unnest([0, 1, 2, 3]) AS band)
-       |)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-       |       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-       |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
-       |WHERE bit_count(xor(l.simhash, r.simhash)) <= $maxHamming""".stripMargin
+       |${hammingBandTailSql("simhash", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
 
   /** Luminance (r+g+b, an integer) of grid cell (gx, gy) in the
     * generator-re-derived pixel string `px`: the same nearest-neighbor
@@ -720,21 +750,14 @@ object OracleSqlExt {
        |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3 AS INTEGER), 'x') AS px
        |  FROM documents
        |),
-       |ph AS (
+       |base AS (
        |  SELECT doc_id,
        |         CAST(list_sum(list_transform(range(0, 60), k ->
        |           CASE WHEN ${ppmLumSql("k % 10 + 1", "k // 10")} > ${ppmLumSql("k % 10", "k // 10")}
        |                THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
        |  FROM pb
        |),
-       |banded AS (
-       |  SELECT doc_id, phash, band, (phash >> (15 * band)) % 32768 AS bits
-       |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band)
-       |)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-       |       CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
-       |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
-       |WHERE bit_count(xor(l.phash, r.phash)) <= $maxHamming""".stripMargin
+       |${hammingBandTailSql("phash", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
 
   /** Frame-energy audio fingerprint near-dup pairs (mirrors
     * [[graft.dedup.Dedup.audioFingerprintPairs]]): re-derive the 8-bit PCM
@@ -759,21 +782,14 @@ object OracleSqlExt {
        |        j -> unicode(substr(pcm, CAST(j + 1 AS INT), 1))))) AS e
        |  FROM pb
        |),
-       |afp0 AS (
+       |base AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_transform(range(0, 60), k ->
        |      CASE WHEN e[CAST(((k + 1) * 37) % 61 + 1 AS INT)] > e[CAST((k * 37) % 61 + 1 AS INT)]
        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS afp
        |  FROM en
        |),
-       |banded AS (
-       |  SELECT doc_id, afp, band, (afp >> (15 * band)) % 32768 AS bits
-       |  FROM afp0, (SELECT unnest([0, 1, 2, 3]) AS band)
-       |)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-       |       CAST(bit_count(xor(l.afp, r.afp)) AS BIGINT) AS hamming
-       |FROM banded l JOIN banded r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
-       |WHERE bit_count(xor(l.afp, r.afp)) <= $maxHamming""".stripMargin
+       |${hammingBandTailSql("afp", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
 
   // ------------------------------------------------------------ embeddings
 

@@ -754,43 +754,101 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs (a < b) within `maxHamming` bit flips,
-    * found without an O(n^2) comparison: the 60-bit fingerprint splits
-    * into 4 bands of 15 bits, and by pigeonhole any pair within hamming
-    * distance 3 agrees on at least one full band — so an equi self-join on
-    * (band, band-bits) surfaces every qualifying pair, then an exact
-    * `bit_count(xor)` filter removes false candidates. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandedHammingPairs(fp, "simhash", maxHamming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny) pair table, release the fingerprint cache;
-    // the caller owns the returned result's cache
-    out.count()
-    fp.unpersist()
-    out
-  }
+    * found without an O(n^2) comparison — see [[bandedHammingPairs]] for
+    * the band-join shape and the hot-bucket/identical-group guards that
+    * make it scale-safe (the output is the connectivity-preserving
+    * star+representative form documented there). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    bandedHammingPairs(simhash(docs), "simhash", maxHamming, maxBucketSize)
 
-  /** The pigeonhole hamming band join shared by the simhash and
-    * perceptual-image pairings: a 60-bit fingerprint column splits into 4
-    * bands of 15 bits, any pair within hamming distance 3 agrees on at
-    * least one full band (4 flips can miss all 4 bands — hence the
+  /** The pigeonhole hamming band join shared by the simhash and the
+    * perceptual image/audio pairings: a 60-bit fingerprint column splits
+    * into 4 bands of 15 bits, any pair within hamming distance 3 agrees on
+    * at least one full band (4 flips can miss all 4 bands — hence the
     * require), an equi self-join on (band, band-bits) surfaces the
     * candidates, and an exact `bit_count(xor)` filter removes the false
-    * ones. Pairs agreeing on several bands collapse via distinct. */
-  private def bandedHammingPairs(fp: DataFrame, fpCol: String,
-                                 maxHamming: Int): DataFrame = {
+    * ones. Pairs agreeing on several bands collapse via distinct.
+    *
+    * Two guards keep the self-join linear under the skew a 100-TB corpus
+    * actually has (the [[lshComponents]] discipline, ported here):
+    *
+    *  1. IDENTICAL fingerprints collapse to their min-doc_id
+    *     REPRESENTATIVE before banding, and the group's other members
+    *     attach by STAR EDGES (rep, member, hamming 0) instead of the
+    *     O(k²) clique — a mass-duplicated asset (one logo on 10⁷ pages,
+    *     silence clips, single-color images) otherwise lands 10¹⁴ pairs
+    *     on one (band, bits) key. Identical fingerprints ARE duplicates
+    *     (hamming 0), so no verification is lost, and connectivity is
+    *     EXACTLY the uncapped graph's: a group's only contribution is
+    *     "all members connected", which the star preserves.
+    *  2. Residual hot (band, bits) buckets of more than `maxBucketSize`
+    *     DISTINCT fingerprints are dropped before the self-join
+    *     (`<= 0` disables). Recall contract, mirroring [[MaxLshBucketSize]]:
+    *     a dropped bucket only loses pairs whose SOLE agreeing band is
+    *     the hot one; fingerprints within hamming 1-2 of each other agree
+    *     on >= 2 bands and still meet elsewhere, and a band value shared
+    *     by 64+ distinct fingerprints is (on real corpora) a degenerate
+    *     plane — all-dark images, silence — whose members the identical
+    *     collapse or exact dedup should pair instead.
+    *
+    * OUTPUT CONTRACT (since the guards landed): pairs between identical
+    * fingerprints are the star form (group rep, member, 0) — O(k) per
+    * group, not the full clique — and cross-fingerprint pairs connect
+    * REPRESENTATIVES. Downstream consumers are connectivity-shaped
+    * (connected components / keep-canonical / review queues), for which
+    * this is lossless. The returned pair table is persisted and
+    * materialized; the caller owns its cache (`result.unpersist()` leaves
+    * zero session caches — asserted in DedupSpec). */
+  private[graft] def bandedHammingPairs(fp: DataFrame, fpCol: String,
+                                        maxHamming: Int,
+                                        maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 bands of 15 bits guarantee recall only to hamming 3: $maxHamming")
-    val banded = fp.select(col("doc_id"), col(fpCol),
+    // rep per fingerprint VALUE rides a window over the same fpCol key,
+    // computed once into the cache; everything below (stars, the rep
+    // table, the band join) reads this table, so the upstream fingerprint
+    // chain (a corpus decode for the image/audio callers) runs exactly once
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(fpCol)
+    val withRep = fp.select(col("doc_id"), col(fpCol))
+      .withColumn("rep", min(col("doc_id")).over(wFp))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withRep.count() // materialize: fixes the cache's output partitioning
+    val stars = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"), lit(0L).as("hamming"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col(fpCol))
+    val banded = reps.select(col("doc_id"), col(fpCol),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), (shiftright(col(fpCol), 15 * b) % 32768L).as("bits"))): _*)).as("bb"))
       .select(col("doc_id"), col(fpCol), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val l = banded.select(col("band"), col("bits"), col("doc_id").as("a"), col(fpCol).as("fp_a"))
-    val r = banded.select(col("band"), col("bits"), col("doc_id").as("b"), col(fpCol).as("fp_b"))
-    l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
+    // the hot-bucket count rides a window over the same (band, bits) key
+    // the self-join shuffles on, and the cache preserves that partitioning
+    // — both join sides read pre-partitioned, zero further exchanges
+    val capped = (if (maxBucketSize <= 0) banded
+                  else banded
+                    .withColumn("bucket_n", count(lit(1)).over(
+                      org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")))
+                    .filter(col("bucket_n") <= maxBucketSize)
+                    .drop("bucket_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize so the self-join below plans against the FINALIZED
+    // (band, bits) hash partitioning and rides it exchange-free
+    capped.count()
+    val l = capped.select(col("band"), col("bits"), col("doc_id").as("a"), col(fpCol).as("fp_a"))
+    val r = capped.select(col("band"), col("bits"), col("doc_id").as("b"), col(fpCol).as("fp_b"))
+    val repPairs = l.join(r, Seq("band", "bits")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // disjoint by construction: a star's b is never a representative,
+    // while repPairs only relates representatives — plain union
+    val out = repPairs.unionByName(stars)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    capped.unpersist()
+    withRep.unpersist()
+    out
   }
 
   /** Perceptual near-duplicate IMAGE pairs (a < b) within `maxHamming`
@@ -803,22 +861,18 @@ object Dedup {
     * shuffle) feeds the same 4×15-bit pigeonhole band join the simhash
     * pairing proved — never an all-pairs compare. Invalid payloads drop
     * before pairing (a malformed image is nobody's duplicate). */
-  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                      maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     imagePhashPairsFrom(
       graft.multimodal.Multimodal.imagePhash(docs).toDF()
         .filter(col("valid")).select(col("doc_id"), col("phash")),
-      maxHamming)
+      maxHamming, maxBucketSize)
 
   /** [[imagePhashPairs]] served from a persisted (doc_id, phash) table —
     * the serve plan never decodes the corpus. */
-  def imagePhashPairsFrom(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fpc = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandedHammingPairs(fpc, "phash", maxHamming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    fpc.unpersist()
-    out
-  }
+  def imagePhashPairsFrom(fp: DataFrame, maxHamming: Int = 3,
+                          maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    bandedHammingPairs(fp, "phash", maxHamming, maxBucketSize)
 
   /** Build-once perceptual-image index: the (doc_id, phash) table
     * persisted as parquet. The dHash is a pure per-document function of
@@ -843,22 +897,18 @@ object Dedup {
     * shuffle) feeds the same 4×15-bit pigeonhole band join as the
     * simhash/phash pairings — never an all-pairs compare. Invalid
     * payloads drop before pairing. */
-  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+  def audioFingerprintPairs(docs: DataFrame, maxHamming: Int = 3,
+                            maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     audioFingerprintPairsFrom(
       graft.multimodal.Multimodal.audioFingerprint(docs).toDF()
         .filter(col("valid")).select(col("doc_id"), col("afp")),
-      maxHamming)
+      maxHamming, maxBucketSize)
 
   /** [[audioFingerprintPairs]] served from a persisted (doc_id, afp)
     * table — the serve plan never decodes the corpus. */
-  def audioFingerprintPairsFrom(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fpc = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandedHammingPairs(fpc, "afp", maxHamming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    fpc.unpersist()
-    out
-  }
+  def audioFingerprintPairsFrom(fp: DataFrame, maxHamming: Int = 3,
+                                maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    bandedHammingPairs(fp, "afp", maxHamming, maxBucketSize)
 
   /** Build-once audio-fingerprint index — the [[writeImagePhashIndex]]
     * lifecycle for the audio modality: the fingerprint is a pure

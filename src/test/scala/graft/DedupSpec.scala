@@ -17,6 +17,29 @@ class DedupSpec extends SparkSpec {
     ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
   }
 
+  /** Expected output of the GUARDED pigeonhole band join on a planted
+    * fingerprint map — the star+representative contract of
+    * [[Dedup.bandedHammingPairs]]: identical fingerprint values collapse
+    * to their min-id representative with the other members attached as
+    * (rep, member, 0) star edges, and all-pairs hamming truth applies
+    * between REPRESENTATIVES only (the hot-bucket cap is assumed not to
+    * fire on these tiny planted sets — the cap has its own test). */
+  private def guardedPairsTruth(fp: Map[Long, Long],
+                                maxHamming: Int): Map[(Long, Long), Long] = {
+    val groups = fp.groupBy(_._2).map { case (v, m) => v -> m.keys.toSeq.sorted }
+    val stars = groups.valuesIterator.flatMap { ids =>
+      ids.tail.map(id => (ids.head, id) -> 0L)
+    }.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b).toLong
+    val reps = groups.map { case (v, ids) => ids.head -> v }
+    val ids = reps.keys.toSeq.sorted
+    val repPairs = (for {
+      a <- ids; b <- ids if a < b
+      h = ham(reps(a), reps(b)) if h <= maxHamming
+    } yield (a, b) -> h).toMap
+    stars ++ repPairs
+  }
+
   test("exact groups collapse identical texts to min doc_id") {
     val g = Dedup.exactGroups(docs).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet
@@ -122,18 +145,15 @@ class DedupSpec extends SparkSpec {
       .map(p => p.doc_id -> p.phash).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(1L), fp(16L)) == 0L, "same plane -> same dHash")
-    // the pigeonhole theorem under test: the banded join must surface
-    // EXACTLY the all-pairs <= 3 truth (any pair within hamming 3 shares
-    // at least one of the 4 bands)
-    val ids = fp.keys.toSeq.sorted
-    val expected = (for {
-      a <- ids; b <- ids if a < b
-      h = ham(fp(a), fp(b)) if h <= 3
-    } yield (a, b) -> h.toLong).toMap
-    assert(expected.contains((1L, 16L)))
+    // the pigeonhole theorem under test, in the guarded star+rep form:
+    // identical hashes collapse to min-id rep + star edges, distinct
+    // hashes pair by the all-pairs <= 3 truth between representatives
+    // (any pair within hamming 3 shares at least one of the 4 bands)
+    val expected = guardedPairsTruth(fp, 3)
+    assert(expected.get((1L, 16L)).contains(0L), "identical planes attach as a star edge")
     val got = Dedup.imagePhashPairs(imgs, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(got == expected, s"banded pairs must equal all-pairs truth: got=$got expected=$expected")
+    assert(got == expected, s"banded pairs must equal guarded truth: got=$got expected=$expected")
     // malformed payloads route to valid=false (never pair, never throw)
     assert(!graft.multimodal.Multimodal.phashPpm(9L, Array[Byte]('P', '5'), 10, 6).valid)
     // zero-dimension header: the plane-length identity holds (0 == 0) but
@@ -200,16 +220,12 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(37L), fp(78L)) <= 2,
       s"one perturbed PCM byte flips at most its frame's two comparisons: ${ham(fp(37L), fp(78L))}")
     assert(ham(fp(37L), fp(119L)) > 3, "a half-rewritten plane is no near-dup")
-    // pigeonhole: the banded join surfaces EXACTLY the all-pairs <= 3 truth
-    val ids = fp.keys.toSeq.sorted
-    val expected = (for {
-      a <- ids; b <- ids if a < b
-      h = ham(fp(a), fp(b)) if h <= 3
-    } yield (a, b) -> h.toLong).toMap
+    // pigeonhole: the banded join surfaces EXACTLY the guarded star+rep truth
+    val expected = guardedPairsTruth(fp, 3)
     assert(expected.contains((37L, 78L)))
     val got = Dedup.audioFingerprintPairs(wavs, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(got == expected, s"banded pairs must equal all-pairs truth: got=$got expected=$expected")
+    assert(got == expected, s"banded pairs must equal guarded truth: got=$got expected=$expected")
     // malformed payloads route to valid=false (never pair, never throw):
     // truncated header, and a zero-length data chunk whose frame reads
     // would otherwise run out of bounds
@@ -237,6 +253,63 @@ class DedupSpec extends SparkSpec {
     val incr = Dedup.audioFingerprintPairsFrom(merged, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(incr == expected, "incremental ingest must equal the from-scratch rebuild")
+  }
+
+  test("hamming band join: identical-fingerprint groups star-expand to O(k), never the O(k^2) clique") {
+    import spark.implicits._
+    // 100 identical fingerprints — a mass-duplicated asset (one logo on
+    // every page). The uncapped clique would be 4950 pairs on one
+    // (band, bits) key; the guard must emit exactly the 99 star edges
+    // (min-id rep, member, hamming 0). 100 > MaxLshBucketSize, so this
+    // also proves the collapse happens BEFORE the bucket cap could
+    // silently drop the whole group.
+    assert(100 > Dedup.MaxLshBucketSize)
+    val grp = (1L to 100L).map(i => (i, 0x0123456789ABCL)).toDF("doc_id", "afp")
+    val starred = Dedup.audioFingerprintPairsFrom(grp, maxHamming = 3).collect()
+    assert(starred.length == 99, s"star expansion must be O(k): ${starred.length} pairs")
+    assert(starred.forall(r => r.getLong(0) == 1L && r.getLong(2) == 0L),
+      "every star edge attaches a member to the min-id representative at hamming 0")
+    // two identical groups whose reps are 1 bit apart: stars inside each
+    // group + ONE representative pair across — exactly the guarded truth
+    val x = 0x0F0F0F0F0F0FL
+    val two = Seq((10L, x), (11L, x), (12L, x), (20L, x ^ 1L), (21L, x ^ 1L))
+      .toDF("doc_id", "phash")
+    val got = Dedup.imagePhashPairsFrom(two, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((10L, 11L) -> 0L, (10L, 12L) -> 0L, (20L, 21L) -> 0L, (10L, 20L) -> 1L))
+  }
+
+  test("hamming band join: hot (band, bits) buckets of distinct fingerprints cap loudly") {
+    import spark.implicits._
+    // center c = 0 plus 70 satellites, each differing from c in exactly
+    // one bit of each of bands 1..3 (hamming 3, agreeing ONLY on band 0).
+    // The MDS-style triples (x, x+s, x+2s mod 15) pairwise agree in at
+    // most one coordinate (two agreeing congruences force s=s', x=x'
+    // since 15 is odd), so satellite-satellite hamming >= 4 — no pair
+    // qualifies except through the center, and every (c, sat) pair's
+    // SOLE shared band is band 0, whose bucket holds all 71 distinct
+    // fingerprints: over the 64 cap, dropped, leaving zero pairs. With
+    // the cap disabled the same input yields exactly the 70 (c, sat, 3)
+    // pairs — pinning that the cap (and only the cap) did the dropping.
+    // earlier tests legitimately leave their caller-owned pair tables
+    // cached; this test's leak assertion is about THIS builder only
+    spark.sharedState.cacheManager.clearCache()
+    val sats = for { x <- 0 until 14; s <- 0 until 5 } yield {
+      val fpv = (1L << (15 + x)) | (1L << (30 + (x + s) % 15)) | (1L << (45 + (x + 2 * s) % 15))
+      (100L + x * 5 + s, fpv)
+    }
+    val fps = ((1L, 0L) +: sats).toDF("doc_id", "simhash")
+    assert(sats.size == 70 && sats.map(_._2).distinct.size == 70)
+    val capped = Dedup.bandedHammingPairs(fps, "simhash", maxHamming = 3)
+    assert(capped.count() == 0L, "the hot band-0 bucket must drop under the default cap")
+    capped.unpersist(blocking = true)
+    val uncapped = Dedup.bandedHammingPairs(fps, "simhash", maxHamming = 3, maxBucketSize = 0)
+    val rows = uncapped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 70 && rows.forall(t => t._1 == 1L && t._3 == 3L),
+      s"cap disabled: exactly the 70 center-satellite pairs: ${rows.length}")
+    uncapped.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
   test("connected components merge chains transitively") {

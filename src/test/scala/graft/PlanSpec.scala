@@ -107,6 +107,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("guarded hamming band join: capped cache feeds the self-join pre-partitioned — one pair-plan exchange") {
+    // The scale contract on Dedup.bandedHammingPairs: the hot-bucket
+    // count-over-window partitions on the SAME (band, bits) key the
+    // representative self-join shuffles on, and the materialized persist
+    // preserves that partitioning — so the pair plan's ONLY shuffle is
+    // the trailing distinct, with the star side riding the cached rep
+    // table shuffle-free. The builder materializes internally, so the
+    // pinned plan is read back off the result's InMemoryRelation.
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sharedState.cacheManager.clearCache()
+    try {
+      // 40 docs over 10 distinct fingerprints: identical groups (stars)
+      // AND cross-fingerprint band agreements both present in the plan
+      val fps = (1L to 40L).map(i => (i, (i % 10) * 3L)).toDF("doc_id", "simhash")
+      val out = Dedup.bandedHammingPairs(fps, "simhash", maxHamming = 3)
+      // descend through AQE wrappers and query stages (leaves to
+      // `collect`), but NOT into InMemoryTableScan build plans — only the
+      // pair plan's own shuffles count (each cached intermediate pays its
+      // one window exchange in its own build, pinned by eye above)
+      def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => countShuffles(q.plan)
+        case e: ShuffleExchangeLike => 1 + e.children.map(countShuffles).sum
+        case other => other.children.map(countShuffles).sum
+      }
+      val build = physicalPlan(out).collectFirst { case s: InMemoryTableScanExec => s } match {
+        case Some(s) => s.relation.cachedPlan
+        case None    => fail(s"result must be persisted:\n${physicalPlan(out)}")
+      }
+      val n = countShuffles(build)
+      assert(n == 1, s"pair plan should shuffle once (the distinct), saw $n:\n$build")
+      out.unpersist(blocking = true)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("capped winnow posting cache feeds the fp self-join pre-partitioned — one exchange total") {
     // Same contract as the capped LSH bucket cache, on the fp key: the
     // posting-cap window partitions on fp, the persist preserves that
