@@ -719,6 +719,39 @@ object OracleSqlExt {
        |UNION ALL
        |SELECT a, b, hamming FROM stars""".stripMargin
 
+  /** Shared tail of the ingest-gate oracles — the exact mirror of
+    * [[graft.dedup.Dedup.hammingMatchesAgainst]] with fresh = odd doc_ids
+    * and index = even doc_ids, expecting a CTE `base(doc_id, <fpCol>)`:
+    * the index collapses to distinct fingerprints keyed by min doc_id,
+    * hot (band, bits) index buckets beyond `cap` drop, and each flagged
+    * fresh doc reports its lexicographic-min (hamming, match_id) — the
+    * two-stage min here is equivalent to the engine's min-of-struct. */
+  private def hammingMatchTailSql(fpCol: String, maxHamming: Int, cap: Int): String =
+    s"""fresh AS (SELECT doc_id, $fpCol FROM base WHERE doc_id % 2 = 1),
+       |idx AS (SELECT $fpCol, min(doc_id) AS match_id FROM base WHERE doc_id % 2 = 0 GROUP BY $fpCol),
+       |bidx AS (
+       |  SELECT match_id, $fpCol, band, ($fpCol >> (15 * band)) % 32768 AS bits
+       |  FROM idx, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |),
+       |cidx AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bucket_n FROM bidx
+       |  ) t WHERE bucket_n <= $cap
+       |),
+       |bfresh AS (
+       |  SELECT doc_id, $fpCol, band, ($fpCol >> (15 * band)) % 32768 AS bits
+       |  FROM fresh, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |),
+       |cand AS (
+       |  SELECT f.doc_id, i.match_id, CAST(bit_count(xor(f.$fpCol, i.$fpCol)) AS BIGINT) AS hamming
+       |  FROM bfresh f JOIN cidx i ON f.band = i.band AND f.bits = i.bits
+       |  WHERE bit_count(xor(f.$fpCol, i.$fpCol)) <= $maxHamming
+       |),
+       |best AS (SELECT doc_id, min(hamming) AS hamming FROM cand GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(min(c.match_id) AS BIGINT) AS match_id, b.hamming
+       |FROM best b JOIN cand c ON c.doc_id = b.doc_id AND c.hamming = b.hamming
+       |GROUP BY b.doc_id, b.hamming""".stripMargin
+
   /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
   def simhashPairsSql(maxHamming: Int): String =
     s"""WITH base AS ($simhashSql),
@@ -741,8 +774,10 @@ object OracleSqlExt {
     * (bit k set iff lum(k%10+1, k/10) > lum(k%10, k/10)) into one
     * BIGINT, then the same 4×15-bit band join + exact bit_count verify
     * as [[simhashPairsSql]]. */
-  def imagePhashPairsSql(maxHamming: Int): String =
-    s"""WITH pb AS (
+  /** Generator-re-derived (doc_id, phash) base CTEs shared by the image
+    * pair and gate oracles. */
+  private def phashBaseSql: String =
+    s"""pb AS (
        |  SELECT doc_id,
        |         CAST(doc_id % 5 + 2 AS INTEGER) AS w,
        |         CAST(doc_id % 3 + 2 AS INTEGER) AS h,
@@ -756,8 +791,18 @@ object OracleSqlExt {
        |           CASE WHEN ${ppmLumSql("k % 10 + 1", "k // 10")} > ${ppmLumSql("k % 10", "k // 10")}
        |                THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
        |  FROM pb
-       |),
+       |)""".stripMargin
+
+  def imagePhashPairsSql(maxHamming: Int): String =
+    s"""WITH $phashBaseSql,
        |${hammingBandTailSql("phash", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
+
+  /** Image ingest gate (mirrors the batch half of
+    * [[graft.streaming.MultimodalDedupStream.gateImageBatch]]): odd-half
+    * fresh docs matched against the even-half phash index. */
+  def imagePhashGateSql(maxHamming: Int): String =
+    s"""WITH $phashBaseSql,
+       |${hammingMatchTailSql("phash", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
 
   /** Frame-energy audio fingerprint near-dup pairs (mirrors
     * [[graft.dedup.Dedup.audioFingerprintPairs]]): re-derive the 8-bit PCM
@@ -767,8 +812,10 @@ object OracleSqlExt {
     * 37·k mod 61 (the permuted schedule — see the engine scaladoc for the
     * measured adjacent-delta collapse it avoids), then the same 4×15-bit
     * band join + exact bit_count verify as [[simhashPairsSql]]. */
-  def audioFingerprintPairsSql(maxHamming: Int): String =
-    s"""WITH pb AS (
+  /** Generator-re-derived (doc_id, afp) base CTEs shared by the audio
+    * pair and gate oracles. */
+  private def afpBaseSql: String =
+    s"""pb AS (
        |  SELECT doc_id,
        |         CAST((doc_id % 41 + 4) * 2 AS INTEGER) AS dl,
        |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
@@ -788,8 +835,18 @@ object OracleSqlExt {
        |      CASE WHEN e[CAST(((k + 1) * 37) % 61 + 1 AS INT)] > e[CAST((k * 37) % 61 + 1 AS INT)]
        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS afp
        |  FROM en
-       |),
+       |)""".stripMargin
+
+  def audioFingerprintPairsSql(maxHamming: Int): String =
+    s"""WITH $afpBaseSql,
        |${hammingBandTailSql("afp", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
+
+  /** Audio ingest gate (mirrors the batch half of
+    * [[graft.streaming.MultimodalDedupStream.gateAudioBatch]]): odd-half
+    * fresh docs matched against the even-half fingerprint index. */
+  def audioFpGateSql(maxHamming: Int): String =
+    s"""WITH $afpBaseSql,
+       |${hammingMatchTailSql("afp", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
 
   // ------------------------------------------------------------ embeddings
 

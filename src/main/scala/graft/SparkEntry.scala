@@ -2440,6 +2440,26 @@ object SparkEntry {
       },
       Some(OracleSqlExt.audioFingerprintPairsSql(3))),
 
+    // continuous-crawl ingest GATES for the perceptual modalities — the
+    // batch half of graft.streaming.MultimodalDedupStream (stream-equals-
+    // batch pinned in StreamingSpec): odd-half "arriving" docs fingerprint
+    // (narrow map, nothing already indexed is re-decoded) and band-join
+    // against the even-half persisted index, each flagged arrival
+    // reporting its lexicographic-min (hamming, match_id) index match
+    ("dedup_image_stream_gate",
+      (s: SparkSession, d: String) =>
+        graft.streaming.MultimodalDedupStream.gateImageBatch(
+          Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1),
+          s.read.parquet(s"${imagePhashIndexDirHalf(s, d)}/image_phash"), maxHamming = 3),
+      Some(OracleSqlExt.imagePhashGateSql(3))),
+
+    ("dedup_audio_stream_gate",
+      (s: SparkSession, d: String) =>
+        graft.streaming.MultimodalDedupStream.gateAudioBatch(
+          Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1),
+          s.read.parquet(s"${audioFpIndexDirHalf(s, d)}/audio_fp"), maxHamming = 3),
+      Some(OracleSqlExt.audioFpGateSql(3))),
+
     // NOTE: the all-pairs `closestEmbeddingPairs` baseline is deliberately
     // NOT a registry query — its O(n²) BroadcastNestedLoop plan must never
     // ship as a runnable surface. It survives as the recall oracle for the

@@ -922,6 +922,56 @@ object Dedup {
         .write.mode("overwrite").parquet(staging)
     }
 
+  /** Hamming MATCHES of fresh fingerprints against a static index — the
+    * ingest-gate shape of the pigeonhole band join ([[bandedHammingPairs]]
+    * with the self-join replaced by fresh-vs-index): one row per fresh
+    * document that lands within `maxHamming` of some index fingerprint,
+    * carrying its best match as (doc_id, match_id, hamming) with "best" =
+    * lexicographic min on (hamming, match_id) — deterministic, so the
+    * DuckDB oracle reproduces it bit-for-bit.
+    *
+    * Scale guards, exact for this output (not just connectivity-safe):
+    * the index collapses to DISTINCT fingerprints keyed by their min
+    * doc_id before banding — for any fingerprint value only its min id
+    * can ever win the lexicographic tie-break, so collapsing loses
+    * nothing while a mass-duplicated index asset stops multiplying every
+    * probe's fan-out. Residual hot (band, bits) index buckets beyond
+    * `maxBucketSize` distinct fingerprints drop before the join (same
+    * recall contract as [[bandedHammingPairs]]). The fresh side needs no
+    * guard: each fresh banded row meets at most `maxBucketSize`
+    * index rows per band, so output is O(fresh), and the final min
+    * aggregation bounds it to one row per flagged document. Candidate
+    * duplicates from multi-band agreement collapse in that SAME
+    * aggregation — no separate distinct exchange. */
+  def hammingMatchesAgainst(fresh: DataFrame, index: DataFrame, fpCol: String,
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands of 15 bits guarantee recall only to hamming 3: $maxHamming")
+    def banded(df: DataFrame, idCol: String, fpAs: String): DataFrame =
+      df.select(col(idCol), col(fpCol),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), (shiftright(col(fpCol), 15 * b) % 32768L).as("bits"))): _*)).as("bb"))
+        .select(col(idCol), col(fpCol).as(fpAs), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val reps = index.groupBy(col(fpCol)).agg(min(col("doc_id")).as("match_id"))
+    val bIdx = banded(reps, "match_id", "fp_i")
+    val cIdx =
+      if (maxBucketSize <= 0) bIdx
+      else bIdx
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")))
+        .filter(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
+    val bFresh = banded(fresh.select(col("doc_id"), col(fpCol)), "doc_id", "fp_f")
+    bFresh.join(cIdx, Seq("band", "bits"))
+      .select(col("doc_id"), col("match_id"),
+        bit_count(col("fp_f").bitwiseXOR(col("fp_i"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_id")
+      .agg(min(struct(col("hamming"), col("match_id"))).as("best"))
+      .select(col("doc_id"), col("best.match_id").as("match_id"), col("best.hamming").as("hamming"))
+  }
+
   /** Connected components over the near-duplicate candidate graph —
     * iterative min-label propagation to a fixpoint. Greedy drop-the-larger
     * dedup ([[graft.pipelines.CleanCorpus]]) over-deletes on chains

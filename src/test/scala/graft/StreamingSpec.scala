@@ -937,4 +937,115 @@ class StreamingSpec extends SparkSpec {
     Seq(modelDir, watch, out, ckpt, tmp).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
+
+  test("streaming image/audio ingest gates flag arrivals exactly as the batch gate") {
+    import graft.streaming.{DedupStream, MultimodalDedupStream}
+    import graft.dedup.Dedup
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val even = all.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    def drop(watch: java.nio.file.Path, name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mm-stage")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    // one harness, both modalities: static even-half index, two odd
+    // "arrival" shards, accumulated stream flags vs the batch gate
+    def run(label: String,
+            writeIndex: (org.apache.spark.sql.DataFrame, String) => Unit,
+            table: String,
+            start: (org.apache.spark.sql.DataFrame, String, String, String) => org.apache.spark.sql.streaming.StreamingQuery,
+            gateBatch: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
+      val idx = java.nio.file.Files.createTempDirectory(s"graft-$label-gate-idx")
+      val watch = java.nio.file.Files.createTempDirectory(s"graft-$label-gate-watch")
+      val out = java.nio.file.Files.createTempDirectory(s"graft-$label-gate-out")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$label-gate-ckpt")
+      writeIndex(even, idx.toString)
+      val indexDir = s"$idx/$table"
+      drop(watch, "a.parquet", all.filter(pmod(col("doc_id"), lit(4L)) === 1))
+      val q = start(DedupStream.readStream(spark, watch.toString), indexDir, out.toString, ckpt.toString)
+      q.processAllAvailable()
+      val idxDf = spark.read.parquet(indexDir)
+      val after1 = MultimodalDedupStream.flagged(spark, out.toString).collect().map(key).toSet
+      val batch1 = gateBatch(all.filter(pmod(col("doc_id"), lit(4L)) === 1), idxDf)
+        .collect().map(key).toSet
+      assert(after1 == batch1, s"$label drop 1: stream flags must equal the batch gate")
+      drop(watch, "b.parquet", all.filter(pmod(col("doc_id"), lit(4L)) === 3))
+      q.processAllAvailable(); q.stop()
+      val after2 = MultimodalDedupStream.flagged(spark, out.toString).collect().map(key).toSet
+      val batchAll = gateBatch(all.filter(pmod(col("doc_id"), lit(2L)) === 1), idxDf)
+        .collect().map(key).toSet
+      assert(after2 == batchAll,
+        s"$label drops 1+2: accumulated stream flags must equal the batch gate on all arrivals")
+      assert(after2.nonEmpty, s"$label: the sf0.001 corpus has cross-parity near-dups; empty = broken join")
+      // the gate decodes ONLY the arriving shard: exactly one
+      // partition-parallel decode (the fresh side); the index side must
+      // stay a parquet scan of the persisted fingerprints
+      val p = gateBatch(all.filter(pmod(col("doc_id"), lit(4L)) === 1), idxDf)
+        .queryExecution.executedPlan.toString
+      assert("MapPartitions".r.findAllIn(p).size == 1,
+        s"$label gate must decode only the arriving shard:\n$p")
+      assert(p.contains(s"graft-$label-gate-idx"), s"$label gate must scan the persisted index:\n$p")
+      Seq(idx, watch, out, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+    }
+    run("image", Dedup.writeImagePhashIndex, "image_phash",
+      (s, i, o, c) => MultimodalDedupStream.gateImage(s, i, o, c),
+      (b, i) => MultimodalDedupStream.gateImageBatch(b, i))
+    run("audio", Dedup.writeAudioFpIndex, "audio_fp",
+      (s, i, o, c) => MultimodalDedupStream.gateAudio(s, i, o, c),
+      (b, i) => MultimodalDedupStream.gateAudioBatch(b, i))
+  }
+
+  test("streaming multimodal index ingest equals a full rebuild and replays idempotently") {
+    import graft.streaming.{DedupStream, MultimodalDedupStream}
+    val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val watch = java.nio.file.Files.createTempDirectory("graft-mmidx-watch")
+    val idx = java.nio.file.Files.createTempDirectory("graft-mmidx-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mmidx-ckpt")
+    def drop(name: String, parity: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mmidx-stage")
+      all.filter(pmod(col("doc_id"), lit(3L)) === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    def fullRebuild = graft.multimodal.Multimodal.audioFingerprint(all).toDF()
+      .filter(col("valid")).select("doc_id", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    drop("a.parquet", 0L); drop("b.parquet", 1L); drop("c.parquet", 2L)
+    val q = MultimodalDedupStream.ingestAudio(
+      DedupStream.readStream(spark, watch.toString), idx.toString, ckpt.toString)
+    q.processAllAvailable(); q.stop()
+    val streamed = MultimodalDedupStream.fps(spark, s"$idx/audio_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == fullRebuild,
+      "streamed fingerprint index must equal the from-scratch rebuild — no doc re-decoded twice")
+    // the streamed index feeds the batch serve path unchanged
+    val pairs = graft.dedup.Dedup.audioFingerprintPairsFrom(
+      MultimodalDedupStream.fps(spark, s"$idx/audio_fp"))
+    assert(pairs.count() ==
+      graft.dedup.Dedup.audioFingerprintPairs(all).count(),
+      "pairs served from the streamed index must equal the direct path")
+    // replay idempotence: a fresh checkpoint re-processes every shard
+    // (the restart-after-checkpoint-loss case) — dynamic partition
+    // overwrite must replace the ingest_batch partitions, not duplicate
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-mmidx-ckpt2")
+    val q2 = MultimodalDedupStream.ingestAudio(
+      DedupStream.readStream(spark, watch.toString), idx.toString, ckpt2.toString)
+    q2.processAllAvailable(); q2.stop()
+    val replayed = MultimodalDedupStream.fps(spark, s"$idx/audio_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == fullRebuild, "replaying every batch must leave the index unchanged")
+    assert(MultimodalDedupStream.fps(spark, s"$idx/audio_fp")
+      .groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "replay must not duplicate fingerprint rows")
+    Seq(watch, idx, ckpt, ckpt2).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+  }
 }
