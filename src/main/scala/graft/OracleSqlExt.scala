@@ -1033,6 +1033,14 @@ object OracleSqlExt {
       semanticDedupSql(cents, minCos)
     }
 
+  /** Oracle for the serve-only twin, reading its DEDICATED stash — the
+    * same recursive-closure SQL with the PERSISTED model's centroids
+    * injected. */
+  def semanticDedupSqlFromIndexedModel: Option[String] =
+    graft.dedup.Dedup.lastSemanticModelIndexed.map { case (cents, minCos) =>
+      semanticDedupSql(cents, minCos)
+    }
+
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),

@@ -193,6 +193,18 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted SemDeDup centroid model — trained with EXACTLY the
+    * rebuild entry's params (nClusters=8, iters=2, trainStride=1) so
+    * serve-equals-rebuild holds bit-for-bit (pinned in DedupSpec). */
+  private def semanticModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#sem", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#sem")).toString
+      graft.similarity.Ann.writeIvfModel(
+        s.read.parquet(s"$d/embeddings.parquet"), dir,
+        nCells = 8, iters = 2, trainStride = 1)
+      dir
+    })
+
   /** One-time per-process setup a measurement harness runs during warmup
     * (the dedup/winnow/substring index builds, the persisted BPE and IVF
     * models, and the classifier's cached Newton train), so even a
@@ -215,6 +227,7 @@ object SparkEntry {
     knModelDir(spark, sfDir)
     kn3ModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
+    semanticModelDir(spark, sfDir)
     pcaModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
@@ -2504,6 +2517,22 @@ object SparkEntry {
           nClusters = 8, iters = 2, minCos = 0.4),
       None),
 
+    // serve-only SemDeDup twin — the lifecycle every other model-bearing
+    // family ships (ann_ivf_indexed, embedding_pca_indexed, tokenize_*):
+    // centroids read back from the persisted model and applied as a
+    // narrow literal-model assignment, duplicate search within cells,
+    // NO re-clustering. Dedicated stash (lastSemanticModelIndexed) so
+    // its dynamic oracle always reflects this plan's own centroids;
+    // serve-equals-rebuild pinned in DedupSpec.
+    ("dedup_semantic_indexed",
+      (s: SparkSession, d: String) => {
+        val cents = graft.similarity.Ann.readIvfModel(s, semanticModelDir(s, d))
+        graft.dedup.Dedup.lastSemanticModelIndexed = Some((cents, 0.4))
+        graft.dedup.Dedup.semanticDedupWith(
+          s.read.parquet(s"$d/embeddings.parquet"), cents, minCos = 0.4)
+      },
+      None),
+
     // ==================================================== similarity search
     ("ann_cosine_topk",
       (s: SparkSession, d: String) =>
@@ -3088,6 +3117,7 @@ object SparkEntry {
       OracleSqlExt.annOpqSqlFromLastModel.map("ann_opq_topk" -> _) ++
       OracleSqlExt.annQuantRecallEvalSqlFromModel.map("ann_quant_recall_eval" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
+      OracleSqlExt.semanticDedupSqlFromIndexedModel.map("dedup_semantic_indexed" -> _) ++
       OracleSqlExt.clusterCapSampleSqlFromLastModel.map("sample_cluster_cap" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++

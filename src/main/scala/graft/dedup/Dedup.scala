@@ -1325,6 +1325,13 @@ object Dedup {
     * centroids as literals ([[graft.OracleSqlExt.semanticDedupSqlFromLastModel]]). */
   @volatile private[graft] var lastSemanticModel: Option[(Seq[(Int, Array[Double])], Double)] = None
 
+  /** Dedicated stash for the SERVE-ONLY twin (`dedup_semantic_indexed`),
+    * mirroring [[graft.similarity.Ann.lastIvfModelIndexed]]: each registry
+    * entry's dynamic oracle reflects exactly the centroids its own plan
+    * used, so a future param drift in either twin can never gate one
+    * query against the other's model. */
+  @volatile private[graft] var lastSemanticModelIndexed: Option[(Seq[(Int, Array[Double])], Double)] = None
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus embeddings with deterministic k-means, then look
     * for semantic duplicates ONLY within each cluster — pairwise cosine
@@ -1352,6 +1359,23 @@ object Dedup {
     import graft.similarity.Ann
     val cents = Ann.ivfCentroids(emb, nClusters, iters, trainStride)
     lastSemanticModel = Some((cents, minCos))
+    semanticDedupWith(emb, cents, minCos)
+  }
+
+  /** APPLY-only twin of [[semanticDedup]] for a given centroid model —
+    * the serve path of the SemDeDup lifecycle: a persisted model
+    * ([[graft.similarity.Ann.writeIvfModel]]) assigns fresh embeddings to
+    * cells as a narrow literal-model map and runs the within-cell
+    * duplicate search WITHOUT re-clustering the corpus (Lloyd training is
+    * the only stage that needs more than one pass over the data; serving
+    * keeps re-ingest cost at assignment + bounded cell self-join).
+    * Stashing is the CALLER's job — the rebuild entry stashes to
+    * [[lastSemanticModel]], the indexed entry to
+    * [[lastSemanticModelIndexed]] (the [[graft.similarity.Ann.ivfTopKWith]]
+    * contract). */
+  def semanticDedupWith(emb: DataFrame, cents: Seq[(Int, Array[Double])],
+                        minCos: Double = 0.4): DataFrame = {
+    import graft.similarity.Ann
     // referenced twice by the self-join — persist the assigned table, the
     // staged "write the cluster index" shape a pipeline would checkpoint
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -652,6 +652,27 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semanticDedup indexed serve equals the rebuild and never re-clusters") {
+    import graft.similarity.Ann
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val rebuild = Dedup.semanticDedup(emb, nClusters = 8, iters = 2, minCos = 0.4)
+    // persist the model with the SAME training params, read it back, serve
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-model").toString
+    Ann.writeIvfModel(emb, dir, nCells = 8, iters = 2, trainStride = 1)
+    val cents = Ann.readIvfModel(spark, dir)
+    val served = Dedup.semanticDedupWith(emb, cents, minCos = 0.4)
+    assert(rows(served) == rows(rebuild),
+      "serving from the persisted centroid model must equal the from-scratch rebuild")
+    // the persisted model round-trips exactly (deterministic decimal-mean
+    // Lloyd), so the serve path's literal assignment is the rebuild's
+    assert(cents.map { case (c, a) => (c, a.toSeq) } ==
+      Ann.ivfCentroids(emb, 8, 2, 1).map { case (c, a) => (c, a.toSeq) })
+    rebuild.unpersist(); served.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("passage dedup flags repeated token windows, first occurrence exempt") {
     import spark.implicits._
     val docs = Seq(
