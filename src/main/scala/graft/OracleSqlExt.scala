@@ -774,24 +774,30 @@ object OracleSqlExt {
     * (bit k set iff lum(k%10+1, k/10) > lum(k%10, k/10)) into one
     * BIGINT, then the same 4×15-bit band join + exact bit_count verify
     * as [[simhashPairsSql]]. */
-  /** Generator-re-derived (doc_id, phash) base CTEs shared by the image
-    * pair and gate oracles. */
-  private def phashBaseSql: String =
-    s"""pb AS (
+  /** Generator-re-derived (doc_id, phash) CTEs over any relation exposing
+    * (doc_id, text) — the exact mirror of
+    * [[graft.multimodal.Multimodal.withPpmPayload]] + `imagePhash`:
+    * dims from doc_id, pixel plane = ASCII-sanitized text right-padded to
+    * the plane length, dHash bits off the 11×6 resampled luminance grid. */
+  private def phashFpCtes(from: String, pbName: String, fpName: String): String =
+    s"""$pbName AS (
        |  SELECT doc_id,
        |         CAST(doc_id % 5 + 2 AS INTEGER) AS w,
        |         CAST(doc_id % 3 + 2 AS INTEGER) AS h,
        |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
        |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3 AS INTEGER), 'x') AS px
-       |  FROM documents
+       |  FROM $from
        |),
-       |base AS (
+       |$fpName AS (
        |  SELECT doc_id,
        |         CAST(list_sum(list_transform(range(0, 60), k ->
        |           CASE WHEN ${ppmLumSql("k % 10 + 1", "k // 10")} > ${ppmLumSql("k % 10", "k // 10")}
        |                THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-       |  FROM pb
+       |  FROM $pbName
        |)""".stripMargin
+
+  /** The image pair/gate oracles' base over raw documents. */
+  private def phashBaseSql: String = phashFpCtes("documents", "pb", "base")
 
   def imagePhashPairsSql(maxHamming: Int): String =
     s"""WITH $phashBaseSql,
@@ -2796,7 +2802,8 @@ object OracleSqlExt {
                                 bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
                                 budgetTokens: Long, maxEpochs: Double,
                                 nBuckets: Int,
-                                gate: Option[(Seq[Double], Double)] = None): String = {
+                                gate: Option[(Seq[Double], Double)] = None,
+                                imageDedup: Boolean = false): String = {
     val leak = graft.pipelines.PretrainCorpus.LeakSentence
     // v1 page: planted doc_ids stay numeric. v2 page (mirror of
     // dirtyPageV2): planted doc_ids LETTERS-encode (translate) so the PII
@@ -2868,6 +2875,49 @@ object OracleSqlExt {
            |  WHERE ($benchPredSql) OR qs.score >= $thr
            |)""".stripMargin, "qg")
     }
+    // v3 stage (mirror of the engine's image keep-canonical between the
+    // quality gate and text dedup): phash over the post-gate text, the
+    // GUARDED star+representative pair graph (identical collapse, capped
+    // hot buckets — the bandedHammingPairs semantics verbatim), recursive
+    // closure, keep min-id per component. `dedupInput` is what text dedup
+    // and everything after read.
+    val (imgCtes, dedupInput) =
+      if (!imageDedup) ("", preDedup)
+      else (s""",
+           |${phashFpCtes(preDedup, "iqpb", "iqfp")},
+           |iqreps AS (SELECT phash, min(doc_id) AS doc_id FROM iqfp GROUP BY phash),
+           |iqstars AS (
+           |  SELECT r.doc_id AS a, f.doc_id AS b
+           |  FROM iqfp f JOIN iqreps r ON f.phash = r.phash AND f.doc_id <> r.doc_id
+           |),
+           |iqband AS (
+           |  SELECT doc_id, phash, band, (phash >> (15 * band)) % 32768 AS bits
+           |  FROM iqreps, (SELECT unnest([0, 1, 2, 3]) AS band)
+           |),
+           |iqcap AS (
+           |  SELECT * FROM (
+           |    SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bucket_n FROM iqband
+           |  ) t WHERE bucket_n <= ${graft.dedup.Dedup.MaxLshBucketSize}
+           |),
+           |iqpairs AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b
+           |  FROM iqcap l JOIN iqcap r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+           |  WHERE bit_count(xor(l.phash, r.phash)) <= 3
+           |  UNION
+           |  SELECT a, b FROM iqstars
+           |),
+           |iqbidir AS (SELECT a AS src, b AS dst FROM iqpairs UNION SELECT b, a FROM iqpairs),
+           |iqreach(src, dst) AS (
+           |  SELECT src, src FROM iqbidir
+           |  UNION
+           |  SELECT r.src, bd.dst FROM iqreach r JOIN iqbidir bd ON r.dst = bd.src
+           |),
+           |iqcomp AS (SELECT src AS doc_id, min(dst) AS component FROM iqreach GROUP BY src),
+           |img AS MATERIALIZED (
+           |  SELECT q.doc_id, q.source, q.text
+           |  FROM $preDedup q LEFT JOIN iqcomp c ON q.doc_id = c.doc_id
+           |  WHERE c.doc_id IS NULL OR c.doc_id = c.component
+           |)""".stripMargin, "img")
     s"""pp AS (
        |  SELECT doc_id, source,
        |$ppBody
@@ -2902,8 +2952,8 @@ object OracleSqlExt {
        |  SELECT doc_id, source,
        |         COALESCE(array_to_string(list_filter(l, x -> NOT list_contains(bl, trim(x))), chr(10)), '') AS text
        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM c4) CROSS JOIN bpl
-       |)$midCtes,
-       |${tclCteNamed("tclp", s"(SELECT doc_id, 'x' AS lang, text FROM $preDedup)")},
+       |)$midCtes$imgCtes,
+       |${tclCteNamed("tclp", s"(SELECT doc_id, 'x' AS lang, text FROM $dedupInput)")},
        |${shCteFrom("shp", "tclp")},
        |${mhCteFrom("p", "shp")},
        |${bkCteFrom("p", "mhp")},
@@ -2920,7 +2970,7 @@ object OracleSqlExt {
        |compp AS (SELECT src AS doc_id, min(dst) AS component FROM reachp GROUP BY src),
        |ded AS MATERIALIZED (
        |  SELECT pd.doc_id, pd.source, pd.text
-       |  FROM $preDedup pd LEFT JOIN compp c ON pd.doc_id = c.doc_id
+       |  FROM $dedupInput pd LEFT JOIN compp c ON pd.doc_id = c.doc_id
        |  WHERE c.doc_id IS NULL OR c.doc_id = c.component
        |),
        |gt AS (
@@ -3112,6 +3162,55 @@ object OracleSqlExt {
        |       CASE WHEN docs_quality > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / docs_quality, 6) END AS dedup_doc_cut
        |FROM rep""".stripMargin
 
+  /** Mirror of [[graft.pipelines.PretrainCorpus.pipelineV3]] — the v2
+    * chain with the image keep-canonical stage composed between the gate
+    * and text dedup. */
+  def pretrainCorpusV3Sql(w: Seq[Double], thr: Double, benchPredSql: String,
+                          minLineWords: Int, bpMinDf: Long, bpMinLineChars: Int,
+                          minLen: Int, budgetTokens: Long, maxEpochs: Double,
+                          nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets,
+           Some((w, thr)), imageDedup = true)}
+       |SELECT doc_id, source, n_chars,
+       |       CAST((cum - n_chars) // $windowSize AS BIGINT) AS bin
+       |FROM pk""".stripMargin
+
+  /** Mirror of [[graft.pipelines.PretrainCorpus.reportV3]]. */
+  def pretrainReportV3Sql(w: Seq[Double], thr: Double, benchPredSql: String,
+                          minLineWords: Int, bpMinDf: Long, bpMinLineChars: Int,
+                          minLen: Int, budgetTokens: Long, maxEpochs: Double,
+                          nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets,
+           Some((w, thr)), imageDedup = true)},
+       |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars_raw FROM pp),
+       |a2 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_nfc FROM nn),
+       |a3 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_c4 FROM c4),
+       |a4 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_bp FROM bp),
+       |a4p AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_pii FROM pii),
+       |a4q AS (SELECT CAST(count(*) AS BIGINT) AS docs_quality, CAST(sum(length(text)) AS BIGINT) AS chars_quality FROM qg),
+       |a4i AS (SELECT CAST(count(*) AS BIGINT) AS docs_image, CAST(sum(length(text)) AS BIGINT) AS chars_image FROM img),
+       |a5 AS (SELECT CAST(count(*) AS BIGINT) AS docs_dedup, CAST(sum(length(text)) AS BIGINT) AS chars_dedup FROM ded),
+       |a6 AS (SELECT CAST(count(*) AS BIGINT) AS docs_decon, CAST(sum(length(text)) AS BIGINT) AS chars_decon FROM dc),
+       |a7 AS (SELECT CAST(count(*) AS BIGINT) AS docs_sampled, CAST(sum(doc_tokens) AS BIGINT) AS tokens_sampled FROM smp),
+       |a8 AS (SELECT COALESCE(CAST(max((cum - n_chars) // $windowSize) + 1 AS BIGINT), 0) AS n_bins FROM pk),
+       |rep AS (
+       |  SELECT * FROM a1 CROSS JOIN a2 CROSS JOIN a3 CROSS JOIN a4
+       |  CROSS JOIN a4p CROSS JOIN a4q CROSS JOIN a4i
+       |  CROSS JOIN a5 CROSS JOIN a6 CROSS JOIN a7 CROSS JOIN a8
+       |)
+       |SELECT n_docs, chars_raw, chars_nfc, chars_c4, chars_bp,
+       |       chars_pii, docs_quality, chars_quality,
+       |       docs_image, chars_image,
+       |       docs_dedup, chars_dedup, docs_decon, chars_decon,
+       |       docs_sampled, tokens_sampled, n_bins,
+       |       CASE WHEN chars_raw > 0 THEN round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) END AS scrub_char_cut,
+       |       CASE WHEN n_docs > 0 THEN round(1.0 - CAST(docs_quality AS DOUBLE) / n_docs, 6) END AS quality_doc_cut,
+       |       CASE WHEN docs_quality > 0 THEN round(1.0 - CAST(docs_image AS DOUBLE) / docs_quality, 6) END AS image_doc_cut,
+       |       CASE WHEN docs_image > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / docs_image, 6) END AS dedup_doc_cut
+       |FROM rep""".stripMargin
+
   def pretrainCorpusV2SqlFromLastGate: Option[String] =
     graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
       pretrainCorpusV2Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
@@ -3120,6 +3219,16 @@ object OracleSqlExt {
   def pretrainReportV2SqlFromLastGate: Option[String] =
     graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
       pretrainReportV2Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
+    }
+
+  def pretrainCorpusV3SqlFromLastGate: Option[String] =
+    graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
+      pretrainCorpusV3Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
+    }
+
+  def pretrainReportV3SqlFromLastGate: Option[String] =
+    graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
+      pretrainReportV3Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
     }
 
   /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with

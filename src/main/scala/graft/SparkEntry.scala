@@ -2828,6 +2828,29 @@ object SparkEntry {
       },
       None),
 
+    // the v3 (MULTIMODAL) ladder: perceptual image keep-canonical
+    // composed between the quality gate and text dedup — re-encoded/
+    // re-hosted image payloads collapse to one page (guarded star+rep
+    // pair graph + exact closure, the dedup_image_phash machinery)
+    // before text dedup pays its shuffles. Same dynamic-oracle contract
+    // as v2; the oracle mirrors fingerprint, guarded pairs, and closure
+    // over the post-gate text verbatim.
+    ("pipeline_pretrain_corpus_v3",
+      (s: SparkSession, d: String) => {
+        val (w, thr) = pretrainGate(s, d)
+        graft.pipelines.PretrainCorpus.pipelineV3(Collocations.documents(s, d), w, thr)
+      },
+      None),
+
+    // its telemetry row: the v2 report plus post-image-dedup docs/chars
+    // and the image-cut headline
+    ("pipeline_pretrain_report_v3",
+      (s: SparkSession, d: String) => {
+        val (w, thr) = pretrainGate(s, d)
+        graft.pipelines.PretrainCorpus.reportV3(Collocations.documents(s, d), w, thr)
+      },
+      None),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>
@@ -3139,5 +3162,7 @@ object SparkEntry {
       OracleSqlExt.driftEmbeddingSqlFromLastModel(10, 1e-4).map("drift_embedding" -> _) ++
       OracleSqlExt.pcaRecallEvalSqlFromModel(100, 5).map("ann_pca_recall_eval" -> _) ++
       OracleSqlExt.pretrainCorpusV2SqlFromLastGate.map("pipeline_pretrain_corpus_v2" -> _) ++
-      OracleSqlExt.pretrainReportV2SqlFromLastGate.map("pipeline_pretrain_report_v2" -> _)
+      OracleSqlExt.pretrainReportV2SqlFromLastGate.map("pipeline_pretrain_report_v2" -> _) ++
+      OracleSqlExt.pretrainCorpusV3SqlFromLastGate.map("pipeline_pretrain_corpus_v3" -> _) ++
+      OracleSqlExt.pretrainReportV3SqlFromLastGate.map("pipeline_pretrain_report_v3" -> _)
 }

@@ -132,7 +132,8 @@ object PretrainCorpus {
   private def build(docs: DataFrame, benchPred: Column, minLineWords: Int,
                     bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
                     budgetTokens: Long, windowSize: Long,
-                    gate: Option[(Seq[Double], Double)] = None): Staged = {
+                    gate: Option[(Seq[Double], Double)] = None,
+                    imageDedup: Boolean = false): Staged = {
     val (page, oPage) = obsOn(
       docs.select(col("doc_id"), col("source"),
         (if (gate.isDefined) dirtyPageV2 else dirtyPage).as("text")),
@@ -185,8 +186,37 @@ object PretrainCorpus {
           "graft_pp_quality", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
         (qg.localCheckpoint(), Seq("pii" -> oPii, "quality" -> oQg))
     }
+    // OPTIONAL v3 stage between the quality gate and TEXT dedup:
+    // perceptual IMAGE keep-canonical — each document's image payload
+    // fingerprints (narrow partition-parallel decode, zero shuffle),
+    // near-duplicate images pair through the guarded pigeonhole band
+    // join, and every connected group keeps its min-id member. A real
+    // multimodal corpus dedups the re-encoded/re-hosted images BEFORE
+    // paying text dedup's shuffles on pages that only differ by wrapper.
+    // Closure over the guarded star+representative pairs labels exactly
+    // the uncapped clique graph (the bandedHammingPairs invariant), and
+    // the oracle mirrors pairs + closure verbatim.
+    val (preDedup2, imgObs) =
+      if (!imageDedup) (preDedup, Seq.empty[(String, Observation)])
+      else {
+        val fps = graft.multimodal.Multimodal.imagePhash(preDedup).toDF()
+          .filter(col("valid")).select(col("doc_id"), col("phash"))
+        val pairs = Dedup.imagePhashPairsFrom(fps)
+        val comps = Dedup.connectedComponents(pairs)
+        val (img, oImg) = obsOn(
+          preDedup.join(
+            comps.filter(col("component") =!= col("doc_id")).select("doc_id"),
+            Seq("doc_id"), "left_anti"),
+          "graft_pp_image", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        // the eager checkpoint materializes the survivors, so the pair
+        // graph's and label table's builder-owned caches release here
+        val imgp = img.localCheckpoint()
+        pairs.unpersist()
+        comps.unpersist()
+        (imgp, Seq("image" -> oImg))
+      }
     val (deduped, oDed) = obsOn(
-      preDedup.join(Dedup.keepCanonical(preDedup.select("doc_id", "text")).select("doc_id"),
+      preDedup2.join(Dedup.keepCanonical(preDedup2.select("doc_id", "text")).select("doc_id"),
         Seq("doc_id")),
       "graft_pp_dedup", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
     val dedp = deduped.localCheckpoint()
@@ -208,7 +238,7 @@ object PretrainCorpus {
         .select(col("doc_id"), col("source"), col("n_chars"), col("bin")),
       "graft_pp_packed", max(col("bin")).as("max_bin"))
     Staged(packed, Seq("input" -> oPage, "nfc" -> oNfc, "c4" -> oC4,
-      "bp" -> oBp) ++ extraObs ++ Seq("dedup" -> oDed, "decon" -> oDec,
+      "bp" -> oBp) ++ extraObs ++ imgObs ++ Seq("dedup" -> oDed, "decon" -> oDec,
       "sample" -> oSmp, "packed" -> oPk))
   }
 
@@ -327,6 +357,74 @@ object PretrainCorpus {
           .otherwise(lit(null).cast("double")).as("quality_doc_cut"),
         when(col("docs_quality") > 0,
           round(lit(1.0) - col("docs_dedup").cast("double") / col("docs_quality"), 6))
+          .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
+  }
+
+  /** The v3 (MULTIMODAL) ladder — [[pipelineV2]] with perceptual IMAGE
+    * keep-canonical composed between the quality gate and text dedup:
+    * near-duplicate image payloads (re-encodes, re-hosts) collapse to
+    * their min-id page before text dedup pays its shuffles. Same output
+    * shape. */
+  def pipelineV3(docs: DataFrame, gateWeights: Seq[Double],
+                 gateThreshold: Double = 0.2,
+                 benchPred: Column = col("source") === "src0",
+                 minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+                 minLen: Int = 30, budgetTokens: Long = 20000L,
+                 windowSize: Long = 2048L): DataFrame =
+    build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars, minLen,
+      budgetTokens, windowSize, Some((gateWeights, gateThreshold)),
+      imageDedup = true).packed
+
+  /** [[reportV2]] for the v3 ladder: two more survival columns
+    * (post-image-dedup docs/chars) and the image-cut headline; the text
+    * dedup cut reads against the image stage's output — its actual
+    * input. */
+  def reportV3(docs: DataFrame, gateWeights: Seq[Double],
+               gateThreshold: Double = 0.2,
+               benchPred: Column = col("source") === "src0",
+               minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+               minLen: Int = 30, budgetTokens: Long = 20000L,
+               windowSize: Long = 2048L): DataFrame = {
+    val st = build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars,
+      minLen, budgetTokens, windowSize, Some((gateWeights, gateThreshold)),
+      imageDedup = true)
+    st.packed.count()
+    val m = st.obs.toMap
+    def g(stage: String, key: String): Long = {
+      val v = m(stage).get(key)
+      if (v == null) 0L else v.asInstanceOf[Number].longValue
+    }
+    val nBins = {
+      val v = m("packed").get("max_bin")
+      if (v == null) 0L else v.asInstanceOf[Number].longValue + 1
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((g("input", "n"), g("input", "chars"), g("nfc", "chars"),
+        g("c4", "chars"), g("bp", "chars"), g("pii", "chars"),
+        g("quality", "n"), g("quality", "chars"),
+        g("image", "n"), g("image", "chars"),
+        g("dedup", "n"), g("dedup", "chars"),
+        g("decon", "n"), g("decon", "chars"),
+        g("sample", "n"), g("sample", "tokens"),
+        nBins))
+      .toDF("n_docs", "chars_raw", "chars_nfc", "chars_c4", "chars_bp",
+        "chars_pii", "docs_quality", "chars_quality",
+        "docs_image", "chars_image",
+        "docs_dedup", "chars_dedup", "docs_decon", "chars_decon",
+        "docs_sampled", "tokens_sampled", "n_bins")
+      .select(col("*"),
+        when(col("chars_raw") > 0,
+          round(lit(1.0) - col("chars_bp").cast("double") / col("chars_raw"), 6))
+          .otherwise(lit(null).cast("double")).as("scrub_char_cut"),
+        when(col("n_docs") > 0,
+          round(lit(1.0) - col("docs_quality").cast("double") / col("n_docs"), 6))
+          .otherwise(lit(null).cast("double")).as("quality_doc_cut"),
+        when(col("docs_quality") > 0,
+          round(lit(1.0) - col("docs_image").cast("double") / col("docs_quality"), 6))
+          .otherwise(lit(null).cast("double")).as("image_doc_cut"),
+        when(col("docs_image") > 0,
+          round(lit(1.0) - col("docs_dedup").cast("double") / col("docs_image"), 6))
           .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
   }
 }

@@ -105,6 +105,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!probe.contains("user4@"), s"the raw email must be gone: $probe")
   }
 
+  test("pretrain v3: image keep-canonical composes between the gate and text dedup, matches standalone") {
+    import graft.pipelines.PretrainCorpus
+    import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
+    import graft.dedup.Dedup
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val feats = QualityClassifier.features(docs)
+    val w = QualityClassifier.train(feats.filter(pmod(col("doc_id"), lit(4)) === 0))
+    val thr = 0.28
+    val rep = PretrainCorpus.reportV3(docs, w, thr).collect().head
+    val r = rep.getValuesMap[Any](rep.schema.fieldNames)
+    def L(k: String) = r(k).asInstanceOf[Long]
+
+    // rebuild the gate corpus standalone, then the image stage from the
+    // SAME standalone machinery the dedup_image_phash query ships —
+    // the composed counter must match exactly
+    val page = docs.select(col("doc_id"), col("source"), PretrainCorpus.dirtyPageV2.as("text"))
+    val normed = page.select(col("doc_id"), col("source"),
+      TextNormalize.normalizeText(col("text")).as("text"))
+    val srcOf = normed.select("doc_id", "source")
+    val c4 = TextAnalysis.scrubC4Lines(normed)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val bp = TextAnalysis.scrubBoilerplateLines(c4, minDf = 3)
+      .select(col("doc_id"), col("clean_text").as("text")).join(srcOf, Seq("doc_id"))
+    val pii = bp.select(col("doc_id"), col("source"), TextAnalysis.scrub(col("text")).as("text"))
+    val qg = QualityClassifier.scoreTextWith(pii, w)
+      .filter(col("source") === "src0" || col("score") >= lit(thr)).drop("score")
+    assert(L("docs_quality") == qg.count())
+    val fps = graft.multimodal.Multimodal.imagePhash(qg).toDF()
+      .filter(col("valid")).select(col("doc_id"), col("phash"))
+    val pairs = Dedup.imagePhashPairsFrom(fps)
+    val comps = Dedup.connectedComponents(pairs)
+    val img = qg.join(comps.filter(col("component") =!= col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(L("docs_image") == img.count(),
+      "composed image-stage count must equal the standalone pairs+components machinery")
+    assert(L("chars_image") == img.agg(sum(length(col("text")))).head.getLong(0))
+    pairs.unpersist(); comps.unpersist()
+    // the stage is LIVE (planted same-dims duplicate-payload planes
+    // collapse) and ordered: gate -> image -> text dedup, each cutting
+    assert(L("docs_image") < L("docs_quality"), s"image stage must cut documents: $r")
+    assert(L("docs_dedup") <= L("docs_image") && L("docs_dedup") > 0)
+    assert(L("n_bins") > 0 && L("docs_sampled") > 0)
+    // plants still fire downstream: benchmark docs never ship, pair max
+    // ids never survive (image or text dedup removes them)
+    val out = PretrainCorpus.pipelineV3(docs, w, thr).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(!out.values.exists(_._1 == "src0"))
+    assert(!out.contains(8L) && !out.contains(58L), "pair max ids must dedup away")
+  }
+
   test("pretrain report: a corpus whose every doc dies pre-packing reports 0 bins") {
     import graft.pipelines.PretrainCorpus
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
