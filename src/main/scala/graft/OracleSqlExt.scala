@@ -854,6 +854,49 @@ object OracleSqlExt {
     s"""WITH $afpBaseSql,
        |${hammingMatchTailSql("afp", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
 
+  /** Generator-re-derived (doc_id, vfp) base CTEs — mirror of
+    * [[graft.multimodal.Multimodal.videoFingerprint]]: 61 grayscale
+    * frames of (doc_id%5+2)·(doc_id%3+2) bytes from the padded text,
+    * per-frame unsigned byte-sum energies, sign-of-delta bits under the
+    * fixed σ(k)=37k mod 61 comparison schedule (identity frame sampling —
+    * the generator's containers declare exactly 61 frames). */
+  private def vfpBaseSql: String =
+    s"""pb AS (
+       |  SELECT doc_id,
+       |         CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) AS INTEGER) AS fl,
+       |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
+       |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 61 AS INTEGER), 'x') AS px
+       |  FROM documents
+       |),
+       |en AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 61), i ->
+       |      list_sum(list_transform(range(i * fl, (i + 1) * fl),
+       |        j -> unicode(substr(px, CAST(j + 1 AS INT), 1))))) AS e
+       |  FROM pb
+       |),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 60), k ->
+       |      CASE WHEN e[CAST(((k + 1) * 37) % 61 + 1 AS INT)] > e[CAST((k * 37) % 61 + 1 AS INT)]
+       |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS vfp
+       |  FROM en
+       |)""".stripMargin
+
+  /** Temporal video fingerprint near-dup pairs (mirrors
+    * [[graft.dedup.Dedup.videoFingerprintPairs]]) — the same guarded
+    * star+representative band join as the simhash/image/audio oracles. */
+  def videoFpPairsSql(maxHamming: Int): String =
+    s"""WITH $vfpBaseSql,
+       |${hammingBandTailSql("vfp", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
+
+  /** Video ingest gate (mirrors the batch half of
+    * [[graft.streaming.MultimodalDedupStream.gateVideoBatch]]): odd-half
+    * fresh docs matched against the even-half fingerprint index. */
+  def videoFpGateSql(maxHamming: Int): String =
+    s"""WITH $vfpBaseSql,
+       |${hammingMatchTailSql("vfp", maxHamming, graft.dedup.Dedup.MaxLshBucketSize)}""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** Left-to-right dot product over 64 dims (mirrors zip_with+aggregate). */

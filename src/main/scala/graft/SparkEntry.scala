@@ -110,6 +110,19 @@ object SparkEntry {
         Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
       dir
     })
+  private def videoFpIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#videofp", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#videofp")).toString
+      graft.dedup.Dedup.writeVideoFpIndex(Collocations.documents(s, d), dir)
+      dir
+    })
+  private def videoFpIndexDirHalf(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#videofp-even", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#videofp-even")).toString
+      graft.dedup.Dedup.writeVideoFpIndex(
+        Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 0), dir)
+      dir
+    })
 
   /** Substring-anchor index (full corpus / even half) — same
     * build-once lifecycle and shutdown-cleaned root. */
@@ -221,6 +234,8 @@ object SparkEntry {
     imagePhashIndexDirHalf(spark, sfDir)
     audioFpIndexDir(spark, sfDir)
     audioFpIndexDirHalf(spark, sfDir)
+    videoFpIndexDir(spark, sfDir)
+    videoFpIndexDirHalf(spark, sfDir)
     benchAnchorIndexDir(spark, sfDir)
     bpeModelDir(spark, sfDir)
     unigramModelDir(spark, sfDir)
@@ -2453,6 +2468,26 @@ object SparkEntry {
       },
       Some(OracleSqlExt.audioFingerprintPairsSql(3))),
 
+    // TEMPORAL video dedup — the frame-sequence modality closing the
+    // perceptual family: parse the multi-frame VID0 container, per-frame
+    // luminance energies, sign-of-delta bits under the same 37k mod 61
+    // permuted schedule the audio fingerprint proved (each frame feeds
+    // exactly two comparisons, so one re-encoded/replaced frame flips
+    // <= 2 bits), then the guarded pigeonhole band join
+    ("dedup_video_fingerprint",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.videoFingerprintPairs(Collocations.documents(s, d), maxHamming = 3),
+      Some(OracleSqlExt.videoFpPairsSql(3))),
+
+    // its build-once/serve-many twin: pairs served from the persisted
+    // (doc_id, vfp) table alone — the serve plan never re-parses the
+    // corpus; same oracle as the direct path
+    ("dedup_video_indexed",
+      (s: SparkSession, d: String) =>
+        graft.dedup.Dedup.videoFingerprintPairsFrom(
+          s.read.parquet(s"${videoFpIndexDir(s, d)}/video_fp"), maxHamming = 3),
+      Some(OracleSqlExt.videoFpPairsSql(3))),
+
     // continuous-crawl ingest GATES for the perceptual modalities — the
     // batch half of graft.streaming.MultimodalDedupStream (stream-equals-
     // batch pinned in StreamingSpec): odd-half "arriving" docs fingerprint
@@ -2472,6 +2507,13 @@ object SparkEntry {
           Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1),
           s.read.parquet(s"${audioFpIndexDirHalf(s, d)}/audio_fp"), maxHamming = 3),
       Some(OracleSqlExt.audioFpGateSql(3))),
+
+    ("dedup_video_stream_gate",
+      (s: SparkSession, d: String) =>
+        graft.streaming.MultimodalDedupStream.gateVideoBatch(
+          Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1),
+          s.read.parquet(s"${videoFpIndexDirHalf(s, d)}/video_fp"), maxHamming = 3),
+      Some(OracleSqlExt.videoFpGateSql(3))),
 
     // NOTE: the all-pairs `closestEmbeddingPairs` baseline is deliberately
     // NOT a registry query — its O(n²) BroadcastNestedLoop plan must never

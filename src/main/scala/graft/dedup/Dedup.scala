@@ -922,6 +922,41 @@ object Dedup {
         .write.mode("overwrite").parquet(staging)
     }
 
+  /** TEMPORAL near-duplicate VIDEO pairs (a < b) within `maxHamming`
+    * fingerprint bit flips — the frame-sequence modality, closing the
+    * perceptual family: two cuts of the same clip differ in bytes (and in
+    * any single re-encoded frame) but not in frame-energy STRUCTURE
+    * across the sequence. Pure composition of shipped parts: the
+    * partition-parallel container parse → per-frame energy → permuted
+    * sign-delta of [[graft.multimodal.Multimodal.videoFingerprint]]
+    * (narrow map, zero shuffle) feeds the same GUARDED 4×15-bit
+    * pigeonhole band join as the simhash/image/audio pairings — never an
+    * all-pairs compare. Invalid payloads drop before pairing. */
+  def videoFingerprintPairs(docs: DataFrame, maxHamming: Int = 3,
+                            maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    videoFingerprintPairsFrom(
+      graft.multimodal.Multimodal.videoFingerprint(docs).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("vfp")),
+      maxHamming, maxBucketSize)
+
+  /** [[videoFingerprintPairs]] served from a persisted (doc_id, vfp)
+    * table — the serve plan never re-parses the corpus. */
+  def videoFingerprintPairsFrom(fp: DataFrame, maxHamming: Int = 3,
+                                maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    bandedHammingPairs(fp, "vfp", maxHamming, maxBucketSize)
+
+  /** Build-once video-fingerprint index — the [[writeImagePhashIndex]]
+    * lifecycle for the frame-sequence modality: the fingerprint is a pure
+    * per-document function of the payload bytes, so fresh shards UNION
+    * onto the index without re-parsing the existing corpus. Staged
+    * publish via [[graft.sources.Sinks.publishSwap]]. */
+  def writeVideoFpIndex(docs: DataFrame, dir: String): Unit =
+    graft.sources.Sinks.publishSwap(s"$dir/video_fp") { staging =>
+      graft.multimodal.Multimodal.videoFingerprint(docs).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("vfp"))
+        .write.mode("overwrite").parquet(staging)
+    }
+
   /** Hamming MATCHES of fresh fingerprints against a static index — the
     * ingest-gate shape of the pigeonhole band join ([[bandedHammingPairs]]
     * with the self-join replaced by fresh-vs-index): one row per fresh

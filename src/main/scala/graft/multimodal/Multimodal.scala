@@ -301,6 +301,126 @@ object Multimodal {
       .mapPartitions(it => it.map(p => audioFpWav(p.doc_id, p.payload)))
   }
 
+  // ------------------------------------------------- video fingerprint
+
+  /** Parsed VID0 header: frame count, frame dims, plane offset. */
+  private[graft] case class VideoHeader(nf: Int, w: Int, h: Int, off: Int)
+
+  /** Number of frames in the video container AND the fingerprint's
+    * comparison schedule — 61 frames give 60 sign-delta bits under the
+    * same coprime permutation as [[AudioFpFrames]]. */
+  private[graft] val VideoFrames = 61
+
+  /** Build a REAL multi-frame video container per document:
+    * `VID0\n<nf> <w> <h>\n` then nf grayscale frames of w·h bytes each
+    * (the document's ASCII-sanitized text right-padded to the full frame
+    * stream). Frame dims derive from doc_id like the P6 payload; byte ==
+    * codepoint so the DuckDB oracle re-derives the frame stream with
+    * string functions. Pure Column algebra — array-local, zero shuffle. */
+  def withVideoPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_w", (pmod(col("doc_id"), lit(5L)) + 2).cast("int"))
+      .withColumn("_h", (pmod(col("doc_id"), lit(3L)) + 2).cast("int"))
+      .withColumn("_ascii", regexp_replace(col("text"), "[^\\x20-\\x7e]", "?"))
+      .withColumn("_px", expr(s"rpad(_ascii, _w * _h * $VideoFrames, 'x')"))
+      .select(col("doc_id"),
+        encode(concat(lit(s"VID0\n$VideoFrames "),
+          col("_w").cast("string"), lit(" "), col("_h").cast("string"),
+          lit("\n"), col("_px")), "UTF-8").as("payload"))
+
+  /** REAL VID0 header parse over raw bytes — magic check, ascii header
+    * ints, single separator byte, exact frame-stream length. Same
+    * malformed-routes-to-valid=false contract as [[parsePpmHeader]]. */
+  private def parseVideoHeader(bytes: Array[Byte]): VideoHeader = {
+    var i = 0
+    def fail(msg: String) = throw new IllegalArgumentException(msg)
+    def parseInt(): Int = {
+      var v = 0; var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (!any) fail(s"expected integer at byte $i")
+      v
+    }
+    if (bytes.length < 5 || bytes(0) != 'V' || bytes(1) != 'I' ||
+        bytes(2) != 'D' || bytes(3) != '0' || bytes(4) != '\n')
+      fail("not a VID0 container")
+    i = 5
+    val nf = parseInt()
+    if (i >= bytes.length || bytes(i) != ' ') fail("missing nf separator"); i += 1
+    val w = parseInt()
+    if (i >= bytes.length || bytes(i) != ' ') fail("missing w separator"); i += 1
+    val h = parseInt()
+    if (i >= bytes.length || bytes(i) != '\n') fail("missing header terminator"); i += 1
+    // a zero-frame or zero-dim container satisfies the length identity
+    // (0 == 0) but breaks every frame read — reject like the P6 rule;
+    // < 2 frames define no delta at all
+    if (nf < 2 || w <= 0 || h <= 0) fail(s"degenerate geometry $nf x ${w}x$h")
+    if (bytes.length - i != nf * w * h)
+      fail(s"frame stream has ${bytes.length - i} bytes, expected ${nf * w * h}")
+    VideoHeader(nf, w, h, i)
+  }
+
+  case class VideoFingerprint(doc_id: Long, valid: Boolean, vfp: Long)
+
+  /** TEMPORAL video fingerprint over the DECODED frame stream — the
+    * [[audioFpWav]] recipe applied to the frame axis: parse the VID0
+    * container (magic, geometry, exact stream length), sample
+    * [[VideoFrames]] = 61 frames by nearest neighbor (frame ⌊i·nf/61⌋ —
+    * identity when nf = 61, the generator's shape), sum each sampled
+    * frame's unsigned luminance bytes, then bit k (k < 60) is the sign of
+    * the energy delta between frames σ(k+1) and σ(k) under the fixed
+    * coprime permutation σ(k) = 37·k mod 61.
+    *
+    * The same robustness contract as the audio fingerprint, on frames
+    * instead of byte cells: each frame feeds exactly two comparisons, so
+    * a LOCALLY perturbed sequence (one re-encoded frame, a replaced
+    * scene, a re-padded tail) flips ≤ 2 bits — inside the band join's
+    * hamming-3 recall — while unrelated sequences diverge across the
+    * permuted schedule. 60 bits pack into one non-negative BIGINT,
+    * reusing the guarded 4×15-bit pigeonhole banding. Malformed payloads
+    * route to `valid = false`. */
+  private[graft] def videoFpBytes(id: Long, bytes: Array[Byte]): VideoFingerprint =
+    try {
+      val hd = parseVideoHeader(bytes)
+      val fl = hd.w * hd.h
+      val nf = VideoFrames
+      val e = new Array[Long](nf)
+      var i = 0
+      while (i < nf) {
+        // Long arithmetic: the audioFpWav overflow rule
+        val f = (i.toLong * hd.nf / nf).toInt
+        var sum = 0L
+        var j = hd.off + f * fl
+        val end = j + fl
+        while (j < end) { sum += bytes(j) & 0xff; j += 1 }
+        e(i) = sum
+        i += 1
+      }
+      var fp = 0L
+      var k = 0
+      while (k < nf - 1) {
+        if (e((k + 1) * 37 % nf) > e(k * 37 % nf)) fp |= 1L << k
+        k += 1
+      }
+      VideoFingerprint(id, valid = true, fp)
+    } catch {
+      case _: IllegalArgumentException => VideoFingerprint(id, valid = false, 0L)
+    }
+
+  /** Partition-parallel video fingerprint — the same narrow-map batch
+    * shape as [[audioFingerprint]] (one codec per partition, zero
+    * shuffle, fixed-width output): the fingerprint comes from parsing the
+    * payload BYTES while the oracle re-derives the frame energies from
+    * the generator's inputs, so parity proves encode → binary → parse →
+    * frame-energy → sign-delta end to end. */
+  def videoFingerprint(docs: DataFrame): Dataset[VideoFingerprint] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withVideoPayload(docs).select("doc_id", "payload").as[Payload]
+      .mapPartitions(it => it.map(p => videoFpBytes(p.doc_id, p.payload)))
+  }
+
   // -------------------------------------------------- frame sample / resize
   //
   // Video-style operators over the payload, byte-offset plumbing only (a

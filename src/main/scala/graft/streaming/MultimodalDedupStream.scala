@@ -55,6 +55,15 @@ object MultimodalDedupStream {
         .filter(col("valid")).select(col("doc_id"), col("afp")),
       index, "afp", maxHamming)
 
+  /** One micro-batch of the video gate (mirror of [[gateImageBatch]] for
+    * the frame-sequence modality). */
+  def gateVideoBatch(batch: DataFrame, index: DataFrame,
+                     maxHamming: Int = 3): DataFrame =
+    Dedup.hammingMatchesAgainst(
+      Multimodal.videoFingerprint(batch).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("vfp")),
+      index, "vfp", maxHamming)
+
   private def gate(stream: DataFrame, indexDir: String, outDir: String,
                    checkpoint: String, maxHamming: Int,
                    batchFn: (DataFrame, DataFrame, Int) => DataFrame): StreamingQuery =
@@ -91,6 +100,12 @@ object MultimodalDedupStream {
                 checkpoint: String, maxHamming: Int = 3): StreamingQuery =
     gate(stream, indexDir, outDir, checkpoint, maxHamming, gateAudioBatch)
 
+  /** Start the video ingest gate (mirror of [[gateImage]] over the
+    * [[Dedup.writeVideoFpIndex]] `.../video_fp` table). */
+  def gateVideo(stream: DataFrame, indexDir: String, outDir: String,
+                checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    gate(stream, indexDir, outDir, checkpoint, maxHamming, gateVideoBatch)
+
   private def ingest(stream: DataFrame, dir: String, checkpoint: String,
                      fps: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
@@ -121,6 +136,13 @@ object MultimodalDedupStream {
     ingest(stream, s"$indexDir/audio_fp", checkpoint,
       b => Multimodal.audioFingerprint(b).toDF()
         .filter(col("valid")).select(col("doc_id"), col("afp")))
+
+  /** Start continuous video-index maintenance (mirror of [[ingestImage]]). */
+  def ingestVideo(stream: DataFrame, indexDir: String,
+                  checkpoint: String): StreamingQuery =
+    ingest(stream, s"$indexDir/video_fp", checkpoint,
+      b => Multimodal.videoFingerprint(b).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("vfp")))
 
   /** The live streamed index table (ingest partition column dropped —
     * serve plans see the exact batch-index schema and can feed

@@ -255,6 +255,55 @@ class DedupSpec extends SparkSpec {
     assert(incr == expected, "incremental ingest must equal the from-scratch rebuild")
   }
 
+  test("video fingerprint: frame-local edits pair, tail-extended sequences match, container guards hold") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // doc_ids 1/16/31 are congruent mod 15 -> identical 3x3 frame
+    // geometry (9 bytes/frame, 549-byte stream); 16 perturbs ONE byte of
+    // 1's frame 30 (a re-encoded frame: that frame feeds exactly two
+    // permuted comparisons, so hamming <= 2); 31 rewrites the back half
+    // of the stream (31 frames) — no near-dup
+    val base = ("frame energy content varies here " * 20).take(549)
+    val oneFrame = base.updated(274, 'Z')
+    val far = base.take(270) + ("#@! 9" * 60).take(279)
+    val vids = Seq((1L, base), (16L, oneFrame), (31L, far),
+        (4L, "another unrelated clip with its own energy profile " * 5))
+      .map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val fp = Multimodal.videoFingerprint(vids).collect().map(v => v.doc_id -> v.vfp).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(16L)) <= 2,
+      s"one re-encoded frame flips at most its two comparisons: ${ham(fp(1L), fp(16L))}")
+    assert(ham(fp(1L), fp(31L)) > 3, "a half-rewritten sequence is no near-dup")
+    // the banded join surfaces EXACTLY the guarded star+rep truth
+    val expected = guardedPairsTruth(fp, 3)
+    assert(expected.contains((1L, 16L)))
+    val got = Dedup.videoFingerprintPairs(vids, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"banded pairs must equal guarded truth: got=$got expected=$expected")
+    // SHIFTED-TAIL sequence: appending a frame to the container (a
+    // trimmed/extended cut of the same clip) keeps every one of the 61
+    // nearest-neighbor frame samples on the same underlying frame
+    // (floor(i*62/61) == i for i < 61), so the fingerprints are
+    // IDENTICAL — the temporal analog of the audio fingerprint's
+    // re-encode robustness
+    def vid(nf: Int, frames: Array[Byte]): Array[Byte] =
+      s"VID0\n$nf 3 1\n".getBytes("US-ASCII") ++ frames
+    val frames61 = Array.tabulate(61 * 3)(i => (32 + (i * 7) % 90).toByte)
+    val fp61 = Multimodal.videoFpBytes(9L, vid(61, frames61))
+    val fp62 = Multimodal.videoFpBytes(9L, vid(62, frames61 ++ Array.fill(3)('x'.toByte)))
+    assert(fp61.valid && fp62.valid && fp61.vfp == fp62.vfp,
+      "a tail-extended cut must fingerprint identically")
+    // malformed payloads route to valid = false (never pair, never throw):
+    // truncated magic, zero-dim geometry, single-frame container (no
+    // delta defined), and a stream-length mismatch
+    assert(!Multimodal.videoFpBytes(9L, Array[Byte]('V', 'I')).valid)
+    assert(!Multimodal.videoFpBytes(9L, "VID0\n61 0 3\n".getBytes("US-ASCII")).valid)
+    assert(!Multimodal.videoFpBytes(9L,
+      "VID0\n1 3 1\n".getBytes("US-ASCII") ++ Array.fill(3)('x'.toByte)).valid)
+    assert(!Multimodal.videoFpBytes(9L,
+      "VID0\n61 3 1\n".getBytes("US-ASCII") ++ Array.fill(10)('x'.toByte)).valid)
+  }
+
   test("hamming band join: identical-fingerprint groups star-expand to O(k), never the O(k^2) clique") {
     import spark.implicits._
     // 100 identical fingerprints — a mass-duplicated asset (one logo on

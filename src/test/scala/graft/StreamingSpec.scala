@@ -938,7 +938,7 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
 
-  test("streaming image/audio ingest gates flag arrivals exactly as the batch gate") {
+  test("streaming image/audio/video ingest gates flag arrivals exactly as the batch gate") {
     import graft.streaming.{DedupStream, MultimodalDedupStream}
     import graft.dedup.Dedup
     val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
@@ -998,6 +998,9 @@ class StreamingSpec extends SparkSpec {
     run("audio", Dedup.writeAudioFpIndex, "audio_fp",
       (s, i, o, c) => MultimodalDedupStream.gateAudio(s, i, o, c),
       (b, i) => MultimodalDedupStream.gateAudioBatch(b, i))
+    run("video", Dedup.writeVideoFpIndex, "video_fp",
+      (s, i, o, c) => MultimodalDedupStream.gateVideo(s, i, o, c),
+      (b, i) => MultimodalDedupStream.gateVideoBatch(b, i))
   }
 
   test("streaming multimodal index ingest equals a full rebuild and replays idempotently") {
