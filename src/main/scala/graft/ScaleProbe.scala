@@ -30,7 +30,8 @@ object ScaleProbe {
       "--knn-only", "--knn-salted-only", "--contain-only", "--decon-only",
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
       "--substring-only", "--substring-geom-only", "--decon-substring-only",
-      "--classifier-only", "--diff-only", "--overlap-only", "--pca-only")
+      "--classifier-only", "--diff-only", "--overlap-only", "--pca-only",
+      "--hamming-skew-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -51,6 +52,7 @@ object ScaleProbe {
     val diffOnly = flags.contains("--diff-only")
     val overlapOnly = flags.contains("--overlap-only")
     val pcaOnly = flags.contains("--pca-only")
+    val hammingSkewOnly = flags.contains("--hamming-skew-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -406,6 +408,33 @@ object ScaleProbe {
         } else " uncapped=skipped(quadratic)"
         println(f"SCALE-WINNOW m=$m%2d docs=${5000 * m}%7d fps=$nFp%8d $tFp%5.2f s capped_pairs=$nOv%8d $tOv%6.2f s$unc")
         spark.sharedState.cacheManager.clearCache()
+      } else if (hammingSkewOnly) {
+        // MASS-DUPLICATED ASSET probe (the bandedHammingPairs star guard,
+        // measured): 20% of the corpus is ONE byte-identical payload —
+        // re-hosted copies fingerprint identically per (w, h) geometry,
+        // the degenerate input that made the unguarded band join emit
+        // O(k²) per-bucket cliques. The guarded join collapses each
+        // identical-fingerprint group to its representative and emits
+        // O(k) star edges, so pair count and wall time must grow ~m
+        // while the counterfactual clique control grows ~m² (clone ids
+        // are consecutive, so the copies spread over the 15 (w, h)
+        // geometries — the control sums the 15 per-geometry cliques).
+        val nClones = 1250L * m
+        val clones = spark.range(nClones).select(
+          (col("id") + 900000000L).as("doc_id"),
+          lit("identical logo payload served verbatim on every mirror page").as("text"),
+          lit("en").as("lang"), lit("probe").as("source"), lit(60L).as("n_chars"))
+        val corpus = docs.select("doc_id", "text", "lang", "source", "n_chars")
+          .unionByName(clones)
+        val t0 = System.nanoTime()
+        val pairs = graft.dedup.Dedup.imagePhashPairs(corpus)
+        val nPairs = pairs.count()
+        val tP = (System.nanoTime() - t0) / 1e9
+        pairs.unpersist(blocking = true)
+        spark.sharedState.cacheManager.clearCache()
+        val g = nClones / 15
+        val clique = 15L * g * (g - 1) / 2
+        println(f"SCALE-HAMMING-SKEW m=$m%2d docs=${5000 * m + nClones}%8d guarded_pairs=$nPairs%9d $tP%6.2f s  (unguarded clique control ~$clique%12d)")
       } else if (lshSkewOnly) {
         // ADVERSARIAL SKEW probe (the MaxLshBucketSize contract, measured):
         // 20% of the corpus is ONE byte-identical boilerplate text — every
