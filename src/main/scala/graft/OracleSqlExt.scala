@@ -1090,6 +1090,64 @@ object OracleSqlExt {
       semanticDedupSql(cents, minCos)
     }
 
+  /** Mirror of [[graft.dedup.Dedup.semanticMatchesAgainst]] over the
+    * even/odd split: the index side re-derives the even half's KEPT
+    * representatives (argmax assignment under the injected centroids,
+    * within-cell cosine pairs, exact closure, min-id survivors — the
+    * [[semanticDedupSql]] algebra restricted to even vec_ids), the fresh
+    * side is the odd half, and each flagged arrival reports its
+    * highest-cosine (smallest-id on ties) kept match — the two-stage
+    * max+min here is equivalent to the engine's min-of-(-cos, id)
+    * struct. */
+  def semanticGateSql(cents: Seq[(Int, Array[Double])], minCos: Double): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, v, cid, ${dotSql("v", "cv")} AS d FROM e CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |candE AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+       |  WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 0
+       |    AND round(${cosineSql("l.v", "r.v")}, 6) >= $minCos
+       |),
+       |bidir AS (SELECT a AS src, b AS dst FROM candE UNION SELECT b, a FROM candE),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM bidir
+       |  UNION
+       |  SELECT r.src, bd.dst FROM reach r JOIN bidir bd ON r.dst = bd.src
+       |),
+       |comp AS (SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src),
+       |kept AS (
+       |  SELECT a.vec_id, a.cid, a.v
+       |  FROM asg a LEFT JOIN comp c ON a.vec_id = c.vec_id
+       |  WHERE a.vec_id % 2 = 0 AND (c.vec_id IS NULL OR c.component = a.vec_id)
+       |),
+       |fresh AS (SELECT vec_id, cid, v FROM asg WHERE vec_id % 2 = 1),
+       |cand AS (
+       |  SELECT f.vec_id, k.vec_id AS match_id, round(${cosineSql("f.v", "k.v")}, 6) AS cos
+       |  FROM fresh f JOIN kept k ON f.cid = k.cid
+       |  WHERE round(${cosineSql("f.v", "k.v")}, 6) >= $minCos
+       |),
+       |best AS (SELECT vec_id, max(cos) AS cos FROM cand GROUP BY vec_id)
+       |SELECT b.vec_id, CAST(min(c.match_id) AS BIGINT) AS match_id, b.cos
+       |FROM best b JOIN cand c ON c.vec_id = b.vec_id AND c.cos = b.cos
+       |GROUP BY b.vec_id, b.cos""".stripMargin
+  }
+
+  def semanticGateSqlFromLastModel: Option[String] =
+    graft.dedup.Dedup.lastSemanticGateModel.map { case (cents, minCos) =>
+      semanticGateSql(cents, minCos)
+    }
+
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),

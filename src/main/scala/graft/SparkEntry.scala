@@ -206,6 +206,18 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted SemDeDup ingest-gate index (even half): centroids trained
+    * on the even vec_ids + that half's kept representatives. */
+  private def semanticGateIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#semgate", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#semgate")).toString
+      graft.dedup.Dedup.writeSemanticGateIndex(
+        s.read.parquet(s"$d/embeddings.parquet")
+          .filter(pmod(col("vec_id"), lit(2L)) === 0),
+        dir, nClusters = 8, iters = 2, minCos = 0.4, trainStride = 1)
+      dir
+    })
+
   /** Persisted SemDeDup centroid model — trained with EXACTLY the
     * rebuild entry's params (nClusters=8, iters=2, trainStride=1) so
     * serve-equals-rebuild holds bit-for-bit (pinned in DedupSpec). */
@@ -243,6 +255,7 @@ object SparkEntry {
     kn3ModelDir(spark, sfDir)
     ivfModelDir(spark, sfDir)
     semanticModelDir(spark, sfDir)
+    semanticGateIndexDir(spark, sfDir)
     pcaModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
@@ -2488,6 +2501,21 @@ object SparkEntry {
           s.read.parquet(s"${videoFpIndexDir(s, d)}/video_fp"), maxHamming = 3),
       Some(OracleSqlExt.videoFpPairsSql(3))),
 
+    // incremental ingest: the persisted index covers the even-doc_id
+    // half; odd-half fingerprints union on top WITHOUT re-parsing the
+    // old corpus (the fingerprint is a pure per-doc function of the
+    // payload bytes), and the SAME full-corpus oracle proves
+    // ingest-equals-rebuild — completing the image/audio/video symmetry
+    ("dedup_video_incremental",
+      (s: SparkSession, d: String) => {
+        val idx = s.read.parquet(s"${videoFpIndexDirHalf(s, d)}/video_fp")
+        val fresh = graft.multimodal.Multimodal.videoFingerprint(
+            Collocations.documents(s, d).filter(pmod(col("doc_id"), lit(2L)) === 1)).toDF()
+          .filter(col("valid")).select(col("doc_id"), col("vfp"))
+        graft.dedup.Dedup.videoFingerprintPairsFrom(idx.unionByName(fresh), maxHamming = 3)
+      },
+      Some(OracleSqlExt.videoFpPairsSql(3))),
+
     // continuous-crawl ingest GATES for the perceptual modalities — the
     // batch half of graft.streaming.MultimodalDedupStream (stream-equals-
     // batch pinned in StreamingSpec): odd-half "arriving" docs fingerprint
@@ -2572,6 +2600,26 @@ object SparkEntry {
         graft.dedup.Dedup.lastSemanticModelIndexed = Some((cents, 0.4))
         graft.dedup.Dedup.semanticDedupWith(
           s.read.parquet(s"$d/embeddings.parquet"), cents, minCos = 0.4)
+      },
+      None),
+
+    // SemDeDup as a continuous ingest GATE — the batch half of
+    // graft.streaming.SemanticDedupStream: odd-half "arriving" vectors
+    // assign to their cell under the even-half-trained centroids (narrow
+    // literal-model map) and join ONLY that cell's persisted kept
+    // representatives, each flagged arrival reporting its highest-cosine
+    // (smallest-id on ties) match. DYNAMIC oracle: the run stashes the
+    // gate index's centroids and oracleSql re-derives the kept set +
+    // matches from them (semanticGateSql).
+    ("dedup_semantic_stream_gate",
+      (s: SparkSession, d: String) => {
+        val dir = semanticGateIndexDir(s, d)
+        val cents = graft.similarity.Ann.readIvfModel(s, s"$dir/centroids")
+        graft.dedup.Dedup.lastSemanticGateModel = Some((cents, 0.4))
+        graft.dedup.Dedup.semanticMatchesAgainst(
+          s.read.parquet(s"$d/embeddings.parquet")
+            .filter(pmod(col("vec_id"), lit(2L)) === 1),
+          s.read.parquet(s"$dir/kept"), cents, minCos = 0.4)
       },
       None),
 
@@ -3183,6 +3231,7 @@ object SparkEntry {
       OracleSqlExt.annQuantRecallEvalSqlFromModel.map("ann_quant_recall_eval" -> _) ++
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticDedupSqlFromIndexedModel.map("dedup_semantic_indexed" -> _) ++
+      OracleSqlExt.semanticGateSqlFromLastModel.map("dedup_semantic_stream_gate" -> _) ++
       OracleSqlExt.clusterCapSampleSqlFromLastModel.map("sample_cluster_cap" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++

@@ -1435,6 +1435,75 @@ object Dedup {
     out
   }
 
+  /** Dedicated stash for the SemDeDup ingest GATE's dynamic oracle:
+    * (centroids, minCos) of the persisted gate index the last
+    * `dedup_semantic_stream_gate` run served against. */
+  @volatile private[graft] var lastSemanticGateModel: Option[(Seq[(Int, Array[Double])], Double)] = None
+
+  /** Persist the SemDeDup serve INDEX for continuous ingest gating: the
+    * trained centroids (`$dir/centroids`, the
+    * [[graft.similarity.Ann.writeIvfModel]] artifact shape) plus the KEPT
+    * representatives (`$dir/kept`: one (vec_id, cid, embedding) row per
+    * semantic-duplicate group survivor of the indexed corpus — the
+    * assignment rides along, so serving never re-assigns the index).
+    * Staged publish per table; a refresh republishes both. */
+  def writeSemanticGateIndex(emb: DataFrame, dir: String, nClusters: Int = 8,
+                             iters: Int = 2, minCos: Double = 0.4,
+                             trainStride: Int = 1): Unit = {
+    import graft.similarity.Ann
+    val cents = Ann.ivfCentroids(emb, nClusters, iters, trainStride)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.publishSwap(s"$dir/centroids") { staging =>
+      cents.map { case (cid, arr) => (cid, arr.toSeq) }.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    graft.sources.Sinks.publishSwap(s"$dir/kept") { staging =>
+      val labels = semanticDedupWith(emb, cents, minCos)
+      labels.filter(col("keep") === 1).select("vec_id", "cid")
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .write.mode("overwrite").parquet(staging)
+      labels.unpersist()
+    }
+  }
+
+  /** Cosine MATCHES of fresh embeddings against the persisted SemDeDup
+    * index — [[hammingMatchesAgainst]]'s ingest-gate shape for the
+    * embedding modality: each arriving vector assigns to its cell as a
+    * narrow literal-centroid map, joins ONLY that cell's kept
+    * representatives (the SemDeDup bound: candidate work O(cell size),
+    * never all-pairs), and reports its best match as
+    * (vec_id, match_id, cos) with "best" = highest cosine, smallest
+    * match_id on ties — deterministic, so the DuckDB oracle reproduces
+    * it from the same injected centroids. Clean arrivals produce no row;
+    * the downstream corpus writer anti-joins this table. Zero-norm
+    * vectors drop on both sides (cosine undefined — the
+    * [[semanticDedup]] guard). */
+  def semanticMatchesAgainst(fresh: DataFrame, kept: DataFrame,
+                             cents: Seq[(Int, Array[Double])],
+                             minCos: Double = 0.4): DataFrame = {
+    import graft.similarity.Ann
+    val f = fresh.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Ann.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("cid", Ann.ivfCell(col("v"), cents).cast("long"))
+    val k = kept.select(col("vec_id").as("match_id"), col("cid").cast("long").as("cid"),
+        col("embedding").cast("array<double>").as("kv"))
+      .withColumn("knrm", sqrt(Ann.dot(col("kv"), col("kv"))))
+      .filter(col("knrm") > 0)
+    f.join(k, Seq("cid"))
+      .withColumn("cos", round(Ann.dot(col("v"), col("kv")) / (col("nrm") * col("knrm")), 6))
+      .filter(col("cos") >= minCos)
+      // lexicographic min over (-cos, match_id) = highest cosine, then
+      // smallest id — one aggregation, no second pass over candidates;
+      // cos >= minCos > 0, so the negation never meets the -0.0 vs 0.0
+      // double-ordering edge
+      .groupBy(col("vec_id"))
+      .agg(min(struct((col("cos") * -1).as("nc"), col("match_id"))).as("best"))
+      .select(col("vec_id"), col("best.match_id").as("match_id"),
+        (col("best.nc") * -1).as("cos"))
+  }
+
   // ------------------------------------------------- winnowing / edit distance
 
   /** Rolling hashes of the k-gram strings of a cleaned token array,

@@ -1003,6 +1003,52 @@ class StreamingSpec extends SparkSpec {
       (b, i) => MultimodalDedupStream.gateVideoBatch(b, i))
   }
 
+  test("streaming semantic ingest gate flags arrivals exactly as the batch gate") {
+    import graft.streaming.SemanticDedupStream
+    import graft.dedup.Dedup
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-semgate-idx")
+    val watch = java.nio.file.Files.createTempDirectory("graft-semgate-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-semgate-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-semgate-ckpt")
+    Dedup.writeSemanticGateIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+      idx.toString, nClusters = 4, iters = 2, minCos = 0.4)
+    def drop(name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-semgate-stage")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    drop("a.parquet", emb.filter(pmod(col("vec_id"), lit(4L)) === 1))
+    drop("b.parquet", emb.filter(pmod(col("vec_id"), lit(4L)) === 3))
+    val q = SemanticDedupStream.gate(
+      SemanticDedupStream.readStream(spark, watch.toString),
+      idx.toString, out.toString, ckpt.toString, minCos = 0.4)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = SemanticDedupStream.flagged(spark, out.toString).collect().map(key).toSet
+    val cents = graft.similarity.Ann.readIvfModel(spark, s"$idx/centroids")
+    val batch = SemanticDedupStream.gateBatch(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
+        spark.read.parquet(s"$idx/kept"), cents, minCos = 0.4)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      "accumulated stream flags must equal the batch gate on all arrivals")
+    assert(streamed.nonEmpty, "the sf0.001 embeddings have cross-parity semantic near-dups")
+    // the serve plan joins the persisted kept table — it never
+    // re-clusters (no Lloyd iteration appears anywhere in a gate batch:
+    // the centroids enter as literals from the tiny model read)
+    val p = SemanticDedupStream.gateBatch(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === 1),
+        spark.read.parquet(s"$idx/kept"), cents, minCos = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-semgate-idx"), s"gate must scan the persisted kept table:\n$p")
+    Seq(idx, watch, out, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+  }
+
   test("streaming multimodal index ingest equals a full rebuild and replays idempotently") {
     import graft.streaming.{DedupStream, MultimodalDedupStream}
     val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
