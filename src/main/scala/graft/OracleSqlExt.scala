@@ -1148,6 +1148,212 @@ object OracleSqlExt {
       semanticGateSql(cents, minCos)
     }
 
+  /** Shared CTE prefix of the semantic-decontamination oracles: argmax
+    * assignment of every non-zero-norm embedding under the injected
+    * centroids, split into the benchmark (vec_id % 10 = 0) and train
+    * sides, candidates = within-cell cosine >= minCos — the
+    * [[graft.dedup.Dedup.semanticDeconMatches]] algebra verbatim. */
+  private def semanticDeconCtes(cents: Seq[(Int, Array[Double])], minCos: Double): String = {
+    val centRows = cents.map { case (cid, arr) =>
+      s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+    }.mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |cents AS (
+       |  $centRows
+       |),
+       |asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, v, cid, ${dotSql("v", "cv")} AS d FROM e CROSS JOIN cents)
+       |  ) WHERE rn = 1
+       |),
+       |bench AS (SELECT vec_id, cid, v FROM asg WHERE vec_id % 10 = 0),
+       |fresh AS (SELECT vec_id, cid, v FROM asg WHERE vec_id % 10 <> 0),
+       |cand AS (
+       |  SELECT f.vec_id, b.vec_id AS match_id, round(${cosineSql("f.v", "b.v")}, 6) AS cos
+       |  FROM fresh f JOIN bench b ON f.cid = b.cid
+       |  WHERE round(${cosineSql("f.v", "b.v")}, 6) >= $minCos
+       |)""".stripMargin
+  }
+
+  /** Mirror of [[graft.dedup.Dedup.semanticDeconMatches]]: each flagged
+    * train vector reports its highest-cosine (smallest-id on ties)
+    * benchmark match — the two-stage max+min equals the engine's
+    * min-of-(-cos, id) struct. */
+  def semanticDeconSql(cents: Seq[(Int, Array[Double])], minCos: Double): String =
+    s"""WITH ${semanticDeconCtes(cents, minCos)},
+       |best AS (SELECT vec_id, max(cos) AS cos FROM cand GROUP BY vec_id)
+       |SELECT b.vec_id, CAST(min(c.match_id) AS BIGINT) AS match_id, b.cos
+       |FROM best b JOIN cand c ON c.vec_id = b.vec_id AND c.cos = b.cos
+       |GROUP BY b.vec_id, b.cos""".stripMargin
+
+  /** The rewrite step: train vec_ids with every flagged row dropped.
+    * Zero-norm vectors KEEP (cosine undefined means they cannot match a
+    * benchmark vector), so the outer scan is the raw table, not `e`. */
+  def scrubSemanticDeconSql(cents: Seq[(Int, Array[Double])], minCos: Double): String =
+    s"""WITH ${semanticDeconCtes(cents, minCos)}
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id % 10 <> 0 AND vec_id NOT IN (SELECT vec_id FROM cand)""".stripMargin
+
+  def semanticDeconSqlFromLastModel: Option[String] =
+    graft.dedup.Dedup.lastSemanticDeconModel.map { case (cents, minCos) =>
+      semanticDeconSql(cents, minCos)
+    }
+
+  def semanticDeconSqlFromIndexedModel: Option[String] =
+    graft.dedup.Dedup.lastSemanticDeconModelIndexed.map { case (cents, minCos) =>
+      semanticDeconSql(cents, minCos)
+    }
+
+  def scrubSemanticDeconSqlFromLastModel: Option[String] =
+    graft.dedup.Dedup.lastSemanticDeconScrubModel.map { case (cents, minCos) =>
+      scrubSemanticDeconSql(cents, minCos)
+    }
+
+  /** Mirror of [[graft.streaming.PretrainStream.gateBatch]] over the
+    * odd-arrivals / even-index / benchmark split: the row-local clean
+    * chain (dirtyPageV2 → NFC → C4 → PII, the pretrain chain's own
+    * fragments), the classifier score under the injected weights, the
+    * decon flag as shared-≥minLen-gram existence vs the benchmark side
+    * — both on the PRE-PII text, see the gateBatch scaladoc — (the
+    * anchor machinery's detection guarantee makes the two equivalent),
+    * and the near-dup flag as banded-minhash candidates
+    * (index side capped) exact-verified at `dupThreshold`, each flagged
+    * arrival reporting its highest-jaccard smallest-id index match. */
+  def ingestGateSql(w: Seq[Double], thr: Double,
+                    benchPredSql: String = "source = 'src0'",
+                    minLineWords: Int = 3, minLen: Int = 30,
+                    dupThreshold: Double = 0.5): String = {
+    import graft.text.TextAnalysis.{digitsPattern, emailPattern}
+    s"""WITH gpp AS (
+       |  SELECT doc_id, source,
+       |${ppBodyV2Sql(benchPredSql)}
+       |  FROM documents
+       |),
+       |gnn AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(
+       |      replace(
+       |        regexp_replace(
+       |          regexp_replace(nfc_normalize(text), '\\r\\n?', chr(10), 'g'),
+       |          '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+       |        chr(160), ' '),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS text
+       |  FROM gpp
+       |),
+       |gc4 AS (
+       |  SELECT doc_id, source, COALESCE(array_to_string(kl, chr(10)), '') AS text
+       |  FROM (SELECT doc_id, source, ${c4KeptSql(minLineWords)} AS kl
+       |        FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM gnn))
+       |),
+       |gpl AS (
+       |  SELECT DISTINCT doc_id, trim(raw) AS line
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS raw FROM gc4
+       |        WHERE doc_id % 2 = 0 OR ($benchPredSql))
+       |  WHERE length(trim(raw)) >= 10
+       |),
+       |gbl AS (
+       |  SELECT COALESCE(list(line), []::VARCHAR[]) AS bl
+       |  FROM (SELECT line FROM gpl GROUP BY line HAVING count(*) >= 3)
+       |),
+       |gbp AS (
+       |  SELECT doc_id, source,
+       |         COALESCE(array_to_string(list_filter(l, x -> NOT list_contains(bl, trim(x))), chr(10)), '') AS text
+       |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM gc4) CROSS JOIN gbl
+       |),
+       |gcl AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'), '$digitsPattern', '<NUM>', 'g') AS text
+       |  FROM gbp
+       |),
+       |arr AS (SELECT * FROM gcl WHERE doc_id % 2 = 1 AND NOT ($benchPredSql)),
+       |idx AS (SELECT * FROM gcl WHERE doc_id % 2 = 0 AND NOT ($benchPredSql)),
+       |${tclCteNamed("gtcla", "(SELECT doc_id, 'x' AS lang, text FROM arr)")},
+       |gqf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+       |    CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS sr,
+       |    CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens ELSE 0.0 END AS ttr,
+       |    ln(1 + n_tokens) AS lt
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(tl) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_distinct(tl)) AS BIGINT) AS n_distinct,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |      CAST(len(list_filter(tl, t -> t IN (${Stopwords.sqlList}))) AS BIGINT) AS n_stop
+       |    FROM gtcla
+       |  )
+       |),
+       |gqs AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(${qcDot(w)}))), 6) AS score FROM gqf),
+       |arrp AS (SELECT * FROM gbp WHERE doc_id % 2 = 1 AND NOT ($benchPredSql)),
+       |bchp AS (SELECT * FROM gbp WHERE ($benchPredSql)),
+       |ggt AS (
+       |  SELECT doc_id, substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM (SELECT doc_id, unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |        FROM arrp WHERE len(text) >= $minLen)
+       |),
+       |ggb AS (
+       |  SELECT DISTINCT substr(text, CAST(pos AS INT), $minLen) AS gram
+       |  FROM (SELECT unnest(range(1, len(text) - $minLen + 2)) AS pos, text
+       |        FROM bchp WHERE len(text) >= $minLen)
+       |),
+       |gdf AS (SELECT DISTINCT ggt.doc_id FROM ggt JOIN ggb ON ggt.gram = ggb.gram),
+       |gslta AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+       |  FROM gtcla WHERE len(tl) >= 3
+       |),
+       |sha AS (SELECT doc_id, unnest(sl) AS shingle FROM gslta),
+       |${tclCteNamed("gtcli", "(SELECT doc_id, 'x' AS lang, text FROM idx)")},
+       |gslti AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS sl
+       |  FROM gtcli WHERE len(tl) >= 3
+       |),
+       |shi AS (SELECT doc_id, unnest(sl) AS shingle FROM gslti),
+       |${mhCteFrom("ga", "sha")},
+       |${bkCteFrom("ga", "mhga")},
+       |${mhCteFrom("gi", "shi")},
+       |${bkCteFrom("gi", "mhgi")},
+       |gcap AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM bkgi
+       |  ) WHERE bn <= ${graft.dedup.Dedup.MaxLshBucketSize}
+       |),
+       |gcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, i.doc_id AS match_id
+       |  FROM bkga a JOIN gcap i ON a.band = i.band AND a.sig = i.sig AND a.doc_id <> i.doc_id
+       |),
+       |gjac AS (
+       |  SELECT doc_id, match_id, jaccard FROM (
+       |    SELECT c.doc_id, c.match_id,
+       |      round(len(list_intersect(la.sl, lb.sl)) / (len(la.sl) + len(lb.sl) - len(list_intersect(la.sl, lb.sl))), 6) AS jaccard
+       |    FROM gcand c JOIN gslta la ON c.doc_id = la.doc_id JOIN gslti lb ON c.match_id = lb.doc_id
+       |  ) WHERE jaccard >= $dupThreshold
+       |),
+       |gbmax AS (SELECT doc_id, max(jaccard) AS jaccard FROM gjac GROUP BY doc_id),
+       |gbest AS (
+       |  SELECT b.doc_id, CAST(min(j.match_id) AS BIGINT) AS match_id, b.jaccard
+       |  FROM gbmax b JOIN gjac j ON j.doc_id = b.doc_id AND j.jaccard = b.jaccard
+       |  GROUP BY b.doc_id, b.jaccard
+       |)
+       |SELECT a.doc_id, a.source, q.score,
+       |  CASE WHEN q.score >= $thr THEN 1 ELSE 0 END AS quality_pass,
+       |  CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS decon_flag,
+       |  CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_flag,
+       |  g.match_id AS dup_match_id,
+       |  g.jaccard AS dup_jaccard,
+       |  CASE WHEN q.score >= $thr AND d.doc_id IS NULL AND g.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM arr a
+       |JOIN gqs q ON a.doc_id = q.doc_id
+       |LEFT JOIN gdf d ON a.doc_id = d.doc_id
+       |LEFT JOIN gbest g ON a.doc_id = g.doc_id""".stripMargin
+  }
+
+  def ingestGateSqlFromLastGate: Option[String] =
+    graft.streaming.PretrainStream.lastIngestGate.map { case (w, thr) =>
+      ingestGateSql(w, thr)
+    }
+
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),
@@ -2899,6 +3105,27 @@ object OracleSqlExt {
     * scrub (`dc`, the crossSubstringSpanCtes construction over `ded`),
     * the α-mix token-budget sample (`smp`), and the packing input
     * (`fin`/`pk`). Ends in pk(doc_id, source, n_chars, cum). */
+  /** The dirtyPageV2 mirror (verbatim twin of
+    * [[graft.pipelines.PretrainCorpus.dirtyPageV2]]) — shared by the
+    * v2/v3 pretrain chains and the ingest-gate oracle. */
+  private def ppBodyV2Sql(benchPredSql: String): String = {
+    val leak = graft.pipelines.PretrainCorpus.LeakSentence
+    val idL = "translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
+    val pairL = "translate(CAST((doc_id // 50) * 50 AS VARCHAR), '0123456789', 'abcdefghij')"
+    s"""    'Subscribe to our newsletter today!' || chr(10) ||
+       |    'Navigation for ' || source || ': home | about | contact' || chr(10) ||
+       |    (CASE WHEN doc_id % 50 IN (7, 8)
+       |          THEN 'duplicate payload ' || $pairL || ' quick brown fox jumps tonight'
+       |          ELSE text END) || ' cafe' || chr(769) || '.' ||
+       |    (CASE WHEN doc_id % 50 NOT IN (7, 8) AND doc_id % 3 = 1
+       |          THEN chr(10) || 'Contact u' || $idL || ' at user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555' || CAST(doc_id AS VARCHAR) || '0 now.'
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 50 = 11 OR ($benchPredSql)
+       |          THEN chr(10) || 'Ref ' || $idL || ': $leak.'
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text""".stripMargin
+  }
+
   private def pretrainChainCtes(benchPredSql: String, minLineWords: Int,
                                 bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
                                 budgetTokens: Long, maxEpochs: Double,
@@ -2911,8 +3138,6 @@ object OracleSqlExt {
     // stage's [0-9]{3,} rule can't merge pair bodies or leak prefixes,
     // plus the per-doc PII line (email + phone) on doc_id % 3 == 1
     // non-pair docs.
-    val idL = "translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
-    val pairL = "translate(CAST((doc_id // 50) * 50 AS VARCHAR), '0123456789', 'abcdefghij')"
     val ppBody =
       if (gate.isEmpty)
         s"""    'Subscribe to our newsletter today!' || chr(10) ||
@@ -2924,19 +3149,7 @@ object OracleSqlExt {
            |          THEN chr(10) || 'Ref ' || CAST(doc_id AS VARCHAR) || ': $leak.'
            |          ELSE '' END) ||
            |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text""".stripMargin
-      else
-        s"""    'Subscribe to our newsletter today!' || chr(10) ||
-           |    'Navigation for ' || source || ': home | about | contact' || chr(10) ||
-           |    (CASE WHEN doc_id % 50 IN (7, 8)
-           |          THEN 'duplicate payload ' || $pairL || ' quick brown fox jumps tonight'
-           |          ELSE text END) || ' cafe' || chr(769) || '.' ||
-           |    (CASE WHEN doc_id % 50 NOT IN (7, 8) AND doc_id % 3 = 1
-           |          THEN chr(10) || 'Contact u' || $idL || ' at user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555' || CAST(doc_id AS VARCHAR) || '0 now.'
-           |          ELSE '' END) ||
-       |    (CASE WHEN doc_id % 50 = 11 OR ($benchPredSql)
-           |          THEN chr(10) || 'Ref ' || $idL || ': $leak.'
-           |          ELSE '' END) ||
-           |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text""".stripMargin
+      else ppBodyV2Sql(benchPredSql)
     // v2 mid-chain: PII scrub (same regexes as scrub_pii), feature CTE
     // over the scrubbed text (the qcFeatureChain algebra on a lang-less
     // relation), round-6 sigmoid score under the injected literal

@@ -218,6 +218,38 @@ object SparkEntry {
       dir
     })
 
+  /** Persisted pretrain INGEST-GATE index — everything the continuous
+    * gate ([[graft.streaming.PretrainStream]]) serves against, derived
+    * from the admitted (even-half, non-benchmark) corpus' LADDER-CLEANED
+    * pages and the benchmark's: `/dedup` = the minhash signature +
+    * shingle-set tables (writeDedupIndex shape), `/anchors` + `/bench` =
+    * the benchmark substring-anchor table and its extension corpus. */
+  private def pretrainGateIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#pretraingate", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#pretraingate")).toString
+      graft.streaming.PretrainStream.writeGateIndex(
+        Collocations.documents(s, d).select(col("doc_id"), col("source"),
+          graft.pipelines.PretrainCorpus.dirtyPageV2.as("text")),
+        dir,
+        benchPred = col("source") === "src0",
+        corpusPred = pmod(col("doc_id"), lit(2L)) === 0 && col("source") =!= "src0")
+      dir
+    })
+
+  /** Persisted semantic-decon BENCHMARK index: centroids trained on the
+    * benchmark tenth (vec_id % 10 = 0) plus that side's cell-assigned
+    * vectors — serving assigns the train side only, the benchmark is
+    * never re-clustered or re-assigned on ingest. */
+  private def semanticDeconIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#semdecon", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#semdecon")).toString
+      graft.dedup.Dedup.writeSemanticDeconIndex(
+        s.read.parquet(s"$d/embeddings.parquet")
+          .filter(pmod(col("vec_id"), lit(10L)) === 0),
+        dir, nClusters = 8, iters = 2, trainStride = 1)
+      dir
+    })
+
   /** Persisted SemDeDup centroid model — trained with EXACTLY the
     * rebuild entry's params (nClusters=8, iters=2, trainStride=1) so
     * serve-equals-rebuild holds bit-for-bit (pinned in DedupSpec). */
@@ -256,6 +288,8 @@ object SparkEntry {
     ivfModelDir(spark, sfDir)
     semanticModelDir(spark, sfDir)
     semanticGateIndexDir(spark, sfDir)
+    semanticDeconIndexDir(spark, sfDir)
+    pretrainGateIndexDir(spark, sfDir)
     pcaModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
@@ -2623,6 +2657,63 @@ object SparkEntry {
       },
       None),
 
+    // SEMANTIC decontamination — the paraphrase complement of the
+    // lexical decon family (shingle containment / exact substring /
+    // bloom): a reworded eval question shares no 13-gram with its
+    // source but sits next to it in embedding space. Benchmark =
+    // vec_id % 10 = 0 (eval suites are the SMALL side at 100 TB, so
+    // the centroids train on it), both sides assign to cells as narrow
+    // literal-model maps, candidates bounded by the cell join — never
+    // all-pairs. DYNAMIC oracle: the run stashes the trained centroids
+    // and oracleSql re-derives assignment + within-cell matches from
+    // them (OracleSqlExt.semanticDeconSql).
+    ("decontaminate_semantic",
+      (s: SparkSession, d: String) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val bench = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+        val train = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+        val cents = graft.similarity.Ann.ivfCentroids(bench, nCells = 8, iters = 2, trainStride = 1)
+        graft.dedup.Dedup.lastSemanticDeconModel = Some((cents, 0.4))
+        graft.dedup.Dedup.semanticDeconMatches(
+          train, graft.dedup.Dedup.assignedCells(bench, cents), cents, minCos = 0.4)
+      },
+      None),
+
+    // serve twin: the benchmark side reads its PERSISTED index
+    // (centroids + cell assignments) — ingest costs assignment of the
+    // arriving train shard only, the benchmark is never re-clustered
+    // (the decontaminate_substring_indexed lifecycle for the embedding
+    // modality). Dedicated stash; serve-equals-rebuild pinned in
+    // DedupSpec.
+    ("decontaminate_semantic_indexed",
+      (s: SparkSession, d: String) => {
+        val dir = semanticDeconIndexDir(s, d)
+        val cents = graft.similarity.Ann.readIvfModel(s, s"$dir/centroids")
+        graft.dedup.Dedup.lastSemanticDeconModelIndexed = Some((cents, 0.4))
+        graft.dedup.Dedup.semanticDeconMatches(
+          s.read.parquet(s"$d/embeddings.parquet")
+            .filter(pmod(col("vec_id"), lit(10L)) =!= 0),
+          s.read.parquet(s"$dir/bench"), cents, minCos = 0.4)
+      },
+      None),
+
+    // the rewrite step — train rows with every semantically flagged row
+    // dropped (zero-norm vectors keep: cosine undefined means they
+    // cannot match a benchmark vector)
+    ("scrub_semantic_contaminated",
+      (s: SparkSession, d: String) => {
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+        val bench = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+        val train = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+        val cents = graft.similarity.Ann.ivfCentroids(bench, nCells = 8, iters = 2, trainStride = 1)
+        graft.dedup.Dedup.lastSemanticDeconScrubModel = Some((cents, 0.4))
+        val flagged = graft.dedup.Dedup.semanticDeconMatches(
+          train, graft.dedup.Dedup.assignedCells(bench, cents), cents, minCos = 0.4)
+        train.select(col("vec_id"))
+          .join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+      },
+      None),
+
     // ==================================================== similarity search
     ("ann_cosine_topk",
       (s: SparkSession, d: String) =>
@@ -2941,6 +3032,36 @@ object SparkEntry {
       },
       None),
 
+    // the ladder's GATE HALF as a per-arrival batch — the batch twin of
+    // graft.streaming.PretrainStream's continuous deployment: odd-half
+    // non-benchmark "arriving" pages run the row-local cleaning chain
+    // (NFC -> C4 -> persisted-boilerplate line filter -> PII, the
+    // ladder's stage order with the corpus-df stage index-served), then
+    // three independent index-served gates —
+    // the trained quality classifier (literal weights), the substring
+    // decontamination flag vs the persisted benchmark anchors, and the
+    // near-dup flag vs the even-half corpus' persisted minhash index —
+    // one audit row per arrival with the composed keep decision.
+    // DYNAMIC oracle: the run stashes (weights, threshold) and oracleSql
+    // mirrors the clean chain + all three gates from them
+    // (OracleSqlExt.ingestGateSql).
+    ("pipeline_ingest_gate",
+      (s: SparkSession, d: String) => {
+        val dir = pretrainGateIndexDir(s, d)
+        val w = qcWeights(s, d)
+        graft.streaming.PretrainStream.lastIngestGate = Some((w, pretrainGateThreshold))
+        val arrivals = Collocations.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
+          .select(col("doc_id"), col("source"),
+            graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
+        graft.streaming.PretrainStream.gateBatch(arrivals, w, pretrainGateThreshold,
+          s.read.parquet(s"$dir/boilerplate"),
+          s.read.parquet(s"$dir/anchors"), s.read.parquet(s"$dir/bench"),
+          s.read.parquet(s"$dir/dedup/minhash_sigs"),
+          s.read.parquet(s"$dir/dedup/shingle_sets"))
+      },
+      None),
+
     // ---------------------------------------- composed training-data clean
     ("pipeline_clean_corpus",
       (s: SparkSession, d: String) =>
@@ -3232,6 +3353,10 @@ object SparkEntry {
       OracleSqlExt.semanticDedupSqlFromLastModel.map("dedup_semantic" -> _) ++
       OracleSqlExt.semanticDedupSqlFromIndexedModel.map("dedup_semantic_indexed" -> _) ++
       OracleSqlExt.semanticGateSqlFromLastModel.map("dedup_semantic_stream_gate" -> _) ++
+      OracleSqlExt.semanticDeconSqlFromLastModel.map("decontaminate_semantic" -> _) ++
+      OracleSqlExt.semanticDeconSqlFromIndexedModel.map("decontaminate_semantic_indexed" -> _) ++
+      OracleSqlExt.scrubSemanticDeconSqlFromLastModel.map("scrub_semantic_contaminated" -> _) ++
+      OracleSqlExt.ingestGateSqlFromLastGate.map("pipeline_ingest_gate" -> _) ++
       OracleSqlExt.clusterCapSampleSqlFromLastModel.map("sample_cluster_cap" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++

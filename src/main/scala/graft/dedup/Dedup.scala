@@ -588,6 +588,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "inter", "na", "nb", "jaccard")
 
+  /** Jaccard MATCHES of fresh documents against a PERSISTED dedup index —
+    * the text modality's ingest-gate shape ([[hammingMatchesAgainst]] /
+    * [[semanticMatchesAgainst]]): the arriving shard shingles + minhashes
+    * itself (narrow, shard-sized — nothing indexed is ever re-shingled),
+    * band-joins the index's signature table (hot index buckets drop under
+    * the [[MaxLshBucketSize]] recall contract; the fresh side is a shard,
+    * not a corpus, so it never needs the cap), exact-verifies every
+    * candidate from the two shingle-set tables, and reports each flagged
+    * arrival's BEST index match — highest jaccard, smallest match_id on
+    * ties (deterministic, so a SQL oracle reproduces it). Clean arrivals
+    * produce no row; the downstream corpus writer anti-joins this table.
+    * Returns (doc_id, match_id, jaccard), persisted (report-sized) — the
+    * caller owns the unpersist. */
+  def jaccardMatchesAgainst(fresh: DataFrame, indexSigs: DataFrame, indexSets: DataFrame,
+                            k: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4, rowsPerBand: Int = 4,
+                            threshold: Double = 0.5,
+                            maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    require(threshold > 0,
+      s"threshold must be positive (the best-match ordering negates it): $threshold")
+    val ss = shingleSets(fresh, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fb = lshBucketsFromSigs(minhashSignaturesFromSets(ss, numHashes), bands, rowsPerBand)
+    val ib = capBuckets(lshBucketsFromSigs(indexSigs, bands, rowsPerBand), maxBucketSize)
+    val cand = fb.select(col("band"), col("sig"), col("doc_id"))
+      .join(ib.select(col("band"), col("sig"), col("doc_id").as("match_id")), Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("match_id")) // re-ingest of an indexed doc is not its own dup
+      .select("doc_id", "match_id").distinct()
+    val out = cand
+      .join(ss.select(col("doc_id"), col("sl").as("sa"), col("nsh").as("na")), Seq("doc_id"))
+      .join(indexSets.select(col("doc_id").as("match_id"), col("sl").as("sb"),
+        col("nsh").as("nb")), Seq("match_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      // lexicographic min over (-jaccard, match_id) — the
+      // [[semanticMatchesAgainst]] one-aggregation best-match trick;
+      // jaccard >= threshold > 0 keeps the negation off the -0.0 edge
+      .groupBy(col("doc_id"))
+      .agg(min(struct((col("jaccard") * -1).as("nj"), col("match_id"))).as("best"))
+      .select(col("doc_id"), col("best.match_id").as("match_id"),
+        (col("best.nj") * -1).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ss.unpersist()
+    out
+  }
+
   /** Near-duplication rates BETWEEN sources — the curation analytics view
     * ("how much does src A overlap src B?") that decides which feeds to
     * drop or down-weight. One extra bounded aggregation over the LSH +
@@ -1502,6 +1549,77 @@ object Dedup {
       .agg(min(struct((col("cos") * -1).as("nc"), col("match_id"))).as("best"))
       .select(col("vec_id"), col("best.match_id").as("match_id"),
         (col("best.nc") * -1).as("cos"))
+  }
+
+  // ------------------------------------------------- semantic decontamination
+
+  /** Argmax-dot IVF cell assignment of an embedding table as
+    * (vec_id, cid, embedding) — the persisted-index row shape
+    * [[semanticMatchesAgainst]] serves against. Narrow literal-model map
+    * (the centroids travel as expression literals, the vectors never
+    * shuffle); zero-norm vectors drop here, as everywhere in the
+    * semantic family (cosine undefined). */
+  def assignedCells(emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    import graft.similarity.Ann
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Ann.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), Ann.ivfCell(col("v"), cents).cast("long").as("cid"),
+        col("v").as("embedding"))
+  }
+
+  /** Dynamic-oracle stashes for the semantic-decontamination family —
+    * one slot per registry entry (the [[lastSemanticModelIndexed]]
+    * rationale: each query's oracle must reflect exactly the centroids
+    * its own plan used). */
+  @volatile private[graft] var lastSemanticDeconModel: Option[(Seq[(Int, Array[Double])], Double)] = None
+  @volatile private[graft] var lastSemanticDeconModelIndexed: Option[(Seq[(Int, Array[Double])], Double)] = None
+  @volatile private[graft] var lastSemanticDeconScrubModel: Option[(Seq[(Int, Array[Double])], Double)] = None
+
+  /** SEMANTIC decontamination: flag training embeddings whose cosine
+    * against ANY benchmark embedding reaches `minCos`. The lexical decon
+    * family (shingle containment, exact substring, bloom) catches
+    * verbatim and near-verbatim leaks; this is the complement for
+    * PARAPHRASED benchmark leakage — a reworded eval question shares no
+    * 13-gram with its source but sits next to it in embedding space
+    * (the SemDeDup observation, arXiv:2303.09540, applied to the
+    * train-vs-eval split instead of train-vs-train).
+    *
+    * Scale shape: identical to the SemDeDup ingest gate — the benchmark
+    * side clusters once (it is the SMALL side: eval suites are
+    * thousands of rows, the corpus is billions), both sides assign to
+    * cells as narrow literal-model maps, and candidates are bounded by
+    * the cell join, never all-pairs. Flagged rows report their
+    * highest-cosine (smallest-id on ties) benchmark match for audit.
+    * Returns (vec_id, match_id, cos); the corpus rewrite anti-joins it
+    * ([[graft.SparkEntry]] `scrub_semantic_contaminated`). */
+  def semanticDeconMatches(train: DataFrame, benchAssigned: DataFrame,
+                           cents: Seq[(Int, Array[Double])],
+                           minCos: Double): DataFrame =
+    semanticMatchesAgainst(train, benchAssigned, cents, minCos)
+
+  /** Persist the semantic-decon BENCHMARK index: centroids trained on
+    * the benchmark side (`$dir/centroids`, the
+    * [[graft.similarity.Ann.writeIvfModel]] artifact shape) plus the
+    * cell-assigned benchmark vectors (`$dir/bench`). Serving then costs
+    * assignment of the TRAIN side only — the benchmark is never
+    * re-embedded, re-clustered, or re-assigned on ingest (the
+    * decontaminate_substring_indexed lifecycle for the embedding
+    * modality). Staged publish per table. */
+  def writeSemanticDeconIndex(bench: DataFrame, dir: String, nClusters: Int = 8,
+                              iters: Int = 2, trainStride: Int = 1): Unit = {
+    import graft.similarity.Ann
+    val cents = Ann.ivfCentroids(bench, nClusters, iters, trainStride)
+    val spark = bench.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.publishSwap(s"$dir/centroids") { staging =>
+      cents.map { case (cid, arr) => (cid, arr.toSeq) }.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    graft.sources.Sinks.publishSwap(s"$dir/bench") { staging =>
+      assignedCells(bench, cents)
+        .write.mode("overwrite").parquet(staging)
+    }
   }
 
   // ------------------------------------------------- winnowing / edit distance

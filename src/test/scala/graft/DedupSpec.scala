@@ -722,6 +722,73 @@ class DedupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("jaccardMatchesAgainst flags arrivals against the persisted index, best match only") {
+    import spark.implicits._
+    val idxDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical pair in index
+      (3L, "totally unrelated words about storage engines and query planners")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jmatch-idx").toString
+    Dedup.writeDedupIndex(idxDocs, dir)
+    val sigs = spark.read.parquet(s"$dir/minhash_sigs")
+    val sets = spark.read.parquet(s"$dir/shingle_sets")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1 AND 2 -> min id 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // re-ingest: own id excluded, still matches 2
+      (11L, "completely novel content nothing shares any shingle here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardMatchesAgainst(fresh, sigs, sets)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((10L, 1L, 1.0), (1L, 2L, 1.0)), rows)
+    out.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("semantic decon flags embedding neighbors of benchmark vectors; serve equals rebuild") {
+    import spark.implicits._
+    import graft.similarity.Ann
+    // two orthogonal benchmark topics; one has an identical twin so the
+    // best-match tie-break (highest cosine, then smallest id) is exercised
+    def groupVec(g: Int, eps: Float): Array[Float] = {
+      val v = new Array[Float](64)
+      (g * 10 until g * 10 + 10).foreach(j => v(j) = 1f)
+      v(g * 10) += eps
+      v
+    }
+    val bench = Seq(
+      (10L, groupVec(0, 0f)), (30L, groupVec(0, 0f)), // identical pair, topic 0
+      (20L, groupVec(1, 0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (11L, groupVec(0, 0f)),    // ties 10 and 30 at cos 1.0 -> must report 10
+      (21L, groupVec(1, 0.01f)), // paraphrase neighbor of 20
+      (35L, Array.tabulate(64)(j => if (j >= 30 && j < 40) 1f else 0f)), // clean
+      (36L, new Array[Float](64))). // zero-norm: cosine undefined, never flags
+      toDF("vec_id", "embedding")
+    val cents = Ann.ivfCentroids(bench, nCells = 2, iters = 2, trainStride = 1)
+    val flagged = Dedup.semanticDeconMatches(
+      train, Dedup.assignedCells(bench, cents), cents, minCos = 0.9)
+    val rows = flagged.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((11L, 10L), (21L, 20L)), rows.toSeq)
+    assert(rows.find(_._1 == 11L).get._3 == 1.0)
+    // serve twin: the persisted benchmark index reproduces the rebuild
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdecon").toString
+    Dedup.writeSemanticDeconIndex(bench, dir, nClusters = 2, iters = 2, trainStride = 1)
+    val servedCents = Ann.readIvfModel(spark, s"$dir/centroids")
+    assert(servedCents.map { case (c, a) => (c, a.toSeq) } ==
+      cents.map { case (c, a) => (c, a.toSeq) })
+    val served = Dedup.semanticDeconMatches(
+      train, spark.read.parquet(s"$dir/bench"), servedCents, minCos = 0.9)
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      rows.toSet, "serving from the persisted benchmark index must equal the rebuild")
+    // the rewrite: train ids minus flagged — the zero-norm row keeps
+    val kept = train.select(col("vec_id"))
+      .join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(35L, 36L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("passage dedup flags repeated token windows, first occurrence exempt") {
     import spark.implicits._
     val docs = Seq(

@@ -1049,6 +1049,66 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
   }
 
+  test("streaming pretrain ingest gate audits arrivals exactly as the batch gate twin") {
+    import graft.streaming.{DedupStream, PretrainStream, QualityStream}
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val pages = docs.select(col("doc_id"), col("source"),
+      graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ppgate-idx")
+    val model = java.nio.file.Files.createTempDirectory("graft-ppgate-model")
+    val watch = java.nio.file.Files.createTempDirectory("graft-ppgate-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-ppgate-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ppgate-ckpt")
+    PretrainStream.writeGateIndex(pages, idx.toString,
+      benchPred = col("source") === "src0",
+      corpusPred = pmod(col("doc_id"), lit(2L)) === 0 && col("source") =!= "src0")
+    val w = QualityStream.buildModel(docs, model.toString)
+    def drop(name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ppgate-stage")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val arrivals = pages.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
+    drop("a.parquet", arrivals.filter(pmod(col("doc_id"), lit(4L)) === 1)
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars"))
+    drop("b.parquet", arrivals.filter(pmod(col("doc_id"), lit(4L)) === 3)
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars"))
+    val q = PretrainStream.gate(DedupStream.readStream(spark, watch.toString),
+      model.toString, thr = 0.28, idx.toString, out.toString, ckpt.toString)
+    q.processAllAvailable(); q.stop()
+    val cols = Seq("doc_id", "source", "score", "quality_pass", "decon_flag",
+      "dup_flag", "dup_match_id", "dup_jaccard", "keep")
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+    val streamed = key(PretrainStream.auditLog(spark, out.toString))
+    val batch = PretrainStream.gateBatch(arrivals, w, 0.28,
+      spark.read.parquet(s"$idx/boilerplate"),
+      spark.read.parquet(s"$idx/anchors"), spark.read.parquet(s"$idx/bench"),
+      spark.read.parquet(s"$idx/dedup/minhash_sigs"),
+      spark.read.parquet(s"$idx/dedup/shingle_sets"))
+    assert(streamed == key(batch),
+      "accumulated stream audit rows must equal the batch gate twin on all arrivals")
+    val rows = batch.collect()
+    // every gate is LIVE on the planted page fixture: the 7/8 pair docs
+    // straddle the parity split (dup), doc 11 carries the leak line
+    // (decon), and the keep column composes
+    assert(rows.exists(_.getAs[Int]("dup_flag") == 1), "a planted cross-parity pair must dup-flag")
+    assert(rows.exists(_.getAs[Int]("decon_flag") == 1), "the planted leak doc must decon-flag")
+    assert(rows.exists(_.getAs[Int]("keep") == 1), "clean arrivals must be admitted")
+    // the serve side is index-only: the gate plan scans the persisted
+    // tables, never the corpus the index was built from
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.contains("graft-ppgate-idx"), s"gate must scan the persisted index:\n$p")
+    batch.unpersist()
+    Seq(idx, model, watch, out, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+  }
+
   test("streaming multimodal index ingest equals a full rebuild and replays idempotently") {
     import graft.streaming.{DedupStream, MultimodalDedupStream}
     val all = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
