@@ -1354,6 +1354,57 @@ object OracleSqlExt {
       ingestGateSql(w, thr)
     }
 
+  /** Mirror of [[graft.text.LangIdClassifier.predictWith]]: the trained
+    * integer micro-nat model injected as VALUES tables, per-doc bigram
+    * weight sums (integer — order-free, bit-exact across engines), and
+    * the argmax as a (score DESC, class ASC) row_number — the engine's
+    * min-of-(-score, class) struct. */
+  def langIdTrainedSql(model: graft.text.LangIdClassifier.LangIdModel): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val priRows = model.classes
+      .map(c => s"('${esc(c)}', CAST(${model.priors(c)} AS BIGINT))").mkString(", ")
+    val wtRows = model.classes.flatMap { c =>
+      model.weights(c).toSeq.sortBy(_._1).map { case (b, w) =>
+        s"('${esc(b)}', '${esc(c)}', CAST($w AS BIGINT))"
+      }
+    }.mkString(",\n    ")
+    s"""WITH pri AS (SELECT * FROM (VALUES $priRows) p(class, w0)),
+       |wt AS (SELECT * FROM (VALUES
+       |    $wtRows) w(b, class, w)),
+       |lbg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, length(text)), i -> substr(text, CAST(i AS INT), 2))) AS b
+       |  FROM documents
+       |),
+       |lbs AS (
+       |  SELECT lbg.doc_id, wt.class, CAST(sum(wt.w) AS BIGINT) AS s
+       |  FROM lbg JOIN wt ON lbg.b = wt.b GROUP BY 1, 2
+       |),
+       |lsc AS (
+       |  SELECT d.doc_id, p.class, p.w0 + COALESCE(lbs.s, 0) AS score
+       |  FROM documents d CROSS JOIN pri p
+       |  LEFT JOIN lbs ON d.doc_id = lbs.doc_id AND p.class = lbs.class
+       |)
+       |SELECT doc_id, class AS lang_pred, CAST(score AS BIGINT) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, class ASC) AS rn FROM lsc)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  /** The trained-model confusion table (labeled × predicted). */
+  def langIdTrainedConfusionSql(model: graft.text.LangIdClassifier.LangIdModel): String =
+    s"""SELECT d.lang, pred.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM (${langIdTrainedSql(model)}) pred
+       |JOIN documents d ON pred.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  def langIdTrainedSqlFromLastModel: Option[String] =
+    graft.text.LangIdClassifier.lastLangIdModel.map(langIdTrainedSql)
+
+  def langIdTrainedSqlFromIndexedModel: Option[String] =
+    graft.text.LangIdClassifier.lastLangIdModelIndexed.map(langIdTrainedSql)
+
+  def langIdTrainedConfusionSqlFromLastModel: Option[String] =
+    graft.text.LangIdClassifier.lastLangIdModelEval.map(langIdTrainedConfusionSql)
+
   def annBruteSql(stride: Int, k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % $stride = 0 AND ${normGuardSql("qv")}),
        |c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings WHERE ${normGuardSql("nv")}),

@@ -31,7 +31,7 @@ object ScaleProbe {
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
       "--substring-only", "--substring-geom-only", "--decon-substring-only",
       "--classifier-only", "--diff-only", "--overlap-only", "--pca-only",
-      "--hamming-skew-only")
+      "--hamming-skew-only", "--gate-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -53,6 +53,7 @@ object ScaleProbe {
     val overlapOnly = flags.contains("--overlap-only")
     val pcaOnly = flags.contains("--pca-only")
     val hammingSkewOnly = flags.contains("--hamming-skew-only")
+    val gateOnly = flags.contains("--gate-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -408,6 +409,49 @@ object ScaleProbe {
         } else " uncapped=skipped(quadratic)"
         println(f"SCALE-WINNOW m=$m%2d docs=${5000 * m}%7d fps=$nFp%8d $tFp%5.2f s capped_pairs=$nOv%8d $tOv%6.2f s$unc")
         spark.sharedState.cacheManager.clearCache()
+      } else if (gateOnly) {
+        // INGEST-GATE FLOOD probe (jaccardMatchesAgainst, measured): the
+        // index holds the m-times corpus (replica-prefixed, so replicas
+        // stay distinct) plus ONE copy of a hot asset; the arriving
+        // shard is 50% that same asset repeated verbatim (a mass-
+        // mirrored page arriving from every crawl frontier — the flood
+        // that makes a naive arrivals×index join quadratic) and 50%
+        // fresh distinct docs. Per arrival the candidate set is one
+        // cap-bounded index bucket and the output is ONE best-match
+        // row, so flagged rows and wall time must grow ~m with the
+        // flood — no quadratic term in flood size or index size.
+        val rest = (0 until m).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text",
+              array_join(transform(split(col("text"), "\\s+"),
+                t => concat(lit(s"r${i}x"), t)), " ")))
+          .reduce(_ unionByName _)
+          .select("doc_id", "text")
+        val hot = spark.range(1).select(lit(900000000L).as("doc_id"),
+          lit("mirror asset payload served verbatim from every crawl frontier page").as("text"))
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-gate-probe").toString
+        val tb = System.nanoTime()
+        graft.dedup.Dedup.writeDedupIndex(rest.unionByName(hot), idxDir)
+        val tBuild = (System.nanoTime() - tb) / 1e9
+        val nClones = 1250L * m
+        val flood = spark.range(nClones).select(
+          (col("id") + 910000000L).as("doc_id"),
+          lit("mirror asset payload served verbatim from every crawl frontier page").as("text"))
+        val fresh = base.limit(1250 * m).select(
+          (col("doc_id") + 950000000L).as("doc_id"),
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(lit("fZx"), t)), " ").as("text"))
+        val arrivals = flood.unionByName(fresh)
+        val sigs = spark.read.parquet(s"$idxDir/minhash_sigs")
+        val sets = spark.read.parquet(s"$idxDir/shingle_sets")
+        val t0 = System.nanoTime()
+        val rep = graft.dedup.Dedup.jaccardMatchesAgainst(arrivals, sigs, sets)
+        val nFlagged = rep.count()
+        val tGate = (System.nanoTime() - t0) / 1e9
+        rep.unpersist(blocking = true)
+        spark.sharedState.cacheManager.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+        println(f"SCALE-GATE m=$m%2d index=${5000 * m + 1}%8d arrivals=${2500 * m}%8d flagged=$nFlagged%8d build=$tBuild%6.2f s gate=$tGate%6.2f s")
       } else if (hammingSkewOnly) {
         // MASS-DUPLICATED ASSET probe (the bandedHammingPairs star guard,
         // measured): 20% of the corpus is ONE byte-identical payload —

@@ -290,6 +290,7 @@ object SparkEntry {
     semanticGateIndexDir(spark, sfDir)
     semanticDeconIndexDir(spark, sfDir)
     pretrainGateIndexDir(spark, sfDir)
+    langIdModelDir(spark, sfDir)
     pcaModelDir(spark, sfDir)
     qcScored(spark, sfDir) // populates the per-process weight cache
   }
@@ -441,6 +442,24 @@ object SparkEntry {
     graft.text.QualityClassifier.scoreWith(
       graft.text.QualityClassifier.features(Collocations.documents(s, d)), w)
   }
+
+  /** Per-process trained langid model cache (the qcWeightCache pattern:
+    * training is deterministic given the dataset, so every langid entry
+    * and bench sweep reuses one train per dataset). */
+  private val langIdModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.text.LangIdClassifier.LangIdModel]
+
+  private def langIdModel(s: SparkSession, d: String): graft.text.LangIdClassifier.LangIdModel =
+    langIdModelCache.getOrElseUpdate(d,
+      graft.text.LangIdClassifier.train(Collocations.documents(s, d)))
+
+  /** Persisted trained-langid model — build-once lifecycle, cleaned root. */
+  private def langIdModelDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(d + "#langid", {
+      val dir = dedupIndexRoot.resolve(keyDirName(d + "#langid")).toString
+      graft.text.LangIdClassifier.writeModel(langIdModel(s, d), dir, s)
+      dir
+    })
 
   /** The v2 flagship's gate threshold on the round-6 quality score —
     * a low tail-cut (the gate drops the worst ~10% of pages, it doesn't
@@ -1721,6 +1740,43 @@ object SparkEntry {
       (s: SparkSession, d: String) =>
         graft.text.TextAnalysis.langConfusion(Collocations.documents(s, d)),
       Some(OracleSqlExt.langConfusionSql)),
+
+    // TRAINED language ID — multinomial NB over char bigrams, the
+    // fastText-langid shape production pipelines gate on (the heuristic
+    // text_langid stays as the zero-training baseline). Deterministic
+    // train on the doc_id%4 sample, log-probs quantized ONCE to integer
+    // micro-nats (the tokenize_unigram template: both engines sum
+    // identical integers, argmax cannot split), scoring a narrow
+    // literal-map fold — zero shuffles. DYNAMIC oracle: the run stashes
+    // the trained model and oracleSql injects it as VALUES tables.
+    ("text_langid_trained",
+      (s: SparkSession, d: String) => {
+        val m = langIdModel(s, d)
+        graft.text.LangIdClassifier.lastLangIdModel = Some(m)
+        graft.text.LangIdClassifier.predictWith(Collocations.documents(s, d), m)
+      },
+      None),
+
+    // its eval: the labeled x predicted confusion table under the
+    // trained model (off-diagonal mass on a fresh crawl = retrain signal)
+    ("text_langid_trained_eval",
+      (s: SparkSession, d: String) => {
+        val m = langIdModel(s, d)
+        graft.text.LangIdClassifier.lastLangIdModelEval = Some(m)
+        graft.text.LangIdClassifier.confusionWith(Collocations.documents(s, d), m)
+      },
+      None),
+
+    // serve twin: the model read back from its persisted parquet tables
+    // (priors + weights), dedicated stash, serve-equals-rebuild pinned
+    // in TextAndAnnSpec
+    ("text_langid_trained_indexed",
+      (s: SparkSession, d: String) => {
+        val m = graft.text.LangIdClassifier.readModel(s, langIdModelDir(s, d))
+        graft.text.LangIdClassifier.lastLangIdModelIndexed = Some(m)
+        graft.text.LangIdClassifier.predictWith(Collocations.documents(s, d), m)
+      },
+      None),
 
     ("text_langid",
       (s: SparkSession, d: String) => {
@@ -3357,6 +3413,9 @@ object SparkEntry {
       OracleSqlExt.semanticDeconSqlFromIndexedModel.map("decontaminate_semantic_indexed" -> _) ++
       OracleSqlExt.scrubSemanticDeconSqlFromLastModel.map("scrub_semantic_contaminated" -> _) ++
       OracleSqlExt.ingestGateSqlFromLastGate.map("pipeline_ingest_gate" -> _) ++
+      OracleSqlExt.langIdTrainedSqlFromLastModel.map("text_langid_trained" -> _) ++
+      OracleSqlExt.langIdTrainedSqlFromIndexedModel.map("text_langid_trained_indexed" -> _) ++
+      OracleSqlExt.langIdTrainedConfusionSqlFromLastModel.map("text_langid_trained_eval" -> _) ++
       OracleSqlExt.clusterCapSampleSqlFromLastModel.map("sample_cluster_cap" -> _) ++
       OracleSqlExt.semanticSortSqlFromLastModel.map("semantic_sort" -> _) ++
       OracleSqlExt.diverseBatchesSqlFromLastModel.map("diverse_batches" -> _) ++

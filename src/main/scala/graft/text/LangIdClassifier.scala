@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identification — multinomial Naive Bayes over
+  * character bigrams, the fastText-langid shape every production
+  * pretraining pipeline runs (CCNet, C4, and their descendants gate on
+  * a trained char-n-gram classifier, not on hand-written profiles; the
+  * heuristic [[TextAnalysis.langScores]] stays as the zero-training
+  * baseline and drift reference).
+  *
+  * Training is deterministic and bounded-model, the
+  * [[QualityClassifier]] lifecycle: a doc_id-stride sample labels char
+  * bigrams with the corpus's `lang` column, the vocabulary caps at the
+  * top-`vocabSize` bigrams by total count (deterministic order:
+  * count desc, bigram asc), and Laplace-smoothed log-probabilities
+  * QUANTIZE ONCE driver-side to integer micro-nats (the
+  * tokenize_unigram template — both engines then sum identical
+  * integers, so scores are bit-exact and argmax ties cannot split the
+  * engines; ties break to the lexicographically smallest class).
+  *
+  * Scoring is a NARROW map: the model enters the plan as class-keyed
+  * literal maps (vocabSize entries each), each document folds its own
+  * bigram array through `aggregate` + `element_at`, and the argmax is
+  * an array_min over (-score, class) structs — zero shuffles, zero
+  * joins, the 100 TB apply path (the model is ~classes × vocabSize
+  * longs; broadcastable trivially, literal here). */
+object LangIdClassifier {
+
+  /** (classes sorted asc, per-class prior micro-nats, per-class
+    * bigram→weight micro-nats). */
+  final case class LangIdModel(classes: Seq[String],
+                               priors: Map[String, Long],
+                               weights: Map[String, Map[String, Long]])
+
+  /** Dynamic-oracle stashes — one per registry entry (the
+    * [[graft.dedup.Dedup.lastSemanticModelIndexed]] rationale). */
+  @volatile var lastLangIdModel: Option[LangIdModel] = None
+  @volatile var lastLangIdModelIndexed: Option[LangIdModel] = None
+  @volatile var lastLangIdModelEval: Option[LangIdModel] = None
+
+  /** Character bigrams of `text` as an array column (positions
+    * 1..len-1, 2-char slices — spaces and punctuation carry signal and
+    * stay in). Guarded: Spark's `sequence(1, len-1)` DESCENDS for
+    * len < 2 (it infers step −1), so short texts must short-circuit to
+    * the empty array. */
+  def bigramsCol(text: Column): Column =
+    when(length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1), i => text.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train on the doc_id % `trainMod` == 0 sample. Bounded collects
+    * only: the vocab (vocabSize rows), the (class × vocab) count grid,
+    * and the per-class doc counts. Smoothing: P(b|c) =
+    * (n_cb + 1) / (n_c + V) with n_c the class's total VOCAB-bigram
+    * occurrences and V = vocabSize (out-of-vocabulary bigrams score
+    * zero on every class — the capped-vocab NB convention, so an
+    * unseen bigram never tilts the argmax). */
+  def train(docs: DataFrame, vocabSize: Int = 128, trainMod: Int = 4): LangIdModel = {
+    val sample = docs.filter(pmod(col("doc_id"), lit(trainMod.toLong)) === 0)
+      .select(col("lang"), bigramsCol(col("text")).as("bgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sample.select(col("lang"), explode(col("bgs")).as("b"))
+      .groupBy("lang", "b").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = counts.groupBy("b").agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("b").asc).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val vocabSet = vocab.toSet
+    val grid = counts.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .filter { case ((_, b), _) => vocabSet(b) }
+      .toMap
+    val docCounts = sample.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.unpersist(); sample.unpersist()
+    val classes = docCounts.keys.toSeq.sorted
+    val nTrain = docCounts.values.sum
+    val v = vocabSize.toDouble
+    val priors = classes.map { c =>
+      c -> math.round(1e6 * math.log(docCounts(c).toDouble / nTrain))
+    }.toMap
+    val weights = classes.map { c =>
+      val nC = vocab.map(b => grid.getOrElse((c, b), 0L)).sum.toDouble
+      c -> vocab.map { b =>
+        b -> math.round(1e6 * math.log((grid.getOrElse((c, b), 0L) + 1.0) / (nC + v)))
+      }.toMap
+    }.toMap
+    LangIdModel(classes, priors, weights)
+  }
+
+  /** Score + argmax under a trained model: (doc_id, lang_pred, score)
+    * with score the winning class's integer micro-nat total. One
+    * narrow projection — model as literal maps, per-doc array fold,
+    * struct-min argmax (highest score, smallest class on ties). */
+  def predictWith(docs: DataFrame, model: LangIdModel): DataFrame = {
+    val bgs = bigramsCol(col("text"))
+    val structs = model.classes.map { c =>
+      val m = typedLit(model.weights(c))
+      val s = lit(model.priors(c)) +
+        aggregate(bgs, lit(0L), (acc, b) => acc + coalesce(element_at(m, b), lit(0L)))
+      struct((s * -1).as("ns"), lit(c).as("cls"))
+    }
+    docs.select(col("doc_id"), array_min(array(structs: _*)).as("best"))
+      .select(col("doc_id"), col("best.cls").as("lang_pred"),
+        (col("best.ns") * -1).as("score"))
+  }
+
+  /** The labeled × predicted contingency table under the trained model
+    * — the [[TextAnalysis.langConfusion]] twin for the trained path
+    * (off-diagonal mass on a fresh crawl = the retrain signal). */
+  def confusionWith(docs: DataFrame, model: LangIdModel): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(predictWith(docs, model).select("doc_id", "lang_pred"), Seq("doc_id"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+
+  /** Persist the model as two parquet tables (`$dir/priors`:
+    * (class, w0); `$dir/weights`: (class, b, w)) — staged publish, the
+    * build-once/serve-many lifecycle every model-bearing family ships. */
+  def writeModel(model: LangIdModel, dir: String,
+                 spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.publishSwap(s"$dir/priors") { staging =>
+      model.classes.map(c => (c, model.priors(c))).toDF("class", "w0")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    graft.sources.Sinks.publishSwap(s"$dir/weights") { staging =>
+      model.classes.flatMap(c => model.weights(c).toSeq.sortBy(_._1)
+          .map { case (b, w) => (c, b, w) })
+        .toDF("class", "b", "w")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Read a persisted model back (bounded collects — the tables are
+    * classes + classes × vocabSize rows). */
+  def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): LangIdModel = {
+    val priors = spark.read.parquet(s"$dir/priors").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = spark.read.parquet(s"$dir/weights").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (c, rows) =>
+        c -> rows.map(t => t._2 -> t._3).toMap
+      }
+    LangIdModel(priors.keys.toSeq.sorted, priors, weights)
+  }
+}

@@ -39,6 +39,44 @@ class TextAndAnnSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("trained langid recovers planted classes; ties break to smallest class; serve equals rebuild") {
+    import spark.implicits._
+    import graft.text.LangIdClassifier
+    // three classes with disjoint bigram alphabets; doc_id % 4 == 0 rows
+    // are the training sample, the rest are held out
+    def doc(i: Long, s: String) = (i, s * 10, s match {
+      case "ax " => "aa"; case "bx " => "bb"; case _ => "cc"
+    })
+    val rows = (0L until 24L).map(i => doc(i, Seq("ax ", "bx ", "cx ")((i % 3).toInt))) :+
+      ((100L, "", "aa")) // empty text: zero bigrams -> pure prior argmax
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val m = LangIdClassifier.train(docs, vocabSize = 16)
+    assert(m.classes == Seq("aa", "bb", "cc"))
+    val pred = LangIdClassifier.predictWith(docs, m).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 24L).foreach { i =>
+      val want = Seq("aa", "bb", "cc")((i % 3).toInt)
+      assert(pred(i) == want, s"doc $i: got ${pred(i)}, want $want")
+    }
+    // empty text scores priors only; 'aa' has the extra empty-text train
+    // doc (doc 100 itself is % 4 == 0) so its prior wins — and on exact
+    // prior ties the struct-min breaks to the smallest class name
+    assert(pred(100L) == "aa")
+    // confusion table is the exact contingency of the per-doc argmax
+    val conf = LangIdClassifier.confusionWith(docs, m).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf(("aa", "aa")) == 9L && conf(("bb", "bb")) == 8L && conf(("cc", "cc")) == 8L)
+    // persisted model round-trips exactly and serves identical predictions
+    val dir = java.nio.file.Files.createTempDirectory("graft-langid-model").toString
+    LangIdClassifier.writeModel(m, dir, spark)
+    val served = LangIdClassifier.readModel(spark, dir)
+    assert(served == m, "persisted model must round-trip bit-exactly (integer weights)")
+    val predServed = LangIdClassifier.predictWith(docs, served).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(predServed == pred)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("langid is deterministic and respects profile-order tie-break") {
     import spark.implicits._
     // empty text -> all scores 0 -> first profile lang (de) wins the tie
