@@ -1049,6 +1049,55 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
   }
 
+  test("streaming semantic decon gate flags paraphrase arrivals exactly as the batch serve twin") {
+    import spark.implicits._
+    import graft.streaming.{SemanticDeconStream, SemanticDedupStream}
+    import graft.dedup.Dedup
+    // two orthogonal benchmark topics; arrivals: one neighbor of each
+    // (split across two shards) plus a clean vector per shard
+    def groupVec(g: Int, eps: Float): Array[Float] = {
+      val v = new Array[Float](64)
+      (g * 10 until g * 10 + 10).foreach(j => v(j) = 1f)
+      v(g * 10) += eps
+      v
+    }
+    val bench = Seq((10L, groupVec(0, 0f)), (20L, groupVec(1, 0f)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-semdecon-idx")
+    val watch = java.nio.file.Files.createTempDirectory("graft-semdecon-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-semdecon-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-semdecon-ckpt")
+    Dedup.writeSemanticDeconIndex(bench, idx.toString, nClusters = 2, iters = 2)
+    def drop(name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-semdecon-stage")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val clean = Array.tabulate(64)(j => if (j >= 30 && j < 40) 1f else 0f)
+    val shard1 = Seq((11L, groupVec(0, 0.01f)), (35L, clean)).toDF("vec_id", "embedding")
+    val shard2 = Seq((21L, groupVec(1, 0.01f)), (36L, clean)).toDF("vec_id", "embedding")
+    drop("a.parquet", shard1); drop("b.parquet", shard2)
+    val q = SemanticDeconStream.gate(
+      SemanticDedupStream.readStream(spark, watch.toString),
+      idx.toString, out.toString, ckpt.toString, minCos = 0.9)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = SemanticDeconStream.flagged(spark, out.toString).collect().map(key).toSet
+    // batch serve twin: the SAME persisted index, all arrivals at once
+    val cents = graft.similarity.Ann.readIvfModel(spark, s"$idx/centroids")
+    val batch = Dedup.semanticDeconMatches(
+        shard1.unionByName(shard2), spark.read.parquet(s"$idx/bench"), cents, minCos = 0.9)
+      .collect().map(key).toSet
+    assert(streamed == batch, "accumulated stream flags must equal the batch serve twin")
+    assert(streamed.map(t => (t._1, t._2)) == Set((11L, 10L), (21L, 20L)),
+      s"exactly the planted paraphrase neighbors flag: $streamed")
+    Seq(idx, watch, out, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+  }
+
   test("streaming pretrain ingest gate audits arrivals exactly as the batch gate twin") {
     import graft.streaming.{DedupStream, PretrainStream, QualityStream}
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
