@@ -608,6 +608,19 @@ object Dedup {
                             maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     require(threshold > 0,
       s"threshold must be positive (the best-match ordering negates it): $threshold")
+    // Geometry guard: the fresh side minhashes itself under (numHashes,
+    // bands, rowsPerBand), but the INDEX signatures were banded at build
+    // time — a caller whose banding disagrees with the index's h0..h{n-1}
+    // layout would produce band keys that never collide and a gate that
+    // silently flags nothing. The banding must tile the signature exactly
+    // and every tiled column must exist in the index table.
+    require(numHashes == bands * rowsPerBand,
+      s"banding must tile the signature: numHashes=$numHashes != bands*rowsPerBand=${bands * rowsPerBand}")
+    val idxCols = indexSigs.columns.toSet
+    val missing = (0 until numHashes).map(i => s"h$i").filterNot(idxCols)
+    require(missing.isEmpty,
+      s"index signature table lacks columns ${missing.mkString(",")} — it was built " +
+        s"with a different minhash geometry than the requested $bands×$rowsPerBand banding")
     val ss = shingleSets(fresh, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fb = lshBucketsFromSigs(minhashSignaturesFromSets(ss, numHashes), bands, rowsPerBand)
     val ib = capBuckets(lshBucketsFromSigs(indexSigs, bands, rowsPerBand), maxBucketSize)

@@ -114,31 +114,41 @@ object PretrainStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleaned = piiClean(preScrub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = QualityClassifier.scoreTextWith(cleaned, w)
-      .select(col("doc_id"), col("source"), col("score"))
-    val deconRep = Dedup.decontaminateSubstringAgainst(
-      preScrub.select("doc_id", "text"), benchAnchors, benchDocs, minLen, anchorK, anchorW)
-    val dupRep = Dedup.jaccardMatchesAgainst(
-      cleaned.select("doc_id", "text"), indexSigs, indexSets,
-      k, numHashes, bands, rowsPerBand, dupThreshold)
-    val out = scored
-      .join(deconRep.select(col("doc_id")).distinct()
-        .withColumn("decon_flag", lit(1)), Seq("doc_id"), "left")
-      .join(dupRep.select(col("doc_id"), col("match_id").as("dup_match_id"),
-          col("jaccard").as("dup_jaccard"))
-        .withColumn("dup_flag", lit(1)), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("score"),
-        when(col("score") >= thr, 1).otherwise(0).as("quality_pass"),
-        coalesce(col("decon_flag"), lit(0)).as("decon_flag"),
-        coalesce(col("dup_flag"), lit(0)).as("dup_flag"),
-        col("dup_match_id"), col("dup_jaccard"))
-      .withColumn("keep",
-        (col("quality_pass") === 1 && col("decon_flag") === 0 &&
-          col("dup_flag") === 0).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    deconRep.unpersist(); dupRep.unpersist(); cleaned.unpersist(); preScrub.unpersist()
-    out
+    // Intermediates release in a finally so a failed (and later retried)
+    // micro-batch never strands MEMORY_AND_DISK caches in a long-running
+    // stream — each retry starts from a clean executor cache.
+    var deconRep: DataFrame = null
+    var dupRep: DataFrame = null
+    try {
+      val scored = QualityClassifier.scoreTextWith(cleaned, w)
+        .select(col("doc_id"), col("source"), col("score"))
+      deconRep = Dedup.decontaminateSubstringAgainst(
+        preScrub.select("doc_id", "text"), benchAnchors, benchDocs, minLen, anchorK, anchorW)
+      dupRep = Dedup.jaccardMatchesAgainst(
+        cleaned.select("doc_id", "text"), indexSigs, indexSets,
+        k, numHashes, bands, rowsPerBand, dupThreshold)
+      val out = scored
+        .join(deconRep.select(col("doc_id")).distinct()
+          .withColumn("decon_flag", lit(1)), Seq("doc_id"), "left")
+        .join(dupRep.select(col("doc_id"), col("match_id").as("dup_match_id"),
+            col("jaccard").as("dup_jaccard"))
+          .withColumn("dup_flag", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("score"),
+          when(col("score") >= thr, 1).otherwise(0).as("quality_pass"),
+          coalesce(col("decon_flag"), lit(0)).as("decon_flag"),
+          coalesce(col("dup_flag"), lit(0)).as("dup_flag"),
+          col("dup_match_id"), col("dup_jaccard"))
+        .withColumn("keep",
+          (col("quality_pass") === 1 && col("decon_flag") === 0 &&
+            col("dup_flag") === 0).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { out.count(); out }
+      catch { case t: Throwable => out.unpersist(); throw t }
+    } finally {
+      if (deconRep != null) deconRep.unpersist()
+      if (dupRep != null) dupRep.unpersist()
+      cleaned.unpersist(); preScrub.unpersist()
+    }
   }
 
   /** Build the full gate index under `dir` from the raw page table:
@@ -202,7 +212,11 @@ object PretrainStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Sinks.readRetry(attempts = 2) {
           val s = batch.sparkSession
-          val wRow = QualityStream.readModel(s, modelDir).collect()(0)
+          // Weights read BY NAME — a schema evolution or column reorder
+          // in the persisted model must fail loudly, never silently
+          // misassign an ordinal to the wrong feature.
+          val wRow = QualityStream.readModel(s, modelDir)
+            .select("w0", "w1", "w2", "w3", "w4").collect()(0)
           val w = (0 until 5).map(wRow.getDouble)
           val o = gateBatch(batch, w, thr,
             s.read.parquet(s"$gateIndexDir/boilerplate"),
@@ -211,12 +225,15 @@ object PretrainStream {
             s.read.parquet(s"$gateIndexDir/dedup/minhash_sigs"),
             s.read.parquet(s"$gateIndexDir/dedup/shingle_sets"),
             minLineWords, minLen, dupThreshold = dupThreshold)
-          o.withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(outDir)
-          o.unpersist()
+          // finally-release: a failed write attempt must not strand the
+          // gate frame's cache into the retry.
+          try {
+            o.withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch")
+              .parquet(outDir)
+          } finally o.unpersist()
           ()
         }
       }

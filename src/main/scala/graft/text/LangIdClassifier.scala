@@ -67,11 +67,7 @@ object LangIdClassifier {
     val vocab = counts.groupBy("b").agg(sum(col("n")).as("tot"))
       .orderBy(col("tot").desc, col("b").asc).limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
-    val vocabSet = vocab.toSet
-    val grid = counts.collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .filter { case ((_, b), _) => vocabSet(b) }
-      .toMap
+    val grid = collectVocabGrid(counts, vocab).toMap
     val docCounts = sample.groupBy("lang").agg(count(lit(1)).as("nd"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     counts.unpersist(); sample.unpersist()
@@ -90,11 +86,31 @@ object LangIdClassifier {
     LangIdModel(classes, priors, weights)
   }
 
+  /** The train path's ONLY grid collect: the vocab filter runs
+    * SERVER-side (an In predicate over ≤vocabSize literals, pushed
+    * below the aggregate's exchange) so at most classes × vocabSize
+    * rows ever reach the driver — the distinct char-bigram space of a
+    * CJK-heavy crawl is unbounded and must never be collected raw.
+    * Exposed for the spec pinning that bound. */
+  private[graft] def collectVocabGrid(counts: DataFrame,
+                                      vocab: Seq[String]): Array[((String, String), Long)] =
+    counts.filter(col("b").isin(vocab: _*)).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+
   /** Score + argmax under a trained model: (doc_id, lang_pred, score)
     * with score the winning class's integer micro-nat total. One
     * narrow projection — model as literal maps, per-doc array fold,
     * struct-min argmax (highest score, smallest class on ties). */
-  def predictWith(docs: DataFrame, model: LangIdModel): DataFrame = {
+  def predictWith(docs: DataFrame, model: LangIdModel): DataFrame =
+    predictWith(docs, model, Nil)
+
+  /** As above, carrying `keep` columns of `docs` through the same
+    * single narrow projection — the eval path attaches its label here
+    * instead of re-scanning the corpus and self-joining on doc_id
+    * (which would shuffle the full corpus to re-attach a column this
+    * projection already holds). */
+  def predictWith(docs: DataFrame, model: LangIdModel,
+                  keep: Seq[String]): DataFrame = {
     val bgs = bigramsCol(col("text"))
     val structs = model.classes.map { c =>
       val m = typedLit(model.weights(c))
@@ -102,17 +118,19 @@ object LangIdClassifier {
         aggregate(bgs, lit(0L), (acc, b) => acc + coalesce(element_at(m, b), lit(0L)))
       struct((s * -1).as("ns"), lit(c).as("cls"))
     }
-    docs.select(col("doc_id"), array_min(array(structs: _*)).as("best"))
-      .select(col("doc_id"), col("best.cls").as("lang_pred"),
-        (col("best.ns") * -1).as("score"))
+    val kept = keep.map(col)
+    docs.select(col("doc_id") +: kept :+ array_min(array(structs: _*)).as("best"): _*)
+      .select(col("doc_id") +: kept :+ col("best.cls").as("lang_pred") :+
+        ((col("best.ns") * -1).as("score")): _*)
   }
 
   /** The labeled × predicted contingency table under the trained model
     * — the [[TextAnalysis.langConfusion]] twin for the trained path
-    * (off-diagonal mass on a fresh crawl = the retrain signal). */
+    * (off-diagonal mass on a fresh crawl = the retrain signal). The
+    * label rides the predict projection itself — no join, no second
+    * scan; the whole eval is one narrow pass + one aggregate. */
   def confusionWith(docs: DataFrame, model: LangIdModel): DataFrame =
-    docs.select(col("doc_id"), col("lang"))
-      .join(predictWith(docs, model).select("doc_id", "lang_pred"), Seq("doc_id"))
+    predictWith(docs, model, keep = Seq("lang"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
 
   /** Persist the model as two parquet tables (`$dir/priors`:

@@ -77,6 +77,42 @@ class TextAndAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("trained langid: grid collect is bounded to classes × vocab; eval plan joins nothing") {
+    import spark.implicits._
+    import graft.text.LangIdClassifier
+    // A corpus whose distinct char-bigram space far exceeds the vocab cap
+    // (every doc contributes unique bigrams) — the CJK-crawl shape where
+    // a raw collect of the count grid would pull the whole space to the
+    // driver. The guarded collect must stay ≤ classes × vocabSize rows.
+    val docs = (0L until 40L).map { i =>
+      (i, s"u${i}q${i}z${i} shared shared shared", if (i % 2 == 0) "aa" else "bb")
+    }.toDF("doc_id", "text", "lang")
+    val vocabSize = 8
+    val sample = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+      .select(col("lang"), LangIdClassifier.bigramsCol(col("text")).as("bgs"))
+    val counts = sample.select(col("lang"), explode(col("bgs")).as("b"))
+      .groupBy("lang", "b").agg(count(lit(1)).as("n"))
+    val vocab = counts.groupBy("b").agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("b").asc).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val nClasses = docs.select("lang").distinct().count()
+    assert(counts.count() > nClasses * vocabSize,
+      "fixture must have an oversized distinct-bigram space or the bound proves nothing")
+    val grid = LangIdClassifier.collectVocabGrid(counts, vocab)
+    assert(grid.length <= nClasses * vocabSize,
+      s"collected ${grid.length} rows; driver bound is ${nClasses * vocabSize}")
+    val vset = vocab.toSet
+    assert(grid.forall { case ((_, b), _) => vset(b) })
+    // The eval (confusion) is ONE narrow projection + one aggregate:
+    // the label rides predictWith's own select, so the physical plan
+    // must contain no join of any kind.
+    val m = LangIdClassifier.train(docs, vocabSize = vocabSize)
+    val plan = LangIdClassifier.confusionWith(docs, m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"confusion eval must not join — the label is carried by the projection:\n$plan")
+  }
+
   test("langid is deterministic and respects profile-order tie-break") {
     import spark.implicits._
     // empty text -> all scores 0 -> first profile lang (de) wins the tie
