@@ -42,9 +42,14 @@ object Bench {
 
   /** `stale` counts CONSECUTIVE runs whose fresh samples never came
     * within 1.4x of the carried floor — at 2 the sub-floor samples age
-    * out of the written state (see the aging note on `writeState`). */
+    * out of the written state (see the aging note on `writeState`).
+    * `floorRun` is PROVENANCE: the bench-run counter at which the
+    * currently-retained minimum was first observed (or last re-derived
+    * after an aging/reset cut) — published per min1 offender so a reader
+    * can tell a stale floor from a real regression; 0 = unknown
+    * (pre-provenance state file). */
   private case class Carried(fp: String, samples: Vector[Double], warm: Vector[Double],
-                             stale: Int = 0)
+                             stale: Int = 0, floorRun: Int = 0)
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -170,15 +175,15 @@ object Bench {
     val statePath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STATE", "bench_state.json"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val carried: Map[String, Carried] =
+    val (carried: Map[String, Carried], thisRun: Int) =
       try {
-        if (!java.nio.file.Files.exists(statePath)) Map.empty
+        if (!java.nio.file.Files.exists(statePath)) (Map.empty[String, Carried], 1)
         else {
           val root = mapper.readTree(java.nio.file.Files.readAllBytes(statePath))
           // carrying across a different dataset or core count would mix
           // estimators of different quantities — refuse wholesale
           if (root.path("sf").asText("") != sfDir || root.path("cpus").asText("") != cpus)
-            Map.empty
+            (Map.empty[String, Carried], 1)
           else {
             val qs = root.path("queries")
             val out = scala.collection.mutable.Map[String, Carried]()
@@ -191,12 +196,12 @@ object Bench {
                 (0 until arr.size()).map(arr.get(_).asDouble()).toVector
               }
               out(n) = Carried(q.path("fp").asText(""), vec("samples"), vec("warm"),
-                q.path("stale").asInt(0))
+                q.path("stale").asInt(0), q.path("floor_run").asInt(0))
             }
-            out.toMap
+            (out.toMap, root.path("run").asInt(0) + 1)
           }
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => (Map.empty[String, Carried], 1) }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -284,14 +289,31 @@ object Bench {
     def agedNames: Seq[String] =
       names.collect { case (n, _) if ageDecision(n)._2.isDefined => n }
 
+    // FLOOR PROVENANCE: the run at which the currently-published minimum
+    // was set. The carried floor_run survives only while the carried
+    // history still owns the overall min AND wasn't reset this run; a
+    // fresh sample beating it (or an aging/reset cut re-deriving the
+    // floor) stamps this run. 0 = carried from a pre-provenance state
+    // file (honest "unknown", never fabricated).
+    def floorRunOf(n: String): Int = {
+      val freshOk = freshSamples(n).filter(_ >= 0)
+      val carriedOk = if (fpOk(n)) carried(n).samples.filter(_ >= 0) else Vector.empty
+      if (carriedOk.nonEmpty && (freshOk.isEmpty || carriedOk.min <= freshOk.min))
+        carried(n).floorRun
+      else thisRun
+    }
+
     def writeState(): Unit =
       try {
         val sb = new StringBuilder
-        sb.append(s"""{"sf":"$sfDir","cpus":"$cpus","updated_ms":${System.currentTimeMillis()},"queries":{""")
+        sb.append(s"""{"sf":"$sfDir","cpus":"$cpus","run":$thisRun,"updated_ms":${System.currentTimeMillis()},"queries":{""")
         var first = true
         for ((n, _) <- names) {
           val fp = fpNow.getOrElse(n, if (fpOk(n)) carried(n).fp else "")
           val (staleOut, ageCut) = ageDecision(n)
+          // an aging cut re-derives the floor from what survives — its
+          // provenance is this run, not the aged sample's
+          val floorRunOut = if (ageCut.isDefined) thisRun else floorRunOf(n)
           val ssAll = ageCut match {
             case Some(cut) => allSamples(n).filter(v => v < 0 || v >= cut)
             case None      => allSamples(n)
@@ -313,7 +335,7 @@ object Bench {
           if (fp.nonEmpty && ss.nonEmpty) {
             if (!first) sb.append(",")
             first = false
-            sb.append(s""""$n":{"fp":"$fp","samples":[${ss.mkString(",")}],"warm":[${ws.mkString(",")}],"stale":$staleOut}""")
+            sb.append(s""""$n":{"fp":"$fp","samples":[${ss.mkString(",")}],"warm":[${ws.mkString(",")}],"stale":$staleOut,"floor_run":$floorRunOut}""")
           }
         }
         sb.append("}}\n")
@@ -390,6 +412,17 @@ object Bench {
         case (n, v) if v > 0.5 && medOf.getOrElse(n, -1.0) > 0 && medOf(n) / v > 1.5 => n
       }
       val min1OffendersJson = min1Offenders.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+      // per-offender floor PROVENANCE: which run set the published floor
+      // (0 = pre-provenance state) and where the aging counter stands —
+      // a reader can now tell "floor set 5 runs ago, one stale vote
+      // already" (aging will clear it) from "floor set this run" (a real
+      // median/floor disagreement worth investigating)
+      val min1DetailJson = min1Offenders.take(20).map { n =>
+        val (staleOut, ageCut) = ageDecision(n)
+        val age = if (ageCut.isDefined) "aged_now"
+                  else if (staleOut > 0) s"stale_vote_$staleOut" else "current"
+        s"""{"q":"$n","floor_run":${floorRunOf(n)},"age":"$age"}"""
+      }.mkString("[", ",", "]")
       val carriedN = names.count { case (n, _) => fpOk(n) && carried(n).samples.nonEmpty }
       // an EMPTY current fingerprint is "not validated", not "changed" —
       // counting it as changed would misreport a transient sweep-1 failure
@@ -401,7 +434,7 @@ object Bench {
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMedian = medians.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"ratio_denominator":"floor2","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"fp_changed_queries":$fpChangedNames,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":3,"ratio_denominator":"floor2","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"min1_offender_detail":$min1DetailJson,"bench_run":$thisRun,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"fp_changed_queries":$fpChangedNames,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
       writeState()
@@ -412,7 +445,7 @@ object Bench {
         .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       val slowestFirst = rounded.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","bench_schema":2,"ratio_denominator":"floor2","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","bench_schema":3,"ratio_denominator":"floor2","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"min1_offender_detail":$min1DetailJson,"bench_run":$thisRun,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
       val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0

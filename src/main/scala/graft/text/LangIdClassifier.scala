@@ -108,20 +108,37 @@ object LangIdClassifier {
     * single narrow projection — the eval path attaches its label here
     * instead of re-scanning the corpus and self-joining on doc_id
     * (which would shuffle the full corpus to re-attach a column this
-    * projection already holds). */
+    * projection already holds).
+    *
+    * Scoring runs through the codegen'd
+    * [[graft.functions.LangIdScoresExpr]]: one code point pass per
+    * document, each consecutive pair probed ONCE into an O(1)
+    * open-addressed table whose hits add the bigram's per-class weight
+    * vector onto a prior-seeded accumulator (the higher-order-function
+    * fold evaluates its lambdas interpreted per element and measured
+    * 10-45× slower — see the expression's scaladoc). Identical integer
+    * totals in classes-sorted order; the argmax is first-max over that
+    * array, so the smallest-class tie-break and the SQL oracle are
+    * unchanged. */
   def predictWith(docs: DataFrame, model: LangIdModel,
                   keep: Seq[String]): DataFrame = {
-    val bgs = bigramsCol(col("text"))
-    val structs = model.classes.map { c =>
-      val m = typedLit(model.weights(c))
-      val s = lit(model.priors(c)) +
-        aggregate(bgs, lit(0L), (acc, b) => acc + coalesce(element_at(m, b), lit(0L)))
-      struct((s * -1).as("ns"), lit(c).as("cls"))
-    }
+    val classes = model.classes
+    val vocabKeys = model.weights.valuesIterator
+      .foldLeft(Set.empty[String])(_ ++ _.keySet).toSeq.sorted
+    val packed = new graft.functions.LangIdScore.Packed(
+      classes.map(model.priors).toArray,
+      vocabKeys.toArray,
+      vocabKeys.map(b => classes.map(c => model.weights(c).getOrElse(b, 0L)).toArray).toArray)
+    // null text scores priors-only (the bigramsCol `when` branch's
+    // behavior), so the expression sees an empty string, never a null
+    val scores = graft.functions.LangIdScore.langidScores(
+      coalesce(col("text"), lit("")), packed)
     val kept = keep.map(col)
-    docs.select(col("doc_id") +: kept :+ array_min(array(structs: _*)).as("best"): _*)
-      .select(col("doc_id") +: kept :+ col("best.cls").as("lang_pred") :+
-        ((col("best.ns") * -1).as("score")): _*)
+    docs.select(col("doc_id") +: kept :+ scores.as("sc"): _*)
+      .select(col("doc_id") +: kept :+
+        element_at(typedLit(classes),
+          array_position(col("sc"), array_max(col("sc"))).cast("int")).as("lang_pred") :+
+        array_max(col("sc")).as("score"): _*)
   }
 
   /** The labeled × predicted contingency table under the trained model
