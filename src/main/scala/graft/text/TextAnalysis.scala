@@ -575,11 +575,14 @@ object TextAnalysis {
     // vocabulary-sized table instead of an n_docs-times-larger one
     val occ = docs.select(explode(Normalize.tokensCol(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val enc = occ.select("w")
-      .select(col("w"), length(col("w")).cast("long").as("wc"),
+    // the encoder columns are pure functions of `w`, so they ride the
+    // SAME projection as the count — a join of occ against an
+    // occ-derived encoding table would rescan and re-tokenize the whole
+    // corpus a second time just to re-attach columns this select
+    // already computes (the r17 eval-shape sweep's one hit)
+    occ.select(col("n"), length(col("w")).cast("long").as("wc"),
         size(graft.functions.BpeEncode.encodeCol(col("w"), merges)).cast("long").as("nb"),
         graft.functions.UnigramEncode.countCol(col("w"), pieces, maxPieceLen).as("nu"))
-    occ.join(enc, Seq("w"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("wc")).as("n_chars"),
         sum(col("n") * col("nb")).as("n_bpe_tokens"),

@@ -395,6 +395,25 @@ class PlanSpec extends SparkSpec {
     // `ref` by re-aggregating `cur`) and covered by the oracle gate.
   }
 
+  test("single-relation eval queries never join — the label/metric rides the projection") {
+    // The r17 eval-shape sweep: an eval whose inputs are ONE relation
+    // plus a driver-side model must attach its label/metric inside the
+    // scoring projection itself — a scan-then-self-join-on-doc_id (or
+    // on any carried key) re-shuffles and often RE-SCANS the corpus to
+    // re-attach a column the projection already holds (measured on
+    // text_langid_trained_eval: 12.7 s vs 0.12 s for its predict twin
+    // before the fix; tokenizer_eval rescanned+re-tokenized the corpus
+    // through an occ⋈occ-derived join). The multi-relation evals
+    // (ann_*_recall_eval, dedup_blocking_eval) legitimately join two
+    // DIFFERENT derivations (approximate vs exact) and are exempt.
+    Seq("quality_classifier_eval", "text_langid_confusion",
+        "text_langid_trained_eval", "tokenizer_eval").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.toLowerCase.contains("join"),
+        s"$q must be projection + aggregate, never a join:\n$p")
+    }
+  }
+
   test("no registry query plans a cartesian product, BNLJ, or global window over data") {
     // The absolute scale invariant, swept over EVERY shipped query: no
     // unbounded×unbounded join node anywhere (a BNLJ passes only with a
