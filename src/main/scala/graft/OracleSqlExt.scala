@@ -752,6 +752,40 @@ object OracleSqlExt {
        |FROM best b JOIN cand c ON c.doc_id = b.doc_id AND c.hamming = b.hamming
        |GROUP BY b.doc_id, b.hamming""".stripMargin
 
+  /** [[hammingMatchTailSql]]'s algebra as COMPOSABLE CTEs (no final
+    * SELECT, no parity split): `freshCte`/`idxCte` expose
+    * (doc_id, <fpCol>), and the chain ends in `${px}match(doc_id,
+    * match_id, hamming)` — each flagged fresh doc's lexicographic-min
+    * (hamming, match_id) index match. Used by the composed ingest-gate
+    * oracle, whose fresh and index sides come from different relations. */
+  private def hammingMatchCtes(fpCol: String, maxHamming: Int, cap: Int,
+                               freshCte: String, idxCte: String, px: String): String =
+    s"""${px}idx AS (SELECT $fpCol, min(doc_id) AS match_id FROM $idxCte GROUP BY $fpCol),
+       |${px}bidx AS (
+       |  SELECT match_id, $fpCol, band, ($fpCol >> (15 * band)) % 32768 AS bits
+       |  FROM ${px}idx, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |),
+       |${px}cidx AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bucket_n FROM ${px}bidx
+       |  ) t WHERE bucket_n <= $cap
+       |),
+       |${px}bfresh AS (
+       |  SELECT doc_id, $fpCol, band, ($fpCol >> (15 * band)) % 32768 AS bits
+       |  FROM $freshCte, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |),
+       |${px}cand AS (
+       |  SELECT f.doc_id, i.match_id, CAST(bit_count(xor(f.$fpCol, i.$fpCol)) AS BIGINT) AS hamming
+       |  FROM ${px}bfresh f JOIN ${px}cidx i ON f.band = i.band AND f.bits = i.bits
+       |  WHERE bit_count(xor(f.$fpCol, i.$fpCol)) <= $maxHamming
+       |),
+       |${px}besth AS (SELECT doc_id, min(hamming) AS hamming FROM ${px}cand GROUP BY doc_id),
+       |${px}match AS (
+       |  SELECT b.doc_id, CAST(min(c.match_id) AS BIGINT) AS match_id, b.hamming
+       |  FROM ${px}besth b JOIN ${px}cand c ON c.doc_id = b.doc_id AND c.hamming = b.hamming
+       |  GROUP BY b.doc_id, b.hamming
+       |)""".stripMargin
+
   /** SimHash banded near-dup pairs (mirrors [[graft.dedup.Dedup.simhashPairs]]). */
   def simhashPairsSql(maxHamming: Int): String =
     s"""WITH base AS ($simhashSql),
@@ -818,30 +852,35 @@ object OracleSqlExt {
     * 37·k mod 61 (the permuted schedule — see the engine scaladoc for the
     * measured adjacent-delta collapse it avoids), then the same 4×15-bit
     * band join + exact bit_count verify as [[simhashPairsSql]]. */
-  /** Generator-re-derived (doc_id, afp) base CTEs shared by the audio
-    * pair and gate oracles. */
-  private def afpBaseSql: String =
-    s"""pb AS (
+  /** Generator-re-derived (doc_id, afp) CTEs over any relation exposing
+    * (doc_id, text) — parameterized so the composed ingest-gate oracle
+    * can fingerprint arrival and index sides separately. */
+  private def afpFpCtes(from: String, pbName: String, enName: String,
+                        fpName: String): String =
+    s"""$pbName AS (
        |  SELECT doc_id,
        |         CAST((doc_id % 41 + 4) * 2 AS INTEGER) AS dl,
        |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
        |              CAST((doc_id % 41 + 4) * 2 AS INTEGER), 'x') AS pcm
-       |  FROM documents
+       |  FROM $from
        |),
-       |en AS (
+       |$enName AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 61), i ->
        |      list_sum(list_transform(range(i * dl // 61, greatest((i + 1) * dl // 61, i * dl // 61 + 1)),
        |        j -> unicode(substr(pcm, CAST(j + 1 AS INT), 1))))) AS e
-       |  FROM pb
+       |  FROM $pbName
        |),
-       |base AS (
+       |$fpName AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_transform(range(0, 60), k ->
        |      CASE WHEN e[CAST(((k + 1) * 37) % 61 + 1 AS INT)] > e[CAST((k * 37) % 61 + 1 AS INT)]
        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS afp
-       |  FROM en
+       |  FROM $enName
        |)""".stripMargin
+
+  /** The audio pair/gate oracles' base over raw documents. */
+  private def afpBaseSql: String = afpFpCtes("documents", "pb", "en", "base")
 
   def audioFingerprintPairsSql(maxHamming: Int): String =
     s"""WITH $afpBaseSql,
@@ -860,28 +899,31 @@ object OracleSqlExt {
     * per-frame unsigned byte-sum energies, sign-of-delta bits under the
     * fixed σ(k)=37k mod 61 comparison schedule (identity frame sampling —
     * the generator's containers declare exactly 61 frames). */
-  private def vfpBaseSql: String =
-    s"""pb AS (
+  private def vfpFpCtes(from: String, pbName: String, enName: String,
+                        fpName: String): String =
+    s"""$pbName AS (
        |  SELECT doc_id,
        |         CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) AS INTEGER) AS fl,
        |         rpad(regexp_replace(text, '$nonAsciiClass', '?', 'g'),
        |              CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) * 61 AS INTEGER), 'x') AS px
-       |  FROM documents
+       |  FROM $from
        |),
-       |en AS (
+       |$enName AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 61), i ->
        |      list_sum(list_transform(range(i * fl, (i + 1) * fl),
        |        j -> unicode(substr(px, CAST(j + 1 AS INT), 1))))) AS e
-       |  FROM pb
+       |  FROM $pbName
        |),
-       |base AS (
+       |$fpName AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_transform(range(0, 60), k ->
        |      CASE WHEN e[CAST(((k + 1) * 37) % 61 + 1 AS INT)] > e[CAST((k * 37) % 61 + 1 AS INT)]
        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS vfp
-       |  FROM en
+       |  FROM $enName
        |)""".stripMargin
+
+  private def vfpBaseSql: String = vfpFpCtes("documents", "pb", "en", "base")
 
   /** Temporal video fingerprint near-dup pairs (mirrors
     * [[graft.dedup.Dedup.videoFingerprintPairs]]) — the same guarded
@@ -1223,8 +1265,16 @@ object OracleSqlExt {
   def ingestGateSql(w: Seq[Double], thr: Double,
                     benchPredSql: String = "source = 'src0'",
                     minLineWords: Int = 3, minLen: Int = 30,
-                    dupThreshold: Double = 0.5): String = {
+                    dupThreshold: Double = 0.5, maxHamming: Int = 3): String = {
     import graft.text.TextAnalysis.{digitsPattern, emailPattern}
+    val mmCap = graft.dedup.Dedup.MaxLshBucketSize
+    // multimodal payload sides: the arrival's payloads ride its RAW
+    // record (the text-dirtying simulates page-html noise, which never
+    // touches binary payload columns); the index side mirrors the
+    // even-half persisted fingerprint tables (all sources, the
+    // writeImagePhashIndex-half convention)
+    val mmFresh = s"(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 AND NOT ($benchPredSql))"
+    val mmIdx = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
     s"""WITH gpp AS (
        |  SELECT doc_id, source,
        |${ppBodyV2Sql(benchPredSql)}
@@ -1335,18 +1385,41 @@ object OracleSqlExt {
        |  SELECT b.doc_id, CAST(min(j.match_id) AS BIGINT) AS match_id, b.jaccard
        |  FROM gbmax b JOIN gjac j ON j.doc_id = b.doc_id AND j.jaccard = b.jaccard
        |  GROUP BY b.doc_id, b.jaccard
-       |)
+       |),
+       |${phashFpCtes(mmFresh, "gipbf", "gifpf")},
+       |${phashFpCtes(mmIdx, "gipbi", "gifpi")},
+       |${hammingMatchCtes("phash", maxHamming, mmCap, "gifpf", "gifpi", "gim")},
+       |${afpFpCtes(mmFresh, "gapbf", "gaenf", "gafpf")},
+       |${afpFpCtes(mmIdx, "gapbi", "gaeni", "gafpi")},
+       |${hammingMatchCtes("afp", maxHamming, mmCap, "gafpf", "gafpi", "gau")},
+       |${vfpFpCtes(mmFresh, "gvpbf", "gvenf", "gvfpf")},
+       |${vfpFpCtes(mmIdx, "gvpbi", "gveni", "gvfpi")},
+       |${hammingMatchCtes("vfp", maxHamming, mmCap, "gvfpf", "gvfpi", "gvi")}
        |SELECT a.doc_id, a.source, q.score,
        |  CASE WHEN q.score >= $thr THEN 1 ELSE 0 END AS quality_pass,
        |  CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS decon_flag,
        |  CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_flag,
        |  g.match_id AS dup_match_id,
        |  g.jaccard AS dup_jaccard,
-       |  CASE WHEN q.score >= $thr AND d.doc_id IS NULL AND g.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+       |  CASE WHEN mi.doc_id IS NOT NULL THEN 1 ELSE 0 END AS image_dup_flag,
+       |  mi.match_id AS image_match_id,
+       |  mi.hamming AS image_hamming,
+       |  CASE WHEN au.doc_id IS NOT NULL THEN 1 ELSE 0 END AS audio_dup_flag,
+       |  au.match_id AS audio_match_id,
+       |  au.hamming AS audio_hamming,
+       |  CASE WHEN vi.doc_id IS NOT NULL THEN 1 ELSE 0 END AS video_dup_flag,
+       |  vi.match_id AS video_match_id,
+       |  vi.hamming AS video_hamming,
+       |  CASE WHEN q.score >= $thr AND d.doc_id IS NULL AND g.doc_id IS NULL
+       |        AND mi.doc_id IS NULL AND au.doc_id IS NULL AND vi.doc_id IS NULL
+       |       THEN 1 ELSE 0 END AS keep
        |FROM arr a
        |JOIN gqs q ON a.doc_id = q.doc_id
        |LEFT JOIN gdf d ON a.doc_id = d.doc_id
-       |LEFT JOIN gbest g ON a.doc_id = g.doc_id""".stripMargin
+       |LEFT JOIN gbest g ON a.doc_id = g.doc_id
+       |LEFT JOIN gimmatch mi ON a.doc_id = mi.doc_id
+       |LEFT JOIN gaumatch au ON a.doc_id = au.doc_id
+       |LEFT JOIN gvimatch vi ON a.doc_id = vi.doc_id""".stripMargin
   }
 
   def ingestGateSqlFromLastGate: Option[String] =

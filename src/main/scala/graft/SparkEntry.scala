@@ -3093,28 +3093,36 @@ object SparkEntry {
     // non-benchmark "arriving" pages run the row-local cleaning chain
     // (NFC -> C4 -> persisted-boilerplate line filter -> PII, the
     // ladder's stage order with the corpus-df stage index-served), then
-    // three independent index-served gates —
+    // SIX independent index-served gates —
     // the trained quality classifier (literal weights), the substring
-    // decontamination flag vs the persisted benchmark anchors, and the
-    // near-dup flag vs the even-half corpus' persisted minhash index —
-    // one audit row per arrival with the composed keep decision.
+    // decontamination flag vs the persisted benchmark anchors, the
+    // near-dup flag vs the even-half corpus' persisted minhash index,
+    // and the three MULTIMODAL near-dup flags (the arrival's image/
+    // audio/video payloads fingerprint once and band-join the even-half
+    // persisted fingerprint indexes; payloads ride the arrival's raw
+    // record, untouched by the text-cleaning simulation) — ONE audit row
+    // per arrival with every modality's verdict and the composed keep.
     // DYNAMIC oracle: the run stashes (weights, threshold) and oracleSql
-    // mirrors the clean chain + all three gates from them
+    // mirrors the clean chain + all six gates from them
     // (OracleSqlExt.ingestGateSql).
     ("pipeline_ingest_gate",
       (s: SparkSession, d: String) => {
         val dir = pretrainGateIndexDir(s, d)
         val w = qcWeights(s, d)
         graft.streaming.PretrainStream.lastIngestGate = Some((w, pretrainGateThreshold))
-        val arrivals = Collocations.documents(s, d)
+        val raw = Collocations.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
-          .select(col("doc_id"), col("source"),
-            graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
-        graft.streaming.PretrainStream.gateBatch(arrivals, w, pretrainGateThreshold,
+        val arrivals = raw.select(col("doc_id"), col("source"),
+          graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
+        graft.streaming.PretrainStream.gateBatch(arrivals,
+          raw.select("doc_id", "text"), w, pretrainGateThreshold,
           s.read.parquet(s"$dir/boilerplate"),
           s.read.parquet(s"$dir/anchors"), s.read.parquet(s"$dir/bench"),
           s.read.parquet(s"$dir/dedup/minhash_sigs"),
-          s.read.parquet(s"$dir/dedup/shingle_sets"))
+          s.read.parquet(s"$dir/dedup/shingle_sets"),
+          s.read.parquet(s"${imagePhashIndexDirHalf(s, d)}/image_phash"),
+          s.read.parquet(s"${audioFpIndexDirHalf(s, d)}/audio_fp"),
+          s.read.parquet(s"${videoFpIndexDirHalf(s, d)}/video_fp"))
       },
       None),
 

@@ -20,7 +20,12 @@ import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
   *      persisted anchor index ([[DeconStream]]'s contract);
   *   4. the near-duplicate flag against the persisted minhash index
   *      ([[Dedup.jaccardMatchesAgainst]] — arrivals fingerprint once,
-  *      nothing indexed is re-shingled).
+  *      nothing indexed is re-shingled);
+  *   5. the three MULTIMODAL near-duplicate flags — the arrival's
+  *      image/audio/video payloads fingerprint once (narrow maps) and
+  *      band-join their persisted fingerprint indexes
+  *      ([[MultimodalDedupStream]]'s gate algebra), so one audit row
+  *      carries every modality's verdict.
   *
   * The CORPUS-GLOBAL ladder stages split by their serve shape: the
   * boilerplate stage's document frequencies are computed BATCH-SIDE at
@@ -84,10 +89,23 @@ object PretrainStream {
 
   /** One micro-batch's gate decisions — one row PER ARRIVAL:
     * (doc_id, source, score, quality_pass, decon_flag, dup_flag,
-    * dup_match_id, dup_jaccard, keep) with keep = passes quality AND not
-    * contaminated AND not a near-dup of the indexed corpus. Flags are
-    * computed independently (an audit row reports every gate's verdict,
-    * not just the first rejection).
+    * dup_match_id, dup_jaccard, image_dup_flag, image_match_id,
+    * image_hamming, audio_dup_flag, audio_match_id, audio_hamming,
+    * video_dup_flag, video_match_id, video_hamming, keep) with keep =
+    * passes quality AND not contaminated AND not a near-dup of the
+    * indexed corpus in ANY modality. Flags are computed independently
+    * (an audit row reports every gate's verdict, not just the first
+    * rejection).
+    *
+    * `payloads` is the arrivals' MULTIMODAL payload side — (doc_id,
+    * text) rows whose text is the byte source the image/audio/video
+    * fingerprints decode (a real crawl record carries its payloads as
+    * binary columns NEXT TO the page html; the text-cleaning chain
+    * never touches them, so they are a separate input, not a stage of
+    * the clean chain). Each modality fingerprints the arrivals once
+    * (narrow map) and band-joins its persisted fingerprint index
+    * ([[MultimodalDedupStream]]'s gate algebra — the composed audit is
+    * per-arrival flag columns over the same match reports).
     *
     * The decon flag checks the PRE-PII text deliberately: the scrub
     * replaces unique identifiers with shared tokens (`<EMAIL>`/`<NUM>`),
@@ -102,14 +120,15 @@ object PretrainStream {
     * read. THE SAME algebra as the batch registry query
     * (`pipeline_ingest_gate`), so stream and batch cannot drift.
     * Returns a persisted (shard-sized) frame; caller unpersists. */
-  def gateBatch(batch: DataFrame, w: Seq[Double], thr: Double,
+  def gateBatch(batch: DataFrame, payloads: DataFrame, w: Seq[Double], thr: Double,
                 blLines: DataFrame, benchAnchors: DataFrame, benchDocs: DataFrame,
                 indexSigs: DataFrame, indexSets: DataFrame,
+                imagePhashIdx: DataFrame, audioFpIdx: DataFrame, videoFpIdx: DataFrame,
                 minLineWords: Int = 3, minLen: Int = 30,
                 anchorK: Int = 24, anchorW: Int = 7,
                 k: Int = 3, numHashes: Int = 16,
                 bands: Int = 4, rowsPerBand: Int = 4,
-                dupThreshold: Double = 0.5): DataFrame = {
+                dupThreshold: Double = 0.5, maxHamming: Int = 3): DataFrame = {
     val preScrub = applyBoilerplate(nfcC4(batch, minLineWords), blLines)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleaned = piiClean(preScrub)
@@ -127,20 +146,40 @@ object PretrainStream {
       dupRep = Dedup.jaccardMatchesAgainst(
         cleaned.select("doc_id", "text"), indexSigs, indexSets,
         k, numHashes, bands, rowsPerBand, dupThreshold)
+      // modality gates: fingerprint the arrivals' payload side once each
+      // (narrow maps), band-join the persisted indexes — report-sized
+      // match frames, lazily composed (hammingMatchesAgainst does not
+      // cache), AQE broadcasts them against the shard-sized audit
+      def mm(rep: DataFrame, p: String): DataFrame =
+        rep.select(col("doc_id"), lit(1).as(s"${p}_dup_flag"),
+          col("match_id").as(s"${p}_match_id"), col("hamming").as(s"${p}_hamming"))
+      val imgRep = mm(MultimodalDedupStream.gateImageBatch(payloads, imagePhashIdx, maxHamming), "image")
+      val audRep = mm(MultimodalDedupStream.gateAudioBatch(payloads, audioFpIdx, maxHamming), "audio")
+      val vidRep = mm(MultimodalDedupStream.gateVideoBatch(payloads, videoFpIdx, maxHamming), "video")
       val out = scored
         .join(deconRep.select(col("doc_id")).distinct()
           .withColumn("decon_flag", lit(1)), Seq("doc_id"), "left")
         .join(dupRep.select(col("doc_id"), col("match_id").as("dup_match_id"),
             col("jaccard").as("dup_jaccard"))
           .withColumn("dup_flag", lit(1)), Seq("doc_id"), "left")
+        .join(imgRep, Seq("doc_id"), "left")
+        .join(audRep, Seq("doc_id"), "left")
+        .join(vidRep, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"), col("score"),
           when(col("score") >= thr, 1).otherwise(0).as("quality_pass"),
           coalesce(col("decon_flag"), lit(0)).as("decon_flag"),
           coalesce(col("dup_flag"), lit(0)).as("dup_flag"),
-          col("dup_match_id"), col("dup_jaccard"))
+          col("dup_match_id"), col("dup_jaccard"),
+          coalesce(col("image_dup_flag"), lit(0)).as("image_dup_flag"),
+          col("image_match_id"), col("image_hamming"),
+          coalesce(col("audio_dup_flag"), lit(0)).as("audio_dup_flag"),
+          col("audio_match_id"), col("audio_hamming"),
+          coalesce(col("video_dup_flag"), lit(0)).as("video_dup_flag"),
+          col("video_match_id"), col("video_hamming"))
         .withColumn("keep",
           (col("quality_pass") === 1 && col("decon_flag") === 0 &&
-            col("dup_flag") === 0).cast("int"))
+            col("dup_flag") === 0 && col("image_dup_flag") === 0 &&
+            col("audio_dup_flag") === 0 && col("video_dup_flag") === 0).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { out.count(); out }
       catch { case t: Throwable => out.unpersist(); throw t }
@@ -197,16 +236,37 @@ object PretrainStream {
     base.unpersist()
   }
 
-  /** Start the gate over document shard drops: per-arrival audit rows
-    * append (idempotently) under `outDir`. `gateIndexDir` is the
+  /** Schema of a multimodal arrival shard: the page columns
+    * [[DedupStream]] streams plus `payload_text` — the byte source of
+    * the record's image/audio/video payloads (a real crawl record
+    * carries binary payload columns next to the page html). */
+  def readGateStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload_text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** Start the gate over multimodal document shard drops
+    * ([[readGateStream]]'s schema): per-arrival audit rows append
+    * (idempotently) under `outDir`. `gateIndexDir` is the
     * [[graft.dedup.Dedup.writeDedupIndex]]-shaped corpus index under
     * `/dedup` plus the `/boilerplate` line table and the benchmark
     * `/anchors` + `/bench` tables; `modelDir` holds the classifier's
-    * one-row weight table. */
+    * one-row weight table; the three modality dirs are the persisted
+    * fingerprint tables ([[graft.dedup.Dedup.writeImagePhashIndex]]'s
+    * `.../image_phash` and its audio/video twins). All index/model
+    * reads happen per micro-batch so a publishSwap refresh never kills
+    * the query. */
   def gate(stream: DataFrame, modelDir: String, thr: Double,
-           gateIndexDir: String, outDir: String, checkpoint: String,
+           gateIndexDir: String, imageIdxDir: String, audioIdxDir: String,
+           videoIdxDir: String, outDir: String, checkpoint: String,
            minLineWords: Int = 3, minLen: Int = 30,
-           dupThreshold: Double = 0.5): StreamingQuery =
+           dupThreshold: Double = 0.5, maxHamming: Int = 3): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -218,13 +278,19 @@ object PretrainStream {
           val wRow = QualityStream.readModel(s, modelDir)
             .select("w0", "w1", "w2", "w3", "w4").collect()(0)
           val w = (0 until 5).map(wRow.getDouble)
-          val o = gateBatch(batch, w, thr,
+          val o = gateBatch(batch,
+            batch.select(col("doc_id"), col("payload_text").as("text")),
+            w, thr,
             s.read.parquet(s"$gateIndexDir/boilerplate"),
             s.read.parquet(s"$gateIndexDir/anchors"),
             s.read.parquet(s"$gateIndexDir/bench"),
             s.read.parquet(s"$gateIndexDir/dedup/minhash_sigs"),
             s.read.parquet(s"$gateIndexDir/dedup/shingle_sets"),
-            minLineWords, minLen, dupThreshold = dupThreshold)
+            s.read.parquet(imageIdxDir),
+            s.read.parquet(audioIdxDir),
+            s.read.parquet(videoIdxDir),
+            minLineWords, minLen, dupThreshold = dupThreshold,
+            maxHamming = maxHamming)
           // finally-release: a failed write attempt must not strand the
           // gate frame's cache into the retry.
           try {

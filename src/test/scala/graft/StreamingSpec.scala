@@ -1099,11 +1099,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming pretrain ingest gate audits arrivals exactly as the batch gate twin") {
-    import graft.streaming.{DedupStream, PretrainStream, QualityStream}
+    import graft.streaming.{PretrainStream, QualityStream}
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
     val pages = docs.select(col("doc_id"), col("source"),
       graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
     val idx = java.nio.file.Files.createTempDirectory("graft-ppgate-idx")
+    val mmIdx = java.nio.file.Files.createTempDirectory("graft-ppgate-mmidx")
     val model = java.nio.file.Files.createTempDirectory("graft-ppgate-model")
     val watch = java.nio.file.Files.createTempDirectory("graft-ppgate-watch")
     val out = java.nio.file.Files.createTempDirectory("graft-ppgate-out")
@@ -1111,6 +1112,12 @@ class StreamingSpec extends SparkSpec {
     PretrainStream.writeGateIndex(pages, idx.toString,
       benchPred = col("source") === "src0",
       corpusPred = pmod(col("doc_id"), lit(2L)) === 0 && col("source") =!= "src0")
+    // modality fingerprint indexes over the even half's RAW records —
+    // payloads ride the raw record, untouched by the page-text dirtying
+    val evenRaw = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    graft.dedup.Dedup.writeImagePhashIndex(evenRaw, s"$mmIdx/img")
+    graft.dedup.Dedup.writeAudioFpIndex(evenRaw, s"$mmIdx/aud")
+    graft.dedup.Dedup.writeVideoFpIndex(evenRaw, s"$mmIdx/vid")
     val w = QualityStream.buildModel(docs, model.toString)
     def drop(name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ppgate-stage")
@@ -1121,25 +1128,37 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     val arrivals = pages.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
-    drop("a.parquet", arrivals.filter(pmod(col("doc_id"), lit(4L)) === 1)
+    // a multimodal arrival record = dirty page text + its payload side
+    val shardCols = arrivals
       .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
-      .select("doc_id", "text", "lang", "source", "n_chars"))
-    drop("b.parquet", arrivals.filter(pmod(col("doc_id"), lit(4L)) === 3)
-      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
-      .select("doc_id", "text", "lang", "source", "n_chars"))
-    val q = PretrainStream.gate(DedupStream.readStream(spark, watch.toString),
-      model.toString, thr = 0.28, idx.toString, out.toString, ckpt.toString)
+      .join(docs.select(col("doc_id"), col("text").as("payload_text")), Seq("doc_id"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "payload_text")
+    drop("a.parquet", shardCols.filter(pmod(col("doc_id"), lit(4L)) === 1))
+    drop("b.parquet", shardCols.filter(pmod(col("doc_id"), lit(4L)) === 3))
+    val q = PretrainStream.gate(PretrainStream.readGateStream(spark, watch.toString),
+      model.toString, thr = 0.28, idx.toString,
+      s"$mmIdx/img/image_phash", s"$mmIdx/aud/audio_fp", s"$mmIdx/vid/video_fp",
+      out.toString, ckpt.toString)
     q.processAllAvailable(); q.stop()
     val cols = Seq("doc_id", "source", "score", "quality_pass", "decon_flag",
-      "dup_flag", "dup_match_id", "dup_jaccard", "keep")
+      "dup_flag", "dup_match_id", "dup_jaccard",
+      "image_dup_flag", "image_match_id", "image_hamming",
+      "audio_dup_flag", "audio_match_id", "audio_hamming",
+      "video_dup_flag", "video_match_id", "video_hamming", "keep")
     def key(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
     val streamed = key(PretrainStream.auditLog(spark, out.toString))
-    val batch = PretrainStream.gateBatch(arrivals, w, 0.28,
+    val batch = PretrainStream.gateBatch(arrivals,
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
+        .select("doc_id", "text"),
+      w, 0.28,
       spark.read.parquet(s"$idx/boilerplate"),
       spark.read.parquet(s"$idx/anchors"), spark.read.parquet(s"$idx/bench"),
       spark.read.parquet(s"$idx/dedup/minhash_sigs"),
-      spark.read.parquet(s"$idx/dedup/shingle_sets"))
+      spark.read.parquet(s"$idx/dedup/shingle_sets"),
+      spark.read.parquet(s"$mmIdx/img/image_phash"),
+      spark.read.parquet(s"$mmIdx/aud/audio_fp"),
+      spark.read.parquet(s"$mmIdx/vid/video_fp"))
     assert(streamed == key(batch),
       "accumulated stream audit rows must equal the batch gate twin on all arrivals")
     val rows = batch.collect()
@@ -1149,12 +1168,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("dup_flag") == 1), "a planted cross-parity pair must dup-flag")
     assert(rows.exists(_.getAs[Int]("decon_flag") == 1), "the planted leak doc must decon-flag")
     assert(rows.exists(_.getAs[Int]("keep") == 1), "clean arrivals must be admitted")
+    // the keep column composes over the multimodal flags: any
+    // modality-flagged arrival must be rejected
+    rows.filter(r => r.getAs[Int]("image_dup_flag") == 1 ||
+        r.getAs[Int]("audio_dup_flag") == 1 || r.getAs[Int]("video_dup_flag") == 1)
+      .foreach(r => assert(r.getAs[Int]("keep") == 0,
+        s"modality-flagged arrival must not be admitted: $r"))
     // the serve side is index-only: the gate plan scans the persisted
     // tables, never the corpus the index was built from
     val p = batch.queryExecution.executedPlan.toString
     assert(p.contains("graft-ppgate-idx"), s"gate must scan the persisted index:\n$p")
+    assert(p.contains("graft-ppgate-mmidx"),
+      s"gate must scan the persisted modality fingerprint indexes:\n$p")
     batch.unpersist()
-    Seq(idx, model, watch, out, ckpt).foreach(d =>
+    Seq(idx, mmIdx, model, watch, out, ckpt).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
   }
 
