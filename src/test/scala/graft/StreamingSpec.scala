@@ -1098,6 +1098,60 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
   }
 
+  test("streaming lang-ID gate scores each shard under the model served at its arrival") {
+    import graft.streaming.{DedupStream, LangIdStream}
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val model = java.nio.file.Files.createTempDirectory("graft-langid-gate-model")
+    val watch = java.nio.file.Files.createTempDirectory("graft-langid-gate-watch")
+    val out = java.nio.file.Files.createTempDirectory("graft-langid-gate-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-langid-gate-ckpt")
+    val m1 = LangIdStream.buildModel(docs, model.toString, vocabSize = 64)
+    def drop(name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-langid-gate-stage")
+      shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val shard1 = docs.filter(pmod(col("doc_id"), lit(4L)) === 1)
+    val shard2 = docs.filter(pmod(col("doc_id"), lit(4L)) === 3)
+    drop("a.parquet", shard1)
+    val q = LangIdStream.gate(DedupStream.readStream(spark, watch.toString),
+      model.toString, out.toString, ckpt.toString)
+    q.processAllAvailable()
+    // mid-stream retrain: a different model (smaller vocab -> different
+    // weight sums) republished under the SAME serving path via
+    // publishSwap — the running query must pick it up on the next batch
+    val m2 = LangIdStream.buildModel(docs, model.toString, vocabSize = 16)
+    assert(m2 != m1, "the refreshed model must differ or the pin proves nothing")
+    drop("b.parquet", shard2)
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("doc_id", "lang", "lang_pred", "score")
+        .collect().map(_.mkString("|")).toSet
+    val scores = spark.read.parquet(s"$out/scores")
+    val streamed1 = key(scores.filter(col("ingest_batch") === 0))
+    val streamed2 = key(scores.filter(col("ingest_batch") === 1))
+    // each shard scored under the model SERVED at its arrival time
+    assert(streamed1 == key(LangIdStream.scoreBatch(shard1, m1)),
+      "shard 1 must score under the original model")
+    assert(streamed2 == key(LangIdStream.scoreBatch(shard2, m2)),
+      "shard 2 must score under the refreshed model")
+    assert(streamed2 != key(LangIdStream.scoreBatch(shard2, m1)),
+      "the refresh must be visible in shard 2's scores")
+    // the per-batch drift table is the confusion of exactly that shard
+    def ckey(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("lang", "lang_pred", "n").collect().map(_.mkString("|")).toSet
+    val drift = LangIdStream.driftLog(spark, out.toString)
+    assert(ckey(drift.filter(col("ingest_batch") === 0)) ==
+      ckey(graft.text.LangIdClassifier.confusionWith(shard1, m1)))
+    assert(ckey(drift.filter(col("ingest_batch") === 1)) ==
+      ckey(graft.text.LangIdClassifier.confusionWith(shard2, m2)))
+    Seq(model, watch, out, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+  }
+
   test("streaming pretrain ingest gate audits arrivals exactly as the batch gate twin") {
     import graft.streaming.{PretrainStream, QualityStream}
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
