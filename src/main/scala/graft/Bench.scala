@@ -182,7 +182,8 @@ object Bench {
           val root = mapper.readTree(java.nio.file.Files.readAllBytes(statePath))
           // carrying across a different dataset or core count would mix
           // estimators of different quantities — refuse wholesale
-          if (root.path("sf").asText("") != sfDir || root.path("cpus").asText("") != cpus)
+          if (root.path("sf").asText("") != sfDir || root.path("cpus").asText("") != cpus ||
+              root.path("measure").asText("") != "noop")
             (Map.empty[String, Carried], 1)
           else {
             val qs = root.path("queries")
@@ -306,7 +307,7 @@ object Bench {
     def writeState(): Unit =
       try {
         val sb = new StringBuilder
-        sb.append(s"""{"sf":"$sfDir","cpus":"$cpus","run":$thisRun,"updated_ms":${System.currentTimeMillis()},"queries":{""")
+        sb.append(s"""{"sf":"$sfDir","cpus":"$cpus","measure":"noop","run":$thisRun,"updated_ms":${System.currentTimeMillis()},"queries":{""")
         var first = true
         for ((n, _) <- names) {
           val fp = fpNow.getOrElse(n, if (fpOk(n)) carried(n).fp else "")
@@ -434,7 +435,7 @@ object Bench {
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMedian = medians.map(_._2).filter(_ >= 0).sum
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":3,"ratio_denominator":"floor2","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"min1_offender_detail":$min1DetailJson,"bench_run":$thisRun,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"fp_changed_queries":$fpChangedNames,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":4,"ratio_denominator":"floor2","action":"noop_write","queries":${jsonMap(results)},"median":${jsonMap(medians)},"total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"spread":${jsonMap(spreads)},"sweeps":$sweepsDone,"warmup_sweeps":1,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"min1_offender_detail":$min1DetailJson,"bench_run":$thisRun,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"fp_changed_queries":$fpChangedNames,"floor_reset":${reset.size},"sampled":${sampled.size},"of":${names.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"gc_s":${BigDecimal(gcNanos / 1e9).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"failed":${failed.size},"failed_queries":$failedJson,"sf":"$sfDir"}"""
       println(full)
       writeFull(full)
       writeState()
@@ -445,7 +446,7 @@ object Bench {
         .map { case (n, v) => n -> (if (v < 0) -1.0 else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       val slowestFirst = rounded.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       val failedNames = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","bench_schema":3,"ratio_denominator":"floor2","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"min1_offender_detail":$min1DetailJson,"bench_run":$thisRun,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
+      val head = s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","bench_schema":4,"ratio_denominator":"floor2","action":"noop_write","total_median":${BigDecimal(totalMedian).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"sweeps":$sweepsDone,"worst_hot_ratio":${BigDecimal(worstHot).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"worst_hot_ratio_min1":${BigDecimal(worstHotMin1).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"min1_offenders":$min1OffendersJson,"min1_offender_detail":$min1DetailJson,"bench_run":$thisRun,"floor_aged":${agedNames.size},"heavy_warm_lt3":$heavyWarmLt3,"carried":$carriedN,"fp_changed":$fpChanged,"floor_reset":${reset.size},"wall_s":${BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sampled":${sampled.size},"of":${names.size},"failed":${failed.size},"failed_queries":$failedNames,"full":"$outPath","sf":"$sfDir","""
       val budget = 1800 - head.length - 40 // room for "omitted" + closing braces
       val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       var used = 0
@@ -475,11 +476,22 @@ object Bench {
       if (gcFirst) { val g0 = System.nanoTime(); System.gc(); gcNanos += System.nanoTime() - g0 }
       // a failed query must surface as -1, never as its (short) elapsed
       // time — a regression that throws in planning would otherwise read
-      // as a speedup
+      // as a speedup.
+      // The measured action is a NOOP-SINK WRITE, not count(): under a
+      // count(1) aggregate Catalyst prunes every computed column, so a
+      // narrow scoring projection (predict/fingerprint queries) collapses
+      // to a metadata-only parquet count and its "floor" measures nothing
+      // (text_langid_trained read 0.12 s while its eval twin — whose
+      // aggregate forces the same projection — paid the real 3+ s). The
+      // noop write evaluates every output column and discards the rows,
+      // measuring what a consumer of the query actually pays.
       val t0 = System.nanoTime()
       var df: org.apache.spark.sql.DataFrame = null
-      val v = try { df = fn(spark, sfDir); df.count(); (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => -1.0 }
+      val v = try {
+        df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
       freshSamples(name) = freshSamples(name) :+ v
       if (isWarm) freshWarm(name) = freshWarm(name) :+ v
       if (v < 0) failCount(name) += 1

@@ -21,10 +21,14 @@ object QTime {
     SparkEntry.prepare(spark, sfDir)
     for (name <- args) {
       spark.sharedState.cacheManager.clearCache()
+      // timed action = noop-sink write (the Bench basis: count() lets
+      // Catalyst prune narrow scoring projections to a metadata count);
+      // the row count prints from an untimed second action
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val n = df.count()
-      println(f"QTIME $name rows=$n ${(System.nanoTime()-t0)/1e9}%8.2f s")
+      df.write.format("noop").mode("overwrite").save()
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"QTIME $name rows=${df.count()} $el%8.2f s")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         println(df.queryExecution.executedPlan.toString.take(6000))
     }
