@@ -113,6 +113,37 @@ class TextAndAnnSpec extends SparkSpec {
       s"confusion eval must not join — the label is carried by the projection:\n$plan")
   }
 
+  test("codegen'd langid scorer matches the bigram-fold semantics, astral code points included") {
+    import spark.implicits._
+    import graft.text.LangIdClassifier
+    // Texts with surrogate pairs: Spark's substr counts CODE POINTS, so
+    // "a😀b" yields bigrams ("a😀", "😀b") — the packed scorer's
+    // codePointAt walk must agree or astral-heavy corpora (emoji, CJK
+    // extension planes) silently mis-score. Mixed scripts + empty text
+    // cover the prior-only path.
+    val docs = Seq(
+      (1L, "a😀b😀a", "xx"),
+      (2L, "ααββ中文", "yy"),
+      (3L, "", "xx"),
+      (4L, "a😀b plain tail", "yy")).toDF("doc_id", "text", "lang")
+    val m = LangIdClassifier.train(docs, vocabSize = 8, trainMod = 1)
+    val got = LangIdClassifier.predictWith(docs, m).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // reference: the fold recomputed driver-side from bigramsCol's own
+    // output (Spark substr semantics), per-class integer sums, first-max
+    val bgs = docs.select(col("doc_id"), LangIdClassifier.bigramsCol(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, bl) <- bgs) {
+      val scores = m.classes.map(c =>
+        c -> (m.priors(c) + bl.map(b => m.weights(c).getOrElse(b, 0L)).sum))
+      // argmax with ties to the smallest class (classes are sorted asc
+      // and the engine takes the FIRST max)
+      val expect = scores.filter(_._2 == scores.map(_._2).max).minBy(_._1)
+      assert(got(id) == expect,
+        s"doc $id: expression gave ${got(id)}, fold reference gives $expect (raw $scores)")
+    }
+  }
+
   test("langid is deterministic and respects profile-order tie-break") {
     import spark.implicits._
     // empty text -> all scores 0 -> first profile lang (de) wins the tie
