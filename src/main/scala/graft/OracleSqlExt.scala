@@ -3250,12 +3250,59 @@ object OracleSqlExt {
        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) Example Site - all rights reserved.' ELSE '' END) AS text""".stripMargin
   }
 
+  /** One perceptual keep-canonical stage as CTEs (the ladder's
+    * image/audio/video stages all stamp this shape): min-id
+    * representative collapse over identical fingerprints (+ star edges),
+    * capped 4×15-bit pigeonhole band join over representatives with the
+    * exact bit_count verify, recursive closure, and the min-id survivor
+    * left-anti — the [[graft.dedup.Dedup.bandedHammingPairs]] semantics
+    * verbatim. `fpCte` must expose (doc_id, `fpCol`); `fromRel` is the
+    * stage input (doc_id, source, text); `outName` the survivor CTE. */
+  private def keepCanonChain(px: String, fpCte: String, fpCol: String,
+                             fromRel: String, outName: String): String =
+    s"""${px}reps AS (SELECT $fpCol, min(doc_id) AS doc_id FROM $fpCte GROUP BY $fpCol),
+       |${px}stars AS (
+       |  SELECT r.doc_id AS a, f.doc_id AS b
+       |  FROM $fpCte f JOIN ${px}reps r ON f.$fpCol = r.$fpCol AND f.doc_id <> r.doc_id
+       |),
+       |${px}band AS (
+       |  SELECT doc_id, $fpCol, band, ($fpCol >> (15 * band)) % 32768 AS bits
+       |  FROM ${px}reps, (SELECT unnest([0, 1, 2, 3]) AS band)
+       |),
+       |${px}cap AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bucket_n FROM ${px}band
+       |  ) t WHERE bucket_n <= ${graft.dedup.Dedup.MaxLshBucketSize}
+       |),
+       |${px}pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM ${px}cap l JOIN ${px}cap r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.$fpCol, r.$fpCol)) <= 3
+       |  UNION
+       |  SELECT a, b FROM ${px}stars
+       |),
+       |${px}bidir AS (SELECT a AS src, b AS dst FROM ${px}pairs UNION SELECT b, a FROM ${px}pairs),
+       |${px}reach(src, dst) AS (
+       |  SELECT src, src FROM ${px}bidir
+       |  UNION
+       |  SELECT r.src, bd.dst FROM ${px}reach r JOIN ${px}bidir bd ON r.dst = bd.src
+       |),
+       |${px}comp AS (SELECT src AS doc_id, min(dst) AS component FROM ${px}reach GROUP BY src),
+       |$outName AS MATERIALIZED (
+       |  SELECT q.doc_id, q.source, q.text
+       |  FROM $fromRel q LEFT JOIN ${px}comp c ON q.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL OR c.doc_id = c.component
+       |)""".stripMargin
+
   private def pretrainChainCtes(benchPredSql: String, minLineWords: Int,
                                 bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
                                 budgetTokens: Long, maxEpochs: Double,
                                 nBuckets: Int,
                                 gate: Option[(Seq[Double], Double)] = None,
-                                imageDedup: Boolean = false): String = {
+                                imageDedup: Boolean = false,
+                                avDedup: Boolean = false): String = {
+    require(!avDedup || imageDedup,
+      "audio/video keep-canonical composes on top of the image stage (v4 ⊃ v3)")
     val leak = graft.pipelines.PretrainCorpus.LeakSentence
     // v1 page: planted doc_ids stay numeric. v2 page (mirror of
     // dirtyPageV2): planted doc_ids LETTERS-encode (translate) so the PII
@@ -3319,43 +3366,22 @@ object OracleSqlExt {
     // hot buckets — the bandedHammingPairs semantics verbatim), recursive
     // closure, keep min-id per component. `dedupInput` is what text dedup
     // and everything after read.
-    val (imgCtes, dedupInput) =
+    val (imgCtes, postImg) =
       if (!imageDedup) ("", preDedup)
       else (s""",
            |${phashFpCtes(preDedup, "iqpb", "iqfp")},
-           |iqreps AS (SELECT phash, min(doc_id) AS doc_id FROM iqfp GROUP BY phash),
-           |iqstars AS (
-           |  SELECT r.doc_id AS a, f.doc_id AS b
-           |  FROM iqfp f JOIN iqreps r ON f.phash = r.phash AND f.doc_id <> r.doc_id
-           |),
-           |iqband AS (
-           |  SELECT doc_id, phash, band, (phash >> (15 * band)) % 32768 AS bits
-           |  FROM iqreps, (SELECT unnest([0, 1, 2, 3]) AS band)
-           |),
-           |iqcap AS (
-           |  SELECT * FROM (
-           |    SELECT *, COUNT(*) OVER (PARTITION BY band, bits) AS bucket_n FROM iqband
-           |  ) t WHERE bucket_n <= ${graft.dedup.Dedup.MaxLshBucketSize}
-           |),
-           |iqpairs AS (
-           |  SELECT l.doc_id AS a, r.doc_id AS b
-           |  FROM iqcap l JOIN iqcap r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
-           |  WHERE bit_count(xor(l.phash, r.phash)) <= 3
-           |  UNION
-           |  SELECT a, b FROM iqstars
-           |),
-           |iqbidir AS (SELECT a AS src, b AS dst FROM iqpairs UNION SELECT b, a FROM iqpairs),
-           |iqreach(src, dst) AS (
-           |  SELECT src, src FROM iqbidir
-           |  UNION
-           |  SELECT r.src, bd.dst FROM iqreach r JOIN iqbidir bd ON r.dst = bd.src
-           |),
-           |iqcomp AS (SELECT src AS doc_id, min(dst) AS component FROM iqreach GROUP BY src),
-           |img AS MATERIALIZED (
-           |  SELECT q.doc_id, q.source, q.text
-           |  FROM $preDedup q LEFT JOIN iqcomp c ON q.doc_id = c.doc_id
-           |  WHERE c.doc_id IS NULL OR c.doc_id = c.component
-           |)""".stripMargin, "img")
+           |${keepCanonChain("iq", "iqfp", "phash", preDedup, "img")}""".stripMargin, "img")
+    // v4 stages (mirror of the engine's cascaded audio then video
+    // keep-canonical after the image stage): each modality fingerprints
+    // only the previous stage's survivors, through the same guarded
+    // band-join + closure + min-id chain.
+    val (avCtes, dedupInput) =
+      if (!avDedup) ("", postImg)
+      else (s""",
+           |${afpFpCtes(postImg, "aqpb", "aqen", "aqfp")},
+           |${keepCanonChain("aq", "aqfp", "afp", postImg, "aud")},
+           |${vfpFpCtes("aud", "vqpb", "vqen", "vqfp")},
+           |${keepCanonChain("vq", "vqfp", "vfp", "aud", "vid")}""".stripMargin, "vid")
     s"""pp AS (
        |  SELECT doc_id, source,
        |$ppBody
@@ -3390,7 +3416,7 @@ object OracleSqlExt {
        |  SELECT doc_id, source,
        |         COALESCE(array_to_string(list_filter(l, x -> NOT list_contains(bl, trim(x))), chr(10)), '') AS text
        |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM c4) CROSS JOIN bpl
-       |)$midCtes$imgCtes,
+       |)$midCtes$imgCtes$avCtes,
        |${tclCteNamed("tclp", s"(SELECT doc_id, 'x' AS lang, text FROM $dedupInput)")},
        |${shCteFrom("shp", "tclp")},
        |${mhCteFrom("p", "shp")},
@@ -3649,6 +3675,62 @@ object OracleSqlExt {
        |       CASE WHEN docs_image > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / docs_image, 6) END AS dedup_doc_cut
        |FROM rep""".stripMargin
 
+  /** Mirror of [[graft.pipelines.PretrainCorpus.pipelineV4]] — the v3
+    * chain with audio and video keep-canonical cascaded after the image
+    * stage. */
+  def pretrainCorpusV4Sql(w: Seq[Double], thr: Double, benchPredSql: String,
+                          minLineWords: Int, bpMinDf: Long, bpMinLineChars: Int,
+                          minLen: Int, budgetTokens: Long, maxEpochs: Double,
+                          nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets,
+           Some((w, thr)), imageDedup = true, avDedup = true)}
+       |SELECT doc_id, source, n_chars,
+       |       CAST((cum - n_chars) // $windowSize AS BIGINT) AS bin
+       |FROM pk""".stripMargin
+
+  /** Mirror of [[graft.pipelines.PretrainCorpus.reportV4]]. */
+  def pretrainReportV4Sql(w: Seq[Double], thr: Double, benchPredSql: String,
+                          minLineWords: Int, bpMinDf: Long, bpMinLineChars: Int,
+                          minLen: Int, budgetTokens: Long, maxEpochs: Double,
+                          nBuckets: Int, windowSize: Long): String =
+    s"""WITH RECURSIVE ${pretrainChainCtes(benchPredSql, minLineWords, bpMinDf,
+           bpMinLineChars, minLen, budgetTokens, maxEpochs, nBuckets,
+           Some((w, thr)), imageDedup = true, avDedup = true)},
+       |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS chars_raw FROM pp),
+       |a2 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_nfc FROM nn),
+       |a3 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_c4 FROM c4),
+       |a4 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_bp FROM bp),
+       |a4p AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars_pii FROM pii),
+       |a4q AS (SELECT CAST(count(*) AS BIGINT) AS docs_quality, CAST(sum(length(text)) AS BIGINT) AS chars_quality FROM qg),
+       |a4i AS (SELECT CAST(count(*) AS BIGINT) AS docs_image, CAST(sum(length(text)) AS BIGINT) AS chars_image FROM img),
+       |a4a AS (SELECT CAST(count(*) AS BIGINT) AS docs_audio, CAST(sum(length(text)) AS BIGINT) AS chars_audio FROM aud),
+       |a4v AS (SELECT CAST(count(*) AS BIGINT) AS docs_video, CAST(sum(length(text)) AS BIGINT) AS chars_video FROM vid),
+       |a5 AS (SELECT CAST(count(*) AS BIGINT) AS docs_dedup, CAST(sum(length(text)) AS BIGINT) AS chars_dedup FROM ded),
+       |a6 AS (SELECT CAST(count(*) AS BIGINT) AS docs_decon, CAST(sum(length(text)) AS BIGINT) AS chars_decon FROM dc),
+       |a7 AS (SELECT CAST(count(*) AS BIGINT) AS docs_sampled, CAST(sum(doc_tokens) AS BIGINT) AS tokens_sampled FROM smp),
+       |a8 AS (SELECT COALESCE(CAST(max((cum - n_chars) // $windowSize) + 1 AS BIGINT), 0) AS n_bins FROM pk),
+       |rep AS (
+       |  SELECT * FROM a1 CROSS JOIN a2 CROSS JOIN a3 CROSS JOIN a4
+       |  CROSS JOIN a4p CROSS JOIN a4q CROSS JOIN a4i
+       |  CROSS JOIN a4a CROSS JOIN a4v
+       |  CROSS JOIN a5 CROSS JOIN a6 CROSS JOIN a7 CROSS JOIN a8
+       |)
+       |SELECT n_docs, chars_raw, chars_nfc, chars_c4, chars_bp,
+       |       chars_pii, docs_quality, chars_quality,
+       |       docs_image, chars_image,
+       |       docs_audio, chars_audio,
+       |       docs_video, chars_video,
+       |       docs_dedup, chars_dedup, docs_decon, chars_decon,
+       |       docs_sampled, tokens_sampled, n_bins,
+       |       CASE WHEN chars_raw > 0 THEN round(1.0 - CAST(chars_bp AS DOUBLE) / chars_raw, 6) END AS scrub_char_cut,
+       |       CASE WHEN n_docs > 0 THEN round(1.0 - CAST(docs_quality AS DOUBLE) / n_docs, 6) END AS quality_doc_cut,
+       |       CASE WHEN docs_quality > 0 THEN round(1.0 - CAST(docs_image AS DOUBLE) / docs_quality, 6) END AS image_doc_cut,
+       |       CASE WHEN docs_image > 0 THEN round(1.0 - CAST(docs_audio AS DOUBLE) / docs_image, 6) END AS audio_doc_cut,
+       |       CASE WHEN docs_audio > 0 THEN round(1.0 - CAST(docs_video AS DOUBLE) / docs_audio, 6) END AS video_doc_cut,
+       |       CASE WHEN docs_video > 0 THEN round(1.0 - CAST(docs_dedup AS DOUBLE) / docs_video, 6) END AS dedup_doc_cut
+       |FROM rep""".stripMargin
+
   def pretrainCorpusV2SqlFromLastGate: Option[String] =
     graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
       pretrainCorpusV2Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
@@ -3667,6 +3749,16 @@ object OracleSqlExt {
   def pretrainReportV3SqlFromLastGate: Option[String] =
     graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
       pretrainReportV3Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
+    }
+
+  def pretrainCorpusV4SqlFromLastGate: Option[String] =
+    graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
+      pretrainCorpusV4Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
+    }
+
+  def pretrainReportV4SqlFromLastGate: Option[String] =
+    graft.pipelines.PretrainCorpus.lastGate.map { case (w, thr) =>
+      pretrainReportV4Sql(w, thr, "source = 'src0'", 3, 3, 10, 30, 20000L, 4.0, 64, 2048L)
     }
 
   /** Mirror of [[graft.pipelines.Dsir.importanceWeights]] with

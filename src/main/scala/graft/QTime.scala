@@ -22,13 +22,15 @@ object QTime {
     for (name <- args) {
       spark.sharedState.cacheManager.clearCache()
       // timed action = noop-sink write (the Bench basis: count() lets
-      // Catalyst prune narrow scoring projections to a metadata count);
-      // the row count prints from an untimed second action
+      // Catalyst prune narrow scoring projections to a metadata count).
+      // rows= is OPT-IN (SPARK_GRAFT_ROWS=1): it is a second full untimed
+      // execution, which on heavy queries doubles the tool's wall time
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val el = (System.nanoTime() - t0) / 1e9
-      println(f"QTIME $name rows=${df.count()} $el%8.2f s")
+      val rows = if (sys.env.contains("SPARK_GRAFT_ROWS")) s" rows=${df.count()}" else ""
+      println(f"QTIME $name$rows $el%8.2f s")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         println(df.queryExecution.executedPlan.toString.take(6000))
     }

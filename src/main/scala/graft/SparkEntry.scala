@@ -890,12 +890,23 @@ object SparkEntry {
     ("approx_distinct",
       (s: SparkSession, d: String) => {
         val rsd = 0.01
-        s.read.parquet(s"$d/lineitem.parquet")
-          .groupBy("l_returnflag")
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        // exact side: the usual two-level countDistinct rewrite (expand +
+        // per-(flag,value) partial). The HLL sketches aggregate in a
+        // SEPARATE pass: fused into the same agg,
+        // RewriteDistinctAggregates threads the ~21 KB rsd=0.01 HLL
+        // partial buffers through every expanded per-(flag,value)
+        // first-level group (hundreds of thousands of wide buffers →
+        // spill), where this split pays for exactly #groups sketches and
+        // a 3-row broadcast join (measured r18: 6.1 s fused → sub-second
+        // split, identical output)
+        val exact = li.groupBy("l_returnflag")
           .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
-            countDistinct(col("l_suppkey")).as("n_supps_exact"),
-            approx_count_distinct(col("l_partkey"), rsd).as("_ap"),
+            countDistinct(col("l_suppkey")).as("n_supps_exact"))
+        val approx = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), rsd).as("_ap"),
             approx_count_distinct(col("l_suppkey"), rsd).as("_as"))
+        exact.join(broadcast(approx), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("n_parts_exact"), col("n_supps_exact"),
             (abs(col("_ap") - col("n_parts_exact"))
               <= lit(4 * rsd) * col("n_parts_exact")).as("parts_within_rsd"),
@@ -1654,19 +1665,28 @@ object SparkEntry {
     // form is additionally asserted in PercentileSpec.
     ("percentiles_approx",
       (s: SparkSession, d: String) => {
-        def within(approx: String, colName: String, p: Double) =
-          expr(s"approx_percentile($colName, $p, 10000)")
-            .between(expr(s"percentile($colName, ${p - 0.01})"),
-              expr(s"percentile($colName, ${p + 0.01})")).as(approx)
+        // ONE exact-percentile buffer per column (array-of-quantiles
+        // form) instead of one per requested quantile: the interpreted
+        // Percentile aggregate buffers every group value per FUNCTION
+        // instance, so the naive 9-instance form paid ~9 value-map
+        // buffers per group where this pays 2+2 (measured r18: 5.7 s →
+        // ~2 s, bit-identical output — same buffer, same interpolation)
         s.read.parquet(s"$d/lineitem.parquet")
           .groupBy("l_returnflag")
           .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
-            within("median_ok", "l_quantity", 0.5),
-            within("p25_ok", "l_extendedprice", 0.25),
-            within("p90_ok", "l_extendedprice", 0.9))
+            expr("percentile(l_quantity, array(0.49D, 0.5D, 0.51D))").as("qp"),
+            expr("percentile(l_extendedprice, array(0.24D, 0.25D, 0.26D, 0.89D, 0.9D, 0.91D))").as("pp"),
+            expr("approx_percentile(l_quantity, 0.5D, 10000)").as("aq"),
+            expr("approx_percentile(l_extendedprice, array(0.25D, 0.9D), 10000)").as("ap"))
+          .select(col("l_returnflag"),
+            round(element_at(col("qp"), 2), 6).as("median_qty"),
+            round(element_at(col("pp"), 2), 6).as("p25_price"),
+            round(element_at(col("pp"), 5), 6).as("p90_price"),
+            col("aq").between(element_at(col("qp"), 1), element_at(col("qp"), 3)).as("median_ok"),
+            element_at(col("ap"), 1)
+              .between(element_at(col("pp"), 1), element_at(col("pp"), 3)).as("p25_ok"),
+            element_at(col("ap"), 2)
+              .between(element_at(col("pp"), 4), element_at(col("pp"), 6)).as("p90_ok"))
       },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
@@ -3088,6 +3108,29 @@ object SparkEntry {
       },
       None),
 
+    // the v4 (FULL-MULTIMODAL) ladder: AUDIO and VIDEO keep-canonical
+    // cascaded after the image stage, so the ladder dedups every
+    // perceptual modality the ingest gate audits — a corpus BUILT by v4
+    // and then POLICED by pipeline_ingest_gate applies one dedup
+    // standard (the r17 asymmetry, closed). Each stage fingerprints only
+    // the previous stage's survivors (never re-decoding collapsed docs);
+    // same dynamic-oracle contract as v2/v3.
+    ("pipeline_pretrain_corpus_v4",
+      (s: SparkSession, d: String) => {
+        val (w, thr) = pretrainGate(s, d)
+        graft.pipelines.PretrainCorpus.pipelineV4(Collocations.documents(s, d), w, thr)
+      },
+      None),
+
+    // its telemetry row: the v3 report plus post-audio and post-video
+    // docs/chars and the two modality-cut headlines
+    ("pipeline_pretrain_report_v4",
+      (s: SparkSession, d: String) => {
+        val (w, thr) = pretrainGate(s, d)
+        graft.pipelines.PretrainCorpus.reportV4(Collocations.documents(s, d), w, thr)
+      },
+      None),
+
     // the ladder's GATE HALF as a per-arrival batch — the batch twin of
     // graft.streaming.PretrainStream's continuous deployment: odd-half
     // non-benchmark "arriving" pages run the row-local cleaning chain
@@ -3447,5 +3490,7 @@ object SparkEntry {
       OracleSqlExt.pretrainCorpusV2SqlFromLastGate.map("pipeline_pretrain_corpus_v2" -> _) ++
       OracleSqlExt.pretrainReportV2SqlFromLastGate.map("pipeline_pretrain_report_v2" -> _) ++
       OracleSqlExt.pretrainCorpusV3SqlFromLastGate.map("pipeline_pretrain_corpus_v3" -> _) ++
-      OracleSqlExt.pretrainReportV3SqlFromLastGate.map("pipeline_pretrain_report_v3" -> _)
+      OracleSqlExt.pretrainReportV3SqlFromLastGate.map("pipeline_pretrain_report_v3" -> _) ++
+      OracleSqlExt.pretrainCorpusV4SqlFromLastGate.map("pipeline_pretrain_corpus_v4" -> _) ++
+      OracleSqlExt.pretrainReportV4SqlFromLastGate.map("pipeline_pretrain_report_v4" -> _)
 }

@@ -133,7 +133,10 @@ object PretrainCorpus {
                     bpMinDf: Long, bpMinLineChars: Int, minLen: Int,
                     budgetTokens: Long, windowSize: Long,
                     gate: Option[(Seq[Double], Double)] = None,
-                    imageDedup: Boolean = false): Staged = {
+                    imageDedup: Boolean = false,
+                    avDedup: Boolean = false): Staged = {
+    require(!avDedup || imageDedup,
+      "audio/video keep-canonical composes on top of the image stage (v4 ⊃ v3)")
     val (page, oPage) = obsOn(
       docs.select(col("doc_id"), col("source"),
         (if (gate.isDefined) dirtyPageV2 else dirtyPage).as("text")),
@@ -215,8 +218,47 @@ object PretrainCorpus {
         comps.unpersist()
         (imgp, Seq("image" -> oImg))
       }
+    // OPTIONAL v4 stages: perceptual AUDIO then temporal VIDEO
+    // keep-canonical, CASCADED after the image stage (each stage
+    // fingerprints only the previous stage's survivors — the point of
+    // staging is to never pay a later modality's decode on a document an
+    // earlier one already collapsed). Same shape as the image stage:
+    // narrow partition-parallel fingerprint, guarded pigeonhole band
+    // join, closure, min-id survivor — the ingest GATE audits exactly
+    // these three modalities (PretrainStream.gateBatch), so the ladder
+    // that BUILDS a corpus and the gate that POLICES it now apply the
+    // same dedup standard (the r17 verdict's asymmetry, closed).
+    val (preDedup3, avObs) =
+      if (!avDedup) (preDedup2, Seq.empty[(String, Observation)])
+      else {
+        val afps = graft.multimodal.Multimodal.audioFingerprint(preDedup2).toDF()
+          .filter(col("valid")).select(col("doc_id"), col("afp"))
+        val apairs = Dedup.audioFingerprintPairsFrom(afps)
+        val acomps = Dedup.connectedComponents(apairs)
+        val (aud, oAud) = obsOn(
+          preDedup2.join(
+            acomps.filter(col("component") =!= col("doc_id")).select("doc_id"),
+            Seq("doc_id"), "left_anti"),
+          "graft_pp_audio", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        val audp = aud.localCheckpoint()
+        apairs.unpersist()
+        acomps.unpersist()
+        val vfps = graft.multimodal.Multimodal.videoFingerprint(audp).toDF()
+          .filter(col("valid")).select(col("doc_id"), col("vfp"))
+        val vpairs = Dedup.videoFingerprintPairsFrom(vfps)
+        val vcomps = Dedup.connectedComponents(vpairs)
+        val (vid, oVid) = obsOn(
+          audp.join(
+            vcomps.filter(col("component") =!= col("doc_id")).select("doc_id"),
+            Seq("doc_id"), "left_anti"),
+          "graft_pp_video", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        val vidp = vid.localCheckpoint()
+        vpairs.unpersist()
+        vcomps.unpersist()
+        (vidp, Seq("audio" -> oAud, "video" -> oVid))
+      }
     val (deduped, oDed) = obsOn(
-      preDedup2.join(Dedup.keepCanonical(preDedup2.select("doc_id", "text")).select("doc_id"),
+      preDedup3.join(Dedup.keepCanonical(preDedup3.select("doc_id", "text")).select("doc_id"),
         Seq("doc_id")),
       "graft_pp_dedup", count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
     val dedp = deduped.localCheckpoint()
@@ -238,8 +280,8 @@ object PretrainCorpus {
         .select(col("doc_id"), col("source"), col("n_chars"), col("bin")),
       "graft_pp_packed", max(col("bin")).as("max_bin"))
     Staged(packed, Seq("input" -> oPage, "nfc" -> oNfc, "c4" -> oC4,
-      "bp" -> oBp) ++ extraObs ++ imgObs ++ Seq("dedup" -> oDed, "decon" -> oDec,
-      "sample" -> oSmp, "packed" -> oPk))
+      "bp" -> oBp) ++ extraObs ++ imgObs ++ avObs ++ Seq("dedup" -> oDed,
+      "decon" -> oDec, "sample" -> oSmp, "packed" -> oPk))
   }
 
   /** The end-to-end corpus: (doc_id, source, n_chars, bin) — the packed
@@ -425,6 +467,85 @@ object PretrainCorpus {
           .otherwise(lit(null).cast("double")).as("image_doc_cut"),
         when(col("docs_image") > 0,
           round(lit(1.0) - col("docs_dedup").cast("double") / col("docs_image"), 6))
+          .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
+  }
+
+  /** The v4 (FULL-MULTIMODAL) ladder — [[pipelineV3]] with AUDIO and
+    * VIDEO keep-canonical cascaded after the image stage, so the ladder
+    * dedups every perceptual modality the ingest gate audits
+    * ([[graft.streaming.PretrainStream]]'s image/audio/video near-dup
+    * flags): a corpus built by this ladder and then policed by the gate
+    * applies ONE dedup standard. Same output shape. */
+  def pipelineV4(docs: DataFrame, gateWeights: Seq[Double],
+                 gateThreshold: Double = 0.2,
+                 benchPred: Column = col("source") === "src0",
+                 minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+                 minLen: Int = 30, budgetTokens: Long = 20000L,
+                 windowSize: Long = 2048L): DataFrame =
+    build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars, minLen,
+      budgetTokens, windowSize, Some((gateWeights, gateThreshold)),
+      imageDedup = true, avDedup = true).packed
+
+  /** [[reportV3]] for the v4 ladder: four more survival columns
+    * (post-audio and post-video docs/chars) and the per-modality cut
+    * headlines; the text dedup cut reads against the video stage's
+    * output — its actual input. */
+  def reportV4(docs: DataFrame, gateWeights: Seq[Double],
+               gateThreshold: Double = 0.2,
+               benchPred: Column = col("source") === "src0",
+               minLineWords: Int = 3, bpMinDf: Long = 3, bpMinLineChars: Int = 10,
+               minLen: Int = 30, budgetTokens: Long = 20000L,
+               windowSize: Long = 2048L): DataFrame = {
+    val st = build(docs, benchPred, minLineWords, bpMinDf, bpMinLineChars,
+      minLen, budgetTokens, windowSize, Some((gateWeights, gateThreshold)),
+      imageDedup = true, avDedup = true)
+    st.packed.count()
+    val m = st.obs.toMap
+    def g(stage: String, key: String): Long = {
+      val v = m(stage).get(key)
+      if (v == null) 0L else v.asInstanceOf[Number].longValue
+    }
+    val nBins = {
+      val v = m("packed").get("max_bin")
+      if (v == null) 0L else v.asInstanceOf[Number].longValue + 1
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((g("input", "n"), g("input", "chars"), g("nfc", "chars"),
+        g("c4", "chars"), g("bp", "chars"), g("pii", "chars"),
+        g("quality", "n"), g("quality", "chars"),
+        g("image", "n"), g("image", "chars"),
+        g("audio", "n"), g("audio", "chars"),
+        g("video", "n"), g("video", "chars"),
+        g("dedup", "n"), g("dedup", "chars"),
+        g("decon", "n"), g("decon", "chars"),
+        g("sample", "n"), g("sample", "tokens"),
+        nBins))
+      .toDF("n_docs", "chars_raw", "chars_nfc", "chars_c4", "chars_bp",
+        "chars_pii", "docs_quality", "chars_quality",
+        "docs_image", "chars_image",
+        "docs_audio", "chars_audio",
+        "docs_video", "chars_video",
+        "docs_dedup", "chars_dedup", "docs_decon", "chars_decon",
+        "docs_sampled", "tokens_sampled", "n_bins")
+      .select(col("*"),
+        when(col("chars_raw") > 0,
+          round(lit(1.0) - col("chars_bp").cast("double") / col("chars_raw"), 6))
+          .otherwise(lit(null).cast("double")).as("scrub_char_cut"),
+        when(col("n_docs") > 0,
+          round(lit(1.0) - col("docs_quality").cast("double") / col("n_docs"), 6))
+          .otherwise(lit(null).cast("double")).as("quality_doc_cut"),
+        when(col("docs_quality") > 0,
+          round(lit(1.0) - col("docs_image").cast("double") / col("docs_quality"), 6))
+          .otherwise(lit(null).cast("double")).as("image_doc_cut"),
+        when(col("docs_image") > 0,
+          round(lit(1.0) - col("docs_audio").cast("double") / col("docs_image"), 6))
+          .otherwise(lit(null).cast("double")).as("audio_doc_cut"),
+        when(col("docs_audio") > 0,
+          round(lit(1.0) - col("docs_video").cast("double") / col("docs_audio"), 6))
+          .otherwise(lit(null).cast("double")).as("video_doc_cut"),
+        when(col("docs_video") > 0,
+          round(lit(1.0) - col("docs_dedup").cast("double") / col("docs_video"), 6))
           .otherwise(lit(null).cast("double")).as("dedup_doc_cut"))
   }
 }

@@ -74,30 +74,55 @@ object Pq {
     (-greatest(structs: _*).getField("negcid")).cast("int")
   }
 
-  /** Deterministic Lloyd for one subspace under L2 assignment: init =
-    * first `k` sample subvectors by vec_id; means through DECIMAL sums
-    * (bit-stable across partitionings); a cell that empties keeps its
-    * previous centroid instead of silently shrinking the codebook. */
-  private def lloydL2(base: DataFrame, k: Int, iters: Int): Codebook = {
-    var cents: Seq[(Int, Array[Double])] = base.orderBy("vec_id").limit(k).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-    require(cents.length == k,
-      s"training sample has only ${cents.length} vectors for $k codes: lower trainStride")
-    for (_ <- 0 until iters) {
-      val cb = cents.map { case (cid, arr) => (cid, arr, halfNormSq(arr)) }
-      val updated = base
-        .select(nearestCode(col("v"), cb).as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg((sum(col("x").cast("decimal(28,14)")) / count(lit(1))).cast("double").as("mu"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1).map { case (cid, rows) =>
-          val arr = new Array[Double](rows.map(_._2).max + 1)
-          rows.foreach { case (_, d, mu) => arr(d) = mu }
-          cid -> arr
-        }
-      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+  /** Deterministic Lloyd for ALL `m` subspaces JOINTLY under L2
+    * assignment: init = first `k` sample subvectors by vec_id per
+    * subspace; means through DECIMAL sums (bit-stable across
+    * partitionings — and, being order-free sums over exactly the same
+    * per-(subspace, cell, dim) value sets, bit-identical to the previous
+    * one-subspace-at-a-time trainer, so every stashed model and dynamic
+    * oracle is unchanged); a cell that empties keeps its previous
+    * centroid instead of silently shrinking the codebook.
+    *
+    * Joint-ness is the perf point: one init collect + one grouped
+    * collect PER ITERATION for the whole model, vs `m` of each — at
+    * sf0.1 the per-job overhead dominated PQ/OPQ/eval floors (each
+    * `codebooks` call ran m·iters = 8 shuffle jobs; the eval ran two
+    * calls). Every row computes its m cell ids array-locally, the
+    * posexplode keys each value by (subspace, cell, dim), and a single
+    * well-spread m·codes·subDim-group aggregate updates every centroid. */
+  private def lloydJoint(sample: DataFrame, m: Int, subDim: Int,
+                         k: Int, iters: Int): Seq[Codebook] = {
+    val init = sample.orderBy("vec_id").limit(k)
+      .select((0 until m).map(s => slice(col("fv"), s * subDim + 1, subDim).as(s"v$s")): _*)
+      .collect()
+    require(init.length == k,
+      s"training sample has only ${init.length} vectors for $k codes: lower trainStride")
+    var cents: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { s =>
+      init.toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](s).toArray) }
     }
-    cents.map { case (cid, arr) => (cid, arr, halfNormSq(arr)) }
+    for (_ <- 0 until iters) {
+      val cbs = cents.map(_.map { case (cid, arr) => (cid, arr, halfNormSq(arr)) })
+      val cids = array((0 until m).map(s =>
+        nearestCode(slice(col("fv"), s * subDim + 1, subDim), cbs(s))): _*)
+      val sub = expr(s"dim DIV $subDim")
+      val updated = sample
+        .select(cids.as("cids"), posexplode(col("fv")).as(Seq("dim", "x")))
+        .select(sub.cast("int").as("s"),
+          element_at(col("cids"), sub.cast("int") + 1).as("cid"),
+          pmod(col("dim"), lit(subDim)).as("d"), col("x"))
+        .groupBy("s", "cid", "d")
+        .agg((sum(col("x").cast("decimal(28,14)")) / count(lit(1))).cast("double").as("mu"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1).map { case ((s, cid), rows) =>
+          val arr = new Array[Double](rows.map(_._2._1).max + 1)
+          rows.foreach { case (_, (d, mu)) => arr(d) = mu }
+          (s, cid) -> arr
+        }
+      cents = cents.zipWithIndex.map { case (book, s) =>
+        book.map { case (cid, old) => (cid, updated.getOrElse((s, cid), old)) }
+      }
+    }
+    cents.map(_.map { case (cid, arr) => (cid, arr, halfNormSq(arr)) })
   }
 
   /** Train the `m` per-subspace codebooks on the strided sample. Lloyd
@@ -109,12 +134,8 @@ object Pq {
     val sample = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("fv"))
       .filter(pmod(col("vec_id"), lit(trainStride.toLong)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      (0 until m).map { s =>
-        lloydL2(sample.select(col("vec_id"), slice(col("fv"), s * subDim + 1, subDim).as("v")),
-          codes, iters)
-      }
-    } finally sample.unpersist()
+    try lloydJoint(sample, m, subDim, codes, iters)
+    finally sample.unpersist()
   }
 
   /** PQ/ADC approximate top-k: every vector is encoded to `m` code ids

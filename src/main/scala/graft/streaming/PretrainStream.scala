@@ -120,6 +120,16 @@ object PretrainStream {
     * read. THE SAME algebra as the batch registry query
     * (`pipeline_ingest_gate`), so stream and batch cannot drift.
     * Returns a persisted (shard-sized) frame; caller unpersists. */
+  /** The perceptual modalities the ingest gate audits (one
+    * `<modality>_dup_flag` / `_match_id` / `_hamming` triple each in the
+    * [[gateBatch]] audit row). The v4 batch ladder
+    * ([[graft.pipelines.PretrainCorpus.pipelineV4]]) dedups exactly this
+    * set — StreamingSpec pins the gate's audit schema to this constant
+    * and PipelineOpsSpec pins the v4 report's stage columns to it, so the
+    * corpus BUILDER and the corpus POLICE can't drift apart again (the
+    * r17 verdict's modality asymmetry). */
+  val PerceptualModalities: Seq[String] = Seq("image", "audio", "video")
+
   def gateBatch(batch: DataFrame, payloads: DataFrame, w: Seq[Double], thr: Double,
                 blLines: DataFrame, benchAnchors: DataFrame, benchDocs: DataFrame,
                 indexSigs: DataFrame, indexSets: DataFrame,

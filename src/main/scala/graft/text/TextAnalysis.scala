@@ -956,9 +956,13 @@ object TextAnalysis {
     * .passageDupStats]]' territory.
     *
     * Scale shape: ONE corpus scan builds every n level array-locally
-    * (per-n `transform`s concatenated, one explode), one shuffle keyed on
-    * (doc_id, n, gram) — well-spread, vocabulary-like — then a per-doc
-    * conditional aggregation. The top-gram argmax rides the
+    * (per-n `transform`s concatenated, one explode_outer so gram-less
+    * short docs survive), one shuffle keyed on (doc_id, n, gram) —
+    * well-spread, vocabulary-like — then a per-doc conditional
+    * aggregation. `total_chars` RIDES the gram rows (a constant per
+    * doc_id, folded with max through both grouped passes), so no second
+    * corpus pass and no doc_id join-back exist anywhere in the plan —
+    * pinned join-free in PlanSpec. The top-gram argmax rides the
     * `c·10⁹ + charlen` integer order encode (the argmax_customer
     * pattern), so ties break identically on both engines: highest count,
     * then longest gram. */
@@ -967,25 +971,33 @@ object TextAnalysis {
     val ns = (tops ++ dups).distinct.sorted
     require(ns.forall(_ >= 2), s"n-gram orders must be >= 2: $ns")
     val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gramsArr = ns.map { n =>
       when(size(col("toks")) >= n,
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => struct(lit(n).as("n"), array_join(slice(col("toks"), i, lit(n)), " ").as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
     }
-    val g = t.select(col("doc_id"), explode(concat(gramsArr: _*)).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+    // total_chars MUST fold in its own projection BELOW the explode: fused
+    // into the explode's select, the analyzer hoists non-generator
+    // expressions into the Project ABOVE the Generate, re-running the
+    // array fold once per GRAM row instead of once per doc (measured r18:
+    // 6.5 s → 19.4 s before this split; Generate carries the finished
+    // long instead)
+    val tc = t.select(col("doc_id"), col("toks"),
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
+    val g = tc.select(col("doc_id"), col("total_chars"),
+        explode_outer(concat(gramsArr: _*)).as("g"))
+      .select(col("doc_id"), col("total_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(col("gram")).as("c"), max(col("total_chars")).as("total_chars"))
       .withColumn("clen", (length(col("gram")) - (col("n") - 1)).cast("long"))
     val aggs =
+      Seq(max(col("total_chars")).as("total_chars")) ++
       tops.map(n => max(when(col("n") === n,
         col("c") * lit(1000000000L) + col("clen"))).as(s"enc$n")) ++
       dups.map(n => sum(when(col("n") === n && col("c") > 1,
         col("c") * col("clen")).otherwise(lit(0L))).as(s"dup$n"))
     val per = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val tc = t.select(col("doc_id"),
-      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
     val outCols =
       Seq(col("doc_id"), col("total_chars")) ++
       tops.map { n =>
@@ -999,7 +1011,7 @@ object TextAnalysis {
           least(coalesce(col(s"dup$n"), lit(0L)).cast("double") / col("total_chars"), lit(1.0)))
           .otherwise(lit(0.0)), 6).as(s"dup${n}_frac")
       }
-    tc.join(per, Seq("doc_id"), "left").select(outCols: _*)
+    per.select(outCols: _*)
   }
 
   /** Gopher-style document-format rules (Rae et al. 2021, "Scaling

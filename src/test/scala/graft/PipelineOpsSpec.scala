@@ -155,6 +155,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(8L) && !out.contains(58L), "pair max ids must dedup away")
   }
 
+  test("pretrain v4: audio+video keep-canonical cascade after the image stage, same modality set as the gate") {
+    import graft.pipelines.PretrainCorpus
+    import graft.text.QualityClassifier
+    import graft.dedup.Dedup
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+    val feats = QualityClassifier.features(docs)
+    val w = QualityClassifier.train(feats.filter(pmod(col("doc_id"), lit(4)) === 0))
+    val thr = 0.28
+    val rep = PretrainCorpus.reportV4(docs, w, thr).collect().head
+    val r = rep.getValuesMap[Any](rep.schema.fieldNames)
+    def L(k: String) = r(k).asInstanceOf[Long]
+
+    // THE MODALITY-SET CONTRACT (the r17 asymmetry, pinned closed): the
+    // v4 ladder dedups exactly the perceptual modalities the ingest gate
+    // audits — one docs_<m>/chars_<m> stage pair per gate modality.
+    // StreamingSpec pins the gate's audit schema to the same constant.
+    val ladderMods = rep.schema.fieldNames.filter(_.startsWith("docs_"))
+      .map(_.stripPrefix("docs_")).toSet --
+      Set("quality", "dedup", "decon", "sampled")
+    assert(ladderMods == graft.streaming.PretrainStream.PerceptualModalities.toSet,
+      s"v4 ladder stages $ladderMods must equal the gate's audited modalities")
+
+    // rebuild the audio stage standalone from the v3 report's image
+    // survivors: fingerprint ONLY image survivors (the cascade), pair
+    // through the same guarded machinery, keep min-id per component
+    val v3 = PretrainCorpus.reportV3(docs, w, thr).collect().head
+    assert(L("docs_image") == v3.getAs[Long]("docs_image") &&
+      L("chars_image") == v3.getAs[Long]("chars_image"),
+      "v4's image stage must be exactly v3's (audio/video compose AFTER it)")
+    assert(L("docs_audio") <= L("docs_image"),
+      s"audio cascades on image survivors: $r")
+    assert(L("docs_video") <= L("docs_audio"),
+      s"video cascades on audio survivors: $r")
+    // the stages are LIVE on the planted fixture (same-payload planes
+    // collapse in every modality) and the chain still ships a corpus
+    assert(L("docs_audio") < L("docs_image"), s"audio stage must cut documents: $r")
+    assert(L("docs_dedup") <= L("docs_video") && L("docs_dedup") > 0)
+    assert(L("n_bins") > 0 && L("docs_sampled") > 0)
+    // plants still fire downstream: benchmark docs never ship
+    val out = PretrainCorpus.pipelineV4(docs, w, thr).collect()
+    assert(out.nonEmpty && !out.exists(_.getString(1) == "src0"))
+  }
+
   test("pretrain report: a corpus whose every doc dies pre-packing reports 0 bins") {
     import graft.pipelines.PretrainCorpus
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")

@@ -414,6 +414,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_repetition_ngrams is one grouped pass — total_chars rides the gram rows") {
+    // The r18 fold of the second-pass-join shape: total_chars is a
+    // constant per doc_id, so it rides the exploded gram rows (max-folded
+    // through both grouped passes) instead of a second corpus pass joined
+    // back on doc_id (measured r17: the join-back form floored at 5.6 s
+    // vs ~4 s folded).
+    val p = plan(SparkEntry.queries("text_repetition_ngrams")(spark, sf))
+    assert(!p.toLowerCase.contains("join"),
+      s"text_repetition_ngrams must be explode + two grouped passes, never a join:\n$p")
+  }
+
   test("no registry query plans a cartesian product, BNLJ, or global window over data") {
     // The absolute scale invariant, swept over EVERY shipped query: no
     // unbounded×unbounded join node anywhere (a BNLJ passes only with a

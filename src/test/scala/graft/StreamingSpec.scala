@@ -1215,6 +1215,12 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$mmIdx/vid/video_fp"))
     assert(streamed == key(batch),
       "accumulated stream audit rows must equal the batch gate twin on all arrivals")
+    // the gate's audited modality set IS the shared constant the v4
+    // ladder builds against (PipelineOpsSpec pins the other half)
+    val gateMods = batch.schema.fieldNames.filter(_.endsWith("_dup_flag"))
+      .map(_.stripSuffix("_dup_flag")).toSet
+    assert(gateMods == PretrainStream.PerceptualModalities.toSet,
+      s"gate audit modalities $gateMods must equal PerceptualModalities")
     val rows = batch.collect()
     // every gate is LIVE on the planted page fixture: the 7/8 pair docs
     // straddle the parity split (dup), doc 11 carries the leak line
