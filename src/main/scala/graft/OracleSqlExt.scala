@@ -1261,8 +1261,18 @@ object OracleSqlExt {
     * anchor machinery's detection guarantee makes the two equivalent),
     * and the near-dup flag as banded-minhash candidates
     * (index side capped) exact-verified at `dupThreshold`, each flagged
-    * arrival reporting its highest-jaccard smallest-id index match. */
+    * arrival reporting its highest-jaccard smallest-id index match;
+    * plus the language gate — the injected trained lang-ID model's
+    * integer micro-nat scoring over the post-PII arrivals
+    * ([[langIdPredCtes]]), lang_ok = prediction equals the declared
+    * documents.lang, folded into keep.
+    *
+    * The fingerprint CTEs re-derive EVERY document's fingerprint while
+    * the engine filters col("valid") — safe because the payload
+    * builders produce parseable containers for any input text, an
+    * invariant DedupSpec pins over adversarial texts and the corpus. */
   def ingestGateSql(w: Seq[Double], thr: Double,
+                    langModel: graft.text.LangIdClassifier.LangIdModel,
                     benchPredSql: String = "source = 'src0'",
                     minLineWords: Int = 3, minLen: Int = 30,
                     dupThreshold: Double = 0.5, maxHamming: Int = 3): String = {
@@ -1394,7 +1404,8 @@ object OracleSqlExt {
        |${hammingMatchCtes("afp", maxHamming, mmCap, "gafpf", "gafpi", "gau")},
        |${vfpFpCtes(mmFresh, "gvpbf", "gvenf", "gvfpf")},
        |${vfpFpCtes(mmIdx, "gvpbi", "gveni", "gvfpi")},
-       |${hammingMatchCtes("vfp", maxHamming, mmCap, "gvfpf", "gvfpi", "gvi")}
+       |${hammingMatchCtes("vfp", maxHamming, mmCap, "gvfpf", "gvfpi", "gvi")},
+       |${langIdPredCtes(langModel, "arr", "gl")}
        |SELECT a.doc_id, a.source, q.score,
        |  CASE WHEN q.score >= $thr THEN 1 ELSE 0 END AS quality_pass,
        |  CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS decon_flag,
@@ -1410,11 +1421,16 @@ object OracleSqlExt {
        |  CASE WHEN vi.doc_id IS NOT NULL THEN 1 ELSE 0 END AS video_dup_flag,
        |  vi.match_id AS video_match_id,
        |  vi.hamming AS video_hamming,
+       |  lp.lang_pred,
+       |  CASE WHEN lp.lang_pred = dl.lang THEN 1 ELSE 0 END AS lang_ok,
        |  CASE WHEN q.score >= $thr AND d.doc_id IS NULL AND g.doc_id IS NULL
        |        AND mi.doc_id IS NULL AND au.doc_id IS NULL AND vi.doc_id IS NULL
+       |        AND lp.lang_pred = dl.lang
        |       THEN 1 ELSE 0 END AS keep
        |FROM arr a
        |JOIN gqs q ON a.doc_id = q.doc_id
+       |JOIN glpred lp ON a.doc_id = lp.doc_id
+       |JOIN documents dl ON a.doc_id = dl.doc_id
        |LEFT JOIN gdf d ON a.doc_id = d.doc_id
        |LEFT JOIN gbest g ON a.doc_id = g.doc_id
        |LEFT JOIN gimmatch mi ON a.doc_id = mi.doc_id
@@ -1423,16 +1439,20 @@ object OracleSqlExt {
   }
 
   def ingestGateSqlFromLastGate: Option[String] =
-    graft.streaming.PretrainStream.lastIngestGate.map { case (w, thr) =>
-      ingestGateSql(w, thr)
+    graft.streaming.PretrainStream.lastIngestGate.map { case (w, thr, lm) =>
+      ingestGateSql(w, thr, lm)
     }
 
-  /** Mirror of [[graft.text.LangIdClassifier.predictWith]]: the trained
-    * integer micro-nat model injected as VALUES tables, per-doc bigram
-    * weight sums (integer — order-free, bit-exact across engines), and
-    * the argmax as a (score DESC, class ASC) row_number — the engine's
-    * min-of-(-score, class) struct. */
-  def langIdTrainedSql(model: graft.text.LangIdClassifier.LangIdModel): String = {
+  /** Mirror of [[graft.text.LangIdClassifier.predictWith]] as
+    * parameterized CTEs over any relation exposing (doc_id, text): the
+    * trained integer micro-nat model injected as VALUES tables, per-doc
+    * bigram weight sums (integer — order-free, bit-exact across
+    * engines), and the argmax as a (score DESC, class ASC) row_number —
+    * the engine's min-of-(-score, class) struct. Shared by the
+    * standalone predict oracles and the ingest gate's language gate;
+    * emits `${px}pred` (doc_id, lang_pred, score). */
+  private def langIdPredCtes(model: graft.text.LangIdClassifier.LangIdModel,
+                             rel: String, px: String): String = {
     def esc(s: String): String = s.replace("'", "''")
     val priRows = model.classes
       .map(c => s"('${esc(c)}', CAST(${model.priors(c)} AS BIGINT))").mkString(", ")
@@ -1441,26 +1461,32 @@ object OracleSqlExt {
         s"('${esc(b)}', '${esc(c)}', CAST($w AS BIGINT))"
       }
     }.mkString(",\n    ")
-    s"""WITH pri AS (SELECT * FROM (VALUES $priRows) p(class, w0)),
-       |wt AS (SELECT * FROM (VALUES
+    s"""${px}pri AS (SELECT * FROM (VALUES $priRows) p(class, w0)),
+       |${px}wt AS (SELECT * FROM (VALUES
        |    $wtRows) w(b, class, w)),
-       |lbg AS (
+       |${px}bg AS (
        |  SELECT doc_id, unnest(list_transform(range(1, length(text)), i -> substr(text, CAST(i AS INT), 2))) AS b
-       |  FROM documents
+       |  FROM $rel
        |),
-       |lbs AS (
-       |  SELECT lbg.doc_id, wt.class, CAST(sum(wt.w) AS BIGINT) AS s
-       |  FROM lbg JOIN wt ON lbg.b = wt.b GROUP BY 1, 2
+       |${px}bs AS (
+       |  SELECT ${px}bg.doc_id, ${px}wt.class, CAST(sum(${px}wt.w) AS BIGINT) AS s
+       |  FROM ${px}bg JOIN ${px}wt ON ${px}bg.b = ${px}wt.b GROUP BY 1, 2
        |),
-       |lsc AS (
-       |  SELECT d.doc_id, p.class, p.w0 + COALESCE(lbs.s, 0) AS score
-       |  FROM documents d CROSS JOIN pri p
-       |  LEFT JOIN lbs ON d.doc_id = lbs.doc_id AND p.class = lbs.class
-       |)
-       |SELECT doc_id, class AS lang_pred, CAST(score AS BIGINT) AS score
-       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, class ASC) AS rn FROM lsc)
-       |WHERE rn = 1""".stripMargin
+       |${px}sc AS (
+       |  SELECT d.doc_id, p.class, p.w0 + COALESCE(${px}bs.s, 0) AS score
+       |  FROM $rel d CROSS JOIN ${px}pri p
+       |  LEFT JOIN ${px}bs ON d.doc_id = ${px}bs.doc_id AND p.class = ${px}bs.class
+       |),
+       |${px}pred AS (
+       |  SELECT doc_id, class AS lang_pred, CAST(score AS BIGINT) AS score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, class ASC) AS rn FROM ${px}sc)
+       |  WHERE rn = 1
+       |)""".stripMargin
   }
+
+  def langIdTrainedSql(model: graft.text.LangIdClassifier.LangIdModel): String =
+    s"""WITH ${langIdPredCtes(model, "documents", "l")}
+       |SELECT doc_id, lang_pred, score FROM lpred""".stripMargin
 
   /** The trained-model confusion table (labeled × predicted). */
   def langIdTrainedConfusionSql(model: graft.text.LangIdClassifier.LangIdModel): String =

@@ -3152,13 +3152,16 @@ object SparkEntry {
       (s: SparkSession, d: String) => {
         val dir = pretrainGateIndexDir(s, d)
         val w = qcWeights(s, d)
-        graft.streaming.PretrainStream.lastIngestGate = Some((w, pretrainGateThreshold))
+        // the language gate serves the PERSISTED lang-ID model (the same
+        // publishSwap artifact text_langid_trained_indexed reads)
+        val lm = graft.text.LangIdClassifier.readModel(s, langIdModelDir(s, d))
+        graft.streaming.PretrainStream.lastIngestGate = Some((w, pretrainGateThreshold, lm))
         val raw = Collocations.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
-        val arrivals = raw.select(col("doc_id"), col("source"),
+        val arrivals = raw.select(col("doc_id"), col("source"), col("lang"),
           graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
         graft.streaming.PretrainStream.gateBatch(arrivals,
-          raw.select("doc_id", "text"), w, pretrainGateThreshold,
+          raw.select("doc_id", "text"), w, pretrainGateThreshold, lm,
           s.read.parquet(s"$dir/boilerplate"),
           s.read.parquet(s"$dir/anchors"), s.read.parquet(s"$dir/bench"),
           s.read.parquet(s"$dir/dedup/minhash_sigs"),

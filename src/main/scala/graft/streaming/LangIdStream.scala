@@ -76,7 +76,16 @@ object LangIdStream {
             .partitionBy("ingest_batch")
             .parquet(dir)
         writeIdempotent(scoreBatch(batch, model), s"$outDir/scores")
-        writeIdempotent(driftBatch(batch, model), s"$outDir/drift")
+        // drift derives from the scores partition JUST WRITTEN — the
+        // shard never re-scores for its contingency table (driftBatch
+        // from scratch would run the whole scoring projection twice per
+        // micro-batch), and reading back the committed partition keeps
+        // the two outputs consistent even across a replayed batch
+        writeIdempotent(
+          batch.sparkSession.read.parquet(s"$outDir/scores")
+            .filter(col("ingest_batch") === batchId)
+            .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n")),
+          s"$outDir/drift")
       }
       .start()
 

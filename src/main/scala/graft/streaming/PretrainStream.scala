@@ -43,19 +43,24 @@ import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
   * a [[graft.sources.Sinks.publishSwap]] refresh never kills the query. */
 object PretrainStream {
 
-  /** Last (weights, threshold) the batch gate twin ran with, stashed for
-    * its dynamic oracle (the [[graft.pipelines.PretrainCorpus.lastGate]]
-    * pattern). */
-  @volatile var lastIngestGate: Option[(Seq[Double], Double)] = None
+  /** Last (weights, threshold, lang-ID model) the batch gate twin ran
+    * with, stashed for its dynamic oracle (the
+    * [[graft.pipelines.PretrainCorpus.lastGate]] pattern). */
+  @volatile var lastIngestGate:
+    Option[(Seq[Double], Double, graft.text.LangIdClassifier.LangIdModel)] = None
 
   /** NFC canonicalization + C4 line rules — the row-local prefix shared
-    * by the index build and serving (one narrow projection). */
-  def nfcC4(docs: DataFrame, minLineWords: Int = 3): DataFrame =
-    docs.select(col("doc_id"), col("source"),
+    * by the index build and serving (one narrow projection). `keep`
+    * names extra input columns to carry through (the gate rides the
+    * arrival's declared `lang` through the chain this way — a column
+    * dropped here would need a doc_id join-back later). */
+  def nfcC4(docs: DataFrame, minLineWords: Int = 3,
+            keep: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: col("source") +: keep.map(col) :+
       array_join(
         TextAnalysis.c4KeptLines(
           split(TextNormalize.normalizeText(col("text")), "\n"), minLineWords),
-        "\n").as("text"))
+        "\n").as("text"): _*)
 
   /** Boilerplate-line filter over a post-C4 relation — the ladder's
     * corpus-global boilerplate stage served from its PERSISTED line
@@ -65,37 +70,41 @@ object PretrainStream {
     * table collapses to one broadcast array row, so the filter stays a
     * narrow map; matching is on the TRIMMED form, kept lines pass
     * byte-identical (the scrubBoilerplateLines contract). */
-  def applyBoilerplate(postC4: DataFrame, blLines: DataFrame): DataFrame = {
+  def applyBoilerplate(postC4: DataFrame, blLines: DataFrame,
+                       keep: Seq[String] = Nil): DataFrame = {
     val bl = blLines.agg(collect_list(col("line")).as("bl"))
     postC4.crossJoin(broadcast(bl))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id") +: col("source") +: keep.map(col) :+
         array_join(
           filter(split(col("text"), "\n"),
             x => !array_contains(col("bl"), trim(x))),
-          "\n").as("text"))
+          "\n").as("text"): _*)
   }
 
   /** The PII scrub step (row-local). */
-  def piiClean(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("source"),
-      TextAnalysis.scrub(col("text")).as("text"))
+  def piiClean(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    df.select(col("doc_id") +: col("source") +: keep.map(col) :+
+      TextAnalysis.scrub(col("text")).as("text"): _*)
 
   /** The full row-local cleaning chain of the pretrain ladder — NFC →
     * C4 → persisted-boilerplate filter → PII, the ladder's stage order
     * with the one corpus-global stage index-served. */
   def cleanChain(docs: DataFrame, blLines: DataFrame,
-                 minLineWords: Int = 3): DataFrame =
-    piiClean(applyBoilerplate(nfcC4(docs, minLineWords), blLines))
+                 minLineWords: Int = 3, keep: Seq[String] = Nil): DataFrame =
+    piiClean(applyBoilerplate(nfcC4(docs, minLineWords, keep), blLines, keep), keep)
 
   /** One micro-batch's gate decisions — one row PER ARRIVAL:
     * (doc_id, source, score, quality_pass, decon_flag, dup_flag,
     * dup_match_id, dup_jaccard, image_dup_flag, image_match_id,
     * image_hamming, audio_dup_flag, audio_match_id, audio_hamming,
-    * video_dup_flag, video_match_id, video_hamming, keep) with keep =
-    * passes quality AND not contaminated AND not a near-dup of the
-    * indexed corpus in ANY modality. Flags are computed independently
-    * (an audit row reports every gate's verdict, not just the first
-    * rejection).
+    * video_dup_flag, video_match_id, video_hamming, lang_pred, lang_ok,
+    * keep) with keep = passes quality AND not contaminated AND not a
+    * near-dup of the indexed corpus in ANY modality AND the trained
+    * lang-ID prediction agrees with the arrival's declared `lang` (the
+    * CCNet-shaped language admit rule; `batch` must carry a `lang`
+    * column next to doc_id/source/text). Flags are computed
+    * independently (an audit row reports every gate's verdict, not just
+    * the first rejection).
     *
     * `payloads` is the arrivals' MULTIMODAL payload side — (doc_id,
     * text) rows whose text is the byte source the image/audio/video
@@ -131,6 +140,7 @@ object PretrainStream {
   val PerceptualModalities: Seq[String] = Seq("image", "audio", "video")
 
   def gateBatch(batch: DataFrame, payloads: DataFrame, w: Seq[Double], thr: Double,
+                langModel: graft.text.LangIdClassifier.LangIdModel,
                 blLines: DataFrame, benchAnchors: DataFrame, benchDocs: DataFrame,
                 indexSigs: DataFrame, indexSets: DataFrame,
                 imagePhashIdx: DataFrame, audioFpIdx: DataFrame, videoFpIdx: DataFrame,
@@ -139,9 +149,12 @@ object PretrainStream {
                 k: Int = 3, numHashes: Int = 16,
                 bands: Int = 4, rowsPerBand: Int = 4,
                 dupThreshold: Double = 0.5, maxHamming: Int = 3): DataFrame = {
-    val preScrub = applyBoilerplate(nfcC4(batch, minLineWords), blLines)
+    // the arrival's declared `lang` rides the clean chain (keep param) so
+    // the language gate never join-backs a column the chain held
+    val preScrub = applyBoilerplate(nfcC4(batch, minLineWords, keep = Seq("lang")),
+        blLines, keep = Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cleaned = piiClean(preScrub)
+    val cleaned = piiClean(preScrub, keep = Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Intermediates release in a finally so a failed (and later retried)
     // micro-batch never strands MEMORY_AND_DISK caches in a long-running
@@ -151,6 +164,14 @@ object PretrainStream {
     try {
       val scored = QualityClassifier.scoreTextWith(cleaned, w)
         .select(col("doc_id"), col("source"), col("score"))
+      // language gate (the CCNet-shaped admit rule): the TRAINED
+      // lang-ID model scores the cleaned text in one narrow projection
+      // (predictWith rides the declared label through — no join-back),
+      // lang_ok = prediction agrees with the arrival's declared lang
+      val langRep = graft.text.LangIdClassifier
+        .predictWith(cleaned, langModel, keep = Seq("lang"))
+        .select(col("doc_id"), col("lang_pred"),
+          (col("lang_pred") === col("lang")).cast("int").as("lang_ok"))
       deconRep = Dedup.decontaminateSubstringAgainst(
         preScrub.select("doc_id", "text"), benchAnchors, benchDocs, minLen, anchorK, anchorW)
       dupRep = Dedup.jaccardMatchesAgainst(
@@ -175,6 +196,7 @@ object PretrainStream {
         .join(imgRep, Seq("doc_id"), "left")
         .join(audRep, Seq("doc_id"), "left")
         .join(vidRep, Seq("doc_id"), "left")
+        .join(langRep, Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("score"),
           when(col("score") >= thr, 1).otherwise(0).as("quality_pass"),
           coalesce(col("decon_flag"), lit(0)).as("decon_flag"),
@@ -185,11 +207,13 @@ object PretrainStream {
           coalesce(col("audio_dup_flag"), lit(0)).as("audio_dup_flag"),
           col("audio_match_id"), col("audio_hamming"),
           coalesce(col("video_dup_flag"), lit(0)).as("video_dup_flag"),
-          col("video_match_id"), col("video_hamming"))
+          col("video_match_id"), col("video_hamming"),
+          col("lang_pred"), col("lang_ok"))
         .withColumn("keep",
           (col("quality_pass") === 1 && col("decon_flag") === 0 &&
             col("dup_flag") === 0 && col("image_dup_flag") === 0 &&
-            col("audio_dup_flag") === 0 && col("video_dup_flag") === 0).cast("int"))
+            col("audio_dup_flag") === 0 && col("video_dup_flag") === 0 &&
+            col("lang_ok") === 1).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { out.count(); out }
       catch { case t: Throwable => out.unpersist(); throw t }
@@ -272,7 +296,7 @@ object PretrainStream {
     * `.../image_phash` and its audio/video twins). All index/model
     * reads happen per micro-batch so a publishSwap refresh never kills
     * the query. */
-  def gate(stream: DataFrame, modelDir: String, thr: Double,
+  def gate(stream: DataFrame, modelDir: String, langModelDir: String, thr: Double,
            gateIndexDir: String, imageIdxDir: String, audioIdxDir: String,
            videoIdxDir: String, outDir: String, checkpoint: String,
            minLineWords: Int = 3, minLen: Int = 30,
@@ -288,9 +312,12 @@ object PretrainStream {
           val wRow = QualityStream.readModel(s, modelDir)
             .select("w0", "w1", "w2", "w3", "w4").collect()(0)
           val w = (0 until 5).map(wRow.getDouble)
+          // lang-ID model re-read per micro-batch (the LangIdStream
+          // contract): a publishSwap retrain refreshes serving mid-stream
+          val lm = graft.text.LangIdClassifier.readModel(s, langModelDir)
           val o = gateBatch(batch,
             batch.select(col("doc_id"), col("payload_text").as("text")),
-            w, thr,
+            w, thr, lm,
             s.read.parquet(s"$gateIndexDir/boilerplate"),
             s.read.parquet(s"$gateIndexDir/anchors"),
             s.read.parquet(s"$gateIndexDir/bench"),

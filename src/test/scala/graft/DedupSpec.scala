@@ -129,6 +129,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
   }
 
+  test("every generator payload decodes valid — the oracle CTEs' missing valid predicate is safe") {
+    // The composed gate/ladder oracles re-derive fingerprints for EVERY
+    // document while the engine filters col("valid") — parity therefore
+    // rests on the invariant that the payload builders (encode text →
+    // container bytes) always produce parseable containers, for ANY
+    // input text including empty and non-ASCII. Pinned here so a future
+    // payload-builder change that can emit an unparseable container
+    // fails this test instead of silently splitting engine and oracle.
+    import spark.implicits._
+    val adversarial = Seq(
+      (1L, "", "en"), (2L, "x", "en"), (3L, "é世界😀", "zh"),
+      (4L, "\n\n\n", "en"), (5L, "a" * 5000, "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = graft.collocations.Collocations
+      .documents(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    for (frame <- Seq(adversarial.select("doc_id", "text"), corpus)) {
+      assert(graft.multimodal.Multimodal.imagePhash(frame).filter(!col("valid")).count() == 0)
+      assert(graft.multimodal.Multimodal.audioFingerprint(frame).filter(!col("valid")).count() == 0)
+      assert(graft.multimodal.Multimodal.videoFingerprint(frame).filter(!col("valid")).count() == 0)
+    }
+  }
+
   test("image phash: banded pairs equal the all-pairs truth; invalid payloads drop") {
     import spark.implicits._
     // doc_ids 1/16/31 are congruent mod 15 -> identical 3x3 image dims;

@@ -1155,9 +1155,10 @@ class StreamingSpec extends SparkSpec {
   test("streaming pretrain ingest gate audits arrivals exactly as the batch gate twin") {
     import graft.streaming.{PretrainStream, QualityStream}
     val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
-    val pages = docs.select(col("doc_id"), col("source"),
+    val pages = docs.select(col("doc_id"), col("source"), col("lang"),
       graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
     val idx = java.nio.file.Files.createTempDirectory("graft-ppgate-idx")
+    val langModelDir = java.nio.file.Files.createTempDirectory("graft-ppgate-langm")
     val mmIdx = java.nio.file.Files.createTempDirectory("graft-ppgate-mmidx")
     val model = java.nio.file.Files.createTempDirectory("graft-ppgate-model")
     val watch = java.nio.file.Files.createTempDirectory("graft-ppgate-watch")
@@ -1173,6 +1174,8 @@ class StreamingSpec extends SparkSpec {
     graft.dedup.Dedup.writeAudioFpIndex(evenRaw, s"$mmIdx/aud")
     graft.dedup.Dedup.writeVideoFpIndex(evenRaw, s"$mmIdx/vid")
     val w = QualityStream.buildModel(docs, model.toString)
+    val lm = graft.text.LangIdClassifier.train(docs)
+    graft.text.LangIdClassifier.writeModel(lm, langModelDir.toString, spark)
     def drop(name: String, shard: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ppgate-stage")
       shard.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -1184,28 +1187,30 @@ class StreamingSpec extends SparkSpec {
     val arrivals = pages.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
     // a multimodal arrival record = dirty page text + its payload side
     val shardCols = arrivals
-      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .join(docs.select(col("doc_id"), col("text").as("payload_text")), Seq("doc_id"))
       .select("doc_id", "text", "lang", "source", "n_chars", "payload_text")
     drop("a.parquet", shardCols.filter(pmod(col("doc_id"), lit(4L)) === 1))
     drop("b.parquet", shardCols.filter(pmod(col("doc_id"), lit(4L)) === 3))
     val q = PretrainStream.gate(PretrainStream.readGateStream(spark, watch.toString),
-      model.toString, thr = 0.28, idx.toString,
-      s"$mmIdx/img/image_phash", s"$mmIdx/aud/audio_fp", s"$mmIdx/vid/video_fp",
-      out.toString, ckpt.toString)
+      model.toString, langModelDir.toString, thr = 0.28, gateIndexDir = idx.toString,
+      imageIdxDir = s"$mmIdx/img/image_phash", audioIdxDir = s"$mmIdx/aud/audio_fp",
+      videoIdxDir = s"$mmIdx/vid/video_fp",
+      outDir = out.toString, checkpoint = ckpt.toString)
     q.processAllAvailable(); q.stop()
     val cols = Seq("doc_id", "source", "score", "quality_pass", "decon_flag",
       "dup_flag", "dup_match_id", "dup_jaccard",
       "image_dup_flag", "image_match_id", "image_hamming",
       "audio_dup_flag", "audio_match_id", "audio_hamming",
-      "video_dup_flag", "video_match_id", "video_hamming", "keep")
+      "video_dup_flag", "video_match_id", "video_hamming",
+      "lang_pred", "lang_ok", "keep")
     def key(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
     val streamed = key(PretrainStream.auditLog(spark, out.toString))
     val batch = PretrainStream.gateBatch(arrivals,
       docs.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
         .select("doc_id", "text"),
-      w, 0.28,
+      w, 0.28, lm,
       spark.read.parquet(s"$idx/boilerplate"),
       spark.read.parquet(s"$idx/anchors"), spark.read.parquet(s"$idx/bench"),
       spark.read.parquet(s"$idx/dedup/minhash_sigs"),
@@ -1234,6 +1239,14 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Int]("audio_dup_flag") == 1 || r.getAs[Int]("video_dup_flag") == 1)
       .foreach(r => assert(r.getAs[Int]("keep") == 0,
         s"modality-flagged arrival must not be admitted: $r"))
+    // the language gate is LIVE (the 5-language corpus mispredicts some
+    // declared labels under the trained model) and folds into keep
+    assert(rows.exists(_.getAs[Int]("lang_ok") == 0) &&
+      rows.exists(_.getAs[Int]("lang_ok") == 1),
+      "the language gate must be live on the fixture")
+    rows.filter(_.getAs[Int]("lang_ok") == 0)
+      .foreach(r => assert(r.getAs[Int]("keep") == 0,
+        s"lang-mismatched arrival must not be admitted: $r"))
     // the serve side is index-only: the gate plan scans the persisted
     // tables, never the corpus the index was built from
     val p = batch.queryExecution.executedPlan.toString
