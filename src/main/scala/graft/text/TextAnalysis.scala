@@ -923,15 +923,29 @@ object TextAnalysis {
     * (doc, bigram) count keyed by doc — well-spread, vocabulary-bounded
     * values per doc. */
   def repetition(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+    val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text"))
+      .as("toks"))
+    // per-doc scalars fold in their own projection BELOW the explode (the
+    // repetitionNgrams hoisting note: fused into the explode's select the
+    // analyzer re-runs them per bigram row), then RIDE the bigram rows
+    // max-folded through both grouped passes — the corpus is scanned and
+    // tokenized once, with no doc_id join-back (the r18 sweep; the old
+    // base⋈topBigram shape tokenized the corpus twice)
     val base = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
-      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    val topBigram = t
-      .select(col("doc_id"), explode(Normalize.bigramsCol(col("toks"))).as("p"))
-      .groupBy(col("doc_id"), col("p.w1"), col("p.w2")).agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_bigram"))
-    base.join(topBigram, Seq("doc_id"), "left")
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+      col("toks"))
+    base
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode_outer(Normalize.bigramsCol(col("toks"))).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(col("p.w1")).as("c"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"))
+      .groupBy("doc_id")
+      .agg(max(when(col("w1").isNotNull, col("c"))).as("top_bigram"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") > 0, round(col("n_distinct") / col("n_tokens"), 6))
           .otherwise(lit(0.0)).as("distinct_ratio"),
@@ -1136,25 +1150,23 @@ object TextAnalysis {
     *
     * Scale shape: one (doc_id, token) count — the same well-spread,
     * vocabulary-bounded shuffle as [[repetition]]'s bigram mode — then a
-    * per-doc rollup; docs with no tokens come back via the left join with
-    * entropy 0. Parity: the Σ c·ln c partial accumulates in
-    * DECIMAL(28,18) (exactly associative, so partition order can't wiggle
-    * the double sum — the [[lmScore]]/[[tfidf]] discipline) and the final
-    * entropy rounds to 6 digits on both engines. */
+    * per-doc rollup; docs with no tokens survive via explode_outer's
+    * null-token row (the r18 second-pass-join sweep: the previous
+    * docs⋈agg left join re-scanned the corpus just to recover empty
+    * docs). Parity: the Σ c·ln c partial accumulates in DECIMAL(28,18)
+    * (exactly associative, so partition order can't wiggle the double
+    * sum — the [[lmScore]]/[[tfidf]] discipline) and the final entropy
+    * rounds to 6 digits on both engines. */
   def tokenEntropy(docs: DataFrame): DataFrame = {
     val counts = docs
-      .select(col("doc_id"), explode(Normalize.tokensCol(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val agg = counts.groupBy("doc_id").agg(
-      sum(col("c")).as("n_tokens"),
-      count(lit(1)).as("n_distinct"),
-      sum((col("c").cast("double") * log(col("c").cast("double")))
-        .cast("decimal(28,18)")).as("sclnc"))
-    docs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+      .select(col("doc_id"), explode_outer(Normalize.tokensCol(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(col("w")).as("c"))
+    counts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(col("w")).as("n_distinct"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(28,18)")).as("sclnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") > 0,
           round(log(col("n_tokens").cast("double")) -
             col("sclnc").cast("double") / col("n_tokens"), 6))

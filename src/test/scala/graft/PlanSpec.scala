@@ -414,15 +414,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("text_repetition_ngrams is one grouped pass — total_chars rides the gram rows") {
-    // The r18 fold of the second-pass-join shape: total_chars is a
-    // constant per doc_id, so it rides the exploded gram rows (max-folded
-    // through both grouped passes) instead of a second corpus pass joined
-    // back on doc_id (measured r17: the join-back form floored at 5.6 s
-    // vs ~4 s folded).
-    val p = plan(SparkEntry.queries("text_repetition_ngrams")(spark, sf))
-    assert(!p.toLowerCase.contains("join"),
-      s"text_repetition_ngrams must be explode + two grouped passes, never a join:\n$p")
+  test("per-doc token statistics are one grouped pass — scalars ride the exploded rows") {
+    // The r18 fold of the second-pass-join shape: a per-doc constant
+    // (total_chars, n_tokens, n_distinct) rides the exploded gram/token
+    // rows (max-folded through both grouped passes) instead of a second
+    // corpus pass joined back on doc_id (measured r17 on
+    // text_repetition_ngrams: the join-back form floored at 5.6 s vs
+    // ~4 s folded, and it re-tokenized the corpus). The passage/line
+    // scrub rebuilders keep their docs⋈agg recover join by design: an
+    // all-duplicate/all-boilerplate doc has NO surviving exploded row to
+    // carry anything on, so the single-pruned-column recover join is the
+    // only way it re-enters the output.
+    // node-name match, not bare "join": the gram builders legitimately
+    // print array_join inside their Generate expressions
+    val joinNode =
+      "(?i)(sortmergejoin|broadcasthashjoin|shuffledhashjoin|broadcastnestedloop|cartesianproduct)".r
+    Seq("text_repetition_ngrams", "text_repetition", "text_entropy").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(joinNode.findFirstIn(p).isEmpty,
+        s"$q must be explode + grouped passes, never a join:\n$p")
+    }
   }
 
   test("no registry query plans a cartesian product, BNLJ, or global window over data") {
