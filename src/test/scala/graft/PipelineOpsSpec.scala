@@ -188,6 +188,48 @@ class PipelineOpsSpec extends SparkSpec {
       s"audio cascades on image survivors: $r")
     assert(L("docs_video") <= L("docs_audio"),
       s"video cascades on audio survivors: $r")
+
+    // rebuild audio and video standalone from the SAME standalone chain
+    // the v3 spec proves (gate corpus -> image survivors), cascading the
+    // dedup_audio/video_fingerprint machinery — the composed counters
+    // must match exactly, modality by modality
+    import graft.text.{QualityClassifier => QC, TextAnalysis, TextNormalize}
+    val page = docs.select(col("doc_id"), col("source"), PretrainCorpus.dirtyPageV2.as("text"))
+    val normed = page.select(col("doc_id"), col("source"),
+      TextNormalize.normalizeText(col("text")).as("text"))
+    val srcOf = normed.select("doc_id", "source")
+    val c4 = TextAnalysis.scrubC4Lines(normed)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val bp = TextAnalysis.scrubBoilerplateLines(c4, minDf = 3)
+      .select(col("doc_id"), col("clean_text").as("text")).join(srcOf, Seq("doc_id"))
+    val pii = bp.select(col("doc_id"), col("source"), TextAnalysis.scrub(col("text")).as("text"))
+    val qg = QC.scoreTextWith(pii, w)
+      .filter(col("source") === "src0" || col("score") >= lit(thr)).drop("score")
+    def keepCanon(in: org.apache.spark.sql.DataFrame,
+                  pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val pairs = pairsOf(in)
+      val comps = Dedup.connectedComponents(pairs)
+      val out = in.join(comps.filter(col("component") =!= col("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      pairs.unpersist(); comps.unpersist()
+      out
+    }
+    val img = keepCanon(qg, in => Dedup.imagePhashPairsFrom(
+      graft.multimodal.Multimodal.imagePhash(in).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("phash"))))
+    val aud = keepCanon(img, in => Dedup.audioFingerprintPairsFrom(
+      graft.multimodal.Multimodal.audioFingerprint(in).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("afp"))))
+    assert(L("docs_audio") == aud.count(),
+      "composed audio-stage count must equal the standalone pairs+components machinery")
+    assert(L("chars_audio") == aud.agg(sum(length(col("text")))).head.getLong(0))
+    val vid = keepCanon(aud, in => Dedup.videoFingerprintPairsFrom(
+      graft.multimodal.Multimodal.videoFingerprint(in).toDF()
+        .filter(col("valid")).select(col("doc_id"), col("vfp"))))
+    assert(L("docs_video") == vid.count(),
+      "composed video-stage count must equal the standalone pairs+components machinery")
+    assert(L("chars_video") == vid.agg(sum(length(col("text")))).head.getLong(0))
     // the stages are LIVE on the planted fixture (same-payload planes
     // collapse in every modality) and the chain still ships a corpus
     assert(L("docs_audio") < L("docs_image"), s"audio stage must cut documents: $r")
