@@ -969,63 +969,77 @@ object TextAnalysis {
     * single-line documents, and line semantics are [[graft.dedup.Dedup
     * .passageDupStats]]' territory.
     *
-    * Scale shape: ONE corpus scan builds every n level array-locally
-    * (per-n `transform`s concatenated, one explode_outer so gram-less
-    * short docs survive), one shuffle keyed on (doc_id, n, gram) —
-    * well-spread, vocabulary-like — then a per-doc conditional
-    * aggregation. `total_chars` RIDES the gram rows (a constant per
-    * doc_id, folded with max through both grouped passes), so no second
-    * corpus pass and no doc_id join-back exist anywhere in the plan —
-    * pinned join-free in PlanSpec. The top-gram argmax rides the
-    * `c·10⁹ + charlen` integer order encode (the argmax_customer
-    * pattern), so ties break identically on both engines: highest count,
-    * then longest gram. */
+    * Scale shape: ZERO shuffles — every statistic is per-document, so
+    * each n level sorts its gram array and run-length-folds it
+    * ARRAY-LOCALLY ([[repRunStats]]): one corpus scan, one projection,
+    * embarrassingly parallel at any corpus size. The r17 plan exploded
+    * the grams into a (doc_id, n, gram) count shuffle (~tokens × |ns|
+    * rows corpus-wide) and joined total_chars back per doc; the fold
+    * form produces bit-identical rows (pinned in the r18 A/B) with no
+    * exchange at all, and total_chars folds in the same projection.
+    * The top-gram argmax rides the `c·10⁹ + charlen` integer order
+    * encode (the argmax_customer pattern), so ties break identically on
+    * both engines: highest count, then longest gram. */
   def repetitionNgrams(docs: DataFrame, tops: Seq[Int] = Seq(2, 3, 4),
                        dups: Seq[Int] = Seq(5, 8, 10)): DataFrame = {
     val ns = (tops ++ dups).distinct.sorted
     require(ns.forall(_ >= 2), s"n-gram orders must be >= 2: $ns")
     val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
-    val gramsArr = ns.map { n =>
-      when(size(col("toks")) >= n,
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => struct(lit(n).as("n"), array_join(slice(col("toks"), i, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    }
-    // total_chars MUST fold in its own projection BELOW the explode: fused
-    // into the explode's select, the analyzer hoists non-generator
-    // expressions into the Project ABOVE the Generate, re-running the
-    // array fold once per GRAM row instead of once per doc (measured r18:
-    // 6.5 s → 19.4 s before this split; Generate carries the finished
-    // long instead)
     val tc = t.select(col("doc_id"), col("toks"),
       aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
-    val g = tc.select(col("doc_id"), col("total_chars"),
-        explode_outer(concat(gramsArr: _*)).as("g"))
-      .select(col("doc_id"), col("total_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .groupBy("doc_id", "n", "gram")
-      .agg(count(col("gram")).as("c"), max(col("total_chars")).as("total_chars"))
-      .withColumn("clen", (length(col("gram")) - (col("n") - 1)).cast("long"))
-    val aggs =
-      Seq(max(col("total_chars")).as("total_chars")) ++
-      tops.map(n => max(when(col("n") === n,
-        col("c") * lit(1000000000L) + col("clen"))).as(s"enc$n")) ++
-      dups.map(n => sum(when(col("n") === n && col("c") > 1,
-        col("c") * col("clen")).otherwise(lit(0L))).as(s"dup$n"))
-    val per = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val withStats = ns.foldLeft(tc) { (df, n) =>
+      val grams = when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => array_join(slice(col("toks"), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      df.withColumn(s"st$n", repRunStats(grams, n))
+    }
     val outCols =
       Seq(col("doc_id"), col("total_chars")) ++
       tops.map { n =>
-        round(when(col("total_chars") > 0 && col(s"enc$n").isNotNull,
-          least((expr(s"enc$n div 1000000000") *
-            (col(s"enc$n") % lit(1000000000L))).cast("double") / col("total_chars"), lit(1.0)))
+        round(when(col("total_chars") > 0 && col(s"st$n.enc") > 0,
+          least((expr(s"st$n.enc div 1000000000") *
+            (col(s"st$n.enc") % lit(1000000000L))).cast("double") / col("total_chars"), lit(1.0)))
           .otherwise(lit(0.0)), 6).as(s"top${n}_frac")
       } ++
       dups.map { n =>
         round(when(col("total_chars") > 0,
-          least(coalesce(col(s"dup$n"), lit(0L)).cast("double") / col("total_chars"), lit(1.0)))
+          least(col(s"st$n.dup").cast("double") / col("total_chars"), lit(1.0)))
           .otherwise(lit(0.0)), 6).as(s"dup${n}_frac")
       }
-    per.select(outCols: _*)
+    withStats.select(outCols: _*)
+  }
+
+  /** Array-local per-n repetition stats: sort the gram array, run-length
+    * fold duplicates via `aggregate`, emit struct(enc, dup) — enc =
+    * max over runs of `count·10⁹ + charlen` (0 when no grams; the
+    * shipped tie-break: highest count, then longest gram) and dup =
+    * Σ count·charlen over count>1 runs, with charlen = length(gram) −
+    * (n−1) (separators excluded). The fold closes a run whenever the
+    * element changes and once more in the finish lambda, so the last
+    * run is never dropped. */
+  private def repRunStats(grams: Column, n: Int): Column = {
+    val z = struct(lit("").as("prev"), lit(0L).as("c"),
+      lit(0L).as("enc"), lit(0L).as("dup"))
+    def close(st: Column) = {
+      val clen = length(st.getField("prev")).cast("long") - (n - 1)
+      val enc = st.getField("c") * lit(1000000000L) + clen
+      struct(
+        greatest(st.getField("enc"),
+          when(st.getField("c") > 0, enc).otherwise(lit(0L))).as("enc"),
+        (st.getField("dup") + when(st.getField("c") > 1, st.getField("c") * clen)
+          .otherwise(lit(0L))).as("dup"))
+    }
+    aggregate(array_sort(grams), z,
+      (st, x) => when(x === st.getField("prev"),
+          struct(st.getField("prev").as("prev"), (st.getField("c") + 1).as("c"),
+            st.getField("enc").as("enc"), st.getField("dup").as("dup")))
+        .otherwise({
+          val cl = close(st)
+          struct(x.as("prev"), lit(1L).as("c"),
+            cl.getField("enc").as("enc"), cl.getField("dup").as("dup"))
+        }),
+      st => close(st))
   }
 
   /** Gopher-style document-format rules (Rae et al. 2021, "Scaling

@@ -371,6 +371,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.size >= all.size / 5 && kept.size <= all.size / 2)
   }
 
+  test("repetitionNgrams array-local fold equals the explode+shuffle reference form") {
+    // The shipped plan run-length-folds each doc's sorted gram array with
+    // zero shuffles; this INDEPENDENT reference rebuilds every statistic
+    // through the r17 explode + (doc_id, n, gram) count + per-doc
+    // conditional-aggregate pipeline — the two must agree row-for-row,
+    // including the count-then-longest-gram tie-break and gram-less docs.
+    import graft.text.TextAnalysis
+    import graft.ops.Normalize
+    import spark.implicits._
+    val docs = graft.collocations.Collocations.documents(spark, "/root/testdata/sf0.001")
+      .unionByName(Seq((900001L, "src9", "en", "one"),
+          (900002L, "src9", "en", ""),
+          (900003L, "src9", "en", "a a a b b a a"))
+        .toDF("doc_id", "source", "lang", "text"), allowMissingColumns = true)
+    val tops = Seq(2, 3, 4); val dups = Seq(5, 8, 10)
+    val ns = (tops ++ dups).distinct.sorted
+    val t = docs.select(col("doc_id"), Normalize.tokensCol(col("text")).as("toks"))
+    val gramsArr = ns.map { n =>
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => struct(lit(n).as("n"), array_join(slice(col("toks"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }
+    val tc = t.select(col("doc_id"), col("toks"),
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
+    val g = tc.select(col("doc_id"), col("total_chars"),
+        explode_outer(concat(gramsArr: _*)).as("g"))
+      .select(col("doc_id"), col("total_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(col("gram")).as("c"), max(col("total_chars")).as("total_chars"))
+      .withColumn("clen", (length(col("gram")) - (col("n") - 1)).cast("long"))
+    val aggs =
+      Seq(max(col("total_chars")).as("total_chars")) ++
+      tops.map(n => max(when(col("n") === n,
+        col("c") * lit(1000000000L) + col("clen"))).as(s"enc$n")) ++
+      dups.map(n => sum(when(col("n") === n && col("c") > 1,
+        col("c") * col("clen")).otherwise(lit(0L))).as(s"dup$n"))
+    val per = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val refCols =
+      Seq(col("doc_id"), col("total_chars")) ++
+      tops.map { n =>
+        round(when(col("total_chars") > 0 && col(s"enc$n").isNotNull,
+          least((expr(s"enc$n div 1000000000") *
+            (col(s"enc$n") % lit(1000000000L))).cast("double") / col("total_chars"), lit(1.0)))
+          .otherwise(lit(0.0)), 6).as(s"top${n}_frac")
+      } ++
+      dups.map { n =>
+        round(when(col("total_chars") > 0,
+          least(coalesce(col(s"dup$n"), lit(0L)).cast("double") / col("total_chars"), lit(1.0)))
+          .otherwise(lit(0.0)), 6).as(s"dup${n}_frac")
+      }
+    val reference = per.select(refCols: _*)
+    val shipped = TextAnalysis.repetitionNgrams(docs, tops, dups)
+    assert(shipped.exceptAll(reference).count() == 0 &&
+      reference.exceptAll(shipped).count() == 0,
+      "array-local fold must equal the explode+shuffle reference row-for-row")
+  }
+
   test("repetition metrics: fully repeated doc scores low distinct ratio") {
     import spark.implicits._
     val docs = Seq(
