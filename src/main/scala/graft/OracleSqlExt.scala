@@ -1265,7 +1265,12 @@ object OracleSqlExt {
     * plus the language gate — the injected trained lang-ID model's
     * integer micro-nat scoring over the post-PII arrivals
     * ([[langIdPredCtes]]), lang_ok = prediction equals the declared
-    * documents.lang, folded into keep.
+    * documents.lang, folded into keep — and the SEMANTIC decon gate:
+    * every non-zero-norm embedding argmax-assigns under the injected
+    * centroids, arrivals (embeddings joined to arr on vec_id = doc_id)
+    * match their cell's benchmark (vec_id % 10 = 0) vectors at cosine
+    * >= semMinCos, best match reported, flag folded into keep (an
+    * arrival with no embedding row never flags).
     *
     * The fingerprint CTEs re-derive EVERY document's fingerprint while
     * the engine filters col("valid") — safe because the payload
@@ -1273,6 +1278,7 @@ object OracleSqlExt {
     * invariant DedupSpec pins over adversarial texts and the corpus. */
   def ingestGateSql(w: Seq[Double], thr: Double,
                     langModel: graft.text.LangIdClassifier.LangIdModel,
+                    semCents: Seq[(Int, Array[Double])], semMinCos: Double,
                     benchPredSql: String = "source = 'src0'",
                     minLineWords: Int = 3, minLen: Int = 30,
                     dupThreshold: Double = 0.5, maxHamming: Int = 3): String = {
@@ -1405,6 +1411,31 @@ object OracleSqlExt {
        |${vfpFpCtes(mmFresh, "gvpbf", "gvenf", "gvfpf")},
        |${vfpFpCtes(mmIdx, "gvpbi", "gveni", "gvfpi")},
        |${hammingMatchCtes("vfp", maxHamming, mmCap, "gvfpf", "gvfpi", "gvi")},
+       |sdae AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE ${normGuardSql("v")}),
+       |sdcents AS (
+       |  ${semCents.map { case (cid, arr) =>
+             s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+           }.mkString("\n  UNION ALL ")}
+       |),
+       |sdasg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, v, cid, ${dotSql("v", "cv")} AS d FROM sdae CROSS JOIN sdcents)
+       |  ) WHERE rn = 1
+       |),
+       |sdbench AS (SELECT vec_id, cid, v FROM sdasg WHERE vec_id % 10 = 0),
+       |sdfresh AS (SELECT s.vec_id, s.cid, s.v FROM sdasg s JOIN arr a ON s.vec_id = a.doc_id),
+       |sdcand AS (
+       |  SELECT f.vec_id, b.vec_id AS match_id, round(${cosineSql("f.v", "b.v")}, 6) AS cos
+       |  FROM sdfresh f JOIN sdbench b ON f.cid = b.cid
+       |  WHERE round(${cosineSql("f.v", "b.v")}, 6) >= $semMinCos
+       |),
+       |sdmax AS (SELECT vec_id, max(cos) AS cos FROM sdcand GROUP BY vec_id),
+       |sdbest AS (
+       |  SELECT b.vec_id, CAST(min(c.match_id) AS BIGINT) AS match_id, b.cos
+       |  FROM sdmax b JOIN sdcand c ON c.vec_id = b.vec_id AND c.cos = b.cos
+       |  GROUP BY b.vec_id, b.cos
+       |),
        |${langIdPredCtes(langModel, "arr", "gl")}
        |SELECT a.doc_id, a.source, q.score,
        |  CASE WHEN q.score >= $thr THEN 1 ELSE 0 END AS quality_pass,
@@ -1421,11 +1452,14 @@ object OracleSqlExt {
        |  CASE WHEN vi.doc_id IS NOT NULL THEN 1 ELSE 0 END AS video_dup_flag,
        |  vi.match_id AS video_match_id,
        |  vi.hamming AS video_hamming,
+       |  CASE WHEN sd.vec_id IS NOT NULL THEN 1 ELSE 0 END AS sem_decon_flag,
+       |  sd.match_id AS sem_match_id,
+       |  sd.cos AS sem_cos,
        |  lp.lang_pred,
        |  CASE WHEN lp.lang_pred = dl.lang THEN 1 ELSE 0 END AS lang_ok,
        |  CASE WHEN q.score >= $thr AND d.doc_id IS NULL AND g.doc_id IS NULL
        |        AND mi.doc_id IS NULL AND au.doc_id IS NULL AND vi.doc_id IS NULL
-       |        AND lp.lang_pred = dl.lang
+       |        AND sd.vec_id IS NULL AND lp.lang_pred = dl.lang
        |       THEN 1 ELSE 0 END AS keep
        |FROM arr a
        |JOIN gqs q ON a.doc_id = q.doc_id
@@ -1435,12 +1469,13 @@ object OracleSqlExt {
        |LEFT JOIN gbest g ON a.doc_id = g.doc_id
        |LEFT JOIN gimmatch mi ON a.doc_id = mi.doc_id
        |LEFT JOIN gaumatch au ON a.doc_id = au.doc_id
-       |LEFT JOIN gvimatch vi ON a.doc_id = vi.doc_id""".stripMargin
+       |LEFT JOIN gvimatch vi ON a.doc_id = vi.doc_id
+       |LEFT JOIN sdbest sd ON a.doc_id = sd.vec_id""".stripMargin
   }
 
   def ingestGateSqlFromLastGate: Option[String] =
-    graft.streaming.PretrainStream.lastIngestGate.map { case (w, thr, lm) =>
-      ingestGateSql(w, thr, lm)
+    graft.streaming.PretrainStream.lastIngestGate.map { case (w, thr, lm, semCents, semMinCos) =>
+      ingestGateSql(w, thr, lm, semCents, semMinCos)
     }
 
   /** Mirror of [[graft.text.LangIdClassifier.predictWith]] as

@@ -3136,30 +3136,41 @@ object SparkEntry {
     // non-benchmark "arriving" pages run the row-local cleaning chain
     // (NFC -> C4 -> persisted-boilerplate line filter -> PII, the
     // ladder's stage order with the corpus-df stage index-served), then
-    // SIX independent index-served gates —
+    // SEVEN independent index-served gates —
     // the trained quality classifier (literal weights), the substring
     // decontamination flag vs the persisted benchmark anchors, the
     // near-dup flag vs the even-half corpus' persisted minhash index,
-    // and the three MULTIMODAL near-dup flags (the arrival's image/
+    // the three MULTIMODAL near-dup flags (the arrival's image/
     // audio/video payloads fingerprint once and band-join the even-half
     // persisted fingerprint indexes; payloads ride the arrival's raw
-    // record, untouched by the text-cleaning simulation) — ONE audit row
-    // per arrival with every modality's verdict and the composed keep.
-    // DYNAMIC oracle: the run stashes (weights, threshold) and oracleSql
-    // mirrors the clean chain + all six gates from them
-    // (OracleSqlExt.ingestGateSql).
+    // record, untouched by the text-cleaning simulation), and the
+    // SEMANTIC decon flag (the arrival's embedding vs the persisted
+    // benchmark centroid index) — plus the lang-ID agreement gate — ONE
+    // audit row per arrival with every modality's verdict and the
+    // composed keep. DYNAMIC oracle: the run stashes (weights,
+    // threshold, lang model, centroids) and oracleSql mirrors the clean
+    // chain + all gates from them (OracleSqlExt.ingestGateSql).
     ("pipeline_ingest_gate",
       (s: SparkSession, d: String) => {
         val dir = pretrainGateIndexDir(s, d)
         val w = qcWeights(s, d)
         // the language gate serves the PERSISTED lang-ID model (the same
-        // publishSwap artifact text_langid_trained_indexed reads)
+        // publishSwap artifact text_langid_trained_indexed reads), and
+        // the semantic-decon gate serves the persisted benchmark centroid
+        // index (the same artifact decontaminate_semantic_indexed reads)
         val lm = graft.text.LangIdClassifier.readModel(s, langIdModelDir(s, d))
-        graft.streaming.PretrainStream.lastIngestGate = Some((w, pretrainGateThreshold, lm))
+        val semDir = semanticDeconIndexDir(s, d)
+        val semCents = graft.similarity.Ann.readIvfModel(s, s"$semDir/centroids")
+        graft.streaming.PretrainStream.lastIngestGate =
+          Some((w, pretrainGateThreshold, lm, semCents, 0.4))
         val raw = Collocations.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
         val arrivals = raw.select(col("doc_id"), col("source"), col("lang"),
           graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
+        // the arrival's embedding side rides its record (vec_id = doc_id;
+        // an arrival with no embedding row simply audits sem_decon_flag=0)
+        val arrEmb = s.read.parquet(s"$d/embeddings.parquet")
+          .join(raw.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         graft.streaming.PretrainStream.gateBatch(arrivals,
           raw.select("doc_id", "text"), w, pretrainGateThreshold, lm,
           s.read.parquet(s"$dir/boilerplate"),
@@ -3168,7 +3179,8 @@ object SparkEntry {
           s.read.parquet(s"$dir/dedup/shingle_sets"),
           s.read.parquet(s"${imagePhashIndexDirHalf(s, d)}/image_phash"),
           s.read.parquet(s"${audioFpIndexDirHalf(s, d)}/audio_fp"),
-          s.read.parquet(s"${videoFpIndexDirHalf(s, d)}/video_fp"))
+          s.read.parquet(s"${videoFpIndexDirHalf(s, d)}/video_fp"),
+          arrEmb, s.read.parquet(s"$semDir/bench"), semCents)
       },
       None),
 

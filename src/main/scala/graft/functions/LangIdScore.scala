@@ -55,11 +55,13 @@ object LangIdScore {
     require(bigrams.length == vecs.length,
       s"${bigrams.length} bigrams vs ${vecs.length} weight vectors")
 
-    // `bigrams.length * 4` overflows Int past 2^29 entries (the capacity
-    // loop would never terminate on a negative bound) — unreachable at
-    // the default vocabSize but guarded loudly rather than assumed
-    require(bigrams.length <= (1 << 29),
-      s"${bigrams.length} vocab bigrams exceed the 2^29 packed-table bound")
+    // the capacity loop needs a positive power-of-two >= 4*length, and
+    // the largest positive power-of-two Int is 2^30 — so length must stay
+    // <= 2^28 (`bigrams.length * 4` overflows past that and the loop
+    // would spin on a negative/zero bound). Unreachable at the default
+    // vocabSize but guarded loudly rather than assumed.
+    require(bigrams.length <= (1 << 28),
+      s"${bigrams.length} vocab bigrams exceed the 2^28 packed-table bound")
     private val cap: Int = {
       var c = 4
       while (c < bigrams.length * 4) c <<= 1

@@ -75,17 +75,23 @@ object LangIdStream {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
             .parquet(dir)
-        writeIdempotent(scoreBatch(batch, model), s"$outDir/scores")
-        // drift derives from the scores partition JUST WRITTEN — the
-        // shard never re-scores for its contingency table (driftBatch
-        // from scratch would run the whole scoring projection twice per
-        // micro-batch), and reading back the committed partition keeps
-        // the two outputs consistent even across a replayed batch
-        writeIdempotent(
-          batch.sparkSession.read.parquet(s"$outDir/scores")
-            .filter(col("ingest_batch") === batchId)
-            .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n")),
-          s"$outDir/drift")
+        // an EMPTY micro-batch (a trigger with no new files) writes no
+        // parquet data files, so the drift read-back below would fail
+        // schema inference on a first-batch-empty stream and kill the
+        // query — both outputs are trivially empty, skip the batch
+        if (!batch.isEmpty) {
+          writeIdempotent(scoreBatch(batch, model), s"$outDir/scores")
+          // drift derives from the scores partition JUST WRITTEN — the
+          // shard never re-scores for its contingency table (driftBatch
+          // from scratch would run the whole scoring projection twice per
+          // micro-batch), and reading back the committed partition keeps
+          // the two outputs consistent even across a replayed batch
+          writeIdempotent(
+            batch.sparkSession.read.parquet(s"$outDir/scores")
+              .filter(col("ingest_batch") === batchId)
+              .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n")),
+            s"$outDir/drift")
+        }
       }
       .start()
 

@@ -25,7 +25,12 @@ import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
   *      image/audio/video payloads fingerprint once (narrow maps) and
   *      band-join their persisted fingerprint indexes
   *      ([[MultimodalDedupStream]]'s gate algebra), so one audit row
-  *      carries every modality's verdict.
+  *      carries every modality's verdict;
+  *   6. the SEMANTIC decontamination flag against the persisted
+  *      benchmark centroid index ([[SemanticDeconStream]]'s algebra —
+  *      the arrival's precomputed embedding assigns to cells as a
+  *      narrow literal-centroid map and joins only its cell's benchmark
+  *      vectors; a record shipping no embedding audits 0).
   *
   * The CORPUS-GLOBAL ladder stages split by their serve shape: the
   * boilerplate stage's document frequencies are computed BATCH-SIDE at
@@ -43,11 +48,13 @@ import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
   * a [[graft.sources.Sinks.publishSwap]] refresh never kills the query. */
 object PretrainStream {
 
-  /** Last (weights, threshold, lang-ID model) the batch gate twin ran
-    * with, stashed for its dynamic oracle (the
-    * [[graft.pipelines.PretrainCorpus.lastGate]] pattern). */
+  /** Last (weights, threshold, lang-ID model, semantic-decon centroids,
+    * semantic minCos) the batch gate twin ran with, stashed for its
+    * dynamic oracle (the [[graft.pipelines.PretrainCorpus.lastGate]]
+    * pattern). */
   @volatile var lastIngestGate:
-    Option[(Seq[Double], Double, graft.text.LangIdClassifier.LangIdModel)] = None
+    Option[(Seq[Double], Double, graft.text.LangIdClassifier.LangIdModel,
+            Seq[(Int, Array[Double])], Double)] = None
 
   /** NFC canonicalization + C4 line rules — the row-local prefix shared
     * by the index build and serving (one narrow projection). `keep`
@@ -97,12 +104,13 @@ object PretrainStream {
     * (doc_id, source, score, quality_pass, decon_flag, dup_flag,
     * dup_match_id, dup_jaccard, image_dup_flag, image_match_id,
     * image_hamming, audio_dup_flag, audio_match_id, audio_hamming,
-    * video_dup_flag, video_match_id, video_hamming, lang_pred, lang_ok,
-    * keep) with keep = passes quality AND not contaminated AND not a
-    * near-dup of the indexed corpus in ANY modality AND the trained
-    * lang-ID prediction agrees with the arrival's declared `lang` (the
-    * CCNet-shaped language admit rule; `batch` must carry a `lang`
-    * column next to doc_id/source/text). Flags are computed
+    * video_dup_flag, video_match_id, video_hamming, sem_decon_flag,
+    * sem_match_id, sem_cos, lang_pred, lang_ok, keep) with keep =
+    * passes quality AND not contaminated (lexically OR semantically)
+    * AND not a near-dup of the indexed corpus in ANY modality AND the
+    * trained lang-ID prediction agrees with the arrival's declared
+    * `lang` (the CCNet-shaped language admit rule; `batch` must carry a
+    * `lang` column next to doc_id/source/text). Flags are computed
     * independently (an audit row reports every gate's verdict, not just
     * the first rejection).
     *
@@ -144,11 +152,14 @@ object PretrainStream {
                 blLines: DataFrame, benchAnchors: DataFrame, benchDocs: DataFrame,
                 indexSigs: DataFrame, indexSets: DataFrame,
                 imagePhashIdx: DataFrame, audioFpIdx: DataFrame, videoFpIdx: DataFrame,
+                arrEmb: DataFrame, semBench: DataFrame,
+                semCents: Seq[(Int, Array[Double])],
                 minLineWords: Int = 3, minLen: Int = 30,
                 anchorK: Int = 24, anchorW: Int = 7,
                 k: Int = 3, numHashes: Int = 16,
                 bands: Int = 4, rowsPerBand: Int = 4,
-                dupThreshold: Double = 0.5, maxHamming: Int = 3): DataFrame = {
+                dupThreshold: Double = 0.5, maxHamming: Int = 3,
+                semMinCos: Double = 0.4): DataFrame = {
     // the arrival's declared `lang` rides the clean chain (keep param) so
     // the language gate never join-backs a column the chain held
     val preScrub = applyBoilerplate(nfcC4(batch, minLineWords, keep = Seq("lang")),
@@ -171,7 +182,11 @@ object PretrainStream {
       val langRep = graft.text.LangIdClassifier
         .predictWith(cleaned, langModel, keep = Seq("lang"))
         .select(col("doc_id"), col("lang_pred"),
-          (col("lang_pred") === col("lang")).cast("int").as("lang_ok"))
+          // coalesce: a NULL declared lang must read as a 0/1 flag (the
+          // audit-row contract and the oracle's CASE ... ELSE 0), never
+          // propagate null into keep
+          coalesce((col("lang_pred") === col("lang")).cast("int"), lit(0))
+            .as("lang_ok"))
       deconRep = Dedup.decontaminateSubstringAgainst(
         preScrub.select("doc_id", "text"), benchAnchors, benchDocs, minLen, anchorK, anchorW)
       dupRep = Dedup.jaccardMatchesAgainst(
@@ -187,6 +202,18 @@ object PretrainStream {
       val imgRep = mm(MultimodalDedupStream.gateImageBatch(payloads, imagePhashIdx, maxHamming), "image")
       val audRep = mm(MultimodalDedupStream.gateAudioBatch(payloads, audioFpIdx, maxHamming), "audio")
       val vidRep = mm(MultimodalDedupStream.gateVideoBatch(payloads, videoFpIdx, maxHamming), "video")
+      // SEMANTIC decontamination gate ([[SemanticDeconStream]]'s algebra
+      // composed into the audit row): the arrival's embedding — `arrEmb`
+      // is the record's (vec_id = doc_id, embedding) side, ridden the
+      // same way `payloads` rides the binary columns — assigns to the
+      // persisted benchmark index's cells as a narrow literal-centroid
+      // map and joins ONLY its cell's benchmark vectors. An arrival that
+      // carries no embedding row (or a zero-norm one) cannot match and
+      // audits sem_decon_flag = 0 — the gate sees what the record ships.
+      val semRep = graft.dedup.Dedup
+        .semanticDeconMatches(arrEmb, semBench, semCents, semMinCos)
+        .select(col("vec_id").as("doc_id"), lit(1).as("sem_decon_flag"),
+          col("match_id").as("sem_match_id"), col("cos").as("sem_cos"))
       val out = scored
         .join(deconRep.select(col("doc_id")).distinct()
           .withColumn("decon_flag", lit(1)), Seq("doc_id"), "left")
@@ -196,6 +223,7 @@ object PretrainStream {
         .join(imgRep, Seq("doc_id"), "left")
         .join(audRep, Seq("doc_id"), "left")
         .join(vidRep, Seq("doc_id"), "left")
+        .join(semRep, Seq("doc_id"), "left")
         .join(langRep, Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("score"),
           when(col("score") >= thr, 1).otherwise(0).as("quality_pass"),
@@ -208,12 +236,14 @@ object PretrainStream {
           col("audio_match_id"), col("audio_hamming"),
           coalesce(col("video_dup_flag"), lit(0)).as("video_dup_flag"),
           col("video_match_id"), col("video_hamming"),
+          coalesce(col("sem_decon_flag"), lit(0)).as("sem_decon_flag"),
+          col("sem_match_id"), col("sem_cos"),
           col("lang_pred"), col("lang_ok"))
         .withColumn("keep",
           (col("quality_pass") === 1 && col("decon_flag") === 0 &&
             col("dup_flag") === 0 && col("image_dup_flag") === 0 &&
             col("audio_dup_flag") === 0 && col("video_dup_flag") === 0 &&
-            col("lang_ok") === 1).cast("int"))
+            col("sem_decon_flag") === 0 && col("lang_ok") === 1).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { out.count(); out }
       catch { case t: Throwable => out.unpersist(); throw t }
@@ -273,7 +303,10 @@ object PretrainStream {
   /** Schema of a multimodal arrival shard: the page columns
     * [[DedupStream]] streams plus `payload_text` — the byte source of
     * the record's image/audio/video payloads (a real crawl record
-    * carries binary payload columns next to the page html). */
+    * carries binary payload columns next to the page html) — and
+    * `embedding`, the record's precomputed embedding vector (an
+    * upstream encoder stamps it at crawl time; nullable — a record
+    * without one simply audits sem_decon_flag = 0). */
   def readGateStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -282,7 +315,9 @@ object PretrainStream {
         org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("payload_text", org.apache.spark.sql.types.StringType))))
+        org.apache.spark.sql.types.StructField("payload_text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
       .option("maxFilesPerTrigger", "1").parquet(dir)
 
   /** Start the gate over multimodal document shard drops
@@ -293,14 +328,18 @@ object PretrainStream {
     * `/anchors` + `/bench` tables; `modelDir` holds the classifier's
     * one-row weight table; the three modality dirs are the persisted
     * fingerprint tables ([[graft.dedup.Dedup.writeImagePhashIndex]]'s
-    * `.../image_phash` and its audio/video twins). All index/model
+    * `.../image_phash` and its audio/video twins); `semIdxDir` is the
+    * [[graft.dedup.Dedup.writeSemanticDeconIndex]] benchmark index
+    * (`.../centroids` + `.../bench` — the same publishSwap artifact the
+    * batch `decontaminate_semantic_indexed` serves). All index/model
     * reads happen per micro-batch so a publishSwap refresh never kills
     * the query. */
   def gate(stream: DataFrame, modelDir: String, langModelDir: String, thr: Double,
            gateIndexDir: String, imageIdxDir: String, audioIdxDir: String,
-           videoIdxDir: String, outDir: String, checkpoint: String,
+           videoIdxDir: String, semIdxDir: String, outDir: String, checkpoint: String,
            minLineWords: Int = 3, minLen: Int = 30,
-           dupThreshold: Double = 0.5, maxHamming: Int = 3): StreamingQuery =
+           dupThreshold: Double = 0.5, maxHamming: Int = 3,
+           semMinCos: Double = 0.4): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -315,6 +354,9 @@ object PretrainStream {
           // lang-ID model re-read per micro-batch (the LangIdStream
           // contract): a publishSwap retrain refreshes serving mid-stream
           val lm = graft.text.LangIdClassifier.readModel(s, langModelDir)
+          // semantic-decon centroid model: tiny, re-read per micro-batch
+          // (the SemanticDeconStream one-row-model contract)
+          val semCents = graft.similarity.Ann.readIvfModel(s, s"$semIdxDir/centroids")
           val o = gateBatch(batch,
             batch.select(col("doc_id"), col("payload_text").as("text")),
             w, thr, lm,
@@ -326,8 +368,10 @@ object PretrainStream {
             s.read.parquet(imageIdxDir),
             s.read.parquet(audioIdxDir),
             s.read.parquet(videoIdxDir),
+            batch.select(col("doc_id").as("vec_id"), col("embedding")),
+            s.read.parquet(s"$semIdxDir/bench"), semCents,
             minLineWords, minLen, dupThreshold = dupThreshold,
-            maxHamming = maxHamming)
+            maxHamming = maxHamming, semMinCos = semMinCos)
           // finally-release: a failed write attempt must not strand the
           // gate frame's cache into the retry.
           try {

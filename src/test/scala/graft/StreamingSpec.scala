@@ -1173,6 +1173,14 @@ class StreamingSpec extends SparkSpec {
     graft.dedup.Dedup.writeImagePhashIndex(evenRaw, s"$mmIdx/img")
     graft.dedup.Dedup.writeAudioFpIndex(evenRaw, s"$mmIdx/aud")
     graft.dedup.Dedup.writeVideoFpIndex(evenRaw, s"$mmIdx/vid")
+    // semantic-decon benchmark index over the embedding table's
+    // benchmark tenth (the decontaminate_semantic_indexed artifact)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val semIdx = java.nio.file.Files.createTempDirectory("graft-ppgate-semidx")
+    graft.dedup.Dedup.writeSemanticDeconIndex(
+      emb.filter(pmod(col("vec_id"), lit(10L)) === 0), semIdx.toString,
+      nClusters = 8, iters = 2, trainStride = 1)
+    val semCents = graft.similarity.Ann.readIvfModel(spark, s"$semIdx/centroids")
     val w = QualityStream.buildModel(docs, model.toString)
     val lm = graft.text.LangIdClassifier.train(docs)
     graft.text.LangIdClassifier.writeModel(lm, langModelDir.toString, spark)
@@ -1185,17 +1193,19 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     val arrivals = pages.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
-    // a multimodal arrival record = dirty page text + its payload side
+    // a multimodal arrival record = dirty page text + its payload side +
+    // its precomputed embedding (vec_id = doc_id)
     val shardCols = arrivals
       .withColumn("n_chars", length(col("text")).cast("long"))
       .join(docs.select(col("doc_id"), col("text").as("payload_text")), Seq("doc_id"))
-      .select("doc_id", "text", "lang", "source", "n_chars", "payload_text")
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"), "left")
+      .select("doc_id", "text", "lang", "source", "n_chars", "payload_text", "embedding")
     drop("a.parquet", shardCols.filter(pmod(col("doc_id"), lit(4L)) === 1))
     drop("b.parquet", shardCols.filter(pmod(col("doc_id"), lit(4L)) === 3))
     val q = PretrainStream.gate(PretrainStream.readGateStream(spark, watch.toString),
       model.toString, langModelDir.toString, thr = 0.28, gateIndexDir = idx.toString,
       imageIdxDir = s"$mmIdx/img/image_phash", audioIdxDir = s"$mmIdx/aud/audio_fp",
-      videoIdxDir = s"$mmIdx/vid/video_fp",
+      videoIdxDir = s"$mmIdx/vid/video_fp", semIdxDir = semIdx.toString,
       outDir = out.toString, checkpoint = ckpt.toString)
     q.processAllAvailable(); q.stop()
     val cols = Seq("doc_id", "source", "score", "quality_pass", "decon_flag",
@@ -1203,6 +1213,7 @@ class StreamingSpec extends SparkSpec {
       "image_dup_flag", "image_match_id", "image_hamming",
       "audio_dup_flag", "audio_match_id", "audio_hamming",
       "video_dup_flag", "video_match_id", "video_hamming",
+      "sem_decon_flag", "sem_match_id", "sem_cos",
       "lang_pred", "lang_ok", "keep")
     def key(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
@@ -1217,7 +1228,9 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$idx/dedup/shingle_sets"),
       spark.read.parquet(s"$mmIdx/img/image_phash"),
       spark.read.parquet(s"$mmIdx/aud/audio_fp"),
-      spark.read.parquet(s"$mmIdx/vid/video_fp"))
+      spark.read.parquet(s"$mmIdx/vid/video_fp"),
+      emb.join(arrivals.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      spark.read.parquet(s"$semIdx/bench"), semCents)
     assert(streamed == key(batch),
       "accumulated stream audit rows must equal the batch gate twin on all arrivals")
     // the gate's audited modality set IS the shared constant the v4
@@ -1247,6 +1260,21 @@ class StreamingSpec extends SparkSpec {
     rows.filter(_.getAs[Int]("lang_ok") == 0)
       .foreach(r => assert(r.getAs[Int]("keep") == 0,
         s"lang-mismatched arrival must not be admitted: $r"))
+    // the semantic decon gate folds into keep, and its audit columns
+    // agree with the standalone SemanticDeconStream algebra over the
+    // same arrivals + persisted index
+    rows.filter(_.getAs[Int]("sem_decon_flag") == 1)
+      .foreach(r => assert(r.getAs[Int]("keep") == 0,
+        s"semantically contaminated arrival must not be admitted: $r"))
+    val semStandalone = graft.streaming.SemanticDeconStream.gateBatch(
+        emb.join(arrivals.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        spark.read.parquet(s"$semIdx/bench"), semCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val semComposed = rows.filter(_.getAs[Int]("sem_decon_flag") == 1)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sem_match_id"),
+        r.getAs[Double]("sem_cos"))).toSet
+    assert(semComposed == semStandalone,
+      "composed sem audit must equal the standalone semantic decon gate")
     // the serve side is index-only: the gate plan scans the persisted
     // tables, never the corpus the index was built from
     val p = batch.queryExecution.executedPlan.toString
@@ -1254,7 +1282,7 @@ class StreamingSpec extends SparkSpec {
     assert(p.contains("graft-ppgate-mmidx"),
       s"gate must scan the persisted modality fingerprint indexes:\n$p")
     batch.unpersist()
-    Seq(idx, mmIdx, model, watch, out, ckpt).foreach(d =>
+    Seq(idx, mmIdx, semIdx, model, watch, out, ckpt).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
   }
 
