@@ -36,6 +36,25 @@ class BenchSpec extends SparkSpec {
     // line ORDER is normalized, line CONTENT is not
     assert(Bench.normalizePlan("A\nB") == Bench.normalizePlan("B\nA"))
     assert(Bench.normalizePlan("Filter (x#x > 5)") != Bench.normalizePlan("Filter (x#x > 6)"))
+    // an InMemoryRelation's cached PHYSICAL subtree (innerChildren,
+    // rendered deeper) is a load-volatile AQE snapshot — a placeholder
+    // TableCacheQueryStage and its expanded final plan must normalize
+    // identically, while nodes at or above the relation's depth survive
+    val placeholder =
+      """Project [a#x]
+        |+- InMemoryRelation [a#x], StorageLevel(disk, memory)
+        |      +- TableCacheQueryStage 1
+        |+- Filter isnotnull(a#x)""".stripMargin
+    val expanded =
+      """Project [a#x]
+        |+- InMemoryRelation [a#x], StorageLevel(disk, memory)
+        |      +- AdaptiveSparkPlan isFinalPlan=true
+        |         +- *(1) Filter isnotnull(b#x)
+        |            +- Scan parquet [b#x]
+        |+- Filter isnotnull(a#x)""".stripMargin
+    assert(Bench.normalizePlan(placeholder) == Bench.normalizePlan(expanded))
+    assert(Bench.normalizePlan(placeholder).contains("InMemoryRelation"))
+    assert(Bench.normalizePlan(placeholder).contains("Filter isnotnull"))
   }
 
   test("planFingerprint: same logical query twice agrees; different query differs; opaque plans fold srcHash") {
@@ -69,6 +88,18 @@ class BenchSpec extends SparkSpec {
     val probed = li.join(broadcast(Seq((1, "N")).toDF("l_linenumber", "tag")), Seq("l_linenumber"))
       .groupBy("tag").count()
     assert(Bench.planFingerprint(probed, "S1") == Bench.planFingerprint(probed, "S2"))
+    // a CACHE-BEARING plan (persist → InMemoryRelation) also folds the
+    // source hash: its cached physical subtree is cut as load-volatile,
+    // so the remaining text may be blind to the cached query's structure
+    val cached = li.filter(col("l_quantity") > 10).persist()
+    try {
+      cached.count()
+      val viaCache = cached.groupBy("l_returnflag").count()
+      assert(viaCache.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "fixture must actually read through the cache")
+      assert(Bench.planFingerprint(viaCache, "S1") != Bench.planFingerprint(viaCache, "S2"))
+      assert(Bench.planFingerprint(viaCache, "nosrc") == "")
+    } finally cached.unpersist()
     // a bare-classes deployment (missing source tree → "nosrc") must make
     // opaque plans NON-CARRYING, not identically-carrying: the empty
     // fingerprint is the never-carry token everywhere downstream
