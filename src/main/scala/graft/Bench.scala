@@ -124,33 +124,41 @@ object Bench {
   }
 
   /** Cross-JVM-stable fingerprint of a query's optimized plan. Three
-    * plan shapes are BLIND (fully or partly) to upstream code changes
-    * and fold in `srcHash` (a hash of the source tree) so any code
-    * change re-measures them: plans that hide their upstream behind a
-    * checkpoint/RDD scan (`LogicalRDD`/`ExistingRDD`), plans whose ROOT
-    * is a LocalRelation — the driver computed the entire result before
-    * the frame existed (the observe-telemetry report rows), and
-    * LocalRelation text prints no row values — and plans carrying an
-    * `InMemoryRelation`, whose cached subtree [[normalizePlan]] cuts as
-    * load-volatile (the logical text above the relation may not capture
-    * the cached query's structure). A LocalRelation merely INSIDE a
-    * plan (a broadcast literal model, a probe set) does not trigger the
-    * fold — the surrounding plan text still captures structure. */
+    * plan shapes are OPAQUE — blind (fully or partly) to upstream code
+    * changes — and fingerprint as a constant base plus `srcHash` (a hash
+    * of the source tree) so any code change re-measures them: plans that
+    * hide their upstream behind a checkpoint/RDD scan
+    * (`LogicalRDD`/`ExistingRDD`), plans whose ROOT is a LocalRelation —
+    * the driver computed the entire result before the frame existed (the
+    * observe-telemetry report rows), and LocalRelation text prints no
+    * row values — and plans carrying an `InMemoryRelation`, whose
+    * rendered cached subtree is a load-volatile AQE snapshot. A
+    * LocalRelation merely INSIDE a plan (a broadcast literal model, a
+    * probe set) does not make it opaque — the surrounding plan text
+    * still captures structure and is hashed directly. */
   private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame,
                                      srcHash: String): String = {
     val raw = df.queryExecution.optimizedPlan.toString
-    val base = md5(normalizePlan(raw))
     val rootIsLocal = raw.linesIterator.hasNext &&
       raw.linesIterator.next().trim.startsWith("LocalRelation")
     if (raw.contains("LogicalRDD") || raw.contains("ExistingRDD") || rootIsLocal ||
         raw.contains("InMemoryRelation")) {
-      // a missing source tree must DISABLE carrying for exactly these
-      // plans (their text is blind to upstream code changes) — an empty
+      // OPAQUE plans hash a CONSTANT base, not their text: the rendered
+      // text cannot be made load-stable — expression literals embed real
+      // newlines (`split(text, "\n")` prints its literal as a line
+      // break), so any indentation-walk cut of a cached subtree leaks at
+      // the continuation lines and readmits the AQE snapshot (measured
+      // r19: the one query still flapping after the subtree cut leaked
+      // exactly this way). The constant loses nothing: fingerprints are
+      // only ever compared per query name, and every non-code input that
+      // could change such a plan is separately guarded (sf dir and cpu
+      // count by the state header, code by srcHash). A missing source
+      // tree must DISABLE carrying for exactly these plans — an empty
       // fingerprint is the never-carry token everywhere downstream; a
       // stable "nosrc" suffix would instead carry stale timings forever
-      // on a bare-classes deployment
-      if (srcHash == "nosrc") "" else base + "+" + srcHash
-    } else base
+      // on a bare-classes deployment.
+      if (srcHash == "nosrc") "" else md5("opaque-plan") + "+" + srcHash
+    } else md5(normalizePlan(raw))
   }
 
   def main(args: Array[String]): Unit = {
@@ -207,8 +215,20 @@ object Bench {
         }
       } catch { case _: Throwable => "nosrc" }
 
-    def fingerprintOf(df: org.apache.spark.sql.DataFrame): String =
+    // debug hook: SPARK_GRAFT_FP_DUMP=<dir> writes each query's
+    // normalized plan text (the fingerprint basis) at fingerprint time —
+    // diff two runs' dirs to hunt in-session-only volatile token classes
+    val fpDumpDir = sys.env.get("SPARK_GRAFT_FP_DUMP")
+    fpDumpDir.foreach(d => new java.io.File(d).mkdirs())
+    def fingerprintOf(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      fpDumpDir.foreach { d =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/$name.txt"),
+          normalizePlan(df.queryExecution.optimizedPlan.toString).getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      }
       planFingerprint(df, srcHash)
+    }
 
     // ---------------------------------------------------------- state I/O
     val statePath = java.nio.file.Paths.get(
@@ -592,7 +612,7 @@ object Bench {
       // would erase the query's carried history and delete its state
       // entry even though a later retry validated the fingerprint)
       if (fpNow.getOrElse(name, "").isEmpty && df != null)
-        fpNow(name) = try fingerprintOf(df) catch { case _: Throwable => "" }
+        fpNow(name) = try fingerprintOf(df, name) catch { case _: Throwable => "" }
     }
 
     // Sweep 1 always cold-samples EVERYTHING in alphabetical

@@ -24,16 +24,19 @@ object DumpPlans {
     new java.io.File(outDir).mkdirs()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
-      val (txt, fpFresh, fpExec) = try {
+      val (raw, txt, fpFresh, fpExec) = try {
         val df = fn(spark, sfDir)
         val fresh = Bench.planFingerprint(df, "X")
         df.write.format("noop").mode("overwrite").save()
         val execd = Bench.planFingerprint(df, "X")
-        (Bench.normalizePlan(df.queryExecution.optimizedPlan.toString), fresh, execd)
-      } catch { case t: Throwable => (s"ERROR ${t.getMessage}", "", "") }
+        val r = df.queryExecution.optimizedPlan.toString
+        (r, Bench.normalizePlan(r), fresh, execd)
+      } catch { case t: Throwable => (s"ERROR ${t.getMessage}", s"ERROR ${t.getMessage}", "", "") }
       println(s"FP $name fresh=$fpFresh exec=$fpExec same=${fpFresh == fpExec}")
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/$name.txt"),
         txt.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/$name.raw.txt"),
+        raw.getBytes("UTF-8"))
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
