@@ -109,6 +109,14 @@ object Bench {
       .replaceAll("#\\d+L?", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\$\\$+Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+      // higher-order-function lambda VARIABLE NAMES (`lambda x_40#x`)
+      // draw on a session-global fresh-name counter, so the printed
+      // number depends on how many lambda-bearing frames were built
+      // earlier in the session — with the parity skip that build set
+      // varies per run (measured r19: the 48 flapping fingerprints were
+      // exactly the HOF-using queries). The exprId scrub misses the
+      // NAME's counter; neutralize it too.
+      .replaceAll("lambda [A-Za-z0-9]+_\\d+", "lambda v")
       .replaceAll("QueryStage \\d+", "QueryStage x")
       .replaceAll("\\*\\(\\d+\\)", "*(x)")
       .replaceAll("@[0-9a-fA-F]{4,}", "@x")

@@ -33,6 +33,13 @@ class BenchSpec extends SparkSpec {
       "Aggregate [count(a#x) FILTER (WHERE (gid#x = 1)), count(b#x) FILTER (WHERE (gid#x = 2))]") ==
       Bench.normalizePlan(
         "Aggregate [count(b#x) FILTER (WHERE (gid#x = 1)), count(a#x) FILTER (WHERE (gid#x = 2))]"))
+    // higher-order-function lambda variable names draw on a
+    // session-global fresh-name counter — the number varies with how
+    // many lambda-bearing frames were built earlier in the session
+    assert(Bench.normalizePlan(
+      "Project [filter(toks#x, lambdafunction(isnotnull(lambda x_40#123), lambda x_40#123, false))]") ==
+      Bench.normalizePlan(
+        "Project [filter(toks#x, lambdafunction(isnotnull(lambda x_57#9), lambda x_57#9, false))]"))
     // line ORDER is normalized, line CONTENT is not
     assert(Bench.normalizePlan("A\nB") == Bench.normalizePlan("B\nA"))
     assert(Bench.normalizePlan("Filter (x#x > 5)") != Bench.normalizePlan("Filter (x#x > 6)"))
