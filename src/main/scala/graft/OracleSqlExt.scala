@@ -1270,7 +1270,12 @@ object OracleSqlExt {
     * centroids, arrivals (embeddings joined to arr on vec_id = doc_id)
     * match their cell's benchmark (vec_id % 10 = 0) vectors at cosine
     * >= semMinCos, best match reported, flag folded into keep (an
-    * arrival with no embedding row never flags).
+    * arrival with no embedding row never flags); plus the SEMANTIC dup
+    * gate — the kept representatives of the even half re-derive under
+    * the injected SemDeDup gate centroids (within-cell cosine pairs,
+    * exact closure, min-id survivors — the [[semanticGateSql]] algebra),
+    * arrivals match their cell's kept reps at cosine >= semDupMinCos,
+    * best match reported, flag folded into keep.
     *
     * The fingerprint CTEs re-derive EVERY document's fingerprint while
     * the engine filters col("valid") — safe because the payload
@@ -1279,9 +1284,16 @@ object OracleSqlExt {
   def ingestGateSql(w: Seq[Double], thr: Double,
                     langModel: graft.text.LangIdClassifier.LangIdModel,
                     semCents: Seq[(Int, Array[Double])], semMinCos: Double,
+                    semDupCents: Seq[(Int, Array[Double])], semDupMinCos: Double,
                     benchPredSql: String = "source = 'src0'",
                     minLineWords: Int = 3, minLen: Int = 30,
                     dupThreshold: Double = 0.5, maxHamming: Int = 3): String = {
+    // an empty centroid seq would render a syntactically invalid empty
+    // UNION ALL chain and fail the oracle with a parse error — name the
+    // missing model instead (a corrupt/empty persisted centroids table
+    // read back by readIvfModel is the only way to get here)
+    require(semCents.nonEmpty, "semantic-decon centroid model is empty — corrupt or missing centroids artifact")
+    require(semDupCents.nonEmpty, "SemDeDup gate centroid model is empty — corrupt or missing centroids artifact")
     import graft.text.TextAnalysis.{digitsPattern, emailPattern}
     val mmCap = graft.dedup.Dedup.MaxLshBucketSize
     // multimodal payload sides: the arrival's payloads ride its RAW
@@ -1291,7 +1303,10 @@ object OracleSqlExt {
     // writeImagePhashIndex-half convention)
     val mmFresh = s"(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 AND NOT ($benchPredSql))"
     val mmIdx = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
-    s"""WITH gpp AS (
+    // RECURSIVE for the SemDeDup gate's kept-set closure (sureach) —
+    // DuckDB scopes the keyword to the whole WITH list, the
+    // non-recursive CTEs are unaffected
+    s"""WITH RECURSIVE gpp AS (
        |  SELECT doc_id, source,
        |${ppBodyV2Sql(benchPredSql)}
        |  FROM documents
@@ -1436,6 +1451,47 @@ object OracleSqlExt {
        |  FROM sdmax b JOIN sdcand c ON c.vec_id = b.vec_id AND c.cos = b.cos
        |  GROUP BY b.vec_id, b.cos
        |),
+       |sucents AS (
+       |  ${semDupCents.map { case (cid, arr) =>
+             s"SELECT $cid AS cid, [${arr.mkString(", ")}]::DOUBLE[] AS cv"
+           }.mkString("\n  UNION ALL ")}
+       |),
+       |suasg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+       |    FROM (SELECT vec_id, v, cid, ${dotSql("v", "cv")} AS d FROM sdae CROSS JOIN sucents)
+       |  ) WHERE rn = 1
+       |),
+       |sucandE AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM suasg l JOIN suasg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+       |  WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 0
+       |    AND round(${cosineSql("l.v", "r.v")}, 6) >= $semDupMinCos
+       |),
+       |subidir AS (SELECT a AS src, b AS dst FROM sucandE UNION SELECT b, a FROM sucandE),
+       |sureach(src, dst) AS (
+       |  SELECT src, src FROM subidir
+       |  UNION
+       |  SELECT r.src, bd.dst FROM sureach r JOIN subidir bd ON r.dst = bd.src
+       |),
+       |sucomp AS (SELECT src AS vec_id, min(dst) AS component FROM sureach GROUP BY src),
+       |sukept AS (
+       |  SELECT a.vec_id, a.cid, a.v
+       |  FROM suasg a LEFT JOIN sucomp c ON a.vec_id = c.vec_id
+       |  WHERE a.vec_id % 2 = 0 AND (c.vec_id IS NULL OR c.component = a.vec_id)
+       |),
+       |sufresh AS (SELECT s.vec_id, s.cid, s.v FROM suasg s JOIN arr a ON s.vec_id = a.doc_id),
+       |sucand AS (
+       |  SELECT f.vec_id, k.vec_id AS match_id, round(${cosineSql("f.v", "k.v")}, 6) AS cos
+       |  FROM sufresh f JOIN sukept k ON f.cid = k.cid
+       |  WHERE round(${cosineSql("f.v", "k.v")}, 6) >= $semDupMinCos
+       |),
+       |sumax AS (SELECT vec_id, max(cos) AS cos FROM sucand GROUP BY vec_id),
+       |subest AS (
+       |  SELECT b.vec_id, CAST(min(c.match_id) AS BIGINT) AS match_id, b.cos
+       |  FROM sumax b JOIN sucand c ON c.vec_id = b.vec_id AND c.cos = b.cos
+       |  GROUP BY b.vec_id, b.cos
+       |),
        |${langIdPredCtes(langModel, "arr", "gl")}
        |SELECT a.doc_id, a.source, q.score,
        |  CASE WHEN q.score >= $thr THEN 1 ELSE 0 END AS quality_pass,
@@ -1455,11 +1511,14 @@ object OracleSqlExt {
        |  CASE WHEN sd.vec_id IS NOT NULL THEN 1 ELSE 0 END AS sem_decon_flag,
        |  sd.match_id AS sem_match_id,
        |  sd.cos AS sem_cos,
+       |  CASE WHEN su.vec_id IS NOT NULL THEN 1 ELSE 0 END AS sem_dup_flag,
+       |  su.match_id AS sem_dup_match_id,
+       |  su.cos AS sem_dup_cos,
        |  lp.lang_pred,
        |  CASE WHEN lp.lang_pred = dl.lang THEN 1 ELSE 0 END AS lang_ok,
        |  CASE WHEN q.score >= $thr AND d.doc_id IS NULL AND g.doc_id IS NULL
        |        AND mi.doc_id IS NULL AND au.doc_id IS NULL AND vi.doc_id IS NULL
-       |        AND sd.vec_id IS NULL AND lp.lang_pred = dl.lang
+       |        AND sd.vec_id IS NULL AND su.vec_id IS NULL AND lp.lang_pred = dl.lang
        |       THEN 1 ELSE 0 END AS keep
        |FROM arr a
        |JOIN gqs q ON a.doc_id = q.doc_id
@@ -1470,12 +1529,14 @@ object OracleSqlExt {
        |LEFT JOIN gimmatch mi ON a.doc_id = mi.doc_id
        |LEFT JOIN gaumatch au ON a.doc_id = au.doc_id
        |LEFT JOIN gvimatch vi ON a.doc_id = vi.doc_id
-       |LEFT JOIN sdbest sd ON a.doc_id = sd.vec_id""".stripMargin
+       |LEFT JOIN sdbest sd ON a.doc_id = sd.vec_id
+       |LEFT JOIN subest su ON a.doc_id = su.vec_id""".stripMargin
   }
 
   def ingestGateSqlFromLastGate: Option[String] =
-    graft.streaming.PretrainStream.lastIngestGate.map { case (w, thr, lm, semCents, semMinCos) =>
-      ingestGateSql(w, thr, lm, semCents, semMinCos)
+    graft.streaming.PretrainStream.lastIngestGate.map {
+      case (w, thr, lm, semCents, semMinCos, semDupCents, semDupMinCos) =>
+        ingestGateSql(w, thr, lm, semCents, semMinCos, semDupCents, semDupMinCos)
     }
 
   /** Mirror of [[graft.text.LangIdClassifier.predictWith]] as

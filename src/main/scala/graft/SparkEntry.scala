@@ -3136,33 +3136,40 @@ object SparkEntry {
     // non-benchmark "arriving" pages run the row-local cleaning chain
     // (NFC -> C4 -> persisted-boilerplate line filter -> PII, the
     // ladder's stage order with the corpus-df stage index-served), then
-    // SEVEN independent index-served gates —
+    // EIGHT independent index-served gates —
     // the trained quality classifier (literal weights), the substring
     // decontamination flag vs the persisted benchmark anchors, the
     // near-dup flag vs the even-half corpus' persisted minhash index,
     // the three MULTIMODAL near-dup flags (the arrival's image/
     // audio/video payloads fingerprint once and band-join the even-half
     // persisted fingerprint indexes; payloads ride the arrival's raw
-    // record, untouched by the text-cleaning simulation), and the
-    // SEMANTIC decon flag (the arrival's embedding vs the persisted
-    // benchmark centroid index) — plus the lang-ID agreement gate — ONE
+    // record, untouched by the text-cleaning simulation), the SEMANTIC
+    // decon flag (the arrival's embedding vs the persisted benchmark
+    // centroid index), and the SEMANTIC dup flag (the same embedding vs
+    // the persisted SemDeDup gate index's kept representatives — the
+    // corpus-dup complement) — plus the lang-ID agreement gate — ONE
     // audit row per arrival with every modality's verdict and the
     // composed keep. DYNAMIC oracle: the run stashes (weights,
-    // threshold, lang model, centroids) and oracleSql mirrors the clean
-    // chain + all gates from them (OracleSqlExt.ingestGateSql).
+    // threshold, lang model, both centroid sets) and oracleSql mirrors
+    // the clean chain + all gates from them (OracleSqlExt.ingestGateSql).
     ("pipeline_ingest_gate",
       (s: SparkSession, d: String) => {
         val dir = pretrainGateIndexDir(s, d)
         val w = qcWeights(s, d)
         // the language gate serves the PERSISTED lang-ID model (the same
-        // publishSwap artifact text_langid_trained_indexed reads), and
-        // the semantic-decon gate serves the persisted benchmark centroid
-        // index (the same artifact decontaminate_semantic_indexed reads)
+        // publishSwap artifact text_langid_trained_indexed reads), the
+        // semantic-decon gate serves the persisted benchmark centroid
+        // index (the same artifact decontaminate_semantic_indexed
+        // reads), and the semantic-dup gate serves the persisted
+        // SemDeDup gate index (the same artifact
+        // dedup_semantic_stream_gate reads)
         val lm = graft.text.LangIdClassifier.readModel(s, langIdModelDir(s, d))
         val semDir = semanticDeconIndexDir(s, d)
         val semCents = graft.similarity.Ann.readIvfModel(s, s"$semDir/centroids")
+        val semGateDir = semanticGateIndexDir(s, d)
+        val semDupCents = graft.similarity.Ann.readIvfModel(s, s"$semGateDir/centroids")
         graft.streaming.PretrainStream.lastIngestGate =
-          Some((w, pretrainGateThreshold, lm, semCents, 0.4))
+          Some((w, pretrainGateThreshold, lm, semCents, 0.4, semDupCents, 0.4))
         val raw = Collocations.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
         val arrivals = raw.select(col("doc_id"), col("source"), col("lang"),
@@ -3180,7 +3187,8 @@ object SparkEntry {
           s.read.parquet(s"${imagePhashIndexDirHalf(s, d)}/image_phash"),
           s.read.parquet(s"${audioFpIndexDirHalf(s, d)}/audio_fp"),
           s.read.parquet(s"${videoFpIndexDirHalf(s, d)}/video_fp"),
-          arrEmb, s.read.parquet(s"$semDir/bench"), semCents)
+          arrEmb, s.read.parquet(s"$semDir/bench"), semCents,
+          s.read.parquet(s"$semGateDir/kept"), semDupCents)
       },
       None),
 

@@ -30,7 +30,12 @@ import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
   *      benchmark centroid index ([[SemanticDeconStream]]'s algebra —
   *      the arrival's precomputed embedding assigns to cells as a
   *      narrow literal-centroid map and joins only its cell's benchmark
-  *      vectors; a record shipping no embedding audits 0).
+  *      vectors; a record shipping no embedding audits 0);
+  *   7. the SEMANTIC near-duplicate flag against the persisted SemDeDup
+  *      ingest-gate index ([[SemanticDedupStream]]'s algebra — the same
+  *      embedding assigns under the gate index's centroids and joins
+  *      only its cell's KEPT corpus representatives; the corpus-dup
+  *      complement of gate 6's benchmark-decon check).
   *
   * The CORPUS-GLOBAL ladder stages split by their serve shape: the
   * boilerplate stage's document frequencies are computed BATCH-SIDE at
@@ -49,11 +54,15 @@ import graft.text.{QualityClassifier, TextAnalysis, TextNormalize}
 object PretrainStream {
 
   /** Last (weights, threshold, lang-ID model, semantic-decon centroids,
-    * semantic minCos) the batch gate twin ran with, stashed for its
-    * dynamic oracle (the [[graft.pipelines.PretrainCorpus.lastGate]]
-    * pattern). */
+    * semantic-decon minCos, SemDeDup gate centroids, SemDeDup minCos)
+    * the batch gate twin ran with, stashed for its dynamic oracle (the
+    * [[graft.pipelines.PretrainCorpus.lastGate]] pattern). The second
+    * centroid model is the persisted SemDeDup ingest-gate index's — the
+    * oracle re-derives its kept representatives from the centroids, so
+    * the centroids are the whole model. */
   @volatile var lastIngestGate:
     Option[(Seq[Double], Double, graft.text.LangIdClassifier.LangIdModel,
+            Seq[(Int, Array[Double])], Double,
             Seq[(Int, Array[Double])], Double)] = None
 
   /** NFC canonicalization + C4 line rules — the row-local prefix shared
@@ -105,14 +114,17 @@ object PretrainStream {
     * dup_match_id, dup_jaccard, image_dup_flag, image_match_id,
     * image_hamming, audio_dup_flag, audio_match_id, audio_hamming,
     * video_dup_flag, video_match_id, video_hamming, sem_decon_flag,
-    * sem_match_id, sem_cos, lang_pred, lang_ok, keep) with keep =
-    * passes quality AND not contaminated (lexically OR semantically)
-    * AND not a near-dup of the indexed corpus in ANY modality AND the
-    * trained lang-ID prediction agrees with the arrival's declared
-    * `lang` (the CCNet-shaped language admit rule; `batch` must carry a
-    * `lang` column next to doc_id/source/text). Flags are computed
-    * independently (an audit row reports every gate's verdict, not just
-    * the first rejection).
+    * sem_match_id, sem_cos, sem_dup_flag, sem_dup_match_id,
+    * sem_dup_cos, lang_pred, lang_ok, keep) with keep = passes quality
+    * AND not contaminated (lexically OR semantically) AND not a
+    * near-dup of the indexed corpus in ANY modality — lexical,
+    * image/audio/video perceptual, or SEMANTIC (the SemDeDup gate:
+    * the arrival's embedding vs the persisted kept representatives) —
+    * AND the trained lang-ID prediction agrees with the arrival's
+    * declared `lang` (the CCNet-shaped language admit rule; `batch`
+    * must carry a `lang` column next to doc_id/source/text). Flags are
+    * computed independently (an audit row reports every gate's
+    * verdict, not just the first rejection).
     *
     * `payloads` is the arrivals' MULTIMODAL payload side — (doc_id,
     * text) rows whose text is the byte source the image/audio/video
@@ -154,12 +166,13 @@ object PretrainStream {
                 imagePhashIdx: DataFrame, audioFpIdx: DataFrame, videoFpIdx: DataFrame,
                 arrEmb: DataFrame, semBench: DataFrame,
                 semCents: Seq[(Int, Array[Double])],
+                semKept: DataFrame, semDupCents: Seq[(Int, Array[Double])],
                 minLineWords: Int = 3, minLen: Int = 30,
                 anchorK: Int = 24, anchorW: Int = 7,
                 k: Int = 3, numHashes: Int = 16,
                 bands: Int = 4, rowsPerBand: Int = 4,
                 dupThreshold: Double = 0.5, maxHamming: Int = 3,
-                semMinCos: Double = 0.4): DataFrame = {
+                semMinCos: Double = 0.4, semDupMinCos: Double = 0.4): DataFrame = {
     // the arrival's declared `lang` rides the clean chain (keep param) so
     // the language gate never join-backs a column the chain held
     val preScrub = applyBoilerplate(nfcC4(batch, minLineWords, keep = Seq("lang")),
@@ -214,6 +227,16 @@ object PretrainStream {
         .semanticDeconMatches(arrEmb, semBench, semCents, semMinCos)
         .select(col("vec_id").as("doc_id"), lit(1).as("sem_decon_flag"),
           col("match_id").as("sem_match_id"), col("cos").as("sem_cos"))
+      // SEMANTIC dedup gate ([[SemanticDedupStream]]'s algebra composed
+      // next to the decon flag): the SAME embedding side assigns under
+      // the persisted SemDeDup ingest-gate index's centroids and joins
+      // ONLY its cell's KEPT corpus representatives — the corpus-dup
+      // complement of the benchmark-decon check above, sharing its
+      // no-embedding-audits-0 contract.
+      val semDupRep = graft.dedup.Dedup
+        .semanticMatchesAgainst(arrEmb, semKept, semDupCents, semDupMinCos)
+        .select(col("vec_id").as("doc_id"), lit(1).as("sem_dup_flag"),
+          col("match_id").as("sem_dup_match_id"), col("cos").as("sem_dup_cos"))
       val out = scored
         .join(deconRep.select(col("doc_id")).distinct()
           .withColumn("decon_flag", lit(1)), Seq("doc_id"), "left")
@@ -224,6 +247,7 @@ object PretrainStream {
         .join(audRep, Seq("doc_id"), "left")
         .join(vidRep, Seq("doc_id"), "left")
         .join(semRep, Seq("doc_id"), "left")
+        .join(semDupRep, Seq("doc_id"), "left")
         .join(langRep, Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("score"),
           when(col("score") >= thr, 1).otherwise(0).as("quality_pass"),
@@ -238,12 +262,15 @@ object PretrainStream {
           col("video_match_id"), col("video_hamming"),
           coalesce(col("sem_decon_flag"), lit(0)).as("sem_decon_flag"),
           col("sem_match_id"), col("sem_cos"),
+          coalesce(col("sem_dup_flag"), lit(0)).as("sem_dup_flag"),
+          col("sem_dup_match_id"), col("sem_dup_cos"),
           col("lang_pred"), col("lang_ok"))
         .withColumn("keep",
           (col("quality_pass") === 1 && col("decon_flag") === 0 &&
             col("dup_flag") === 0 && col("image_dup_flag") === 0 &&
             col("audio_dup_flag") === 0 && col("video_dup_flag") === 0 &&
-            col("sem_decon_flag") === 0 && col("lang_ok") === 1).cast("int"))
+            col("sem_decon_flag") === 0 && col("sem_dup_flag") === 0 &&
+            col("lang_ok") === 1).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { out.count(); out }
       catch { case t: Throwable => out.unpersist(); throw t }
@@ -331,15 +358,19 @@ object PretrainStream {
     * `.../image_phash` and its audio/video twins); `semIdxDir` is the
     * [[graft.dedup.Dedup.writeSemanticDeconIndex]] benchmark index
     * (`.../centroids` + `.../bench` — the same publishSwap artifact the
-    * batch `decontaminate_semantic_indexed` serves). All index/model
-    * reads happen per micro-batch so a publishSwap refresh never kills
-    * the query. */
+    * batch `decontaminate_semantic_indexed` serves); `semGateIdxDir`
+    * is the [[graft.dedup.Dedup.writeSemanticGateIndex]] SemDeDup
+    * index (`.../centroids` + `.../kept` — the same artifact the batch
+    * `dedup_semantic_stream_gate` serves). All index/model reads
+    * happen per micro-batch so a publishSwap refresh never kills the
+    * query. */
   def gate(stream: DataFrame, modelDir: String, langModelDir: String, thr: Double,
            gateIndexDir: String, imageIdxDir: String, audioIdxDir: String,
-           videoIdxDir: String, semIdxDir: String, outDir: String, checkpoint: String,
+           videoIdxDir: String, semIdxDir: String, semGateIdxDir: String,
+           outDir: String, checkpoint: String,
            minLineWords: Int = 3, minLen: Int = 30,
            dupThreshold: Double = 0.5, maxHamming: Int = 3,
-           semMinCos: Double = 0.4): StreamingQuery =
+           semMinCos: Double = 0.4, semDupMinCos: Double = 0.4): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -354,9 +385,10 @@ object PretrainStream {
           // lang-ID model re-read per micro-batch (the LangIdStream
           // contract): a publishSwap retrain refreshes serving mid-stream
           val lm = graft.text.LangIdClassifier.readModel(s, langModelDir)
-          // semantic-decon centroid model: tiny, re-read per micro-batch
+          // semantic centroid models: tiny, re-read per micro-batch
           // (the SemanticDeconStream one-row-model contract)
           val semCents = graft.similarity.Ann.readIvfModel(s, s"$semIdxDir/centroids")
+          val semDupCents = graft.similarity.Ann.readIvfModel(s, s"$semGateIdxDir/centroids")
           val o = gateBatch(batch,
             batch.select(col("doc_id"), col("payload_text").as("text")),
             w, thr, lm,
@@ -370,8 +402,10 @@ object PretrainStream {
             s.read.parquet(videoIdxDir),
             batch.select(col("doc_id").as("vec_id"), col("embedding")),
             s.read.parquet(s"$semIdxDir/bench"), semCents,
+            s.read.parquet(s"$semGateIdxDir/kept"), semDupCents,
             minLineWords, minLen, dupThreshold = dupThreshold,
-            maxHamming = maxHamming, semMinCos = semMinCos)
+            maxHamming = maxHamming, semMinCos = semMinCos,
+            semDupMinCos = semDupMinCos)
           // finally-release: a failed write attempt must not strand the
           // gate frame's cache into the retry.
           try {

@@ -1181,6 +1181,14 @@ class StreamingSpec extends SparkSpec {
       emb.filter(pmod(col("vec_id"), lit(10L)) === 0), semIdx.toString,
       nClusters = 8, iters = 2, trainStride = 1)
     val semCents = graft.similarity.Ann.readIvfModel(spark, s"$semIdx/centroids")
+    // SemDeDup ingest-gate index over the embedding table's even half
+    // (the dedup_semantic_stream_gate artifact) — the sem-dup gate's
+    // kept representatives + centroids
+    val semGateIdx = java.nio.file.Files.createTempDirectory("graft-ppgate-semgidx")
+    graft.dedup.Dedup.writeSemanticGateIndex(
+      emb.filter(pmod(col("vec_id"), lit(2L)) === 0), semGateIdx.toString,
+      nClusters = 8, iters = 2, minCos = 0.4, trainStride = 1)
+    val semDupCents = graft.similarity.Ann.readIvfModel(spark, s"$semGateIdx/centroids")
     val w = QualityStream.buildModel(docs, model.toString)
     val lm = graft.text.LangIdClassifier.train(docs)
     graft.text.LangIdClassifier.writeModel(lm, langModelDir.toString, spark)
@@ -1206,6 +1214,7 @@ class StreamingSpec extends SparkSpec {
       model.toString, langModelDir.toString, thr = 0.28, gateIndexDir = idx.toString,
       imageIdxDir = s"$mmIdx/img/image_phash", audioIdxDir = s"$mmIdx/aud/audio_fp",
       videoIdxDir = s"$mmIdx/vid/video_fp", semIdxDir = semIdx.toString,
+      semGateIdxDir = semGateIdx.toString,
       outDir = out.toString, checkpoint = ckpt.toString)
     q.processAllAvailable(); q.stop()
     val cols = Seq("doc_id", "source", "score", "quality_pass", "decon_flag",
@@ -1214,6 +1223,7 @@ class StreamingSpec extends SparkSpec {
       "audio_dup_flag", "audio_match_id", "audio_hamming",
       "video_dup_flag", "video_match_id", "video_hamming",
       "sem_decon_flag", "sem_match_id", "sem_cos",
+      "sem_dup_flag", "sem_dup_match_id", "sem_dup_cos",
       "lang_pred", "lang_ok", "keep")
     def key(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
@@ -1230,13 +1240,16 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$mmIdx/aud/audio_fp"),
       spark.read.parquet(s"$mmIdx/vid/video_fp"),
       emb.join(arrivals.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
-      spark.read.parquet(s"$semIdx/bench"), semCents)
+      spark.read.parquet(s"$semIdx/bench"), semCents,
+      spark.read.parquet(s"$semGateIdx/kept"), semDupCents)
     assert(streamed == key(batch),
       "accumulated stream audit rows must equal the batch gate twin on all arrivals")
     // the gate's audited modality set IS the shared constant the v4
     // ladder builds against (PipelineOpsSpec pins the other half)
+    // (sem_dup_flag is the EMBEDDING gate, not a perceptual fingerprint
+    // modality — the v4 ladder's fingerprint stages are the trio)
     val gateMods = batch.schema.fieldNames.filter(_.endsWith("_dup_flag"))
-      .map(_.stripSuffix("_dup_flag")).toSet
+      .map(_.stripSuffix("_dup_flag")).toSet - "sem"
     assert(gateMods == PretrainStream.PerceptualModalities.toSet,
       s"gate audit modalities $gateMods must equal PerceptualModalities")
     val rows = batch.collect()
@@ -1275,6 +1288,21 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Double]("sem_cos"))).toSet
     assert(semComposed == semStandalone,
       "composed sem audit must equal the standalone semantic decon gate")
+    // the semantic DUP gate folds into keep, and its audit columns agree
+    // with the standalone SemanticDedupStream algebra over the same
+    // arrivals + persisted gate index
+    rows.filter(_.getAs[Int]("sem_dup_flag") == 1)
+      .foreach(r => assert(r.getAs[Int]("keep") == 0,
+        s"semantic near-dup arrival must not be admitted: $r"))
+    val semDupStandalone = graft.streaming.SemanticDedupStream.gateBatch(
+        emb.join(arrivals.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        spark.read.parquet(s"$semGateIdx/kept"), semDupCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val semDupComposed = rows.filter(_.getAs[Int]("sem_dup_flag") == 1)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sem_dup_match_id"),
+        r.getAs[Double]("sem_dup_cos"))).toSet
+    assert(semDupComposed == semDupStandalone,
+      "composed sem-dup audit must equal the standalone SemDeDup gate")
     // the serve side is index-only: the gate plan scans the persisted
     // tables, never the corpus the index was built from
     val p = batch.queryExecution.executedPlan.toString
@@ -1282,7 +1310,7 @@ class StreamingSpec extends SparkSpec {
     assert(p.contains("graft-ppgate-mmidx"),
       s"gate must scan the persisted modality fingerprint indexes:\n$p")
     batch.unpersist()
-    Seq(idx, mmIdx, semIdx, model, watch, out, ckpt).foreach(d =>
+    Seq(idx, mmIdx, semIdx, semGateIdx, model, watch, out, ckpt).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
   }
 
