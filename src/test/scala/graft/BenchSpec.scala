@@ -40,6 +40,18 @@ class BenchSpec extends SparkSpec {
       "Project [filter(toks#x, lambdafunction(isnotnull(lambda x_40#123), lambda x_40#123, false))]") ==
       Bench.normalizePlan(
         "Project [filter(toks#x, lambdafunction(isnotnull(lambda x_57#9), lambda x_57#9, false))]"))
+    // ...but DISTINCT variables renumber by first occurrence, not
+    // collapse to one token: two plans differing only in WHICH of
+    // several lambda variables a body position references must differ
+    assert(Bench.normalizePlan(
+      "Project [zip_with(a#x, b#x, lambdafunction(lambda l_3#1, lambda l_3#1, lambda r_4#2, false))]") !=
+      Bench.normalizePlan(
+        "Project [zip_with(a#x, b#x, lambdafunction(lambda r_4#2, lambda l_3#1, lambda r_4#2, false))]"))
+    // same reference pattern under different counters still agrees
+    assert(Bench.normalizePlan(
+      "Project [zip_with(a#x, b#x, lambdafunction(lambda l_3#1, lambda l_3#1, lambda r_4#2, false))]") ==
+      Bench.normalizePlan(
+        "Project [zip_with(a#x, b#x, lambdafunction(lambda l_88#5, lambda l_88#5, lambda r_91#6, false))]"))
     // line ORDER is normalized, line CONTENT is not
     assert(Bench.normalizePlan("A\nB") == Bench.normalizePlan("B\nA"))
     assert(Bench.normalizePlan("Filter (x#x > 5)") != Bench.normalizePlan("Filter (x#x > 6)"))
