@@ -31,7 +31,7 @@ object ScaleProbe {
       "--lsh-skew-only", "--semantic-only", "--novelty-only", "--winnow-only",
       "--substring-only", "--substring-geom-only", "--decon-substring-only",
       "--classifier-only", "--diff-only", "--overlap-only", "--pca-only",
-      "--hamming-skew-only", "--gate-only")
+      "--hamming-skew-only", "--gate-only", "--ingest-gate-only")
     require(flags.forall(known), s"unknown flags: ${flags.mkString(" ")}")
     val lshOnly = flags.contains("--lsh-only")
     val indexOnly = flags.contains("--index-only")
@@ -54,6 +54,7 @@ object ScaleProbe {
     val pcaOnly = flags.contains("--pca-only")
     val hammingSkewOnly = flags.contains("--hamming-skew-only")
     val gateOnly = flags.contains("--gate-only")
+    val ingestGateOnly = flags.contains("--ingest-gate-only")
     val mults = if (nums.nonEmpty) nums.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -62,6 +63,41 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    // FULL-INGEST-GATE fixture, built ONCE before the m loop: the probe
+    // measures the gate's per-arrival SERVE cost curve against a FIXED
+    // index/model set (the production shape — arrivals scale, the
+    // published index does not), so every index and trained model the
+    // eight gates read is prepared here and shared by all m.
+    val ingestGateFix: Option[(String, Seq[Double],
+        graft.text.LangIdClassifier.LangIdModel,
+        Seq[(Int, Array[Double])], Seq[(Int, Array[Double])])] =
+      if (!ingestGateOnly) None else {
+        val pages = base.select(col("doc_id"), col("source"), col("lang"),
+          graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-ingestgate-probe").toString
+        val tb = System.nanoTime()
+        graft.streaming.PretrainStream.writeGateIndex(pages, dir,
+          benchPred = col("source") === "src0",
+          corpusPred = pmod(col("doc_id"), lit(2L)) === 0 && col("source") =!= "src0")
+        val evenRaw = base.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        graft.dedup.Dedup.writeImagePhashIndex(evenRaw, s"$dir/img")
+        graft.dedup.Dedup.writeAudioFpIndex(evenRaw, s"$dir/aud")
+        graft.dedup.Dedup.writeVideoFpIndex(evenRaw, s"$dir/vid")
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        graft.dedup.Dedup.writeSemanticDeconIndex(
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 0), s"$dir/semdecon",
+          nClusters = 8, iters = 2, trainStride = 1)
+        graft.dedup.Dedup.writeSemanticGateIndex(
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0), s"$dir/semgate",
+          nClusters = 8, iters = 2, minCos = 0.4, trainStride = 1)
+        val w = graft.streaming.QualityStream.buildModel(base, s"$dir/qc")
+        val lm = graft.text.LangIdClassifier.train(base)
+        val semCents = graft.similarity.Ann.readIvfModel(spark, s"$dir/semdecon/centroids")
+        val semDupCents = graft.similarity.Ann.readIvfModel(spark, s"$dir/semgate/centroids")
+        println(f"SCALE-INGEST-GATE index+models build=${(System.nanoTime() - tb) / 1e9}%6.2f s (fixed across m)")
+        Some((dir, w, lm, semCents, semDupCents))
+      }
     mults.foreach { m =>
       val docs = (0 until m).map(i =>
         base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
@@ -409,6 +445,47 @@ object ScaleProbe {
         } else " uncapped=skipped(quadratic)"
         println(f"SCALE-WINNOW m=$m%2d docs=${5000 * m}%7d fps=$nFp%8d $tFp%5.2f s capped_pairs=$nOv%8d $tOv%6.2f s$unc")
         spark.sharedState.cacheManager.clearCache()
+      } else if (ingestGateOnly) {
+        // FULL INGEST-GATE throughput probe (pipeline_ingest_gate's
+        // serve path, measured): the registry fixture's arrival shard
+        // replicated m times with shifted ids against the FIXED index
+        // built above. Every replica does identical per-arrival work —
+        // one cap-bounded bucket per index-served gate, one audit row
+        // out — so audit rows must grow exactly ×m and wall ~m: the
+        // per-arrival cost curve of the eight-gate audit at increasing
+        // shard size (the curve the dedup probes document for their
+        // single gates).
+        val (dir, w, lm, semCents, semDupCents) = ingestGateFix.get
+        val pages0 = base.select(col("doc_id"), col("source"), col("lang"),
+          graft.pipelines.PretrainCorpus.dirtyPageV2.as("text"))
+          .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
+        val raw0 = base.filter(pmod(col("doc_id"), lit(2L)) === 1 && col("source") =!= "src0")
+          .select("doc_id", "text")
+        def reps(df: org.apache.spark.sql.DataFrame, idCol: String) =
+          (0 until m).map(i =>
+            df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+            .reduce(_ unionByName _)
+        val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        val arrEmb0 = emb.select(col("vec_id"), col("embedding"))
+          .join(raw0.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val t0 = System.nanoTime()
+        val out = graft.streaming.PretrainStream.gateBatch(
+          reps(pages0, "doc_id"), reps(raw0, "doc_id"), w, 0.28, lm,
+          spark.read.parquet(s"$dir/boilerplate"),
+          spark.read.parquet(s"$dir/anchors"), spark.read.parquet(s"$dir/bench"),
+          spark.read.parquet(s"$dir/dedup/minhash_sigs"),
+          spark.read.parquet(s"$dir/dedup/shingle_sets"),
+          spark.read.parquet(s"$dir/img/image_phash"),
+          spark.read.parquet(s"$dir/aud/audio_fp"),
+          spark.read.parquet(s"$dir/vid/video_fp"),
+          reps(arrEmb0, "vec_id"), spark.read.parquet(s"$dir/semdecon/bench"),
+          semCents, spark.read.parquet(s"$dir/semgate/kept"), semDupCents)
+        val n = out.count()
+        val tG = (System.nanoTime() - t0) / 1e9
+        val nKept = out.filter(col("keep") === 1).count()
+        out.unpersist(blocking = true)
+        spark.sharedState.cacheManager.clearCache()
+        println(f"SCALE-INGEST-GATE m=$m%2d arrivals=$n%8d kept=$nKept%8d gate=$tG%6.2f s (${tG / math.max(1L, n) * 1000}%6.3f ms/arrival)")
       } else if (gateOnly) {
         // INGEST-GATE FLOOD probe (jaccardMatchesAgainst, measured): the
         // index holds the m-times corpus (replica-prefixed, so replicas
