@@ -1082,15 +1082,21 @@ object Dedup {
     * difference between a bounded loop and a diameter-bound blowup on
     * long-chain duplicate graphs at corpus scale.
     *
-    * Each round's label table is rebuilt from its RDD before caching:
-    * the iterative joins otherwise nest the previous round's cached plan
-    * several times per round, and the plan-DESCRIPTION string the UI
-    * listener renders per action grows exponentially with rounds — a
-    * deep component chain would OOM the driver on plan strings long
-    * before data is a problem. The rebuilt table keeps the logical plan
-    * O(1) deep; the per-round cache cuts recompute (a lost partition on
-    * a real cluster recomputes from the cached edge list — slower, still
-    * correct).
+    * Each round's label table is cut from its lineage by an EAGER
+    * localCheckpoint and then rebuilt over the checkpointed RDD. Both
+    * halves are load-bearing:
+    *  - the checkpoint truncates the RDD lineage (the r20 measurement:
+    *    the old persist + createDataFrame(df.rdd) rebuild kept the
+    *    whole cross-round RDD DAG alive, and per-round cost ran ~2x the
+    *    checkpointed form's on the same graph);
+    *  - the createDataFrame rebuild DROPS the stats the checkpoint
+    *    records: a checkpointed Dataset carries its origin plan's
+    *    sizeInBytes, each round's self-join MULTIPLIES them, and the
+    *    recorded number's digit count doubles per round (measured r20:
+    *    21 -> 62,025 digits by round 12; a double-jump variant spent
+    *    290 s of driver CPU in one BigInteger multiply inside
+    *    SizeInBytesOnlyStatsPlanVisitor by round 11). Resetting to
+    *    default stats keeps planning O(1) per round.
     * Returns (doc_id, component) for every vertex of the pair graph.  */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
                           seeds: Option[DataFrame] = None): DataFrame = {
@@ -1100,10 +1106,24 @@ object Dedup {
     // seeds (doc_id, component) must cover exactly the pair graph's
     // vertices with a same-component label <= the identity label; any such
     // initialization converges to the same min-label fixpoint
-    var labels = seeds.getOrElse(
-        edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("component", col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage cut + stats reset (see the scaladoc: both halves measured).
+    // The checkpoint's internal cached RDD is captured off the LogicalRDD
+    // node so each superseded round releases its cache EXPLICITLY (the
+    // no-leaked-caches contract DedupSpec pins) instead of waiting on the
+    // ContextCleaner.
+    def cutLabels(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val ck = df.localCheckpoint()
+      val internal = ck.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        case _ => null
+      }
+      (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), internal)
+    }
+    def releaseCk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (rdd != null) { rdd.unpersist(blocking = false); () }
+    var (labels, labelsCk) = cutLabels(seeds.getOrElse(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id"))))
     var converged = false
     var it = 0
     // Convergence check WITHOUT a per-iteration old-vs-new join: labels
@@ -1118,8 +1138,8 @@ object Dedup {
         .map(_.asInstanceOf[java.math.BigDecimal].stripTrailingZeros)
         .getOrElse(java.math.BigDecimal.ZERO)
     // seeding the sum from the initial labels keeps the already-a-fixpoint
-    // case at one iteration (and the action doubles as the cache
-    // materialization of `labels` before its two uses in iteration 1)
+    // case at one iteration (cutLabels already materialized the table, so
+    // this is a narrow read of the checkpoint cache)
     var prevSum: Option[java.math.BigDecimal] = Some(labelSum(labels))
     val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     while (!converged && it < maxIters) {
@@ -1130,21 +1150,22 @@ object Dedup {
       val spread = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: a label is always the id of a same-component vertex,
       // so the label's label is too — taking the least keeps the invariant
-      // while halving chain depth every round
+      // while halving chain depth every round. The self-join's two
+      // branches share spread's subtree, so exchange reuse computes the
+      // edge join once; the eager checkpoint in cutLabels materializes
+      // the round in ONE execution.
       val jumped = spread.as("s")
         .join(spread.select(col("doc_id").as("p_id"), col("component").as("p_comp")),
           col("s.component") === col("p_id"), "left")
         .select(col("s.doc_id").as("doc_id"),
           least(col("s.component"), coalesce(col("p_comp"), col("s.component"))).as("component"))
-      val updated = labels.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (updated, updatedCk) = cutLabels(jumped)
       val newSum = labelSum(updated)
-      spread.unpersist()
-      labels.unpersist()
+      releaseCk(labelsCk)
       labels = updated
+      labelsCk = updatedCk
       converged = prevSum.exists(_.compareTo(newSum) == 0)
       prevSum = Some(newSum)
       it += 1
@@ -1156,12 +1177,16 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations")
-    // fully materialize the (vocabulary-of-duplicates-sized) label table,
-    // then release the edge list — the returned DataFrame reads from the
-    // label cache and never touches edges again
-    labels.count()
+    // Hand the caller a NORMALLY-persisted label table (their
+    // `.unpersist()` must work — the caller-owns-only-the-result cache
+    // contract), materialize it from the final checkpoint cache, then
+    // release that checkpoint and the edge list. One extra narrow pass
+    // over the (duplicates-sized) label table.
+    val out = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releaseCk(labelsCk)
     edges.unpersist()
-    labels
+    out
   }
 
   // ----------------------------------------------------- decontamination
