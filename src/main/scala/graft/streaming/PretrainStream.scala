@@ -159,6 +159,17 @@ object PretrainStream {
     * r17 verdict's modality asymmetry). */
   val PerceptualModalities: Seq[String] = Seq("image", "audio", "video")
 
+  /** Dev-only gate component timing (SPARK_GRAFT_STAGE_TIMES=1): forces
+    * a count per gate frame to attribute the one-action execution —
+    * measurement only, never on in a bench/driver run. */
+  private val stageTimes = sys.env.contains("SPARK_GRAFT_STAGE_TIMES")
+  private def timedCount(name: String, df: DataFrame): Unit =
+    if (stageTimes) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"GATE_STAGE $name%-10s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+
   def gateBatch(batch: DataFrame, payloads: DataFrame, w: Seq[Double], thr: Double,
                 langModel: graft.text.LangIdClassifier.LangIdModel,
                 blLines: DataFrame, benchAnchors: DataFrame, benchDocs: DataFrame,
@@ -180,6 +191,8 @@ object PretrainStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleaned = piiClean(preScrub, keep = Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timedCount("preScrub", preScrub)
+    timedCount("cleaned", cleaned)
     // Intermediates release in a finally so a failed (and later retried)
     // micro-batch never strands MEMORY_AND_DISK caches in a long-running
     // stream — each retry starts from a clean executor cache.
@@ -200,11 +213,15 @@ object PretrainStream {
           // propagate null into keep
           coalesce((col("lang_pred") === col("lang")).cast("int"), lit(0))
             .as("lang_ok"))
+      timedCount("scored", scored)
+      timedCount("langRep", langRep)
       deconRep = Dedup.decontaminateSubstringAgainst(
         preScrub.select("doc_id", "text"), benchAnchors, benchDocs, minLen, anchorK, anchorW)
+      timedCount("deconRep", deconRep)
       dupRep = Dedup.jaccardMatchesAgainst(
         cleaned.select("doc_id", "text"), indexSigs, indexSets,
         k, numHashes, bands, rowsPerBand, dupThreshold)
+      timedCount("dupRep", dupRep)
       // modality gates: fingerprint the arrivals' payload side once each
       // (narrow maps), band-join the persisted indexes — report-sized
       // match frames, lazily composed (hammingMatchesAgainst does not
@@ -215,6 +232,9 @@ object PretrainStream {
       val imgRep = mm(MultimodalDedupStream.gateImageBatch(payloads, imagePhashIdx, maxHamming), "image")
       val audRep = mm(MultimodalDedupStream.gateAudioBatch(payloads, audioFpIdx, maxHamming), "audio")
       val vidRep = mm(MultimodalDedupStream.gateVideoBatch(payloads, videoFpIdx, maxHamming), "video")
+      timedCount("imgRep", imgRep)
+      timedCount("audRep", audRep)
+      timedCount("vidRep", vidRep)
       // SEMANTIC decontamination gate ([[SemanticDeconStream]]'s algebra
       // composed into the audit row): the arrival's embedding — `arrEmb`
       // is the record's (vec_id = doc_id, embedding) side, ridden the
@@ -237,6 +257,8 @@ object PretrainStream {
         .semanticMatchesAgainst(arrEmb, semKept, semDupCents, semDupMinCos)
         .select(col("vec_id").as("doc_id"), lit(1).as("sem_dup_flag"),
           col("match_id").as("sem_dup_match_id"), col("cos").as("sem_dup_cos"))
+      timedCount("semRep", semRep)
+      timedCount("semDupRep", semDupRep)
       val out = scored
         .join(deconRep.select(col("doc_id")).distinct()
           .withColumn("decon_flag", lit(1)), Seq("doc_id"), "left")

@@ -623,12 +623,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bgc = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
-    bg.join(bgc, Seq("lang", "w1", "w2"))
+    // enrich the TYPE table first (vocabulary-bounded joins), then join
+    // the occurrence stream exactly once — the occurrence-sized stream
+    // crosses one join + the per-doc aggregation instead of carrying
+    // every statistic join itself (guide §2.3: the big side moves once;
+    // lp per type is the same fixed-op-order expression, so every
+    // occurrence picks up a bit-identical term)
+    val typed = bgc
       .join(uni, Seq("lang", "w1"))
       .join(broadcast(vocab), Seq("lang"))
       .withColumn("lp",
         log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
           .cast("decimal(28,18)"))
+      .select("lang", "w1", "w2", "lp")
+    bg.join(typed, Seq("lang", "w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
@@ -684,7 +692,14 @@ object TextAnalysis {
     val rev = bgc.groupBy("lang", "w2").agg(count(lit(1)).as("n1r"))
     val all = bgc.groupBy("lang").agg(count(lit(1)).as("n1a"))
     val d = lit(discount)
-    bg.join(bgc, Seq("lang", "w1", "w2"))
+    // enrich the TYPE table with every statistic first (all joins among
+    // vocabulary-bounded tables), then join the occurrence stream ONCE —
+    // at corpus scale the occurrence-sized stream is the expensive side
+    // and it now crosses a single join + the per-doc aggregation instead
+    // of one join per statistic (guide §2.3/§3). `lp` per type is the
+    // same fixed-operation-order expression as before, so each
+    // occurrence's term is bit-identical.
+    val typed = bgc
       .join(ctx, Seq("lang", "w1"))
       .join(rev, Seq("lang", "w2"))
       .join(broadcast(all), Seq("lang"))
@@ -693,6 +708,8 @@ object TextAnalysis {
           + d * col("n1f").cast("double") / col("ctx").cast("double")
             * (col("n1r").cast("double") / col("n1a").cast("double")))
           .cast("decimal(28,18)"))
+      .select("lang", "w1", "w2", "lp")
+    bg.join(typed, Seq("lang", "w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
@@ -825,7 +842,14 @@ object TextAnalysis {
     val all23 = tgc.select("lang", "w2", "w3").distinct()
       .groupBy("lang").agg(count(lit(1)).as("n1a"))
     val d = lit(discount)
-    tg.join(tgc, Seq("lang", "w1", "w2", "w3"))
+    // enrich the TYPE table with all five statistics first (joins among
+    // vocabulary-bounded tables only), then join the occurrence stream
+    // ONCE — the occurrence-sized stream crosses a single join + the
+    // per-doc aggregation instead of five statistic joins (guide
+    // §2.3/§3: move the big side once). `lp` per type is the same
+    // fixed-operation-order expression, so each occurrence's term is
+    // bit-identical to the per-occurrence form.
+    val typed = tgc
       .join(ctx12, Seq("lang", "w1", "w2"))
       .join(cont23, Seq("lang", "w2", "w3"))
       .join(mid2, Seq("lang", "w2"))
@@ -838,6 +862,8 @@ object TextAnalysis {
               + d * col("n1f2").cast("double") / col("m2").cast("double")
                 * (col("n1r3").cast("double") / col("n1a").cast("double"))))
           .cast("decimal(28,18)"))
+      .select("lang", "w1", "w2", "w3", "lp")
+    tg.join(typed, Seq("lang", "w1", "w2", "w3"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
